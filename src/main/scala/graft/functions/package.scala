@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level API for the graft function surface.
+  *
+  * `import graft.functions._` and use like any `org.apache.spark.sql.functions`
+  * member: `df.filter(wratio($"a", $"b") >= 85)`.
+  */
+package object functions {
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private[graft] def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** rapidfuzz `fuzz.ratio` (normalized Indel similarity × 100). */
+  def fuzz_ratio(a: Column, b: Column): Column = col(FuzzRatio(expr(a), expr(b)))
+
+  /** rapidfuzz `fuzz.partial_ratio`. */
+  def partial_ratio(a: Column, b: Column): Column = col(PartialRatio(expr(a), expr(b)))
+
+  /** rapidfuzz `fuzz.token_sort_ratio`. */
+  def token_sort_ratio(a: Column, b: Column): Column = col(TokenSortRatio(expr(a), expr(b)))
+
+  /** rapidfuzz `fuzz.token_set_ratio` — the reference's blocking scorer. */
+  def token_set_ratio(a: Column, b: Column): Column = col(TokenSetRatio(expr(a), expr(b)))
+
+  /** rapidfuzz `fuzz.WRatio` — the reference's exact scorer. */
+  def wratio(a: Column, b: Column): Column = col(WRatio(expr(a), expr(b)))
+
+  /** Reference `normalize_title` as a native expression. */
+  def normalize_title(c: Column): Column = col(NormalizeTitle(expr(c)))
+
+  /** `normalize_title` as a composition of built-ins — identical result,
+    * pure Catalyst (fully foldable/pushdown-friendly). Removes exactly
+    * Python's `string.punctuation` (reference utils.py:20-29).
+    */
+  def normalizeTitleCol(c: Column): Column = {
+    val punctClass = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+    F.trim(F.regexp_replace(
+      F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), punctClass, ""),
+      "\\s+", " "))
+  }
+}
