@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2
+  * (plus the LLM-pipeline extensions); `oracleSql` holds the DuckDB
+  * equivalent for every query whose semantics ANSI SQL can express — the
+  * driver hash-compares both result sets at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Full reference-shaped fuzzy similarity join (token_set prefilter +
+    * WRatio scoring) over part names. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    FuzzyQueries.fuzzySelfJoin(spark, "/root/testdata/sf0.001")
+  }
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (FuzzyQueries.queries, FuzzyQueries.oracles),
+    )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = groups.flatMap(_._2).toMap
 }

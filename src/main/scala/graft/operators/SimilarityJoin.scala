@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{normalizeTitleCol, token_set_ratio, wratio}
+
+/** Blocked fuzzy similarity join — the Spark-native re-expression of the
+  * reference's two-tier rapidfuzz matching
+  * (/root/reference/src/fuzzy_match_salary.py:112-162 and
+  * /root/reference/src/fuzzy_match_jobs_durations.py:58-99).
+  *
+  * Shape: cheap blocking scorer as a pre-filter (reference: vectorized
+  * `token_set_ratio` cdist matrix with cutoff), then the expensive exact
+  * scorer on survivors (reference: `WRatio`), then optional extra predicate
+  * (salary band) and per-left top-k.
+  *
+  * Scale design (100 TB): scoring runs over **distinct key pairs**, not row
+  * pairs — the reference re-scores every payroll row even though titles
+  * repeat ~10⁴×. We score the distinct-title pair set (small), then
+  * equi-join the scored pairs back to both full tables, which Catalyst
+  * plans as ordinary broadcast/shuffle hash joins with AQE skew handling.
+  *
+  * Blocking strategies:
+  *   - [[Blocking.Exact]]   — cross join of distinct keys (exact parity with
+  *     the reference's full n×m matrix; right side should be broadcastable).
+  *   - [[Blocking.Token]]   — candidates must share a whitespace token
+  *     (equi-join shuffle blocking; near-exact recall for token_set
+  *     thresholds ≥ ~60 since a high score w/o a shared token is rare).
+  *   - [[Blocking.NGram]]   — candidates must share a character q-gram:
+  *     higher recall than Token for char-level typos at higher candidate
+  *     cost.
+  *   - [[Blocking.Auto]]    — Exact when the distinct-key sides are small
+  *     enough to broadcast, else Token.
+  */
+sealed trait Blocking
+object Blocking {
+  case object Exact extends Blocking
+  case object Token extends Blocking
+  final case class NGram(q: Int = 3) extends Blocking
+  case object Auto extends Blocking
+}
+
+final case class SimilarityJoinConfig(
+    leftKey: String,
+    rightKey: String,
+    preScorer: (Column, Column) => Column = token_set_ratio,
+    preThreshold: Double = 85.0,
+    scorer: (Column, Column) => Column = wratio,
+    scoreThreshold: Double = 85.0,
+    blocking: Blocking = Blocking.Auto,
+    normalize: Boolean = true,
+    extraPredicate: Option[Column] = None,
+    topKPerLeft: Option[Int] = None,
+    /** Deterministic tie-break columns for top-k (beyond score desc). */
+    topKTieBreak: Seq[Column] = Nil,
+    scoreCol: String = "score",
+    /** Distinct-key-count threshold under which Auto picks Exact. */
+    autoExactMaxKeys: Long = 200000L)
+
+object SimilarityJoin {
+
+  private val NORM_L = "__graft_norm_l"
+  private val NORM_R = "__graft_norm_r"
+  private val KEY_L = "__graft_key_l"
+  private val KEY_R = "__graft_key_r"
+
+  /** Scored distinct key pairs: (leftKeyValue, rightKeyValue, score).
+    * Exposed for reuse by dedup operators.
+    */
+  def scoredKeyPairs(left: DataFrame, right: DataFrame,
+      cfg: SimilarityJoinConfig): DataFrame = {
+    val norm: Column => Column =
+      if (cfg.normalize) normalizeTitleCol else identity
+
+    val distinctL = left.select(col(cfg.leftKey).as(KEY_L)).where(col(KEY_L).isNotNull)
+      .distinct().withColumn(NORM_L, norm(col(KEY_L)))
+    val distinctR = right.select(col(cfg.rightKey).as(KEY_R)).where(col(KEY_R).isNotNull)
+      .distinct().withColumn(NORM_R, norm(col(KEY_R)))
+
+    val blocking = cfg.blocking match {
+      case Blocking.Auto =>
+        // cheap cardinality probe on the *distinct key* sets only
+        val rKeys = distinctR.count()
+        if (rKeys <= cfg.autoExactMaxKeys) Blocking.Exact else Blocking.Token
+      case b => b
+    }
+
+    val candidates: DataFrame = blocking match {
+      case Blocking.Exact | Blocking.Auto =>
+        distinctL.crossJoin(broadcast(distinctR))
+      case Blocking.Token =>
+        val lt = distinctL.withColumn("__tok",
+          explode(array_distinct(split(col(NORM_L), " "))))
+          .where(col("__tok") =!= "")
+        val rt = distinctR.withColumn("__tok",
+          explode(array_distinct(split(col(NORM_R), " "))))
+          .where(col("__tok") =!= "")
+        lt.join(rt, "__tok").drop("__tok")
+          .dropDuplicates(KEY_L, KEY_R)
+      case Blocking.NGram(q) =>
+        val grams: Column => Column = c =>
+          array_distinct(transform(
+            sequence(lit(0), greatest(length(c) - q, lit(0))),
+            i => substring(c, lit(1) + i, lit(q))))
+        val lt = distinctL.withColumn("__g", explode(grams(col(NORM_L))))
+          .where(length(col("__g")) === q)
+        val rt = distinctR.withColumn("__g", explode(grams(col(NORM_R))))
+          .where(length(col("__g")) === q)
+        lt.join(rt, "__g").drop("__g")
+          .dropDuplicates(KEY_L, KEY_R)
+    }
+
+    // conjunct order preserved in codegen: cheap blocking scorer first,
+    // exact scorer only on survivors (reference's two-tier economics)
+    candidates
+      .where(cfg.preScorer(col(NORM_L), col(NORM_R)) >= lit(cfg.preThreshold))
+      .withColumn(cfg.scoreCol, cfg.scorer(col(NORM_L), col(NORM_R)))
+      .where(col(cfg.scoreCol) >= lit(cfg.scoreThreshold))
+      .select(col(KEY_L), col(KEY_R), col(cfg.scoreCol))
+  }
+
+  /** Full similarity join: every left row × every right row whose keys are
+    * fuzzily similar, output = left columns ++ right columns ++ score
+    * (right wins on name collision, matching the reference's
+    * `{**job_row, **payroll_row}` merge — fuzzy_match_salary.py:156).
+    */
+  def apply(left: DataFrame, right: DataFrame,
+      cfg: SimilarityJoinConfig): DataFrame = {
+    // Internal score name during assembly so a user scoreCol that collides
+    // with input columns can't confuse resolution.
+    val tmpScore = "__graft_score"
+    val pairs = scoredKeyPairs(left, right, cfg)
+      .withColumnRenamed(cfg.scoreCol, tmpScore)
+
+    val overlapping = left.columns.toSet intersect right.columns.toSet
+    val keptLeftNames = left.columns.filterNot(overlapping.contains)
+
+    // The pairs frame shares lineage with both inputs; use alias-qualified
+    // string references (not dataset-id refs) to avoid the ambiguous
+    // self-join trap.
+    val joined = left.alias("__gl")
+      .join(pairs.hint("broadcast").alias("__gp"),
+        col(s"__gl.`${cfg.leftKey}`") === col(s"__gp.$KEY_L"))
+      .join(right.alias("__gr"),
+        col(s"__gp.$KEY_R") === col(s"__gr.`${cfg.rightKey}`"))
+
+    val withScore = joined.select(
+      keptLeftNames.map(n => col(s"__gl.`$n`")) ++
+        right.columns.map(n => col(s"__gr.`$n`")) :+
+        col(s"__gp.$tmpScore").as(cfg.scoreCol): _*)
+
+    val filtered = cfg.extraPredicate.fold(withScore)(withScore.where)
+
+    cfg.topKPerLeft.fold(filtered) { k =>
+      val w = Window
+        .partitionBy(cfg.leftKey)
+        .orderBy(col(cfg.scoreCol).desc +: cfg.topKTieBreak: _*)
+      filtered
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k)
+        .drop("__rn")
+    }
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Tables.t
+
+/** Relational operator battery — one query per SURVEY.md §2 operator family,
+  * expressed over the driver testdata, each with a DuckDB oracle
+  * (SparkEntry.oracleSql). Aggregate money columns go through
+  * DECIMAL(18,2) so sums are order-independent and hash-exact across
+  * engines.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/P3: filtered group-by aggregation (TPC-H Q1 shape;
+    // SURVEY §2.4 A1, §2.2 P3)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1/P2/P3: projection + cast + range predicate
+    // (reference fuzzy_match_salary.py:67-71)
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity").cast("int").between(10, 20) &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty"))
+    }),
+
+    // Equi-join chain + aggregation (broadcast dims; SURVEY §2.3)
+    "q3_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = broadcast(t(s, dir, "customer"))
+      val nation = broadcast(t(s, dir, "nation"))
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("total_spend"),
+          count(lit(1)).as("order_count"))
+    }),
+
+    // W2/A3: per-group top-k via row_number window
+    // (reference utils.py:141-157)
+    "q4_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("totalprice"), col("rn"))
+    }),
+
+    // A2: DISTINCT (reference sql/cleaned.sql:44-51)
+    "q5_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+
+    // O1/O2: global sort + offset/limit pagination
+    // (reference api/fetch_data.py:57-63)
+    "q6_sort_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(20)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))),
+
+    // U1: UNION ALL with provenance tag (reference utils.py:73)
+    "q7_union" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("open").as("tag"))
+        .unionByName(
+          orders.where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), lit("closed").as("tag")))
+    }),
+
+    // F4-F7: date parse/format/arith incl. the reference's uppercase
+    // dd-MMM-yyyy convention (utils.py:135, sql/cleaned.sql:10)
+    "q8_dates" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(date_format(col("o_orderdate"), "dd-MMM-yyyy")).as("post_until_style"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_before_2002"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("plus_30d"))),
+
+    // S5/W1: bronze audit columns (_source_file, _record_id)
+    // (reference utils.py:177-188); record id windowed over an explicit
+    // unique ordering for determinism
+    "q9_bronze_audit" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("_source_file", lit("lineitem"))
+        .withColumn("_record_id", row_number().over(w))
+    }),
+
+    // A1 exact shape: GROUP BY + MAX over many columns incl. a computed
+    // date-diff inside MAX (reference sql/cleaned.sql:28-42)
+    "q10_groupby_max" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          max(dec(col("l_quantity"))).as("max_qty"),
+          max(dec(col("l_extendedprice"))).as("max_price"),
+          max(col("l_returnflag")).as("max_flag"),
+          max(datediff(lit("2002-01-01").cast("date"), col("l_shipdate").cast("date")))
+            .as("max_ship_age_days"))),
+
+    // A4/A5: scalar aggregates (reference streamlit/app.py:56-57,90)
+    "q11_scalar_aggs" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        min(dec(col("o_totalprice"))).as("min_price"),
+        max(dec(col("o_totalprice"))).as("max_price"),
+        countDistinct(col("o_custkey")).as("customers")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS INT) BETWEEN 10 AND 20 AND l_returnflag = 'R'""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+        |       count(*) AS order_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q4_window_topk" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q5_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+
+    "q6_sort_limit_offset" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q7_union" ->
+      """SELECT o_orderkey, 'open' AS tag FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, 'closed' AS tag FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q8_dates" ->
+      """SELECT o_orderkey,
+        |       upper(strftime(o_orderdate, '%d-%b-%Y')) AS post_until_style,
+        |       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_before_2002,
+        |       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d
+        |FROM orders""".stripMargin,
+
+    "q9_bronze_audit" ->
+      """SELECT l_orderkey, l_linenumber, 'lineitem' AS _source_file,
+        |       row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS _record_id
+        |FROM lineitem""".stripMargin,
+
+    "q10_groupby_max" ->
+      """SELECT l_orderkey,
+        |       max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+        |       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+        |       max(l_returnflag) AS max_flag,
+        |       max(datediff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')) AS max_ship_age_days
+        |FROM lineitem
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q11_scalar_aggs" ->
+      """SELECT count(*) AS cnt,
+        |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+        |       count(DISTINCT o_custkey) AS customers
+        |FROM orders""".stripMargin
+  )
+}

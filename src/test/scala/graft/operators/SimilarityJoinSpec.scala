@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.FuzzyKernel
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+class SimilarityJoinSpec extends SparkTestBase {
+
+  // NYC-shaped fixture (FIXTURES.md §1-2): jobs × payroll with titles that
+  // exercise normalization, near-misses around the 85 cutoff, salary bands.
+  private lazy val jobs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("Software Engineer", 90000.0, 120000.0),
+      ("Senior Software-Engineer!!", 120000.0, 160000.0),
+      ("Police Officer", 50000.0, 80000.0),
+      ("Crossing Guard", 30000.0, 40000.0),
+      ("Data Analyst", 70000.0, 95000.0)
+    ).toDF("business_title", "salary_range_from", "salary_range_to")
+  }
+
+  private lazy val payroll = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("SOFTWARE ENGINEER", 100000.0),
+      ("software engineer.", 150000.0), // matches both SE jobs; band only for one
+      ("POLICE OFFICER", 65000.0),
+      ("POLICE OFFICER", 90000.0), // outside band
+      ("Parking Enforcement Officer", 55000.0),
+      ("Data  Analyst", 80000.0),
+      ("Accountant", 75000.0)
+    ).toDF("title_description", "base_salary")
+  }
+
+  /** Brute-force oracle mirroring the reference exactly:
+    * normalize → token_set ≥ pre → wratio ≥ score → salary band. */
+  private def oracle(pre: Double, cut: Double): Set[(String, String, Double)] = {
+    val js = jobs.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val ps = payroll.collect().map(r => (r.getString(0), r.getDouble(1)))
+    (for {
+      (jt, lo, hi) <- js
+      (pt, sal) <- ps
+      nj = FuzzyKernel.normalizeTitle(jt)
+      np = FuzzyKernel.normalizeTitle(pt)
+      if FuzzyKernel.tokenSetRatio(nj, np) >= pre
+      w = FuzzyKernel.wratio(nj, np)
+      if w >= cut
+      if lo <= sal && sal <= hi
+    } yield (jt, pt, w)).toSet
+  }
+
+  private def cfg(blocking: Blocking) = SimilarityJoinConfig(
+    leftKey = "business_title",
+    rightKey = "title_description",
+    preThreshold = 85.0,
+    scoreThreshold = 85.0,
+    blocking = blocking,
+    extraPredicate = Some(
+      col("salary_range_from") <= col("base_salary") &&
+        col("base_salary") <= col("salary_range_to")))
+
+  private def run(blocking: Blocking): Set[(String, String, Double)] =
+    SimilarityJoin(jobs, payroll, cfg(blocking))
+      .select("business_title", "title_description", "score")
+      .collect()
+      .map { case Row(a: String, b: String, s: Double) => (a, b, s) }
+      .toSet
+
+  test("exact blocking matches brute-force oracle") {
+    val expected = oracle(85.0, 85.0)
+    assert(expected.nonEmpty, "fixture should produce matches")
+    assert(run(Blocking.Exact) == expected)
+  }
+
+  test("token and ngram blocking match exact on this fixture") {
+    val exact = run(Blocking.Exact)
+    assert(run(Blocking.Token) == exact)
+    assert(run(Blocking.NGram(3)) == exact)
+    assert(run(Blocking.Auto) == exact)
+  }
+
+  test("output schema is left ++ right ++ score with right winning collisions") {
+    val out = SimilarityJoin(jobs, payroll, cfg(Blocking.Exact))
+    assert(out.columns.toSeq ==
+      Seq("business_title", "salary_range_from", "salary_range_to",
+        "title_description", "base_salary", "score"))
+  }
+
+  test("top-k per left limits matches") {
+    val c = cfg(Blocking.Exact).copy(
+      preThreshold = 60.0, scoreThreshold = 60.0,
+      extraPredicate = None,
+      topKPerLeft = Some(1), topKTieBreak = Seq(col("title_description")))
+    val out = SimilarityJoin(jobs, payroll, c)
+      .groupBy("business_title").count().collect()
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
+  test("lightcast-style flow at 75/75 without extra predicate") {
+    val c = SimilarityJoinConfig(
+      leftKey = "business_title", rightKey = "title_description",
+      preThreshold = 75.0, scoreThreshold = 75.0, blocking = Blocking.Exact)
+    val got = SimilarityJoin(jobs, payroll, c)
+      .select("business_title", "title_description", "score").collect()
+      .map { case Row(a: String, b: String, s: Double) => (a, b, s) }.toSet
+    val js = jobs.collect().map(_.getString(0))
+    val ps = payroll.collect().map(_.getString(0))
+    val expected = (for {
+      jt <- js; pt <- ps
+      nj = FuzzyKernel.normalizeTitle(jt); np = FuzzyKernel.normalizeTitle(pt)
+      if FuzzyKernel.tokenSetRatio(nj, np) >= 75.0
+      w = FuzzyKernel.wratio(nj, np) if w >= 75.0
+    } yield (jt, pt, w)).toSet
+    assert(got == expected)
+  }
+}
