@@ -25,6 +25,9 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (FuzzyQueries.queries, FuzzyQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (AnnQueries.queries, AnnQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID heuristics, quality scoring,
+  * fingerprinting. All are compositions of codegen'd built-ins — no UDFs —
+  * so they whole-stage-codegen and push down cleanly at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty input → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count (empty → 0). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of maximal runs of word chars plus
+    * standalone punctuation marks — approximates tokenizer token counts
+    * without a vocab. */
+  def approxBpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word-n-gram shingles ("w1 w2 ... wn" strings).
+    * Guarded against `sequence`'s descending behavior when stop < start. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
+  }
+
+  /** Distinct character q-grams of the raw text. */
+  def charNgrams(text: Column, q: Int): Column =
+    when(length(text) < q, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (q - 1)),
+        i => substring(text, i, lit(q)))))
+
+  /** Jaccard similarity of two string arrays (exact, set semantics);
+    * integer set sizes divided in double — deterministic across engines. */
+  def arrayJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts via regex;
+    * returns the argmax language code with a fixed priority tie-break.
+    * Profiles are tiny on purpose — this is the classic n-gram/stopword
+    * heuristic, not a model. */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|una)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|des|est|une)\\b")
+
+  def langHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Argmax language with deterministic priority order on ties;
+    * "und" (undetermined) when no profile hits. */
+  def langId(text: Column): Column = {
+    val hits = langProfiles.map { case (code, p) => code -> langHits(text, p) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = langProfiles.reverse.foldLeft(lit("und")) {
+      case (acc, (code, p)) =>
+        when(langHits(text, p) === best && best > 0, lit(code)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-score components (length, word stats, punct/stopword ratios).
+    * Returns a struct; ratios are int/int double divisions (engine-exact). */
+  def qualityMetrics(text: Column): Column = {
+    val nChars = length(text)
+    val nWords = tokenCount(text)
+    val nPunct = size(regexp_extract_all(text, lit("[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"), lit(0)))
+    val nStop = langHits(text, "\\b(the|and|of|to|in|is|a)\\b")
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      when(nWords === 0, lit(0.0))
+        .otherwise(nChars.cast("double") / nWords.cast("double")).as("chars_per_word"),
+      when(nChars === 0, lit(0.0))
+        .otherwise(nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      when(nWords === 0, lit(0.0))
+        .otherwise(nStop.cast("double") / nWords.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * acc = (acc * 31 + ascii(char)) mod 1e9+7 over the text's characters.
+    * Order-sensitive, engine-portable (64-bit exact). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("bigint"), lit(1000000007L)))
+
+  /** Hamming distance between two long bit-vectors. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

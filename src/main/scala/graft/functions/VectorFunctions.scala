@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` columns.
+  * Pure built-in compositions (`zip_with`/`aggregate`): codegen-friendly,
+  * no UDF, sequential left-to-right double accumulation — deterministic
+  * and engine-portable (matches DuckDB's `list_cosine_similarity`).
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Deterministic random-hyperplane LSH signature: `bits` sign bits of
+    * projections onto pseudo-random hyperplanes derived from xxhash64.
+    * Component j of plane p is in [-1, 1): (xxhash64(p, j) mod 2001 - 1000)/1000.
+    */
+  def hyperplaneSignature(v: Column, bits: Int): Column =
+    hyperplaneSignatureRange(v, 0, bits)
+
+  /** Signature over hyperplanes [offset, offset+bits) of the shared
+    * pseudo-random family — lets callers build independent LSH tables. */
+  def hyperplaneSignatureRange(v: Column, offset: Int, bits: Int): Column = {
+    val projections = (0 until bits).map { b =>
+      val p = offset + b
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x.cast("double") *
+            ((pmod(xxhash64(lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    projections.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

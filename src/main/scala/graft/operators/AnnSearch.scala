@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Column}
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the query set, score
+  *    every (query, corpus) pair, per-query top-k window. Correct at any
+  *    scale where |queries| is broadcastable; cost |Q|·|C|.
+  *  - [[lshTopK]]: scale path — random-hyperplane signatures bucket the
+  *    corpus; each query probes its own bucket plus all buckets within
+  *    `probeHamming` bits, then exact-scores candidates only. Sub-linear
+  *    candidate sets at 100 TB; recall tunable via bits/probes.
+  */
+object AnnSearch {
+
+  /** Exact top-k cosine neighbors per query row.
+    * Output: query_id, neighbor_id, cosine (double), rank. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Multi-table LSH approximate top-k. `tables` independent hyperplane
+    * signatures of `bits` bits each; candidates = corpus vectors colliding
+    * with the query in any table (plus `probeHamming`-bit probes per
+    * table). Classic (L, b) LSH: recall grows with L, candidate cost with
+    * L·2^{-b}. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    require(bits <= 20, "signature must stay bucket-join friendly")
+    // table t uses hyperplanes [t*bits, (t+1)*bits) of one shared family
+    def sigs(v: Column): Column =
+      array((0 until tables).map { tbl =>
+        val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
+        struct(lit(tbl).as("tbl"), wide.as("sig"))
+      }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bk", explode(sigs(col("cv"))))
+      .select(col("neighbor_id"), col("cv"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bk", explode(sigs(col("qv"))))
+      .select(col("query_id"), col("qv"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("qsig"))
+    val flips: Column = probeHamming match {
+      case 0 => array(col("qsig"))
+      case _ =>
+        val oneBit = (0 until bits).map(b => col("qsig").bitwiseXOR(lit(1L << b)))
+        array(col("qsig") +: oneBit: _*)
+    }
+    val q = q0.withColumn("bucket", explode(flips))
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ).
+    * Exact quadratic version — the oracle-checkable baseline; LSH variant
+    * composes [[lshTopK]] machinery for scale. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      theta: Double): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= theta)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

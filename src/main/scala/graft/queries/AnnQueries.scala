@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.AnnSearch
+import graft.queries.Tables.t
+
+/** Similarity-search battery over the `embeddings` table: brute-force
+  * cosine top-k (oracle: DuckDB `list_cosine_similarity`), LSH-bucketed
+  * approximate variant (rows-only + recall assertion in AnnSpec), and
+  * embedding-cosine near-dup pairs. */
+object AnnQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.bruteForceTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
+    }),
+
+    "a2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.lshTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 5, bits = 8, tables = 8, probeHamming = 1)
+    }),
+
+    "d5_cosine_neardup" -> ((s, dir) =>
+      AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        theta = 0.45))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |           WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |      FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "d5_cosine_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+    // a2_ann_lsh: rows-only (approximate by construction)
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+import graft.queries.Tables.t
+
+/** Deduplication battery over the `documents` table (SURVEY north-star
+  * extensions): exact, exact-shingle-Jaccard join, MinHash+LSH, SimHash.
+  * The exact variants carry DuckDB oracles; MinHash LSH is verified against
+  * the same exact-Jaccard oracle (recall must be total at the chosen
+  * band/row configuration — also asserted in DedupSpec), SimHash is
+  * rows-only + ScalaTest.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    "d2_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, theta = 0.5)),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, numHashes = 64, rowsPerBand = 2, theta = 0.5)),
+
+    "d4_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 7, shingleN = 2))
+  )
+
+  private val exactJaccardSql =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+      |      FROM d),
+      |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT text, min(doc_id) AS kept_id, count(*) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+    "d2_jaccard_pairs" -> exactJaccardSql,
+    // LSH with 32 bands × 2 rows has pair-miss probability (1-j²)³² ≤ 1e-4
+    // at j ≥ 0.5 — recall is total on this data (asserted in DedupSpec);
+    // the exact-Jaccard oracle therefore applies verbatim.
+    "d3_minhash_lsh" -> exactJaccardSql
+    // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions._
+import graft.queries.Tables.t
+
+/** Text-analysis battery over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+  * All pure built-in compositions with exact DuckDB oracles. */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        approxBpeTokenCount(col("text")).as("n_bpeish"))),
+
+    "t2_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_chars").as("n_chars"),
+          col("m.n_words").as("n_words"),
+          col("m.chars_per_word").as("chars_per_word"),
+          col("m.punct_ratio").as("punct_ratio"),
+          col("m.stopword_ratio").as("stopword_ratio"))),
+
+    "t3_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        langId(col("text")).as("lang_guess"),
+        langHits(col("text"), langProfiles.head._2).as("en_hits"))),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS n_punct,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS chars_per_word,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) END AS stopword_ratio
+        |FROM b""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|una)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht|ein)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|des|est|une)\b')) AS fr
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+        |       WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |       WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |       WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+        |       ELSE 'und' END AS lang_guess,
+        |  en AS en_hits
+        |FROM h""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin
+  )
+}

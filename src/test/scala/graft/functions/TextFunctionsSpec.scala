@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import TextFunctions._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Row = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("t").select(c).head
+  }
+
+  test("tokenCount edges") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("", "   ", "one", "one two  three", "a\tb\nc")
+      .toDF("t").select(tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(0, 0, 1, 3, 3))
+  }
+
+  test("wordShingles") {
+    val r = one(wordShingles(col("t"), 2), "a b c a b")
+    assert(r.getSeq[String](0).toSet == Set("a b", "b c", "c a"))
+    assert(one(wordShingles(col("t"), 2), "solo").getSeq[String](0).isEmpty)
+    assert(one(wordShingles(col("t"), 3), "x y z").getSeq[String](0) == Seq("x y z"))
+  }
+
+  test("charNgrams") {
+    assert(one(charNgrams(col("t"), 3), "abcd").getSeq[String](0) == Seq("abc", "bcd"))
+    assert(one(charNgrams(col("t"), 3), "ab").getSeq[String](0).isEmpty)
+  }
+
+  test("langId picks dominant stopword profile with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      "the cat and the dog of the house",
+      "el perro y la casa de los gatos una vez",
+      "der hund und das haus ist nicht ein katze",
+      "xyzzy qwerty").toDF("t")
+      .select(langId(col("t"))).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val a = one(fingerprint(col("t")), "abc").getLong(0)
+    val b = one(fingerprint(col("t")), "acb").getLong(0)
+    val a2 = one(fingerprint(col("t")), "abc").getLong(0)
+    assert(a == a2 && a != b)
+    // hand-computed: ((0*31+97)*31+98)*31+99 mod 1e9+7
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
+    assert(a == expected)
+  }
+
+  test("arrayJaccard") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
+    assert(df.select(arrayJaccard(col("x"), col("y"))).head.getDouble(0) == 1.0 / 3.0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.queries.Tables.t
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkTestBase {
+
+  private def emb = t(spark, sf(), "embeddings")
+  private def queries = emb.where(col("vec_id") % 100 === 0)
+
+  test("brute-force top-k is ranked, bounded, self-excluding") {
+    val out = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      // descending cosine with rank
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a.getDouble(2) >= b.getDouble(2) })
+      assert(rows.forall(_.getLong(1) != q))
+      assert(rows.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    }
+  }
+
+  test("LSH top-k has useful recall vs brute force and correct local ranking") {
+    val bf = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnSearch.lshTopK(queries, emb, "vec_id", "embedding", 5,
+      bits = 8, tables = 8, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    info(s"ANN LSH recall@5 = $recall")
+    assert(recall > 0.2, s"recall $recall too low to be useful")
+  }
+
+  test("cosine near-dup pairs ordered and thresholded") {
+    val out = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}
