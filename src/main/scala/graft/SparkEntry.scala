@@ -28,6 +28,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (AnnQueries.queries, AnnQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata alongside. The heavy decode step is STUBBED
+  * (this container carries no media libraries) behind a deterministic fake
+  * — but the Spark-side plumbing (schemas, batched mapPartitions transform,
+  * partition sizing) is real and tested, so swapping in a true decoder is a
+  * one-function change.
+  */
+object Multimodal {
+
+  /** Cheap, columnar metadata over a binary payload — no decode needed:
+    * byte length + magic-header hex. This is the real production shape for
+    * filtering/routing before an expensive decode. */
+  def binaryMeta(bin: Column): Column =
+    struct(
+      octet_length(bin).as("n_bytes"),
+      hex(substring(bin, 1, 8)).as("header_hex"))
+
+  /** The decode seam. A real deployment plugs libjpeg/ffmpeg here; the
+    * deterministic fake derives a fixed-length "feature vector" from the
+    * bytes so the distributed plumbing is exercised end to end. */
+  type Decoder = Array[Byte] => Array[Float]
+
+  /** Deterministic fake decoder: 8 "features" = normalized byte histogram
+    * over 8 buckets. Stands in for image-decode + feature-extract. */
+  val stubDecoder: Decoder = bytes => {
+    val buckets = new Array[Float](8)
+    if (bytes.nonEmpty) {
+      bytes.foreach(b => buckets((b & 0xff) / 32) += 1f)
+      var i = 0
+      while (i < 8) { buckets(i) /= bytes.length; i += 1 }
+    }
+    buckets
+  }
+
+  /** Batched decode over partitions: one decoder instance per partition
+    * (amortizes model/codec init — the mapInPandas batch shape in Scala
+    * form). Output: id, feature array. */
+  def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
+      decoder: Decoder = stubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init seam (codec handles, model weights, …)
+        val d = decoder
+        it.map { case (id, bytes) => (id, d(bytes)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** Frame-sampling plumbing: pick every `stride`-th fixed-size frame from a
+    * binary payload (video stand-in). Pure built-ins — `binary` slicing is
+    * columnar. */
+  def sampleFrames(df: DataFrame, binCol: String, frameBytes: Int,
+      stride: Int): DataFrame = {
+    val nFrames = floor(octet_length(col(binCol)) / frameBytes).cast("int")
+    df.withColumn("frame_idx",
+        explode(when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("frame",
+        substring(col(binCol), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+  }
+}

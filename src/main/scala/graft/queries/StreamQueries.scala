@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.EventsStream
+import graft.queries.Tables.t
+
+/** Batch-mode oracle checks for the streaming transforms (the exact same
+  * plan runs under readStream with a watermark — StreamingSpec covers that
+  * mode with MemoryStream). */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_event_windows" -> ((s, dir) =>
+      EventsStream.windowedStats(t(s, dir, "events"), "1 hour")),
+    "s2_sessions" -> ((s, dir) =>
+      EventsStream.sessions(t(s, dir, "events"), "30 minutes"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_event_windows" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |         AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session semantics: events of a user belong to one session while the
+    // gap to the previous event is <= 30 min (matches Spark session_window)
+    "s2_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL '30 minutes'
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM g GROUP BY user_id, session_id""".stripMargin
+  )
+}

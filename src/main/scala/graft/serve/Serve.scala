@@ -1,0 +1,44 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Serving layer: the reference's dataset registry + paginated fetch
+  * (/root/reference/api/fetch_data.py:13-26,42-69; api/main.py:33-51),
+  * re-expressed over a long-lived SparkSession.
+  *
+  * Determinism note the reference glosses over (SURVEY §7.4 item 4): its
+  * `SELECT * ... OFFSET ? LIMIT ?` relies on stored table order; here every
+  * page is explicitly sorted by the dataset's sort key.
+  */
+object Serve {
+
+  /** The reference's DATASET_CONFIG (api/fetch_data.py:13-26). */
+  final case class Dataset(id: Int, table: String, sortKey: String, desc: Boolean = true)
+
+  val registry: Seq[Dataset] = Seq(
+    Dataset(0, "gold.nyc_salary_matches", "match_score"),
+    Dataset(1, "gold.nyc_matched_job_posting_duration_soc", "median_posting_duration"),
+    Dataset(2, "gold.nyc_salary_matches_unique_job_posting_title", "match_score"),
+    Dataset(3, "gold.nyc_matched_job_posting_duration_soc_unique_title",
+      "median_posting_duration"))
+
+  /** GET /reports — registry listing with the GOLD. prefix stripped
+    * (api/fetch_data.py:84-94). */
+  def reportsList: Seq[(Int, String)] =
+    registry.map(d => d.id -> d.table.stripPrefix("gold."))
+
+  /** GET /reports/{id} — one page; defaults mirror api/main.py:45. */
+  def fetchDataset(spark: SparkSession, id: Int,
+      offset: Int = 0, limit: Int = 750000): DataFrame = {
+    val ds = registry.find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown dataset id $id"))
+    val sorted = spark.table(ds.table)
+      .orderBy(if (ds.desc) col(ds.sortKey).desc else col(ds.sortKey).asc)
+    sorted.offset(offset).limit(limit)
+  }
+
+  /** JSON page for an HTTP layer (reference returns list-of-dicts JSON). */
+  def fetchJson(spark: SparkSession, id: Int, offset: Int, limit: Int): Seq[String] =
+    fetchDataset(spark, id, offset, limit).toJSON.collect().toSeq
+}

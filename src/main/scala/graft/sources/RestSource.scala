@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Fetches one page of a paginated REST dataset (Socrata-style
+  * `?$limit=N&$offset=M` — /root/reference/src/data_ingestion.py:15-36).
+  * Implementations must be serializable-by-name: executors instantiate the
+  * class reflectively (zero-arg constructor).
+  */
+trait PageFetcher {
+  /** Returns the page's rows as field→value maps; empty ⇒ past the end. */
+  def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]]
+}
+
+/** Production fetcher: HTTP GET + JSON array-of-objects parsing (Jackson,
+  * already on the Spark classpath). Values are stringified — Socrata JSON
+  * arrives stringly and the reference casts downstream (SURVEY §1.3).
+  */
+class HttpJsonPageFetcher extends PageFetcher {
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] = {
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    val url = s"$baseUrl$sep$$limit=$limit&$$offset=$offset"
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val body = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(body)
+    (0 until root.size()).map { i =>
+      val node = root.get(i)
+      node.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null else if (v.isTextual) v.asText() else v.toString)
+      }.toMap
+    }
+  }
+}
+
+/** DataSource V2 provider: `spark.read.format("graft-rest")
+  * .option("url", ...).option("fields", "a,b,c").option("pageSize", 50000)
+  * .option("maxPages", 64).load()`.
+  *
+  * Plans one [[InputPartition]] per page so executors fetch pages in
+  * parallel — the scale path for the reference's driver-side fetch loop
+  * (SURVEY §2.1 S1). Supports column pruning down to the requested fields.
+  */
+class RestSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val fields = Option(options.get("fields")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-rest requires .option(\"fields\", \"col1,col2,…\") or an explicit schema"))
+    StructType(fields.split(",").map(f => StructField(f.trim, StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+}
+
+final class RestTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-rest(${props.getOrElse("url", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema, props ++ options.asScala)
+}
+
+final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns {
+
+  private var prunedSchema: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.nonEmpty) prunedSchema = requiredSchema
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rest url=${props.getOrElse("url", "?")} fields=${prunedSchema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pageSize = props.getOrElse("pagesize", "50000").toLong
+    val maxPages = props.getOrElse("maxpages", "64").toInt
+    (0 until maxPages)
+      .map(p => RestPagePartition(p * pageSize, pageSize): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(
+      props.getOrElse("url", ""),
+      props.getOrElse("fetcher", classOf[HttpJsonPageFetcher].getName),
+      prunedSchema.fieldNames)
+}
+
+final case class RestPagePartition(offset: Long, limit: Long) extends InputPartition
+
+final class RestReaderFactory(url: String, fetcherClass: String,
+    fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestPagePartition]
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[Map[String, String]] = {
+        val fetcher = Class.forName(fetcherClass)
+          .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
+        fetcher.fetch(url, p.limit, p.offset).iterator
+      }
+      private var current: Map[String, String] = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map(f =>
+          current.get(f).flatMap(Option(_)).map(UTF8String.fromString).orNull))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured-Streaming-first event processing. The reference is batch-only
+  * (SURVEY §2.9), so this is the engine's streaming extension: the same
+  * transforms run over `readStream` (with watermarks) and over batch frames
+  * (the oracle-checked path) — one definition, two execution modes.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts/sums per event type. Works on batch and
+    * streaming inputs; streaming callers should `withWatermark` first. */
+  def windowedStats(events: DataFrame, windowLength: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked streaming variant (append-mode safe). */
+  def windowedStatsStream(events: DataFrame, windowLength: String,
+      watermark: String): DataFrame =
+    windowedStats(events.withWatermark("ts", watermark), windowLength)
+
+  /** Session aggregation via the built-in `session_window` (gap-merged).
+    * Emits per (user, session): bounds, event count, value sum. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  // --- custom-state variant (flatMapGroupsWithState) ---
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Custom sessionization with explicit state — the
+    * `flatMapGroupsWithState` surface for semantics `session_window`
+    * can't express (emitting sessions only on close). Production streams
+    * should pass `timeout = ProcessingTimeTimeout` plus a real trigger
+    * interval so idle sessions eventually flush; with the default
+    * NoTimeout, a session closes when a later event arrives past the gap
+    * (note: with the as-fast-as-possible test trigger, a processing-time
+    * timeout spins continuous no-data batches and
+    * `processAllAvailable` never settles — hence the parameter). */
+  def sessionizeWithState(spark: SparkSession, events: DataFrame,
+      gapMillis: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[SessionAgg] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionAgg](
+        OutputMode.Append(), timeout) {
+        case (user, it, state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              SessionAgg(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionState]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case s :: rest if t - s.end <= gapMillis =>
+                  open = s.copy(end = t, n = s.n + 1, total = s.total + e.value) :: rest
+                case s :: rest =>
+                  closed = s :: closed
+                  open = SessionState(t, t, 1, e.value) :: rest
+                case Nil =>
+                  open = List(SessionState(t, t, 1, e.value))
+              }
+            }
+            state.update(open)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+              state.setTimeoutDuration(gapMillis * 2)
+            closed.reverseIterator.map(s =>
+              SessionAgg(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total))
+          }
+      }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val payloads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array.tabulate(64)(_.toByte)),
+      (2L, Array.fill(256)(0x41.toByte)),
+      (3L, Array.empty[Byte])
+    ).toDF("id", "bin")
+  }
+
+  test("binaryMeta: columnar length + header without decode") {
+    val out = payloads.select(col("id"), Multimodal.binaryMeta(col("bin")).as("m"))
+      .select("id", "m.n_bytes", "m.header_hex").orderBy("id").collect()
+    assert(out(0).getInt(1) == 64)
+    assert(out(0).getString(2) == "0001020304050607")
+    assert(out(1).getString(2) == "4141414141414141")
+    assert(out(2).getInt(1) == 0)
+  }
+
+  test("decodeFeatures: batched stub decode produces normalized histograms") {
+    val out = Multimodal.decodeFeatures(payloads, "id", "bin")
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    val f1 = out(0).getSeq[Float](1)
+    assert(f1.length == 8)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+    // constant-byte payload: all mass in bucket 0x41/32 = 2
+    val f2 = out(1).getSeq[Float](1)
+    assert(f2(2) == 1.0f && f2.sum == 1.0f)
+    // empty payload: zero vector (plumbing must not crash)
+    assert(out(2).getSeq[Float](1).forall(_ == 0f))
+  }
+
+  test("sampleFrames slices fixed-size frames with stride") {
+    val out = Multimodal.sampleFrames(payloads.where(col("id") === 1), "bin",
+      frameBytes = 16, stride = 2)
+      .select("frame_idx", "frame").orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 2))
+    assert(out.forall(_.getAs[Array[Byte]](1).length == 16))
+    assert(out(1).getAs[Array[Byte]](1)(0) == 32.toByte)
+    // empty payload yields no frames
+    val empty = Multimodal.sampleFrames(payloads.where(col("id") === 3), "bin", 16, 1)
+    assert(empty.count() == 0)
+  }
+}

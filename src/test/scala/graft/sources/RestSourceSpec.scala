@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Deterministic in-memory fetcher standing in for the Socrata API:
+  * 2.5 pages of 100 rows (id, title, salary), empty past row 250. */
+class SyntheticPageFetcher extends PageFetcher {
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] = {
+    val total = 250L
+    val start = offset
+    val end = math.min(offset + limit, total)
+    if (start >= total) Seq.empty
+    else (start until end).map { i =>
+      Map(
+        "id" -> i.toString,
+        "title" -> s"Title $i",
+        "salary" -> (50000 + i * 10).toString,
+        "maybe_null" -> (if (i % 7 == 0) null else s"v$i"))
+    }
+  }
+}
+
+class RestSourceSpec extends SparkTestBase {
+
+  private def read =
+    spark.read.format("graft-rest")
+      .option("url", "synthetic://payroll")
+      .option("fields", "id,title,salary,maybe_null")
+      .option("pageSize", "100")
+      .option("maxPages", "5")
+      .option("fetcher", classOf[SyntheticPageFetcher].getName)
+      .load()
+
+  test("parallel paginated read assembles all pages") {
+    val df = read
+    assert(df.schema.fieldNames.toSeq == Seq("id", "title", "salary", "maybe_null"))
+    assert(df.count() == 250)
+    assert(df.rdd.getNumPartitions == 5) // one partition per planned page
+    val ids = df.select("id").collect().map(_.getString(0).toLong).sorted
+    assert(ids.toSeq == (0L until 250L))
+    // null JSON values surface as SQL nulls
+    assert(df.where(col("maybe_null").isNull).count() == 36)
+  }
+
+  test("column pruning reaches the reader") {
+    val pruned = read.select("title")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("fields=title"), s"plan was:\n$scan")
+    assert(pruned.distinct().count() == 250)
+  }
+
+  test("pages beyond the data end contribute nothing") {
+    val df = spark.read.format("graft-rest")
+      .option("url", "synthetic://payroll")
+      .option("fields", "id")
+      .option("pageSize", "200")
+      .option("maxPages", "50")
+      .option("fetcher", classOf[SyntheticPageFetcher].getName)
+      .load()
+    assert(df.count() == 250)
+  }
+}

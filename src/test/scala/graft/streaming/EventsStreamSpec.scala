@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.queries.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventsStreamSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed stats over a real stream equal the batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventsStream
+      .windowedStatsStream(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "view", 5.0))
+      query.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((ts("2024-01-01 10:00:00"), "click", 0.0))
+      query.processAllAvailable()
+
+      val streamed = s.table("win_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSet
+
+      val batch = EventsStream.windowedStats(
+        Seq((ts("2024-01-01 00:10:00"), "click", 1.0),
+          (ts("2024-01-01 00:40:00"), "click", 2.0),
+          (ts("2024-01-01 01:10:00"), "view", 5.0)).toDF("ts", "event_type", "value"),
+        "1 hour")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSet
+
+      assert(batch.subsetOf(streamed ++ batch))
+      assert(streamed.nonEmpty)
+      assert((streamed -- batch).forall(_._1 == ts("2024-01-01 10:00:00")))
+    } finally query.stop()
+  }
+
+  test("session_window merges events within gap") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:10:00"), 1L, 2.0),  // same session (10 min gap)
+      (ts("2024-01-01 02:00:00"), 1L, 3.0),  // new session
+      (ts("2024-01-01 00:05:00"), 2L, 4.0)
+    ).toDF("ts", "user_id", "value")
+    val out = EventsStream.sessions(events, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    val first = out(0)
+    assert(first.getLong(0) == 1L)
+    assert(first.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+    assert(first.getTimestamp(2) == ts("2024-01-01 00:10:00"))
+    assert(first.getLong(3) == 2L)
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val query = EventsStream.sessionizeWithState(s, events, gapMillis = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:10:00"), 2.0))
+      query.processAllAvailable()
+      // a later event closes the first session
+      input.addData((1L, ts("2024-01-01 03:00:00"), 5.0))
+      query.processAllAvailable()
+      val rows = s.table("sess_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getLong(0) == 1L)
+      assert(r.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+      assert(r.getTimestamp(2) == ts("2024-01-01 00:10:00"))
+      assert(r.getLong(3) == 2L)
+      assert(r.getDouble(4) == 3.0)
+    } finally query.stop()
+  }
+
+  test("events table loads with exact microsecond timestamps") {
+    val df = Tables.events(spark, sf())
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.count() == 1000)
+  }
+}
