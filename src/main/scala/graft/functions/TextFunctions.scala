@@ -24,14 +24,22 @@ object TextFunctions {
   def approxBpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Distinct word-n-gram shingles ("w1 w2 ... wn" strings).
-    * Guarded against `sequence`'s descending behavior when stop < start. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Distinct word-n-gram shingles from an already-computed token array.
+    * IMPORTANT: pass a *materialized column* (an attribute), not the
+    * `tokens(text)` expression — interpreted HOF evaluation re-runs every
+    * subtree reference, so an inline tokens() gets re-split twice per
+    * shingle (measured 10× slowdown). Guarded against `sequence`'s
+    * descending behavior when stop < start. */
+  def wordShinglesFromTokens(ws: Column, n: Int): Column =
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
-  }
+
+  /** Distinct word-n-gram shingles ("w1 w2 ... wn" strings) straight from
+    * text — fine for small inputs; pipelines should materialize tokens
+    * first (see [[wordShinglesFromTokens]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Distinct character q-grams of the raw text. */
   def charNgrams(text: Column, q: Int): Column =

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision (native codegen'd loop — see
+    * [[VecDot]]; identical accumulation semantics to the zip_with/aggregate
+    * composition it replaced). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(VecDot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

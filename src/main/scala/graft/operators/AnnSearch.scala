@@ -23,7 +23,10 @@ object AnnSearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // spread the corpus across cores — a single parquet file otherwise
+    // plans the whole cross join as one task
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(col("neighbor_id"))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
@@ -50,6 +53,7 @@ object AnnSearch {
         struct(lit(tbl).as("tbl"), wide.as("sig"))
       }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(col("neighbor_id")) // parallelize + materialize before sig
       .withColumn("bk", explode(sigs(col("cv"))))
       .select(col("neighbor_id"), col("cv"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
@@ -81,6 +85,7 @@ object AnnSearch {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       theta: Double): DataFrame = {
     val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+      .repartition(col("vec_a")) // one-file inputs must not serialize the n² scan
     val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .where(col("vec_a") < col("vec_b"))

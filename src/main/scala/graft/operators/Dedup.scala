@@ -28,31 +28,116 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_count"))
 
-  /** Per-document distinct shingle sets (word n-grams). */
+  /** Per-document distinct shingle sets (word n-grams).
+    *
+    * The repartition exchange is load-bearing twice over: it spreads docs
+    * across all cores regardless of input file layout, and it MATERIALIZES
+    * the shingle arrays — without it, Catalyst's projection collapse
+    * inlines the (interpreted, HOF-based) shingle expression into every
+    * downstream consumer, so e.g. a 64-hash MinHash signature recomputes
+    * the full split/transform/array_distinct tree 64× per document
+    * (measured: one 13-minute task instead of 32 parallel sub-second ones).
+    */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextFunctions.wordShingles(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .repartition(col("doc")) // materialize tokens + spread across cores
+      .select(col("doc"), TextFunctions.wordShinglesFromTokens(col("__ws"), n).as("sh"))
 
-  /** Exact Jaccard ≥ θ pairs via distributed shingle join (no cross join).
+  /** Exact set-intersection verification of candidate pairs: joins the
+    * shingle sets back (broadcast candidates) and computes
+    * inter / (|A| + |B| − inter) exactly. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+      theta: Double): DataFrame = {
+    val sa = sets.select(col("doc").as("doc_a"), col("sh").as("sha"),
+      col("sz").as("sza"))
+    val sb = sets.select(col("doc").as("doc_b"), col("sh").as("shb"),
+      col("sz").as("szb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Candidate verification via dense bitsets: when the global shingle
+    * vocabulary is small, each doc's set becomes an `array<bigint>` bitset
+    * and intersection is a codegen'd AND-popcount ([[
+    * graft.functions.BitsetInterCount]]) — orders of magnitude cheaper
+    * than joining and intersecting string arrays per candidate. */
+  private def bitsetVerify(cands: DataFrame, ex: DataFrame, freq: DataFrame,
+      vocabSize: Int, theta: Double): DataFrame = {
+    val nWords = (vocabSize + 63) / 64
+    val vocab = freq.select(col("g"))
+      .withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
+    val bitsets = ex.join(broadcast(vocab), "g")
+      .select(col("doc"), col("sz"), (col("wid") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))").as("bit"))
+      .groupBy("doc", "sz", "w").agg(expr("bit_or(bit)").as("bits"))
+      .groupBy("doc", "sz")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
+      .select(col("doc"), col("sz"),
+        transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("m"), w), lit(0L))).as("bs"))
+    val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
+      col("bs").as("bsa"))
+    val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
+      col("bs").as("bsb"))
+    cands.join(broadcast(ba), "doc_a").join(broadcast(bb), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BitsetInterCount(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsa")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsb")))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Vocab-size ceiling for the bitset verification path (bitset bytes per
+    * doc = vocab/8; 256k bits = 32 KB). */
+  val BitsetVocabMax = 262144
+
+  /** Exact Jaccard ≥ θ pairs via PPJoin-style prefix filtering: only the
+    * (1−θ)·|A|+1 globally-rarest shingles of each doc generate candidates
+    * (lossless for J ≥ θ under a shared total order), with a length-ratio
+    * conjunct — avoids the Σf² quadratic blow-up on frequent shingles that
+    * a plain shingle join suffers on skewed corpora. Verification picks
+    * dense-bitset AND-popcount when the vocabulary fits
+    * ([[BitsetVocabMax]]), string-array intersection otherwise.
     * Output: doc_a < doc_b, jaccard (double, int-ratio exact).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, theta: Double): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
       .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
     val ex = sets.select(col("doc"), col("sz"), explode(col("sh")).as("g"))
-    val a = ex.alias("a")
-    val b = ex.alias("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .groupBy("doc_a", "doc_b", "sza", "szb")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= theta)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // global document frequency orders the prefix (rarest first)
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("gdf").asc, col("g").asc)
+    val prefix = ex.join(freq, "g")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <=
+        (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int"))
+      .select(col("doc"), col("sz"), col("g"))
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val cands = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
+          col("a.sz") >= ceil(lit(theta) * col("b.sz")) &&
+          col("b.sz") >= ceil(lit(theta) * col("a.sz")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val vocabSize = freq.count()
+    if (vocabSize <= BitsetVocabMax)
+      bitsetVerify(cands, ex, freq, vocabSize.toInt, theta)
+    else
+      verifyJaccard(cands, sets, theta)
   }
 
   /** MinHash signature column: array of `numHashes` min-hashes of the
@@ -76,10 +161,14 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sets = shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
+      // materialize the shingle arrays before the signature: the 64-branch
+      // signature expression otherwise re-derives them per hash function
+      .repartition(col("doc"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band key = (band index, hash of the band's signature slice)
-    val banded = sets.select(col("doc"), col("sh"),
+    // band key = (band index, hash of the band's signature slice); the
+    // band join carries ids only — shingle arrays rejoin at verification
+    val banded = sets.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
@@ -90,14 +179,11 @@ object Dedup {
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
 
-    candidates
-      .withColumn("jaccard", TextFunctions.arrayJaccard(col("sha"), col("shb")))
-      .where(col("jaccard") >= theta)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(candidates,
+      sets.select(col("doc"), col("sh"), size(col("sh")).as("sz")), theta)
   }
 
   /** 64-bit SimHash per document over distinct word n-gram shingles
@@ -105,9 +191,12 @@ object Dedup {
   def simhashDocs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
     val features =
-      if (shingleN <= 1) array_distinct(TextFunctions.tokens(col(textCol)))
-      else TextFunctions.wordShingles(col(textCol), shingleN)
-    val toks = df.select(col(idCol).as("doc"), explode(features).as("tok"))
+      if (shingleN <= 1)
+        df.select(col(idCol).as("doc"),
+          array_distinct(TextFunctions.tokens(col(textCol))).as("sh"))
+          .repartition(col("doc"))
+      else shingleSets(df, idCol, textCol, shingleN)
+    val toks = features.select(col("doc"), explode(col("sh")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)

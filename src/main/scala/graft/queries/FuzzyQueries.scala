@@ -32,29 +32,28 @@ object FuzzyQueries {
       leftKey = "left_name", rightKey = "right_name",
       preScorer = levSim, preThreshold = 60.0,
       scorer = levSim, scoreThreshold = 60.0,
-      blocking = Blocking.Exact, normalize = false,
-      extraPredicate = Some(col("left_name") < col("right_name")))
-    SimilarityJoin(left, right, cfg)
-      .select(col("left_name"), col("right_name"),
+      blocking = Blocking.Exact, normalize = false)
+    // distinct key pairs are the deliverable — skip the row join-back
+    SimilarityJoin.scoredKeyPairs(left, right, cfg)
+      .where(col(SimilarityJoin.KEY_L) < col(SimilarityJoin.KEY_R))
+      .select(col(SimilarityJoin.KEY_L).as("left_name"),
+        col(SimilarityJoin.KEY_R).as("right_name"),
         floor(col("score")).cast("int").as("sim_pct"))
-      .distinct() // distinct-key join back to one-col frames keeps pairs unique
   }
 
   def fuzzySelfJoin(s: SparkSession, dir: String): DataFrame = {
-    val left = t(s, dir, "part")
-      .select(col("p_name").as("left_name"), col("p_retailprice"))
-    val right = t(s, dir, "part")
-      .select(col("p_name").as("right_name"), col("p_brand"))
+    val left = t(s, dir, "part").select(col("p_name").as("left_name"))
+    val right = t(s, dir, "part").select(col("p_name").as("right_name"))
     val cfg = SimilarityJoinConfig(
       leftKey = "left_name", rightKey = "right_name",
       preScorer = token_set_ratio, preThreshold = 55.0,
       scorer = wratio, scoreThreshold = 60.0,
-      blocking = Blocking.Token,
-      extraPredicate = Some(col("left_name") =!= col("right_name")))
-    SimilarityJoin(left, right, cfg)
-      .select(col("left_name"), col("right_name"),
+      blocking = Blocking.Token)
+    SimilarityJoin.scoredKeyPairs(left, right, cfg)
+      .where(col(SimilarityJoin.KEY_L) =!= col(SimilarityJoin.KEY_R))
+      .select(col(SimilarityJoin.KEY_L).as("left_name"),
+        col(SimilarityJoin.KEY_R).as("right_name"),
         round(col("score"), 1).as("wratio_score"))
-      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,7 +29,7 @@ class DedupSpec extends SparkTestBase {
   test("minhash LSH recall is total against exact jaccard at theta 0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 2, 0.5)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }

@@ -117,7 +117,16 @@ class NycPipelineSpec extends SparkTestBase {
       "gold.nyc_salary_matches", "gold.nyc_matched_job_posting_duration_soc",
       "gold.nyc_salary_matches_unique_job_posting_title",
       "gold.nyc_matched_job_posting_duration_soc_unique_title")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // the session catalog is in-memory per JVM but warehouse dirs
+        // persist across test runs — clear locations physically too
+        val Array(db, name) = t.split('.')
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), s"$db.db/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      }
 
     matches.write.mode("overwrite")
       .saveAsTable("bronze.payroll_to_jobs_title_fuzzy_matches")
