@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          new ExpressionInfo("graft.functions", name),
          builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyConjunctReorder)
   }
 }
 
