@@ -38,7 +38,18 @@ object GraftFunctions {
     "token_set_ratio" -> { args => TokenSetRatio(args(0), args(1)) },
     "wratio" -> { args => WRatio(args(0), args(1)) },
     "normalize_title" -> { args => NormalizeTitle(args(0)) },
+    "word_shingles" -> { args => WordShingles(args(0), litInt(args(1), "word_shingles", "n")) },
+    "minhash_sig" -> { args => MinHashSig(args(0), litInt(args(1), "minhash_sig", "k")) },
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "bitset_inter_count" -> { args => BitsetInterCount(args(0), args(1)) },
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
   )
+
+  private def litInt(e: Expression, fn: String, param: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $param must be an integer literal, got $other")
+  }
 
   /** Idempotently register all graft functions on a live session — for
     * sessions not built with the extensions config (e.g. the driver's

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass shingling / sketching kernels.
+  *
+  * The dedup pipeline originally composed these from built-in higher-order
+  * functions (`transform`/`aggregate`), but Catalyst evaluates HOF lambdas
+  * interpreted, one invocation per element — measured 6.7 s just to shingle
+  * 5 000 docs, and a 64-hash MinHash signature re-walks the shingle array
+  * 64×. These kernels do the same work in one compiled pass per row and
+  * stay inside whole-stage codegen via static calls (same pattern as
+  * [[FuzzyKernel]] / [[BitsetInterCount]]).
+  *
+  * Hash parity: [[MinHashSig]] reproduces `xxhash64(i, g)` (seed 42, int
+  * then string fold) and [[SimHash64]] reproduces `xxhash64(g)` exactly, so
+  * bucket assignments match the HOF formulations they replaced bit-for-bit.
+  */
+object TextKernel {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word n-gram shingles ("w1 w2 … wn"), first-occurrence order.
+    * Matches `wordShinglesFromTokens(tokens(text), n)`: Spark-semantics
+    * trim, split on `\s+`, empty/short input → empty array. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = text.trim()
+    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = WS.split(trimmed.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k min-hashes of a shingle array in one pass over the shingles.
+    * Slot i uses the hash chain xxhash64(i, shingle) — identical values to
+    * `array_min(transform(sh, g => xxhash64(i, g)))`; empty input → all
+    * Long.MaxValue sentinels. */
+  def minhashSig(sh: ArrayData, k: Int): ArrayData = {
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = XxHash64Function.hash(i, IntegerType, 42L)
+      i += 1
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = sh.numElements()
+    var s = 0
+    while (s < n) {
+      val g = sh.getUTF8String(s)
+      var j = 0
+      while (j < k) {
+        val h = XxHash64Function.hash(g, StringType, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** 64-bit SimHash over a (distinct) shingle array: per element
+    * xxhash64(g) (seed 42), ±1 vote per bit, bit set iff votes > 0.
+    * Identical to the explode + 64×sum(when…) aggregation it replaced. */
+  def simhash64(sh: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = sh.numElements()
+    var s = 0
+    while (s < n) {
+      val h = XxHash64Function.hash(sh.getUTF8String(s), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `word_shingles(text, n)` — see [[TextKernel.wordShingles]]. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernel.wordShingles(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles, k)` — see [[TextKernel.minhashSig]]. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(sh: Any): Any =
+    TextKernel.minhashSig(sh.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(shingles)` — see [[TextKernel.simhash64]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(sh: Any): Any =
+    TextKernel.simhash64(sh.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

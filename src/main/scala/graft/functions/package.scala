@@ -33,6 +33,15 @@ package object functions {
   /** Reference `normalize_title` as a native expression. */
   def normalize_title(c: Column): Column = col(NormalizeTitle(expr(c)))
 
+  /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
+  def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
+
+  /** k-slot MinHash signature of a shingle array, single pass. */
+  def minhash_sig(sh: Column, k: Int): Column = col(MinHashSig(expr(sh), k))
+
+  /** 64-bit SimHash of a shingle array, single pass. */
+  def simhash64(sh: Column): Column = col(SimHash64(expr(sh)))
+
   /** `normalize_title` as a composition of built-ins — identical result,
     * pure Catalyst (fully foldable/pushdown-friendly). Removes exactly
     * Python's `string.punctuation` (reference utils.py:20-29).

@@ -79,6 +79,55 @@ object AnnSearch {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer partitions the corpus
+    * into `nlist` inverted lists; each query exact-scores only the members
+    * of its `nprobe` nearest lists.
+    *
+    * The quantizer is a deterministic sample — the `nlist` corpus vectors
+    * with the smallest `xxhash64(id)` (pseudo-random but stable across
+    * runs/partitionings, no iterative k-means needed). At 100 TB the list
+    * assignment is one broadcast-join pass over the corpus and can be
+    * persisted as a bucketed table partitioned by `list_id`, making each
+    * query's probe a partition-pruned scan of nprobe/nlist of the data;
+    * queries shuffle only to their probed lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(col("neighbor_id"))
+    val cents = c
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id"))
+      .limit(nlist)
+      .select(col("neighbor_id").as("list_id"), col("cv").as("centv"))
+    // assign every corpus vector to its single nearest centroid
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("__sim").desc, col("list_id").asc)
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorFunctions.cosine(col("cv"), col("centv")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .where(col("__rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("list_id"))
+    // each query probes its nprobe nearest lists
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("list_id").asc)
+    val probes = broadcast(q0).crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorFunctions.cosine(col("qv"), col("centv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    // exact-score only candidates inside probed lists (disjoint lists — no dedup)
+    val scored = probes.join(assigned, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ).
     * Exact quadratic version — the oracle-checkable baseline; LSH variant
     * composes [[lshTopK]] machinery for scale. */

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.TextFunctions
-
 /** Deduplication operators for training-data pipelines, each designed
   * shuffle-first (no cross joins on the scale path):
   *
@@ -28,20 +26,18 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_count"))
 
-  /** Per-document distinct shingle sets (word n-grams).
+  /** Per-document distinct shingle sets (word n-grams), built by the
+    * compiled single-pass [[graft.functions.TextKernel.wordShingles]]
+    * kernel (the HOF composition it replaced evaluated one interpreted
+    * lambda per token — 6.7 s for 5 000 docs vs ~0.3 s compiled).
     *
-    * The repartition exchange is load-bearing twice over: it spreads docs
-    * across all cores regardless of input file layout, and it MATERIALIZES
-    * the shingle arrays — without it, Catalyst's projection collapse
-    * inlines the (interpreted, HOF-based) shingle expression into every
-    * downstream consumer, so e.g. a 64-hash MinHash signature recomputes
-    * the full split/transform/array_distinct tree 64× per document
-    * (measured: one 13-minute task instead of 32 parallel sub-second ones).
-    */
+    * The repartition spreads docs across all cores regardless of input
+    * file count and materializes the arrays once at the exchange, so
+    * downstream self-join branches reuse them (ReuseExchange). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("__ws"))
-      .repartition(col("doc")) // materialize tokens + spread across cores
-      .select(col("doc"), TextFunctions.wordShinglesFromTokens(col("__ws"), n).as("sh"))
+    df.select(col(idCol).as("doc"),
+        graft.functions.word_shingles(col(textCol), n).as("sh"))
+      .repartition(col("doc"))
 
   /** Exact set-intersection verification of candidate pairs: joins the
     * shingle sets back (broadcast candidates) and computes
@@ -61,18 +57,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Candidate verification via dense bitsets: when the global shingle
-    * vocabulary is small, each doc's set becomes an `array<bigint>` bitset
-    * and intersection is a codegen'd AND-popcount ([[
-    * graft.functions.BitsetInterCount]]) — orders of magnitude cheaper
-    * than joining and intersecting string arrays per candidate. */
-  private def bitsetVerify(cands: DataFrame, ex: DataFrame, freq: DataFrame,
-      vocabSize: Int, theta: Double): DataFrame = {
+  /** Dense per-doc bitsets over the global shingle vocabulary:
+    * (doc, sz, bs: array<bigint>). */
+  private def denseBitsets(ex: DataFrame, freq: DataFrame,
+      vocabSize: Int): DataFrame = {
     val nWords = (vocabSize + 63) / 64
     val vocab = freq.select(col("g"))
       .withColumn("wid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
-    val bitsets = ex.join(broadcast(vocab), "g")
+    ex.join(broadcast(vocab), "g")
       .select(col("doc"), col("sz"), (col("wid") / 64).cast("int").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))").as("bit"))
       .groupBy("doc", "sz", "w").agg(expr("bit_or(bit)").as("bits"))
@@ -81,15 +74,55 @@ object Dedup {
       .select(col("doc"), col("sz"),
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("m"), w), lit(0L))).as("bs"))
+  }
+
+  private def interPopcount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BitsetInterCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Candidate verification via dense bitsets: when the global shingle
+    * vocabulary is small, each doc's set becomes an `array<bigint>` bitset
+    * and intersection is a codegen'd AND-popcount ([[
+    * graft.functions.BitsetInterCount]]) — orders of magnitude cheaper
+    * than joining and intersecting string arrays per candidate. */
+  private def bitsetVerify(cands: DataFrame, ex: DataFrame, freq: DataFrame,
+      vocabSize: Int, theta: Double): DataFrame = {
+    val bitsets = denseBitsets(ex, freq, vocabSize)
     val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
       col("bs").as("bsa"))
     val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
       col("bs").as("bsb"))
     cands.join(broadcast(ba), "doc_a").join(broadcast(bb), "doc_b")
-      .withColumn("inter", org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.BitsetInterCount(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsa")),
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsb")))))
+      .withColumn("inter", interPopcount(col("bsa"), col("bsb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** All-pairs bitset block-nested-loop for DENSE corpora — when the
+    * shingle vocabulary is so small relative to the corpus that nearly
+    * every pair shares a shingle, candidate generation keeps ~all pairs
+    * and its explode-join + pair-distinct shuffle costs more than just
+    * scoring every pair with a codegen'd AND-popcount (measured at sf0.1:
+    * 5.49M of 12.5M possible pairs survived prefix blocking; 27 s via the
+    * candidate join vs ~2 s here). The length-ratio conjunct still prunes
+    * before the popcount. */
+  private def bitsetAllPairs(ex: DataFrame, freq: DataFrame,
+      vocabSize: Int, theta: Double): DataFrame = {
+    val bitsets = denseBitsets(ex, freq, vocabSize)
+    val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
+      col("bs").as("bsa"))
+    val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
+      col("bs").as("bsb"))
+    ba.crossJoin(broadcast(bb))
+      .where(col("doc_a") < col("doc_b") &&
+        col("sza") >= ceil(lit(theta) * col("szb")) &&
+        col("szb") >= ceil(lit(theta) * col("sza")))
+      .withColumn("inter", interPopcount(col("bsa"), col("bsb")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"))
@@ -116,38 +149,55 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
     val ex = sets.select(col("doc"), col("sz"), explode(col("sh")).as("g"))
-    // global document frequency orders the prefix (rarest first)
+    // global document frequency orders the prefix (rarest first); its
+    // second moment Σf² estimates the shingle-join candidate row count
     val freq = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("gdf").asc, col("g").asc)
-    val prefix = ex.join(freq, "g")
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <=
-        (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int"))
-      .select(col("doc"), col("sz"), col("g"))
-    val a = prefix.alias("a")
-    val b = prefix.alias("b")
-    val cands = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
-          col("a.sz") >= ceil(lit(theta) * col("b.sz")) &&
-          col("b.sz") >= ceil(lit(theta) * col("a.sz")))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    val vocabSize = freq.count()
-    if (vocabSize <= BitsetVocabMax)
-      bitsetVerify(cands, ex, freq, vocabSize.toInt, theta)
-    else
-      verifyJaccard(cands, sets, theta)
+    val stats = freq.agg(count(lit(1)).as("vocab"),
+      coalesce(sum(col("gdf") * col("gdf")), lit(0L)).as("sumf2")).head()
+    val vocabSize = stats.getLong(0)
+    val sumF2 = stats.getLong(1)
+    val nDocs = sets.count()
+    val allPairs = nDocs * math.max(nDocs - 1, 0) / 2
+    val nWords = ((vocabSize + 63) / 64).toInt
+    // dense corpus: blocking would keep most pairs anyway → all-pairs
+    // popcount beats candidate generation. Requires the bitset table to
+    // broadcast (vocab/64 longs per doc, ≤256 MB total).
+    val dense = vocabSize > 0 && vocabSize <= BitsetVocabMax &&
+      nDocs.toDouble * nWords * 8 <= 256e6 &&
+      sumF2 / 2 >= allPairs / 4
+    if (dense) {
+      bitsetAllPairs(ex, freq, vocabSize.toInt, theta)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc")).orderBy(col("gdf").asc, col("g").asc)
+      val prefix = ex.join(freq, "g")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <=
+          (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int"))
+        .select(col("doc"), col("sz"), col("g"))
+      val a = prefix.alias("a")
+      val b = prefix.alias("b")
+      val cands = a.join(b,
+          col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
+            col("a.sz") >= ceil(lit(theta) * col("b.sz")) &&
+            col("b.sz") >= ceil(lit(theta) * col("a.sz")))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+      if (vocabSize <= BitsetVocabMax)
+        bitsetVerify(cands, ex, freq, vocabSize.toInt, theta)
+      else
+        verifyJaccard(cands, sets, theta)
+    }
   }
 
   /** MinHash signature column: array of `numHashes` min-hashes of the
     * shingle set, using xxhash64(seed_i, shingle). Empty sets get
-    * Long.MaxValue sentinels (never collide with real buckets). */
+    * Long.MaxValue sentinels (never collide with real buckets).
+    * Single compiled pass; hash-identical to the
+    * `transform(sequence(…), i => array_min(transform(sh, g =>
+    * xxhash64(i, g))))` formulation it replaced. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      coalesce(
-        array_min(transform(sh, g => xxhash64(i, g))),
-        lit(Long.MaxValue)))
+    graft.functions.minhash_sig(sh, numHashes)
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -187,27 +237,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document over distinct word n-gram shingles
-    * (n=1 → plain tokens; n≥2 captures ordering like the Jaccard ops). */
+    * (n=1 → plain tokens; n≥2 captures ordering like the Jaccard ops).
+    * One compiled pass per document ([[graft.functions.TextKernel
+    * .simhash64]]) — bit-identical to, and shuffle-free unlike, the
+    * explode + 64-column ±1 vote aggregation it replaced. */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2): DataFrame = {
-    val features =
-      if (shingleN <= 1)
-        df.select(col(idCol).as("doc"),
-          array_distinct(TextFunctions.tokens(col(textCol))).as("sh"))
-          .repartition(col("doc"))
-      else shingleSets(df, idCol, textCol, shingleN)
-    val toks = features.select(col("doc"), explode(col("sh")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$bit")
-    }
-    val packed = (0 until 64).map { bit =>
-      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"), packed.as("simhash"))
-  }
+      shingleN: Int = 2): DataFrame =
+    shingleSets(df, idCol, textCol, shingleN)
+      .where(size(col("sh")) > 0) // parity: explode+groupBy dropped empty docs
+      .select(col("doc"), graft.functions.simhash64(col("sh")).as("simhash"))
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`, found via
     * pigeonhole banding into `maxDist + 1` chunks. */

@@ -26,6 +26,13 @@ object AnnQueries {
         k = 5, bits = 8, tables = 8, probeHamming = 1)
     }),
 
+    "a3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.ivfTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+    }),
+
     "d5_cosine_neardup" -> ((s, dir) =>
       AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45))
@@ -51,6 +58,6 @@ object AnnQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
-    // a2_ann_lsh: rows-only (approximate by construction)
+    // a2_ann_lsh, a3_ann_ivf: rows-only (approximate by construction)
   )
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.{word_shingles, minhash_sig, simhash64}
+import graft.queries.Tables.t
+
+/** Parity tests: the compiled single-pass kernels must reproduce the
+  * higher-order-function compositions they replaced bit-for-bit (shingle
+  * sets as sets, MinHash slots and SimHash bits exactly), on the real
+  * documents corpus plus adversarial edge strings. */
+class ShingleExpressionsSpec extends SparkTestBase {
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) =
+    TextFunctions.wordShingles(text, n)
+
+  private def hofMinhash(sh: org.apache.spark.sql.Column, k: Int) =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      coalesce(array_min(transform(sh, g => xxhash64(i, g))), lit(Long.MaxValue)))
+
+  private def corpus = {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "   ", "a", "a b", "a  b   c", "  lead trail  ",
+      "\tweird\nwhitespacehere", "dup dup dup dup",
+      "punct, punct! (punct)", "ünïcode tökens ünïcode tökens")
+      .zipWithIndex.map { case (s, i) => (10000L + i, s) }
+    t(spark, sf(), "documents").select(col("doc_id"), col("text"))
+      .unionByName(edge.toDF("doc_id", "text"))
+  }
+
+  test("word_shingles kernel matches HOF composition (as sets) incl. edges") {
+    for (n <- Seq(1, 2, 3)) {
+      val diff = corpus.select(
+        col("doc_id"),
+        array_sort(word_shingles(col("text"), n)).as("k"),
+        array_sort(hofShingles(col("text"), n)).as("h"))
+        .where(not(col("k") <=> col("h")))
+      assert(diff.count() === 0, s"shingle mismatch at n=$n")
+    }
+  }
+
+  test("minhash_sig kernel matches HOF formulation exactly") {
+    val sh = corpus.select(col("doc_id"), word_shingles(col("text"), 2).as("sh"))
+      .repartition(4)
+    val diff = sh.select(
+      minhash_sig(col("sh"), 16).as("k"), hofMinhash(col("sh"), 16).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(diff.count() === 0)
+  }
+
+  test("simhash64 kernel matches the ±1 vote aggregation exactly") {
+    val sh = corpus.select(col("doc_id"), word_shingles(col("text"), 2).as("sh"))
+      .repartition(4)
+    val kernel = sh.select(col("doc_id"), simhash64(col("sh")).as("s"))
+    val toks = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$bit")
+    }
+    val packed = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val hof = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("s"))
+    val joined = kernel.alias("k").join(hof.alias("h"), "doc_id")
+      .where(col("k.s") =!= col("h.s"))
+    assert(joined.count() === 0)
+    // empty shingle arrays (docs with <2 tokens) get simhash 0 in the kernel
+    val empty = sh.where(size(col("sh")) === 0)
+      .select(simhash64(col("sh")).as("s")).collect()
+    assert(empty.forall(_.getLong(0) == 0L))
+  }
+}

@@ -36,6 +36,21 @@ class AnnSpec extends SparkTestBase {
     assert(recall > 0.2, s"recall $recall too low to be useful")
   }
 
+  test("IVF top-k has useful recall vs brute force and bounded output") {
+    val bf = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnSearch.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 6).collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.forall(_.getLong(1) != q))
+    }
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect pairs).size.toDouble / bf.size
+    info(s"ANN IVF recall@5 = $recall (nprobe 6/16 lists)")
+    assert(recall > 0.25, s"recall $recall too low to be useful")
+  }
+
   test("cosine near-dup pairs ordered and thresholded") {
     val out = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .collect()
