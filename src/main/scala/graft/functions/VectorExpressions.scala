@@ -75,3 +75,66 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Kernel behind [[HyperplaneSig]]: all `bits` sign bits in one compiled
+  * pass over the vector. Hash/arithmetic parity with the HOF formulation
+  * (`aggregate(zip_with(v, sequence, x*((pmod(xxhash64(p, j), 2001)-1000)
+  * /1000)), 0.0, +)` per plane): same xxhash64 seed chain (int p then int
+  * j, seed 42), same left-to-right double accumulation. The HOF version
+  * interprets one lambda per (plane, element) — 64 planes × 64 dims =
+  * 4 096 interpreted calls per row. */
+object VectorKernel {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  def hyperplaneSig(v: ArrayData, offset: Int, bits: Int,
+      isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      val seedP = XxHash64Function.hash(offset + b, IntegerType, 42L)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val h = XxHash64Function.hash(j, IntegerType, seedP)
+        val comp = ((((h % 2001L) + 2001L) % 2001L).toDouble - 1000.0) / 1000.0
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * comp
+        j += 1
+      }
+      if (acc >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `hyperplane_sig(vec, offset, bits)` — random-hyperplane LSH signature
+  * as one codegen'd pass (see [[VectorKernel.hyperplaneSig]]). */
+case class HyperplaneSig(child: Expression, offset: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernel.hyperplaneSig(v.asInstanceOf[ArrayData], offset, bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernel.hyperplaneSig($c, $offset, $bits, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -37,17 +37,11 @@ object VectorFunctions {
     hyperplaneSignatureRange(v, 0, bits)
 
   /** Signature over hyperplanes [offset, offset+bits) of the shared
-    * pseudo-random family — lets callers build independent LSH tables. */
-  def hyperplaneSignatureRange(v: Column, offset: Int, bits: Int): Column = {
-    val projections = (0 until bits).map { b =>
-      val p = offset + b
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x.cast("double") *
-            ((pmod(xxhash64(lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    projections.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * pseudo-random family — lets callers build independent LSH tables.
+    * Single codegen'd pass ([[HyperplaneSig]]); bit-identical to the
+    * per-plane `aggregate(zip_with(…xxhash64(p, j)…))` HOF formulation it
+    * replaced (parity-tested). */
+  def hyperplaneSignatureRange(v: Column, offset: Int, bits: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(HyperplaneSig(
+      org.apache.spark.sql.graft.ColumnBridge.expression(v), offset, bits))
 }

@@ -18,13 +18,40 @@ object MultimodalQueries {
         .select(col("doc_id"),
           Multimodal.binaryMeta(col("bin")).as("m"))
         .select(col("doc_id"), col("m.n_bytes").as("n_bytes"),
-          col("m.header_hex").as("header_hex")))
+          col("m.header_hex").as("header_hex"))),
+
+    "m2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "bin", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame")).as("frame_hex"))),
+
+    "m3_decode_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "doc_id", "bin"))
   )
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       hex(substring(text, 1, 8)) AS header_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // DuckDB 1.0 has no BLOB substring; the corpus is pure ASCII
+    // (octet_length(encode(text)) = length(text) for every doc), so
+    // VARCHAR slicing is byte-exact here.
+    "m2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |        unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 2)) AS fi
+        |      FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |       hex(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_hex
+        |FROM f""".stripMargin
+    // m3_decode_features: rows-only (mapPartitions decode seam — not
+    // SQL-expressible; stub decoder correctness pinned in MultimodalSpec)
   )
 }

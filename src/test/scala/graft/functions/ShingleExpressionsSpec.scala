@@ -50,6 +50,29 @@ class ShingleExpressionsSpec extends SparkTestBase {
     assert(diff.count() === 0)
   }
 
+  test("hyperplane_sig kernel matches HOF formulation exactly") {
+    val emb = t(spark, sf(), "embeddings")
+    def hofSig(v: org.apache.spark.sql.Column, offset: Int, bits: Int) = {
+      val projections = (0 until bits).map { b =>
+        val p = offset + b
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, j) => x.cast("double") *
+              ((pmod(xxhash64(lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      projections.reduce((a, b) => a.bitwiseOR(b))
+    }
+    for ((off, bits) <- Seq((0, 8), (24, 8), (3, 16))) {
+      val diff = emb.select(
+        VectorFunctions.hyperplaneSignatureRange(col("embedding"), off, bits).as("k"),
+        hofSig(col("embedding"), off, bits).as("h"))
+        .where(col("k") =!= col("h"))
+      assert(diff.count() === 0, s"signature mismatch at offset=$off bits=$bits")
+    }
+  }
+
   test("simhash64 kernel matches the ±1 vote aggregation exactly") {
     val sh = corpus.select(col("doc_id"), word_shingles(col("text"), 2).as("sh"))
       .repartition(4)
