@@ -74,6 +74,10 @@ object Dedup {
       .select(col("doc"), col("sz"),
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("m"), w), lit(0L))).as("bs"))
+      // both sides of the pair join read this frame; the exchange makes
+      // the two branches share one computed copy (ReuseExchange) instead
+      // of re-running the whole explode+join+aggregate tree twice
+      .repartition(col("doc"))
   }
 
   private def interPopcount(a: Column, b: Column): Column =

@@ -14,7 +14,10 @@ object StreamQueries {
     "s1_event_windows" -> ((s, dir) =>
       EventsStream.windowedStats(t(s, dir, "events"), "1 hour")),
     "s2_sessions" -> ((s, dir) =>
-      EventsStream.sessions(t(s, dir, "events"), "30 minutes"))
+      EventsStream.sessions(t(s, dir, "events"), "30 minutes")),
+    "s3_stream_dedup" -> ((s, dir) =>
+      EventsStream.firstEventPerKey(t(s, dir, "events"),
+        keys = Seq("user_id", "event_type"), tieBreak = Seq("event_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -42,6 +45,15 @@ object StreamQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events,
         |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
-        |FROM g GROUP BY user_id, session_id""".stripMargin
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    "s3_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       value, props
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

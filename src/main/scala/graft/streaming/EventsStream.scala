@@ -38,6 +38,28 @@ object EventsStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Deterministic first event per key: the batch-checkable face of
+    * stream deduplication (row_number over (ts, tieBreak) = 1). */
+  def firstEventPerKey(events: DataFrame, keys: Seq[String],
+      tieBreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col("ts") +: tieBreak.map(col)).map(_.asc): _*)
+    events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming dedup for at-least-once sources: keeps the first arrival
+    * per key, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` — state for a key is dropped once
+    * the watermark passes its event time, so reprocessing storms don't
+    * grow state without bound). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   // --- custom-state variant (flatMapGroupsWithState) ---
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -26,6 +26,42 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("sparse-corpus path (prefix filter) agrees with brute force") {
+    val s = spark
+    import s.implicits._
+    // diverse vocabulary: per-doc unique words + a shared core — Σf² stays
+    // far below n²/4, so jaccardPairs takes the PPJoin prefix-filter branch
+    val docs2 = (0 until 120).map { i =>
+      val shared = s"alpha$i beta$i gamma$i delta${i / 2} epsilon${i / 2}"
+      (i.toLong, s"$shared word${i}a word${i}b word${i}c")
+    }
+    // plant exact near-dups
+    val planted = Seq(
+      (500L, "the quick brown fox jumps over the lazy dog tonight"),
+      (501L, "the quick brown fox jumps over the lazy dog tonight"),
+      (502L, "the quick brown fox jumps over the lazy cat tonight"))
+    val df = (docs2 ++ planted).toDF("doc_id", "text")
+
+    val fast = Dedup.jaccardPairs(df, "doc_id", "text", n = 2, theta = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // brute-force oracle over all pairs
+    val sets = Dedup.shingleSets(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      uni = (sets(a) union sets(b)).size
+      j = if (uni == 0) 0.0 else inter.toDouble / uni
+      if j >= 0.5
+    } yield ((a, b), j)).toMap
+
+    assert(fast.keySet == brute.keySet,
+      s"missed=${brute.keySet -- fast.keySet} extra=${fast.keySet -- brute.keySet}")
+    fast.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12) }
+    assert(fast.contains((500L, 501L)) && fast((500L, 501L)) == 1.0)
+  }
+
   test("minhash LSH recall is total against exact jaccard at theta 0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -99,6 +99,45 @@ class EventsStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupStream keeps one arrival per key across at-least-once replays") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val query = EventsStream.dedupStream(events, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "a"),
+        (1L, ts("2024-01-01 00:00:00"), "a"), // duplicate delivery
+        (2L, ts("2024-01-01 00:01:00"), "b"))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:02:00"), "a-replay")) // replayed id
+      query.processAllAvailable()
+      val rows = s.table("dedup_out").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("firstEventPerKey is the deterministic batch face of stream dedup") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (10L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      (11L, ts("2024-01-01 00:01:00"), 1L, "click", 2.0), // earliest for (1, click)
+      (12L, ts("2024-01-01 00:01:00"), 1L, "view", 3.0),
+      (13L, ts("2024-01-01 00:09:00"), 2L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventsStream.firstEventPerKey(events,
+      Seq("user_id", "event_type"), Seq("event_id"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L, 12L, 13L))
+  }
+
   test("events table loads with exact microsecond timestamps") {
     val df = Tables.events(spark, sf())
     assert(df.schema("ts").dataType.typeName == "timestamp")
