@@ -39,6 +39,7 @@ object GraftFunctions {
     "wratio" -> { args => WRatio(args(0), args(1)) },
     "normalize_title" -> { args => NormalizeTitle(args(0)) },
     "word_shingles" -> { args => WordShingles(args(0), litInt(args(1), "word_shingles", "n")) },
+    "char_ngrams" -> { args => CharNgrams(args(0), litInt(args(1), "char_ngrams", "q")) },
     "minhash_sig" -> { args => MinHashSig(args(0), litInt(args(1), "minhash_sig", "k")) },
     "simhash64" -> { args => SimHash64(args(0)) },
     "bitset_inter_count" -> { args => BitsetInterCount(args(0), args(1)) },

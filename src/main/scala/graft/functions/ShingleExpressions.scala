@@ -55,6 +55,24 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  /** Distinct character q-grams, first-occurrence order. Matches
+    * `charNgrams(text, q)`: length < q → empty array. */
+  def charNgrams(text: UTF8String, q: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < q) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    var i = 0
+    while (i + q <= s.length) {
+      seen.add(s.substring(i, i + q))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k min-hashes of a shingle array in one pass over the shingles.
     * Slot i uses the hash chain xxhash64(i, shingle) — identical values to
     * `array_min(transform(sh, g => xxhash64(i, g)))`; empty input → all
@@ -127,6 +145,29 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_ngrams(text, q)` — see [[TextKernel.charNgrams]]. */
+case class CharNgrams(child: Expression, q: Int) extends UnaryExpression {
+  require(q >= 1, "q-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernel.charNgrams(text.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.charNgrams($c, $q)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

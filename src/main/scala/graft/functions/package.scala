@@ -36,6 +36,9 @@ package object functions {
   /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 
+  /** Distinct character q-grams, single compiled pass. */
+  def char_ngrams(text: Column, q: Int): Column = col(CharNgrams(expr(text), q))
+
   /** k-slot MinHash signature of a shingle array, single pass. */
   def minhash_sig(sh: Column, k: Int): Column = col(MinHashSig(expr(sh), k))
 

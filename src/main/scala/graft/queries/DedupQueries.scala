@@ -27,7 +27,11 @@ object DedupQueries {
 
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 7, shingleN = 2))
+        maxDist = 7, shingleN = 2)),
+
+    "d6_char_jaccard" -> ((s, dir) =>
+      Dedup.charJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        q = 4, theta = 0.5))
   )
 
   private val exactJaccardSql =
@@ -51,7 +55,19 @@ object DedupQueries {
     // baseline generates ~zero noise candidates — recall is total here
     // (asserted in DedupSpec) so the exact-Jaccard oracle applies
     // verbatim.
-    "d3_minhash_lsh" -> exactJaccardSql
+    "d3_minhash_lsh" -> exactJaccardSql,
     // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
+
+    "d6_char_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 2),
+        |      i -> substring(text, CAST(i AS INT), 4))) AS sh
+        |  FROM documents WHERE length(text) >= 4),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
   )
 }

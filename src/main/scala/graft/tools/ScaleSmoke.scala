@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AnnSearch, Dedup}
+
+/** Scale-path smoke: drives the dedup/ANN operators on a seeded synthetic
+  * corpus 20-100× the bench documents table, where the DIVERSE-vocabulary
+  * (sparse) branches must engage — the opposite regime from the dense
+  * sf0.1 corpus. Prints per-operator wall times and output counts; the
+  * planted near-dup pairs are the recall canary.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSmoke [nDocs]"` (default 100000).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // seeded corpus: 40-80 words from a 50k vocab; every 100th doc is a
+    // near-dup of its predecessor with one word changed
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(50000)(i => s"w${i}x${i % 97}")
+    val rows = new Array[(Long, String)](nDocs)
+    var i = 0
+    while (i < nDocs) {
+      if (i % 100 == 99 && i > 0) {
+        val words = rows(i - 1)._2.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+        rows(i) = (i.toLong, words.mkString(" "))
+      } else {
+        val len = 40 + rnd.nextInt(41)
+        rows(i) = (i.toLong,
+          Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      i += 1
+    }
+    val s = spark
+    import s.implicits._
+    val docs = spark.createDataset(rows.toSeq).toDF("doc_id", "text")
+      .repartition(64).cache()
+    docs.count()
+
+    // deterministic synthetic embeddings, 64-dim, built executor-side
+    val emb = spark.range(nDocs.toLong).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(xxhash64(col("id"), j), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+        .as("embedding"))
+      .repartition(64).cache()
+    emb.count()
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+
+    val planted = nDocs / 100
+    println(s"[scale] corpus: $nDocs docs, ~$planted planted near-dup pairs")
+    time("exact_dedup")(Dedup.exact(docs, "text", "doc_id"))
+    time("jaccard_pairs(sparse)")(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.5))
+    time("minhash_lsh")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5))
+    time("simhash_pairs")(
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7))
+    time("char_jaccard(sparse)")(
+      Dedup.charJaccardPairs(docs, "doc_id", "text", q = 4, theta = 0.6))
+    time("ann_lsh_topk")(
+      AnnSearch.lshTopK(emb.where(col("vec_id") % 1000 === 0), emb,
+        "vec_id", "embedding", k = 5, bits = 12, tables = 8, probeHamming = 1))
+    time("ann_ivf_topk")(
+      AnnSearch.ivfTopK(emb.where(col("vec_id") % 1000 === 0), emb,
+        "vec_id", "embedding", k = 5, nlist = 64, nprobe = 8))
+    spark.stop()
+  }
+}

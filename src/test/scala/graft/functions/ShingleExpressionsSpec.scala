@@ -41,6 +41,17 @@ class ShingleExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("char_ngrams kernel matches HOF composition (as sets) incl. edges") {
+    for (q <- Seq(1, 3, 4)) {
+      val diff = corpus.select(
+        col("doc_id"),
+        array_sort(graft.functions.char_ngrams(col("text"), q)).as("k"),
+        array_sort(TextFunctions.charNgrams(col("text"), q)).as("h"))
+        .where(not(col("k") <=> col("h")))
+      assert(diff.count() === 0, s"char-ngram mismatch at q=$q")
+    }
+  }
+
   test("minhash_sig kernel matches HOF formulation exactly") {
     val sh = corpus.select(col("doc_id"), word_shingles(col("text"), 2).as("sh"))
       .repartition(4)
