@@ -84,23 +84,37 @@ final class RestTable(schema: StructType, props: Map[String, String])
 
 final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var prunedSchema: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.nonEmpty) prunedSchema = requiredSchema
+
+  /** LIMIT n plans only ceil(n / pageSize) pages instead of maxPages —
+    * `df.limit(100)` against a 64-page source fetches one page. Returns
+    * false (partial push): pages are fetched whole, Spark re-applies the
+    * exact row limit above the scan. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false
+  }
 
   override def build(): Scan = this
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rest url=${props.getOrElse("url", "?")} fields=${prunedSchema.fieldNames.mkString(",")}"
+    s"graft-rest url=${props.getOrElse("url", "?")} fields=${prunedSchema.fieldNames.mkString(",")}" +
+      limit.fold("")(l => s" pushedLimit=$l")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pageSize = props.getOrElse("pagesize", "50000").toLong
     val maxPages = props.getOrElse("maxpages", "64").toInt
-    (0 until maxPages)
+    val pages = limit.fold(maxPages) { l =>
+      math.min(maxPages.toLong, (l + pageSize - 1) / pageSize).toInt
+    }
+    (0 until pages)
       .map(p => RestPagePartition(p * pageSize, pageSize): InputPartition)
       .toArray
   }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnSearch, Dedup}
+import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJoinConfig}
 
 /** Scale-path smoke: drives the dedup/ANN operators on a seeded synthetic
   * corpus 20-100× the bench documents table, where the DIVERSE-vocabulary
@@ -80,6 +80,40 @@ object ScaleSmoke {
     time("ann_ivf_topk")(
       AnnSearch.ivfTopK(emb.where(col("vec_id") % 1000 === 0), emb,
         "vec_id", "embedding", k = 5, nlist = 64, nprobe = 8))
+
+    // similarity join: 100k payroll rows over a ~2.5k-title vocabulary vs
+    // 5k postings with injected typos — the reference's workload shape at
+    // 20× its distinct-title cardinality, Token (shuffle) blocking
+    val adjs = Array("senior", "junior", "lead", "principal", "staff",
+      "associate", "assistant", "deputy")
+    val nouns = Array("software", "data", "systems", "network", "security",
+      "budget", "policy", "program", "project", "operations")
+    val roles = Array("engineer", "analyst", "manager", "director",
+      "specialist", "coordinator", "administrator", "architect")
+    val grades = Array("i", "ii", "iii")
+    def mkTitle(): String =
+      s"${adjs(rnd.nextInt(adjs.length))} ${nouns(rnd.nextInt(nouns.length))} " +
+        roles(rnd.nextInt(roles.length)) +
+        (if (rnd.nextInt(4) == 0) " " + grades(rnd.nextInt(3)) else "")
+    def typo(s: String): String = {
+      val i = 1 + rnd.nextInt(s.length - 2)
+      if (rnd.nextBoolean()) s.substring(0, i) + s.substring(i + 1) // drop
+      else s.substring(0, i) + s.charAt(i - 1) + s.substring(i) // double
+    }
+    val payroll = spark.createDataset(
+      (0 until nDocs).map(i => (i.toLong, mkTitle(), 40000.0 + rnd.nextInt(120000)))
+    ).toDF("pay_id", "pay_title", "base_salary").repartition(64).cache()
+    payroll.count()
+    val jobs = spark.createDataset(
+      (0 until nDocs / 20).map { i =>
+        val base = mkTitle()
+        (i.toLong, if (i % 3 == 0) typo(base) else base)
+      }).toDF("job_id", "job_title").repartition(16).cache()
+    jobs.count()
+    time("similarity_join(token)")(SimilarityJoin(jobs, payroll,
+      SimilarityJoinConfig(leftKey = "job_title", rightKey = "pay_title",
+        preThreshold = 85, scoreThreshold = 85, blocking = Blocking.Token,
+        topKPerLeft = Some(5), topKTieBreak = Seq(col("pay_id")))))
     spark.stop()
   }
 }

@@ -21,6 +21,18 @@ class SyntheticPageFetcher extends PageFetcher {
   }
 }
 
+/** Records every fetched offset (static — readable from the driver in
+  * local mode). */
+class RecordingPageFetcher extends SyntheticPageFetcher {
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] = {
+    RecordingPageFetcher.offsets.add(offset)
+    super.fetch(baseUrl, limit, offset)
+  }
+}
+object RecordingPageFetcher {
+  val offsets = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+}
+
 class RestSourceSpec extends SparkTestBase {
 
   private def read =
@@ -48,6 +60,27 @@ class RestSourceSpec extends SparkTestBase {
     val scan = pruned.queryExecution.executedPlan.toString()
     assert(scan.contains("fields=title"), s"plan was:\n$scan")
     assert(pruned.distinct().count() == 250)
+  }
+
+  test("limit pushdown plans only the pages the limit needs") {
+    RecordingPageFetcher.offsets.clear()
+    val limited = spark.read.format("graft-rest")
+      .option("url", "synthetic://payroll")
+      .option("fields", "id,title,salary,maybe_null")
+      .option("pageSize", "100")
+      .option("maxPages", "5")
+      .option("fetcher", classOf[RecordingPageFetcher].getName)
+      .load()
+      .limit(150)
+    assert(limited.collect().length == 150)
+    // ceil(150/100) = 2 pages fetched instead of maxPages=5
+    val fetched = RecordingPageFetcher.offsets
+    assert(fetched.size() <= 2 && !fetched.contains(200L),
+      s"fetched offsets $fetched")
+    val scan = limited.queryExecution.executedPlan.toString()
+    assert(scan.contains("pushedLimit=150"), s"plan was:\n$scan")
+    // and the limit still returns exact rows when it lands mid-page
+    assert(read.limit(42).count() == 42)
   }
 
   test("pages beyond the data end contribute nothing") {
