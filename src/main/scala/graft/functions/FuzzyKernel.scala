@@ -84,14 +84,59 @@ object FuzzyKernel {
     prev(m)
   }
 
+  /** Per-thread ASCII pattern-mask table for [[lcsLen64]] — reused across
+    * calls (cleared after each) so the hot path allocates nothing. */
+  private final val tlAsciiMask = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
   /** Bit-parallel LCS length (Hyyrö/Allison-Dix style) for |shorter| <= 63.
     * One 64-bit word per DP row; ~|longer| word ops total. Used on the hot
     * path (titles are short); cross-checked against [[lcsLenDP]] by
-    * property tests.
+    * property tests. All-ASCII shorter strings (the normalized-title case)
+    * use a zero-allocation thread-local mask table; otherwise a boxed map.
     */
   private[graft] def lcsLen64(short: CharSequence, long: CharSequence): Int = {
     val m = short.length
     if (m == 0) return 0
+    var ascii = true
+    var i = 0
+    while (i < m) {
+      if (short.charAt(i) >= 128) { ascii = false; i = m }
+      else i += 1
+    }
+    if (!ascii) return lcsLen64Generic(short, long)
+    val pm = tlAsciiMask.get()
+    i = 0
+    while (i < m) {
+      pm(short.charAt(i).toInt) |= (1L << i)
+      i += 1
+    }
+    var s = -1L // all ones
+    var j = 0
+    val n = long.length
+    while (j < n) {
+      val c = long.charAt(j)
+      if (c < 128) {
+        val matches = pm(c.toInt)
+        if (matches != 0L) {
+          val u = s & matches
+          s = (s + u) | (s - u)
+        }
+      } // a non-ASCII char of `long` cannot match the all-ASCII `short`
+      j += 1
+    }
+    i = 0
+    while (i < m) {
+      pm(short.charAt(i).toInt) = 0L
+      i += 1
+    }
+    // zero bits within the low m bits mark LCS members
+    java.lang.Long.bitCount(~s & ((1L << m) - 1))
+  }
+
+  private def lcsLen64Generic(short: CharSequence, long: CharSequence): Int = {
+    val m = short.length
     // positions of each char of `short` as a bitmask
     val pm = new java.util.HashMap[Character, java.lang.Long](m * 2)
     var i = 0
@@ -102,7 +147,7 @@ object FuzzyKernel {
       pm.put(c, java.lang.Long.valueOf(bits | (1L << i)))
       i += 1
     }
-    var s = -1L // all ones
+    var s = -1L
     var j = 0
     val n = long.length
     while (j < n) {
@@ -114,7 +159,6 @@ object FuzzyKernel {
       }
       j += 1
     }
-    // zero bits within the low m bits mark LCS members
     java.lang.Long.bitCount(~s & ((1L << m) - 1))
   }
 
@@ -208,26 +252,39 @@ object FuzzyKernel {
   def tokenSortRatio(a: String, b: String): Double =
     ratio(joined(sortedTokens(a)), joined(sortedTokens(b)))
 
-  /** Sorted-unique decomposition (intersection, a-only, b-only). */
+  /** Sort in place and drop adjacent duplicates (set semantics). */
+  private def sortedUnique(toks: Array[String]): Array[String] = {
+    if (toks.length <= 1) return toks
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    var w = 1
+    var i = 1
+    while (i < toks.length) {
+      if (toks(i) != toks(w - 1)) { toks(w) = toks(i); w += 1 }
+      i += 1
+    }
+    if (w == toks.length) toks else java.util.Arrays.copyOf(toks, w)
+  }
+
+  /** Sorted-unique decomposition (intersection, a-only, b-only) via a
+    * two-pointer merge of the sorted unique token arrays — no tree sets,
+    * no per-call boxing (hot path of the blocking scorer). */
   private def setDecompose(a: String, b: String)
       : (Array[String], Array[String], Array[String]) = {
-    val ta = new java.util.TreeSet[String]()
-    splitTokens(a).foreach(ta.add)
-    val tb = new java.util.TreeSet[String]()
-    splitTokens(b).foreach(tb.add)
-    val inter = new scala.collection.mutable.ArrayBuffer[String]()
-    val onlyA = new scala.collection.mutable.ArrayBuffer[String]()
-    val itA = ta.iterator()
-    while (itA.hasNext) {
-      val t = itA.next()
-      if (tb.contains(t)) inter += t else onlyA += t
+    val sa = sortedUnique(splitTokens(a))
+    val sb = sortedUnique(splitTokens(b))
+    val inter = new scala.collection.mutable.ArrayBuffer[String](sa.length)
+    val onlyA = new scala.collection.mutable.ArrayBuffer[String](sa.length)
+    val onlyB = new scala.collection.mutable.ArrayBuffer[String](sb.length)
+    var i = 0
+    var j = 0
+    while (i < sa.length && j < sb.length) {
+      val c = sa(i).compareTo(sb(j))
+      if (c == 0) { inter += sa(i); i += 1; j += 1 }
+      else if (c < 0) { onlyA += sa(i); i += 1 }
+      else { onlyB += sb(j); j += 1 }
     }
-    val onlyB = new scala.collection.mutable.ArrayBuffer[String]()
-    val itB = tb.iterator()
-    while (itB.hasNext) {
-      val t = itB.next()
-      if (!ta.contains(t)) onlyB += t
-    }
+    while (i < sa.length) { onlyA += sa(i); i += 1 }
+    while (j < sb.length) { onlyB += sb(j); j += 1 }
     (inter.toArray, onlyA.toArray, onlyB.toArray)
   }
 

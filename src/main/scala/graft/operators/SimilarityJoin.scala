@@ -88,9 +88,24 @@ object SimilarityJoin {
       case b => b
     }
 
-    val candidates: DataFrame = blocking match {
+    // Parallelism note: the scoring filter is the expensive stage
+    // (~10 µs/pair vs ~100 B/pair), so it must run wide. Exact/NGram get
+    // an explicit-width exchange — AQE would otherwise coalesce the
+    // byte-small candidate shuffle onto a handful of cores (measured
+    // 24 s → 4 s at 2.5M pairs on local[32]). Token scores inside the
+    // 32-way token join stage itself.
+    val scoringParallelism =
+      left.sparkSession.sparkContext.defaultParallelism
+    // Token blocking scores candidates WITHOUT a prior pair-dedup: a pair
+    // sharing k tokens is scored k times (k ≈ 1.15 on title data), which
+    // is far cheaper than shuffling every candidate through a distinct;
+    // the dedup runs on the tiny post-threshold survivor set instead.
+    // NGram keeps dedup-first (shared-gram multiplicity is high); Exact
+    // generates no duplicates.
+    val (candidates, dedupAfterScore): (DataFrame, Boolean) = blocking match {
       case Blocking.Exact | Blocking.Auto =>
-        distinctL.crossJoin(broadcast(distinctR))
+        (distinctL.repartition(scoringParallelism)
+          .crossJoin(broadcast(distinctR)), false)
       case Blocking.Token =>
         val lt = distinctL.withColumn("__tok",
           explode(array_distinct(split(col(NORM_L), " "))))
@@ -98,8 +113,7 @@ object SimilarityJoin {
         val rt = distinctR.withColumn("__tok",
           explode(array_distinct(split(col(NORM_R), " "))))
           .where(col("__tok") =!= "")
-        lt.join(rt, "__tok").drop("__tok")
-          .dropDuplicates(KEY_L, KEY_R)
+        (lt.join(rt, "__tok").drop("__tok"), true)
       case Blocking.NGram(q) =>
         val grams: Column => Column = c =>
           array_distinct(transform(
@@ -109,17 +123,19 @@ object SimilarityJoin {
           .where(length(col("__g")) === q)
         val rt = distinctR.withColumn("__g", explode(grams(col(NORM_R))))
           .where(length(col("__g")) === q)
-        lt.join(rt, "__g").drop("__g")
+        (lt.join(rt, "__g").drop("__g")
           .dropDuplicates(KEY_L, KEY_R)
+          .repartition(scoringParallelism), false)
     }
 
     // conjunct order preserved in codegen: cheap blocking scorer first,
     // exact scorer only on survivors (reference's two-tier economics)
-    candidates
+    val scored = candidates
       .where(cfg.preScorer(col(NORM_L), col(NORM_R)) >= lit(cfg.preThreshold))
       .withColumn(cfg.scoreCol, cfg.scorer(col(NORM_L), col(NORM_R)))
       .where(col(cfg.scoreCol) >= lit(cfg.scoreThreshold))
       .select(col(KEY_L), col(KEY_R), col(cfg.scoreCol))
+    if (dedupAfterScore) scored.dropDuplicates(KEY_L, KEY_R) else scored
   }
 
   /** Full similarity join: every left row × every right row whose keys are
