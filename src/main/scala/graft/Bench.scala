@@ -28,6 +28,7 @@ object Bench {
     GraftFunctions.register(spark)
 
     def runOnce(name: String): Double = {
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

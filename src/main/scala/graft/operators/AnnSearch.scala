@@ -128,9 +128,40 @@ object AnnSearch {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the scale path for
+    * [[cosineNearDupPairs]]: candidates are corpus vectors colliding in
+    * any of `tables` hyperplane-signature tables, verified by exact
+    * cosine. The verification filter runs INSIDE the self-join output,
+    * before the pair-dedup shuffle (the cheap-verify-before-dedup shape;
+    * cosine is one codegen'd VecDot). Recall grows with `tables`, bucket
+    * size shrinks with `bits`. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      theta: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
+    require(bits <= 20, "signature must stay bucket-join friendly")
+    def sigs(v: Column): Column =
+      array((0 until tables).map { tbl =>
+        val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
+        struct(lit(tbl).as("tbl"), wide.as("sig"))
+      }: _*)
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id"))
+      .withColumn("bk", explode(sigs(col("v"))))
+      .select(col("id"), col("v"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b, col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id") &&
+        VectorFunctions.cosine(col("a.v"), col("b.v")) >= theta)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ).
-    * Exact quadratic version — the oracle-checkable baseline; LSH variant
-    * composes [[lshTopK]] machinery for scale. */
+    * Exact quadratic version — the oracle-checkable baseline;
+    * [[lshNearDupPairs]] is the scale path. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       theta: Double): DataFrame = {
     val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))

@@ -35,7 +35,11 @@ object AnnQueries {
 
     "d5_cosine_neardup" -> ((s, dir) =>
       AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        theta = 0.45))
+        theta = 0.45)),
+
+    "a4_neardup_lsh" -> ((s, dir) =>
+      AnnSearch.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        theta = 0.45, bits = 6, tables = 16))
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +62,7 @@ object AnnQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
-    // a2_ann_lsh, a3_ann_ivf: rows-only (approximate by construction)
+    // a2_ann_lsh, a3_ann_ivf, a4_neardup_lsh: rows-only (approximate by
+    // construction)
   )
 }

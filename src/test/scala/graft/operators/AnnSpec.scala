@@ -59,4 +59,20 @@ class AnnSpec extends SparkTestBase {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("LSH near-dup pairs are a high-recall subset of the exact pairs") {
+    val exact = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p(collide/table) = (1 - θ/π)^bits ≈ 0.16 at cosine 0.4 with 4 bits
+    // → recall over 16 tables ≈ 1-(1-.16)^16 ≈ 0.94
+    val lsh = AnnSearch.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+      bits = 4, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      info(s"LSH near-dup recall = $recall over ${exact.size} exact pairs")
+      assert(recall >= 0.6, s"recall $recall")
+    }
+  }
 }
