@@ -61,6 +61,35 @@ class ShingleExpressionsSpec extends SparkTestBase {
     assert(diff.count() === 0)
   }
 
+  test("kernels match HOF formulations on randomized adversarial strings") {
+    import org.scalacheck.Gen
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.const('\t')),
+      (1, Gen.const('\n')), (1, Gen.oneOf("!\"#$%&'()*,./:;ü€ß".toSeq)))
+    val strGen = Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, charGen))
+    val samples = {
+      var seed = org.scalacheck.rng.Seed(7L)
+      (0 until 300).map { _ =>
+        val s0 = strGen.pureApply(Gen.Parameters.default, seed)
+        seed = seed.next
+        s0
+      }
+    }
+    import spark.implicits._
+    val df = samples.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+      .toDF("doc_id", "text").repartition(4)
+    val diff = df.select(
+      array_sort(word_shingles(col("text"), 2)).as("k1"),
+      array_sort(hofShingles(col("text"), 2)).as("h1"),
+      array_sort(graft.functions.char_ngrams(col("text"), 3)).as("k2"),
+      array_sort(TextFunctions.charNgrams(col("text"), 3)).as("h2"),
+      minhash_sig(word_shingles(col("text"), 2), 8).as("k3"),
+      hofMinhash(word_shingles(col("text"), 2), 8).as("h3"))
+      .where(not(col("k1") <=> col("h1")) || not(col("k2") <=> col("h2")) ||
+        not(col("k3") <=> col("h3")))
+    assert(diff.count() === 0)
+  }
+
   test("hyperplane_sig kernel matches HOF formulation exactly") {
     val emb = t(spark, sf(), "embeddings")
     def hofSig(v: org.apache.spark.sql.Column, offset: Int, bits: Int) = {
