@@ -58,22 +58,22 @@ object Dedup {
   }
 
   /** Dense per-doc bitsets over the global shingle vocabulary:
-    * (doc, sz, bs: array<bigint>). */
+    * (doc, sz, bs: array<bigint>). One groupBy + a compiled
+    * [[graft.functions.BitsetFromIds]] pass. */
   private def denseBitsets(ex: DataFrame, freq: DataFrame,
       vocabSize: Int): DataFrame = {
     val nWords = (vocabSize + 63) / 64
     val vocab = freq.select(col("g"))
-      .withColumn("wid", row_number().over(
+      .withColumn("wid", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
+        .cast("int"))
     ex.join(broadcast(vocab), "g")
-      .select(col("doc"), col("sz"), (col("wid") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))").as("bit"))
-      .groupBy("doc", "sz", "w").agg(expr("bit_or(bit)").as("bits"))
-      .groupBy("doc", "sz")
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
+      .groupBy("doc", "sz").agg(collect_list(col("wid")).as("wids"))
       .select(col("doc"), col("sz"),
-        transform(sequence(lit(0), lit(nWords - 1)),
-          w => coalesce(element_at(col("m"), w), lit(0L))).as("bs"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.BitsetFromIds(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("wids")),
+            nWords)).as("bs"))
       // both sides of the pair join read this frame; the exchange makes
       // the two branches share one computed copy (ReuseExchange) instead
       // of re-running the whole explode+join+aggregate tree twice
