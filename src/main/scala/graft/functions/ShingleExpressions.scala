@@ -56,14 +56,28 @@ object TextKernel {
   }
 
   /** Distinct character q-grams, first-occurrence order. Matches
-    * `charNgrams(text, q)`: length < q → empty array. */
+    * `charNgrams(text, q)`: length < q → empty array. Counts CODE POINTS
+    * like Spark's `length`/`substring` (a surrogate pair is one
+    * character), so supplementary-plane text grams identically to the
+    * HOF/DuckDB formulations. */
   def charNgrams(text: UTF8String, q: Int): ArrayData = {
     val s = text.toString
-    if (s.length < q) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    val cp = s.codePointCount(0, s.length)
+    if (cp < q) return new GenericArrayData(Array.empty[Any])
+    // UTF-16 offset of each code point boundary
+    val offs = new Array[Int](cp + 1)
+    var idx = 0
+    var c = 0
+    while (c < cp) {
+      offs(c) = idx
+      idx = s.offsetByCodePoints(idx, 1)
+      c += 1
+    }
+    offs(cp) = s.length
+    val seen = new java.util.LinkedHashSet[String](cp * 2)
     var i = 0
-    while (i + q <= s.length) {
-      seen.add(s.substring(i, i + q))
+    while (i + q <= cp) {
+      seen.add(s.substring(offs(i), offs(i + q)))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -89,6 +89,14 @@ object VectorKernel {
   def hyperplaneSig(v: ArrayData, offset: Int, bits: Int,
       isFloat: Boolean): Long = {
     val n = v.numElements()
+    // parity with the HOF formulation: a null element nullified every
+    // projection, and when(null >= 0, bit) took the otherwise(0L) branch
+    // for all planes → signature 0
+    var i0 = 0
+    while (i0 < n) {
+      if (v.isNullAt(i0)) return 0L
+      i0 += 1
+    }
     var out = 0L
     var b = 0
     while (b < bits) {

@@ -95,11 +95,22 @@ object AnnSearch {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .repartition(col("neighbor_id"))
-    val cents = c
+    // materialize the nlist centroids once — the frame feeds two broadcast
+    // branches, and leaving it lazy would run the corpus-wide
+    // TakeOrdered twice
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("list_id",
+        c.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("centv",
+        c.schema("cv").dataType)))
+    val centRows = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id"))
       .limit(nlist)
       .select(col("neighbor_id").as("list_id"), col("cv").as("centv"))
+      .collect()
+    val cents = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
     // assign every corpus vector to its single nearest centroid
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("__sim").desc, col("list_id").asc)
@@ -150,12 +161,15 @@ object AnnSearch {
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
     val a = t.alias("a")
     val b = t.alias("b")
+    // cosine computed ONCE per collision pair (a projection above the
+    // join — Catalyst does not CSE across join condition and projection),
+    // filtered before the pair-dedup shuffle
     a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id") &&
-        VectorFunctions.cosine(col("a.v"), col("b.v")) >= theta)
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= theta)
       .dropDuplicates("vec_a", "vec_b")
   }
 

@@ -61,8 +61,7 @@ object Dedup {
     * (doc, sz, bs: array<bigint>). One groupBy + a compiled
     * [[graft.functions.BitsetFromIds]] pass. */
   private def denseBitsets(ex: DataFrame, freq: DataFrame,
-      vocabSize: Int): DataFrame = {
-    val nWords = (vocabSize + 63) / 64
+      nWords: Int): DataFrame = {
     val vocab = freq.select(col("g"))
       .withColumn("wid", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
@@ -92,8 +91,8 @@ object Dedup {
     * graft.functions.BitsetInterCount]]) — orders of magnitude cheaper
     * than joining and intersecting string arrays per candidate. */
   private def bitsetVerify(cands: DataFrame, ex: DataFrame, freq: DataFrame,
-      vocabSize: Int, theta: Double): DataFrame = {
-    val bitsets = denseBitsets(ex, freq, vocabSize)
+      nWords: Int, theta: Double): DataFrame = {
+    val bitsets = denseBitsets(ex, freq, nWords)
     val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
       col("bs").as("bsa"))
     val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
@@ -116,9 +115,9 @@ object Dedup {
     * candidate join vs ~2 s here). The length-ratio conjunct still prunes
     * before the popcount. */
   private def bitsetAllPairs(ex: DataFrame, freq: DataFrame,
-      vocabSize: Int, theta: Double,
+      nWords: Int, theta: Double,
       useBroadcast: Boolean = true): DataFrame = {
-    val bitsets = denseBitsets(ex, freq, vocabSize)
+    val bitsets = denseBitsets(ex, freq, nWords)
     val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
       col("bs").as("bsa"))
     val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
@@ -178,28 +177,37 @@ object Dedup {
     // of shingle strings roughly halves the exchange volume at scale.
     val exh = ex.select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"))
     val freqH = exh.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    // ONE eager stats job over the hashed shingles; the doc count for the
+    // gate heuristic comes from the raw input (a metadata-cheap count —
+    // counting docs with zero shingles only overestimates allPairs, which
+    // biases the gate toward the conservative sparse path)
     val stats = freqH.agg(count(lit(1)).as("vocab"),
       coalesce(sum(col("gdf") * col("gdf")), lit(0L)).as("sumf2")).head()
     val vocabSize = stats.getLong(0)
     val sumF2 = stats.getLong(1)
-    val nDocs = sets.count()
+    if (vocabSize == 0) { // no doc produced any shingle — empty result
+      return sets.select(col("doc").as("doc_a"), col("doc").as("doc_b"),
+        lit(0.0).as("jaccard")).where(lit(false))
+    }
+    val nDocs = df.count()
     val allPairs = nDocs * math.max(nDocs - 1, 0) / 2
-    val nWords = ((vocabSize + 63) / 64).toInt
+    // one spare word of margin so 64-bit hash collisions (hashed vocab <
+    // true string vocab) can never push a wid past the bitset
+    val nWords = ((vocabSize + 64 + 63) / 64).toInt
     // dense corpus: blocking would keep most pairs anyway → all-pairs
     // popcount beats candidate generation. Broadcast the bitset table when
     // it fits (≤256 MB); up to 4 GB fall back to a partitioned cartesian
     // (each task scores one block pair); beyond that the corpus is big
     // enough that candidate generation wins again.
     val bitsetBytes = nDocs.toDouble * nWords * 8
-    val dense = vocabSize > 0 && vocabSize <= BitsetVocabMax &&
+    val dense = vocabSize <= BitsetVocabMax &&
       bitsetBytes <= 4e9 &&
       sumF2 / 2 >= allPairs / 4
     // the bitset paths need the exact string vocabulary (map-side combine
     // keeps this shuffle ≤ vocab × partitions rows — small by the gate)
     def freqStr = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
     if (dense) {
-      val fs = freqStr
-      bitsetAllPairs(ex, fs, fs.count().toInt, theta,
+      bitsetAllPairs(ex, freqStr, nWords, theta,
         useBroadcast = bitsetBytes <= 256e6)
     } else {
       val w = org.apache.spark.sql.expressions.Window
@@ -217,12 +225,14 @@ object Dedup {
             col("b.sz") >= ceil(lit(theta) * col("a.sz")))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
         .distinct()
-      if (vocabSize <= BitsetVocabMax) {
-        val fs = freqStr
-        bitsetVerify(cands, ex, fs, fs.count().toInt, theta)
-      } else {
+      // bitset verification broadcasts the full bitset table — gate on
+      // its size, not just the vocabulary (1M docs × small vocab would
+      // otherwise broadcast gigabytes); the string-array path has no
+      // broadcast and covers the rest
+      if (vocabSize <= BitsetVocabMax && bitsetBytes <= 256e6)
+        bitsetVerify(cands, ex, freqStr, nWords, theta)
+      else
         verifyJaccard(cands, sets, theta)
-      }
     }
   }
 
@@ -231,9 +241,12 @@ object Dedup {
     * Long.MaxValue sentinels (never collide with real buckets).
     * Single compiled pass; hash-identical to the
     * `transform(sequence(…), i => array_min(transform(sh, g =>
-    * xxhash64(i, g))))` formulation it replaced. */
+    * xxhash64(i, g))))` formulation it replaced — including NULL input
+    * arrays mapping to the all-sentinel signature (the kernel expression
+    * alone null-propagates; the coalesce restores the old contract). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    graft.functions.minhash_sig(sh, numHashes)
+    coalesce(graft.functions.minhash_sig(sh, numHashes),
+      typedLit(Array.fill(numHashes)(Long.MaxValue)))
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     *

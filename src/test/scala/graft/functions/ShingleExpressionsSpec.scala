@@ -24,7 +24,8 @@ class ShingleExpressionsSpec extends SparkTestBase {
     val edge = Seq(
       "", " ", "   ", "a", "a b", "a  b   c", "  lead trail  ",
       "\tweird\nwhitespacehere", "dup dup dup dup",
-      "punct, punct! (punct)", "ünïcode tökens ünïcode tökens")
+      "punct, punct! (punct)", "ünïcode tökens ünïcode tökens",
+      "emoji 😀😁😂 pairs 😀x")
       .zipWithIndex.map { case (s, i) => (10000L + i, s) }
     t(spark, sf(), "documents").select(col("doc_id"), col("text"))
       .unionByName(edge.toDF("doc_id", "text"))

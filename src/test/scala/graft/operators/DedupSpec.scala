@@ -62,6 +62,19 @@ class DedupSpec extends SparkTestBase {
     assert(fast.contains((500L, 501L)) && fast((500L, 501L)) == 1.0)
   }
 
+  test("jaccard on a corpus with zero shingles returns empty, not an error") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "ab"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.charJaccardPairs(tiny, "doc_id", "text", q = 4, theta = 0.5)
+      .count() == 0)
+    assert(Dedup.jaccardPairs(tiny, "doc_id", "text", n = 3, theta = 0.5)
+      .count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(empty, "doc_id", "text", n = 2, theta = 0.5)
+      .count() == 0)
+  }
+
   test("minhash LSH recall is total against exact jaccard at theta 0.5") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
