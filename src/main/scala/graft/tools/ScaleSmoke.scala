@@ -72,8 +72,12 @@ object ScaleSmoke {
       Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5))
     time("simhash_pairs")(
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7))
-    time("char_jaccard(sparse)")(
-      Dedup.charJaccardPairs(docs, "doc_id", "text", q = 4, theta = 0.6))
+    // char grams on this synthetic corpus (tiny char alphabet) are the
+    // degenerate exact regime — ~all pairs share a gram, so cost is
+    // inherently quadratic; skip at the largest sizes
+    if (nDocs <= 100000)
+      time("char_jaccard(sparse)")(
+        Dedup.charJaccardPairs(docs, "doc_id", "text", q = 4, theta = 0.6))
     time("ann_lsh_topk")(
       AnnSearch.lshTopK(emb.where(col("vec_id") % 1000 === 0), emb,
         "vec_id", "embedding", k = 5, bits = 12, tables = 8, probeHamming = 1))
