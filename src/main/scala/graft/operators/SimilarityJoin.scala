@@ -115,14 +115,21 @@ object SimilarityJoin {
           .where(col("__tok") =!= "")
         (lt.join(rt, "__tok").drop("__tok"), true)
       case Blocking.NGram(q) =>
-        val grams: Column => Column = c =>
+        // pad with q-1 sentinel chars on both ends (classic q-gram
+        // padding): keys shorter than q still produce grams, and any two
+        // keys sharing a prefix/suffix share a padded gram — without
+        // padding, an exact-equal pair of short keys generated zero
+        // candidates (silent recall hole)
+        val padL = lit("\u0001" * (q - 1))
+        val padR = lit("\u0002" * (q - 1))
+        val grams: Column => Column = c0 => {
+          val c = concat(padL, c0, padR)
           array_distinct(transform(
             sequence(lit(0), greatest(length(c) - q, lit(0))),
             i => substring(c, lit(1) + i, lit(q))))
+        }
         val lt = distinctL.withColumn("__g", explode(grams(col(NORM_L))))
-          .where(length(col("__g")) === q)
         val rt = distinctR.withColumn("__g", explode(grams(col(NORM_R))))
-          .where(length(col("__g")) === q)
         (lt.join(rt, "__g").drop("__g")
           .dropDuplicates(KEY_L, KEY_R)
           .repartition(scoringParallelism), false)
@@ -148,36 +155,47 @@ object SimilarityJoin {
     // Internal score name during assembly so a user scoreCol that collides
     // with input columns can't confuse resolution.
     val tmpScore = "__graft_score"
+    val rowId = "__graft_lrow"
     val pairs = scoredKeyPairs(left, right, cfg)
       .withColumnRenamed(cfg.scoreCol, tmpScore)
 
     val overlapping = left.columns.toSet intersect right.columns.toSet
-    val keptLeftNames = left.columns.filterNot(overlapping.contains)
+    // reference semantics ({**job, **pay, "score"}): right wins on a
+    // left/right collision, and the computed score wins over any input
+    // column already named scoreCol
+    val keptLeftNames = left.columns
+      .filterNot(overlapping.contains).filterNot(_ == cfg.scoreCol)
+    val keptRightNames = right.columns.filterNot(_ == cfg.scoreCol)
+
+    // per-LEFT-ROW id: top-k must be per left row, not per key value —
+    // two left rows sharing a key each get their own k matches
+    val leftWithId = left.withColumn(rowId, monotonically_increasing_id())
 
     // The pairs frame shares lineage with both inputs; use alias-qualified
     // string references (not dataset-id refs) to avoid the ambiguous
     // self-join trap.
-    val joined = left.alias("__gl")
+    val joined = leftWithId.alias("__gl")
       .join(pairs.hint("broadcast").alias("__gp"),
         col(s"__gl.`${cfg.leftKey}`") === col(s"__gp.$KEY_L"))
       .join(right.alias("__gr"),
         col(s"__gp.$KEY_R") === col(s"__gr.`${cfg.rightKey}`"))
 
     val withScore = joined.select(
-      keptLeftNames.map(n => col(s"__gl.`$n`")) ++
-        right.columns.map(n => col(s"__gr.`$n`")) :+
+      (col(s"__gl.$rowId") +:
+        keptLeftNames.map(n => col(s"__gl.`$n`"))) ++
+        keptRightNames.map(n => col(s"__gr.`$n`")) :+
         col(s"__gp.$tmpScore").as(cfg.scoreCol): _*)
 
     val filtered = cfg.extraPredicate.fold(withScore)(withScore.where)
 
-    cfg.topKPerLeft.fold(filtered) { k =>
+    cfg.topKPerLeft.fold(filtered.drop(rowId)) { k =>
       val w = Window
-        .partitionBy(cfg.leftKey)
+        .partitionBy(col(rowId))
         .orderBy(col(cfg.scoreCol).desc +: cfg.topKTieBreak: _*)
       filtered
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", rowId)
     }
   }
 }

@@ -67,7 +67,12 @@ object NycPipeline {
       blocking = blocking,
       extraPredicate = Some(salaryBand),
       topKPerLeft = limit,
-      topKTieBreak = Seq(col("title_description"), col("base_salary")))
+      // every carried payroll column participates so the ordering is
+      // unique up to fully-identical rows — otherwise repeated runs could
+      // emit different pay components for tied (score, title, salary)
+      topKTieBreak = Seq(col("title_description"), col("base_salary"),
+        col("pay_basis"), col("regular_gross_paid"), col("total_ot_paid"),
+        col("total_other_pay")))
 
     SimilarityJoin(jobsF, payrollF, cfg)
       .select(

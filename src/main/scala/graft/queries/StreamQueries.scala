@@ -28,13 +28,14 @@ object StreamQueries {
         |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    // session semantics: events of a user belong to one session while the
-    // gap to the previous event is <= 30 min (matches Spark session_window)
+    // session semantics: session_window windows [t, t+gap) merge only
+    // when they overlap, i.e. a gap of exactly 30 min starts a NEW
+    // session — hence >= in the break condition
     "s2_sessions" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                   > INTERVAL '30 minutes'
+        |                   >= INTERVAL '30 minutes'
         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -50,10 +50,7 @@ object Bronze {
     * way the reference does (lowercase, dashes/spaces → underscores;
     * utils.py:172-173). */
   def registerLake(spark: SparkSession, lakeDir: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val glob = new org.apache.hadoop.fs.Path(s"$lakeDir/*.parquet")
-    val files = fs.globStatus(glob).toSeq.map(_.getPath.toString)
+    val files = LakeIO.listLake(spark, s"$lakeDir/*.parquet")
     files.map { f =>
       val table = f.split('/').last.stripSuffix(".parquet")
         .toLowerCase.replace("-", "_").replace(" ", "_")

@@ -17,16 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LakeIO {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // resolve the filesystem FROM the path — FileSystem.get(conf) returns
+  // the default FS and throws "Wrong FS" for any other scheme (an
+  // s3a:// lake on an hdfs-default cluster)
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def listLake(spark: SparkSession, pattern: String): Seq[String] =
-    fs(spark).globStatus(new Path(pattern)).toSeq.map(_.getPath.toString)
+  def listLake(spark: SparkSession, pattern: String): Seq[String] = {
+    val p = new Path(pattern)
+    Option(fsFor(spark, p).globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .map(_.getPath.toString)
+  }
 
   /** Newest parquet under `path` (a file, a dir, or a glob). */
   def mostRecentParquet(spark: SparkSession, path: String): String = {
-    val f = fs(spark)
     val p = new Path(path)
+    val f = fsFor(spark, p)
     // a candidate may be a single parquet file or a Spark-written
     // directory-of-parts — both are readable artifacts
     val candidates =

@@ -33,10 +33,22 @@ class HttpJsonPageFetcher extends PageFetcher {
     val url = s"$baseUrl$sep$$limit=$limit&$$offset=$offset"
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-    val body = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    // fail loudly on API errors — a 429/5xx body parsed as data would
+    // either NPE obscurely or silently ingest garbage rows
+    if (resp.statusCode() != 200) {
+      throw new java.io.IOException(
+        s"REST page fetch failed: HTTP ${resp.statusCode()} for $url " +
+          s"(body starts: ${resp.body().take(200)})")
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(body)
+    val root = mapper.readTree(resp.body())
+    if (!root.isArray) {
+      throw new java.io.IOException(
+        s"REST page fetch: expected a JSON array at $url, got " +
+          s"${root.getNodeType} (body starts: ${resp.body().take(200)})")
+    }
     (0 until root.size()).map { i =>
       val node = root.get(i)
       node.properties().asScala.map { e =>
@@ -119,20 +131,29 @@ final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pageSize = props.getOrElse("pagesize", "50000").toLong
+    val maxPages = props.getOrElse("maxpages", "64").toInt
+    // truncation warning only applies when the plan was capped by
+    // maxPages itself (a pushed LIMIT capping pages is intentional)
+    val lastPlannedOffset =
+      if (limit.isDefined) -1L else (maxPages - 1).toLong * pageSize
     new RestReaderFactory(
       props.getOrElse("url", ""),
       props.getOrElse("fetcher", classOf[HttpJsonPageFetcher].getName),
-      prunedSchema.fieldNames)
+      prunedSchema.fieldNames, lastPlannedOffset)
+  }
 }
 
 final case class RestPagePartition(offset: Long, limit: Long) extends InputPartition
 
 final class RestReaderFactory(url: String, fetcherClass: String,
-    fields: Array[String]) extends PartitionReaderFactory {
+    fields: Array[String], lastPlannedOffset: Long)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestPagePartition]
     new PartitionReader[InternalRow] {
+      private var fetched = 0L
       private lazy val rows: Iterator[Map[String, String]] = {
         val fetcher = Class.forName(fetcherClass)
           .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
@@ -140,11 +161,22 @@ final class RestReaderFactory(url: String, fetcherClass: String,
       }
       private var current: Map[String, String] = _
       override def next(): Boolean =
-        if (rows.hasNext) { current = rows.next(); true } else false
+        if (rows.hasNext) { current = rows.next(); fetched += 1; true }
+        else false
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toSeq.map(f =>
           current.get(f).flatMap(Option(_)).map(UTF8String.fromString).orNull))
-      override def close(): Unit = ()
+      override def close(): Unit = {
+        // the final planned page coming back FULL means the dataset very
+        // likely continues past maxPages*pageSize — surface the
+        // truncation instead of silently under-ingesting
+        if (p.offset == lastPlannedOffset && fetched == p.limit) {
+          org.slf4j.LoggerFactory.getLogger(classOf[RestReaderFactory]).warn(
+            s"graft-rest: last planned page (offset ${p.offset}) returned a " +
+              s"full ${p.limit} rows — dataset at $url is probably truncated; " +
+              "raise maxPages")
+        }
+      }
     }
   }
 }

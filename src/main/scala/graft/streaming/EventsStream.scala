@@ -101,8 +101,14 @@ object EventsStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case s :: rest if t - s.end <= gapMillis =>
-                  open = s.copy(end = t, n = s.n + 1, total = s.total + e.value) :: rest
+                // strict `< gap` aligns with session_window (windows
+                // [t, t+gap) merge only when they overlap); min/max keep
+                // the bounds monotonic when a cross-batch late event
+                // lands inside or before the open session
+                case s :: rest if t < s.end + gapMillis =>
+                  open = s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t),
+                    n = s.n + 1, total = s.total + e.value) :: rest
                 case s :: rest =>
                   closed = s :: closed
                   open = SessionState(t, t, 1, e.value) :: rest

@@ -99,6 +99,41 @@ class SimilarityJoinSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) == 1L))
   }
 
+  test("top-k is per LEFT ROW: duplicate-key left rows each keep k matches") {
+    val s = spark
+    import s.implicits._
+    val dupJobs = Seq(
+      ("Software Engineer", 90000.0, 120000.0),
+      ("Software Engineer", 90000.0, 120000.0) // same title, second posting
+    ).toDF("business_title", "salary_range_from", "salary_range_to")
+    val c = cfg(Blocking.Exact).copy(
+      preThreshold = 60.0, scoreThreshold = 60.0, extraPredicate = None,
+      topKPerLeft = Some(1), topKTieBreak = Seq(col("title_description")))
+    val out = SimilarityJoin(dupJobs, payroll, c)
+    // both left rows survive with their own top-1
+    assert(out.count() == 2)
+  }
+
+  test("ngram blocking finds exact-equal keys shorter than q (padding)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("ab", 0.0, 1.0)).toDF("business_title", "salary_range_from", "salary_range_to")
+    val r = Seq(("ab", 0.5)).toDF("title_description", "base_salary")
+    val c = cfg(Blocking.NGram(3)).copy(extraPredicate = None)
+    val out = SimilarityJoin(l, r, c).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("score") == 100.0)
+  }
+
+  test("computed score overwrites an input column named scoreCol (reference dict-merge)") {
+    val s = spark
+    import s.implicits._
+    val r2 = payroll.withColumn("score", org.apache.spark.sql.functions.lit(-1.0))
+    val c = cfg(Blocking.Exact).copy(extraPredicate = None)
+    val out = SimilarityJoin(jobs, r2, c)
+    assert(out.columns.count(_ == "score") == 1)
+    assert(out.select("score").collect().forall(_.getDouble(0) >= 85.0))
+  }
+
   test("lightcast-style flow at 75/75 without extra predicate") {
     val c = SimilarityJoinConfig(
       leftKey = "business_title", rightKey = "title_description",
