@@ -267,11 +267,12 @@ object FuzzyKernel {
 
   /** Sorted-unique decomposition (intersection, a-only, b-only) via a
     * two-pointer merge of the sorted unique token arrays — no tree sets,
-    * no per-call boxing (hot path of the blocking scorer). */
-  private def setDecompose(a: String, b: String)
+    * no per-call boxing (hot path of the blocking scorer). Takes the
+    * already-split token arrays so callers tokenize exactly once. */
+  private def setDecompose(ta: Array[String], tb: Array[String])
       : (Array[String], Array[String], Array[String]) = {
-    val sa = sortedUnique(splitTokens(a))
-    val sb = sortedUnique(splitTokens(b))
+    val sa = sortedUnique(ta)
+    val sb = sortedUnique(tb)
     val inter = new scala.collection.mutable.ArrayBuffer[String](sa.length)
     val onlyA = new scala.collection.mutable.ArrayBuffer[String](sa.length)
     val onlyB = new scala.collection.mutable.ArrayBuffer[String](sb.length)
@@ -298,7 +299,7 @@ object FuzzyKernel {
     val ta = splitTokens(a)
     val tb = splitTokens(b)
     if (ta.isEmpty || tb.isEmpty) return 0.0
-    val (inter, onlyA, onlyB) = setDecompose(a, b)
+    val (inter, onlyA, onlyB) = setDecompose(ta, tb)
     if (inter.nonEmpty && (onlyA.isEmpty || onlyB.isEmpty)) return 100.0
     val t0 = joined(inter)
     val t1 = if (t0.isEmpty) joined(onlyA) else t0 + " " + joined(onlyA)
@@ -320,7 +321,7 @@ object FuzzyKernel {
     val ta = splitTokens(a)
     val tb = splitTokens(b)
     if (ta.isEmpty || tb.isEmpty) return 0.0
-    val (inter, onlyA, onlyB) = setDecompose(a, b)
+    val (inter, onlyA, onlyB) = setDecompose(ta, tb)
     if (inter.nonEmpty) 100.0
     else partialRatio(joined(onlyA), joined(onlyB))
   }

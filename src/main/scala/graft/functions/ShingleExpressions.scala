@@ -103,12 +103,14 @@ object TextKernel {
     val n = sh.numElements()
     var s = 0
     while (s < n) {
-      val g = sh.getUTF8String(s)
-      var j = 0
-      while (j < k) {
-        val h = XxHash64Function.hash(g, StringType, seeds(j))
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (!sh.isNullAt(s)) { // null elements skip, like array_min
+        val g = sh.getUTF8String(s)
+        var j = 0
+        while (j < k) {
+          val h = XxHash64Function.hash(g, StringType, seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       s += 1
     }
@@ -123,11 +125,13 @@ object TextKernel {
     val n = sh.numElements()
     var s = 0
     while (s < n) {
-      val h = XxHash64Function.hash(sh.getUTF8String(s), StringType, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!sh.isNullAt(s)) { // null elements cast no votes
+        val h = XxHash64Function.hash(sh.getUTF8String(s), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       s += 1
     }

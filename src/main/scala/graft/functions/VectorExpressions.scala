@@ -36,37 +36,28 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lf = isFloat(left)
-    val rf = isFloat(right)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
-      i += 1
-    }
-    acc
-  }
+  // a null ELEMENT null-propagates like the zip_with/aggregate
+  // composition (and DuckDB's list functions) — the result is null, not
+  // a dot product that silently read the hole as 0.0
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
+      val r = ctx.freshName("r")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |java.lang.Double $r = graft.functions.VectorKernel.dotOrNull(
+         |  $x, $y, $lf, $rf);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -85,6 +76,23 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * 4 096 interpreted calls per row. */
 object VectorKernel {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  /** Dot product over min(len) elements; null if either array has a null
+    * element in the overlap (parity with HOF null propagation). */
+  def dotOrNull(x: ArrayData, y: ArrayData, lf: Boolean,
+      rf: Boolean): java.lang.Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 
   def hyperplaneSig(v: ArrayData, offset: Int, bits: Int,
       isFloat: Boolean): Long = {

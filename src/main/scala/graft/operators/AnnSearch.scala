@@ -18,6 +18,22 @@ import graft.functions.VectorFunctions
   */
 object AnnSearch {
 
+  /** (tables × bits) hyperplane-signature structs for bucketing — table t
+    * uses planes [t*bits, (t+1)*bits) of the shared family. */
+  private def tableSigs(v: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map { tbl =>
+      val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
+      struct(lit(tbl).as("tbl"), wide.as("sig"))
+    }: _*)
+
+  /** All bucket ids within `maxFlips` Hamming bits of `sig` (including
+    * sig itself): one XOR per mask, masks precomputed on the driver. */
+  private def hammingProbes(sig: Column, bits: Int, maxFlips: Int): Column = {
+    val masks = Seq(0L) ++ (1 to maxFlips).flatMap(r =>
+      (0 until bits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    array(masks.map(m => if (m == 0L) sig else sig.bitwiseXOR(lit(m))): _*)
+  }
+
   /** Exact top-k cosine neighbors per query row.
     * Output: query_id, neighbor_id, cosine (double), rank. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -46,28 +62,18 @@ object AnnSearch {
       vecCol: String, k: Int, bits: Int = 8, tables: Int = 8,
       probeHamming: Int = 1): DataFrame = {
     require(bits <= 20, "signature must stay bucket-join friendly")
-    // table t uses hyperplanes [t*bits, (t+1)*bits) of one shared family
-    def sigs(v: Column): Column =
-      array((0 until tables).map { tbl =>
-        val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
-        struct(lit(tbl).as("tbl"), wide.as("sig"))
-      }: _*)
+    require(probeHamming <= 3, "probe count grows as C(bits, r) — cap r at 3")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .repartition(col("neighbor_id")) // parallelize + materialize before sig
-      .withColumn("bk", explode(sigs(col("cv"))))
+      .withColumn("bk", explode(tableSigs(col("cv"), bits, tables)))
       .select(col("neighbor_id"), col("cv"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bk", explode(sigs(col("qv"))))
+      .withColumn("bk", explode(tableSigs(col("qv"), bits, tables)))
       .select(col("query_id"), col("qv"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("qsig"))
-    val flips: Column = probeHamming match {
-      case 0 => array(col("qsig"))
-      case _ =>
-        val oneBit = (0 until bits).map(b => col("qsig").bitwiseXOR(lit(1L << b)))
-        array(col("qsig") +: oneBit: _*)
-    }
-    val q = q0.withColumn("bucket", explode(flips))
+    val q = q0.withColumn("bucket",
+      explode(hammingProbes(col("qsig"), bits, probeHamming)))
     val scored = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -149,14 +155,9 @@ object AnnSearch {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       theta: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     require(bits <= 20, "signature must stay bucket-join friendly")
-    def sigs(v: Column): Column =
-      array((0 until tables).map { tbl =>
-        val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
-        struct(lit(tbl).as("tbl"), wide.as("sig"))
-      }: _*)
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id"))
-      .withColumn("bk", explode(sigs(col("v"))))
+      .withColumn("bk", explode(tableSigs(col("v"), bits, tables)))
       .select(col("id"), col("v"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
     val a = t.alias("a")

@@ -258,11 +258,10 @@ object Dedup {
       n: Int, numHashes: Int, rowsPerBand: Int, theta: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
+    // shingleSets already ends in a repartition-by-doc exchange; the
+    // single-pass signature kernel computes there directly
     val sets = shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
-      // materialize the shingle arrays before the signature: the 64-branch
-      // signature expression otherwise re-derives them per hash function
-      .repartition(col("doc"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
     // band key = (band index, hash of the band's signature slice); the
@@ -302,11 +301,14 @@ object Dedup {
       maxDist: Int, shingleN: Int = 2): DataFrame = {
     val numChunks = maxDist + 1
     val chunkBits = 64 / numChunks
+    // chunkBits = 64 (maxDist = 0) would shift-wrap the mask to 0 and
+    // send every doc to one bucket — use the full signature as the key
+    val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val docs = simhashDocs(df, idCol, textCol, shingleN)
     val chunked = docs.select(col("doc"), col("simhash"),
       posexplode(array((0 until numChunks).map { c =>
         shiftrightunsigned(col("simhash"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))
+          .bitwiseAND(lit(chunkMask))
       }: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "ckey")

@@ -39,19 +39,22 @@ object Multimodal {
 
   /** Batched decode over partitions: one decoder instance per partition
     * (amortizes model/codec init — the mapInPandas batch shape in Scala
-    * form). Output: id, feature array. */
+    * form). Output: id (original type preserved), feature array. */
   def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
       decoder: Decoder = stubDecoder): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    import org.apache.spark.sql.types._
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(idField,
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    df.select(col(idCol), col(binCol))
       .mapPartitions { it =>
         // per-partition init seam (codec handles, model weights, …)
         val d = decoder
-        it.map { case (id, bytes) => (id, d(bytes)) }
-      }
-      .toDF(idCol, "features")
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(r.get(0), d(if (bytes == null) Array.empty[Byte] else bytes))
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Frame-sampling plumbing: pick every `stride`-th fixed-size frame from a

@@ -33,9 +33,13 @@ object Serve {
       offset: Int = 0, limit: Int = 750000): DataFrame = {
     val ds = registry.find(_.id == id)
       .getOrElse(throw new IllegalArgumentException(s"unknown dataset id $id"))
-    val sorted = spark.table(ds.table)
-      .orderBy(if (ds.desc) col(ds.sortKey).desc else col(ds.sortKey).asc)
-    sorted.offset(offset).limit(limit)
+    val t = spark.table(ds.table)
+    // the sort key alone is massively tied (rounded int scores): every
+    // remaining column joins the ordering so page boundaries are stable
+    // across independent requests (unique up to fully-identical rows)
+    val primary = if (ds.desc) col(ds.sortKey).desc else col(ds.sortKey).asc
+    val tiebreak = t.columns.filterNot(_ == ds.sortKey).sorted.map(col(_).asc)
+    t.orderBy(primary +: tiebreak: _*).offset(offset).limit(limit)
   }
 
   /** JSON page for an HTTP layer (reference returns list-of-dicts JSON). */
