@@ -17,7 +17,16 @@ object StreamQueries {
       EventsStream.sessions(t(s, dir, "events"), "30 minutes")),
     "s3_stream_dedup" -> ((s, dir) =>
       EventsStream.firstEventPerKey(t(s, dir, "events"),
-        keys = Seq("user_id", "event_type"), tieBreak = Seq("event_id")))
+        keys = Seq("user_id", "event_type"), tieBreak = Seq("event_id"))),
+    "s4_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      EventsStream.enrich(
+        t(s, dir, "events"),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -55,6 +64,10 @@ object StreamQueries {
         |  FROM events)
         |SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value, props
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "s4_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
   )
 }

@@ -60,6 +60,14 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: events against a small static
+    * dimension, broadcast so the stream side never shuffles. Works
+    * identically over batch and readStream inputs (stream-static joins
+    * are stateless in Structured Streaming). */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   // --- custom-state variant (flatMapGroupsWithState) ---
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

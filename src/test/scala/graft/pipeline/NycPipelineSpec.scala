@@ -154,5 +154,16 @@ class NycPipelineSpec extends SparkTestBase {
     assert(Serve.reportsList.map(_._1) == Seq(0, 1, 2, 3))
     val scores = Serve.fetchDataset(spark, 0).collect().map(_.getInt(2))
     assert(scores.sameElements(scores.sorted.reverse))
+
+    // page boundaries are stable across independent requests: stitching
+    // non-overlapping pages reproduces the full result exactly, in order
+    val total = spark.table("gold.nyc_salary_matches").count().toInt
+    val pageSize = math.max(total / 3, 1)
+    val stitched = (0 to total by pageSize).flatMap(o =>
+      Serve.fetchDataset(spark, 0, offset = o, limit = pageSize)
+        .collect().map(_.toString))
+    val whole = Serve.fetchDataset(spark, 0, offset = 0, limit = total + 1)
+      .collect().map(_.toString)
+    assert(stitched.toSeq == whole.toSeq)
   }
 }

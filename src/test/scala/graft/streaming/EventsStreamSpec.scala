@@ -138,6 +138,28 @@ class EventsStreamSpec extends SparkTestBase {
     assert(out == Seq(11L, 12L, 13L))
   }
 
+  test("stream-static enrichment joins a broadcast dim under readStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = EventsStream.enrich(events, dim, "user_id", "k")
+      .select("user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (3L, ts("2024-01-01 00:01:00")))
+      query.processAllAvailable()
+      val rows = s.table("enrich_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally query.stop()
+  }
+
   test("events table loads with exact microsecond timestamps") {
     val df = Tables.events(spark, sf())
     assert(df.schema("ts").dataType.typeName == "timestamp")
