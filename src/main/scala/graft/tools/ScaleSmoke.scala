@@ -66,8 +66,11 @@ object ScaleSmoke {
     val planted = nDocs / 100
     println(s"[scale] corpus: $nDocs docs, ~$planted planted near-dup pairs")
     time("exact_dedup")(Dedup.exact(docs, "text", "doc_id"))
-    time("jaccard_pairs(sparse)")(
-      Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.5))
+    // exact Jaccard's candidate space grows with Σf²; past 500k synthetic
+    // docs the sketch operators are the point of the run
+    if (nDocs <= 500000)
+      time("jaccard_pairs(sparse)")(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.5))
     time("minhash_lsh")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5))
     time("simhash_pairs")(
