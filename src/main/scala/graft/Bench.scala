@@ -13,19 +13,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftFunctions.register(spark)
+    // one session recipe for bench/verify/tools/tests (Sessions.local):
+    // extensions (SQL functions + FuzzyConjunctReorder), AQE, broadcast
+    // threshold — the benchmarked engine IS the shipped engine
+    val spark = graft.Sessions.local("graft-bench",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
 
     def runOnce(name: String): Double = {
       System.gc() // isolate queries from each other's garbage
@@ -45,8 +37,11 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    // a failed query must not read as a speedup: surface the count
+    // explicitly next to the successful-query total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,20 +30,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  private def checked(name: String, n: Int)(
+      make: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+      make(args)
+    }
+
   /** name → expression builder for every graft SQL function. */
   val descriptors: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "fuzz_ratio" -> { args => FuzzRatio(args(0), args(1)) },
-    "partial_ratio" -> { args => PartialRatio(args(0), args(1)) },
-    "token_sort_ratio" -> { args => TokenSortRatio(args(0), args(1)) },
-    "token_set_ratio" -> { args => TokenSetRatio(args(0), args(1)) },
-    "wratio" -> { args => WRatio(args(0), args(1)) },
-    "normalize_title" -> { args => NormalizeTitle(args(0)) },
-    "word_shingles" -> { args => WordShingles(args(0), litInt(args(1), "word_shingles", "n")) },
-    "char_ngrams" -> { args => CharNgrams(args(0), litInt(args(1), "char_ngrams", "q")) },
-    "minhash_sig" -> { args => MinHashSig(args(0), litInt(args(1), "minhash_sig", "k")) },
-    "simhash64" -> { args => SimHash64(args(0)) },
-    "bitset_inter_count" -> { args => BitsetInterCount(args(0), args(1)) },
-    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "fuzz_ratio" -> checked("fuzz_ratio", 2) { args => FuzzRatio(args(0), args(1)) },
+    "partial_ratio" -> checked("partial_ratio", 2) { args => PartialRatio(args(0), args(1)) },
+    "token_sort_ratio" -> checked("token_sort_ratio", 2) { args => TokenSortRatio(args(0), args(1)) },
+    "token_set_ratio" -> checked("token_set_ratio", 2) { args => TokenSetRatio(args(0), args(1)) },
+    "wratio" -> checked("wratio", 2) { args => WRatio(args(0), args(1)) },
+    "normalize_title" -> checked("normalize_title", 1) { args => NormalizeTitle(args(0)) },
+    "word_shingles" -> checked("word_shingles", 2) { args =>
+      WordShingles(args(0), litInt(args(1), "word_shingles", "n")) },
+    "char_ngrams" -> checked("char_ngrams", 2) { args =>
+      CharNgrams(args(0), litInt(args(1), "char_ngrams", "q")) },
+    "minhash_sig" -> checked("minhash_sig", 2) { args =>
+      MinHashSig(args(0), litInt(args(1), "minhash_sig", "k")) },
+    "simhash64" -> checked("simhash64", 1) { args => SimHash64(args(0)) },
+    "bitset_inter_count" -> checked("bitset_inter_count", 2) { args =>
+      BitsetInterCount(args(0), args(1)) },
+    "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
   )
 
   private def litInt(e: Expression, fn: String, param: String): Int = e match {

@@ -139,10 +139,12 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1999-01-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    // trunc() matches Spark's toward-zero double→int cast; DuckDB's bare
+    // CAST rounds half-to-even and would diverge on fractional quantities
     "q2_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty
+      """SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INT) AS qty
         |FROM lineitem
-        |WHERE CAST(l_quantity AS INT) BETWEEN 10 AND 20 AND l_returnflag = 'R'""".stripMargin,
+        |WHERE CAST(trunc(l_quantity) AS INT) BETWEEN 10 AND 20 AND l_returnflag = 'R'""".stripMargin,
 
     "q3_join_agg" ->
       """SELECT n_name,
