@@ -162,13 +162,26 @@ object Dedup {
     jaccardPairsBy(df, idCol,
       graft.functions.char_ngrams(col(textCol), q), theta)
 
-  /** Exact Jaccard ≥ θ pairs over an arbitrary shingle-array column. */
+  /** Exact Jaccard ≥ θ pairs over an arbitrary shingle-array column.
+    *
+    * EAGER: the dense-vs-sparse gate needs corpus statistics (vocabulary
+    * size, Σf²), so construction runs one stats job plus a metadata count
+    * — `explain` on the result (or PlanAudit) therefore triggers cluster
+    * jobs. With `cacheSets` (default) the parsed shingle sets are
+    * persisted MEMORY_AND_DISK so the expensive shingle lineage computes
+    * once, not once for stats and again at execution; the cache lives
+    * until the caller unpersists (`spark.catalog.clearCache()`) — callers
+    * embedding this in a larger cached pipeline can pass
+    * `cacheSets = false`. */
   def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
-      theta: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("doc"), shingles.as("sh"))
+      theta: Double, cacheSets: Boolean = true): DataFrame = {
+    val setsPlan = df.select(col(idCol).as("doc"), shingles.as("sh"))
       .repartition(col("doc"))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
+    val sets = if (cacheSets)
+      setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else setsPlan
     val ex = sets.select(col("doc"), col("sz"), explode(col("sh")).as("g"))
     // Candidate generation runs on 8-byte shingle HASHES: frequency order
     // and blocking only need a consistent global key, and verification is

@@ -28,11 +28,17 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_idx"),
           hex(col("frame")).as("frame_hex"))),
 
+    // posexplode to scalar rows: the gate's pandas compare can't sort or
+    // hash an array column, and scalar (doc, idx, feature) rows let the
+    // stub histogram decoder be oracle-checked bit-exactly (REAL/REAL
+    // division in DuckDB is float32, same as the Scala kernel's)
     "m3_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         t(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
-        "doc_id", "bin"))
+        "doc_id", "bin")
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("feature_idx", "feature"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,8 +56,18 @@ object MultimodalQueries {
         |      FROM documents)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |       hex(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_hex
+        |FROM f""".stripMargin,
+
+    // stub decoder = normalized byte histogram over 8 buckets; corpus is
+    // pure ASCII so per-char code points equal per-byte values
+    "m3_decode_features" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |                  unnest(range(0, 8)) AS fi
+        |           FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS feature_idx,
+        |       CASE WHEN len = 0 THEN CAST(0 AS REAL)
+        |            ELSE CAST(len(list_filter(split(text, ''), c -> ascii(c) // 32 = fi)) AS REAL)
+        |                 / CAST(len AS REAL) END AS feature
         |FROM f""".stripMargin
-    // m3_decode_features: rows-only (mapPartitions decode seam — not
-    // SQL-expressible; stub decoder correctness pinned in MultimodalSpec)
   )
 }

@@ -8,9 +8,11 @@ import graft.queries.Tables.t
 
 /** Relational operator battery — one query per SURVEY.md §2 operator family,
   * expressed over the driver testdata, each with a DuckDB oracle
-  * (SparkEntry.oracleSql). Aggregate money columns go through
-  * DECIMAL(18,2) so sums are order-independent and hash-exact across
-  * engines.
+  * (SparkEntry.oracleSql). Money sums go through DECIMAL(18,2)
+  * *internally* so they are order-independent, but every emitted column
+  * is DOUBLE/INT/STRING: the driver's pandas-level compare turns DuckDB
+  * decimals into float64 while Spark parquet decimals surface as Decimal
+  * objects, so a decimal output column can never hash-match.
   */
 object RelationalQueries {
 
@@ -24,8 +26,8 @@ object RelationalQueries {
         .where(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -48,7 +50,7 @@ object RelationalQueries {
         .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(nation, customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("o_totalprice"))).as("total_spend"),
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_spend"),
           count(lit(1)).as("order_count"))
     }),
 
@@ -61,7 +63,7 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("totalprice"), col("rn"))
+          col("o_totalprice").as("totalprice"), col("rn"))
     }),
 
     // A2: DISTINCT (reference sql/cleaned.sql:44-51)
@@ -74,7 +76,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .offset(10).limit(20)
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))),
+        .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))),
 
     // U1: UNION ALL with provenance tag (reference utils.py:73)
     "q7_union" -> ((s, dir) => {
@@ -114,8 +116,8 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
-          max(dec(col("l_quantity"))).as("max_qty"),
-          max(dec(col("l_extendedprice"))).as("max_price"),
+          max(col("l_quantity")).as("max_qty"),
+          max(col("l_extendedprice")).as("max_price"),
           max(col("l_returnflag")).as("max_flag"),
           max(datediff(lit("2002-01-01").cast("date"), col("l_shipdate").cast("date")))
             .as("max_ship_age_days"))),
@@ -124,16 +126,16 @@ object RelationalQueries {
     "q11_scalar_aggs" -> ((s, dir) =>
       t(s, dir, "orders").agg(
         count(lit(1)).as("cnt"),
-        min(dec(col("o_totalprice"))).as("min_price"),
-        max(dec(col("o_totalprice"))).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
         countDistinct(col("o_custkey")).as("customers")))
   )
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1999-01-01'
@@ -148,7 +150,7 @@ object RelationalQueries {
 
     "q3_join_agg" ->
       """SELECT n_name,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
         |       count(*) AS order_count
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -157,7 +159,7 @@ object RelationalQueries {
 
     "q4_window_topk" ->
       """SELECT o_custkey, o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+        |       o_totalprice AS totalprice, rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
@@ -169,7 +171,7 @@ object RelationalQueries {
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 
     "q6_sort_limit_offset" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_totalprice AS totalprice
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20 OFFSET 10""".stripMargin,
@@ -193,8 +195,8 @@ object RelationalQueries {
 
     "q10_groupby_max" ->
       """SELECT l_orderkey,
-        |       max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
-        |       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+        |       max(l_quantity) AS max_qty,
+        |       max(l_extendedprice) AS max_price,
         |       max(l_returnflag) AS max_flag,
         |       max(datediff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')) AS max_ship_age_days
         |FROM lineitem
@@ -202,8 +204,8 @@ object RelationalQueries {
 
     "q11_scalar_aggs" ->
       """SELECT count(*) AS cnt,
-        |       min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price,
         |       count(DISTINCT o_custkey) AS customers
         |FROM orders""".stripMargin
   )

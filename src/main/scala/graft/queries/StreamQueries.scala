@@ -34,7 +34,7 @@ object StreamQueries {
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
         |         AS window_start,
         |       event_type, count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // session semantics: session_window windows [t, t+gap) merge only
@@ -54,7 +54,7 @@ object StreamQueries {
         |  FROM e)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     "s3_stream_dedup" ->

@@ -107,7 +107,10 @@ final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
   /** LIMIT n plans only ceil(n / pageSize) pages instead of maxPages —
     * `df.limit(100)` against a 64-page source fetches one page. Returns
     * false (partial push): pages are fetched whole, Spark re-applies the
-    * exact row limit above the scan. */
+    * exact row limit above the scan. Safe against servers capping
+    * `$limit` below pageSize: each partition refills its row range until
+    * full or end-of-data (see the reader), so the planned pages always
+    * cover the pushed limit. */
   override def pushLimit(l: Int): Boolean = {
     limit = Some(l)
     false
@@ -154,14 +157,29 @@ final class RestReaderFactory(url: String, fetcherClass: String,
     val p = partition.asInstanceOf[RestPagePartition]
     new PartitionReader[InternalRow] {
       private var fetched = 0L
-      private lazy val rows: Iterator[Map[String, String]] = {
-        val fetcher = Class.forName(fetcherClass)
-          .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
-        fetcher.fetch(url, p.limit, p.offset).iterator
-      }
+      private var exhausted = false
+      private lazy val fetcher = Class.forName(fetcherClass)
+        .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
+      private var rows: Iterator[Map[String, String]] = Iterator.empty
       private var current: Map[String, String] = _
+
+      /** The partition owns the row range [offset, offset+limit). Servers
+        * may cap `$limit` below the requested page size (Socrata caps at
+        * 50k) — a single fetch would then silently under-fill the range
+        * (and under-satisfy a pushed LIMIT), so refill from
+        * offset+fetched until the range is full or a page comes back
+        * empty (true end of dataset). */
+      private def refill(): Boolean = {
+        while (!rows.hasNext && !exhausted && fetched < p.limit) {
+          val batch = fetcher.fetch(url, p.limit - fetched, p.offset + fetched)
+          if (batch.isEmpty) exhausted = true
+          else rows = batch.iterator
+        }
+        rows.hasNext
+      }
+
       override def next(): Boolean =
-        if (rows.hasNext) { current = rows.next(); fetched += 1; true }
+        if (refill()) { current = rows.next(); fetched += 1; true }
         else false
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toSeq.map(f =>

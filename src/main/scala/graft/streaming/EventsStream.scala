@@ -16,8 +16,10 @@ object EventsStream {
   def windowedStats(events: DataFrame, windowLength: String): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength), col("event_type"))
+      // sum in DECIMAL for order-independence, emit DOUBLE (decimal
+      // output columns can't hash-match the DuckDB oracle's float64)
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -34,7 +36,7 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
 

@@ -12,6 +12,10 @@ import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJo
   * planted near-dup pairs are the recall canary.
   *
   * Run: `sbt "runMain graft.tools.ScaleSmoke [nDocs]"` (default 100000).
+  * Heap: local-mode executors live in the sbt JVM, so
+  * `spark.driver.memory` set via builder config is a no-op — for the
+  * 1M-doc runs pass the heap to sbt itself, e.g.
+  * `sbt -J-Xmx8g "runMain graft.tools.ScaleSmoke 1000000"`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -21,7 +25,6 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -33,6 +33,17 @@ object RecordingPageFetcher {
   val offsets = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 }
 
+/** Models a server that silently caps `$limit` at 30 rows per request
+  * regardless of what's asked (the Socrata 50k cap in miniature). */
+class CappedPageFetcher extends PageFetcher {
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] = {
+    val total = 250L
+    val end = math.min(offset + math.min(limit, 30L), total)
+    if (offset >= total) Seq.empty
+    else (offset until end).map(i => Map("id" -> i.toString))
+  }
+}
+
 class RestSourceSpec extends SparkTestBase {
 
   private def read =
@@ -81,6 +92,23 @@ class RestSourceSpec extends SparkTestBase {
     assert(scan.contains("pushedLimit=150"), s"plan was:\n$scan")
     // and the limit still returns exact rows when it lands mid-page
     assert(read.limit(42).count() == 42)
+  }
+
+  test("server-capped pages refill their range (pushed limit stays satisfied)") {
+    val df = spark.read.format("graft-rest")
+      .option("url", "synthetic://capped")
+      .option("fields", "id")
+      .option("pageSize", "100") // server caps every response at 30 rows
+      .option("maxPages", "5")
+      .option("fetcher", classOf[CappedPageFetcher].getName)
+      .load()
+    // full scan still sees every row, not 30 per planned page
+    assert(df.count() == 250)
+    // a pushed limit of 150 plans 2 pages; without refilling those two
+    // pages would yield only 60 rows
+    assert(df.limit(150).count() == 150)
+    val ids = df.select("id").collect().map(_.getString(0).toLong).sorted
+    assert(ids.toSeq == (0L until 250L))
   }
 
   test("pages beyond the data end contribute nothing") {

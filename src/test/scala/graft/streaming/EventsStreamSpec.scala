@@ -36,7 +36,7 @@ class EventsStreamSpec extends SparkTestBase {
       val streamed = s.table("win_out")
         .select("window_start", "event_type", "n_events", "total_value")
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-          r.getDecimal(3).doubleValue())).toSet
+          r.getDouble(3))).toSet
 
       val batch = EventsStream.windowedStats(
         Seq((ts("2024-01-01 00:10:00"), "click", 1.0),
@@ -44,7 +44,7 @@ class EventsStreamSpec extends SparkTestBase {
           (ts("2024-01-01 01:10:00"), "view", 5.0)).toDF("ts", "event_type", "value"),
         "1 hour")
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-          r.getDecimal(3).doubleValue())).toSet
+          r.getDouble(3))).toSet
 
       assert(batch.subsetOf(streamed ++ batch))
       assert(streamed.nonEmpty)

@@ -2,23 +2,29 @@
 """Local replica of the driver's correctness gate.
 
 Runs graft.Verify at a given SF dir, then executes every oracle SQL in
-DuckDB over the same parquet tables and compares result sets
-(column-name-sorted, row-sorted, exact values). Run before committing new
+DuckDB over the same parquet tables and compares result sets the way the
+driver does: pandas frames (so DuckDB decimals become float64 and Spark
+decimal parquet becomes object — a mismatch we must never ship), sorted
+by all columns, cells compared by exact value AND dtype. Queries without
+an oracle still get a sortability check (the driver's rows-only path
+sorts with pandas and crashes on array cells). Run before committing new
 queries so the real gate never surprises us.
 
-Usage: python3 tools/oracle_check.py [sfdir] [outdir]
+Usage: python3 tools/oracle_check.py [sfdir] [outdir] [--no-verify]
 """
 import json
-import math
 import subprocess
 import sys
 from pathlib import Path
 
 import duckdb
-import pyarrow.dataset as ds
+import numpy as np
+import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+args = [a for a in sys.argv[1:] if a != "--no-verify"]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = Path(args[1] if len(args) > 1 else "/tmp/graft_verify")
+RUN_VERIFY = "--no-verify" not in sys.argv
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -34,58 +40,86 @@ def run_verify():
         sys.exit("verify run failed")
 
 
-def canon(val):
-    if val is None:
-        return None
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        return val
-    if isinstance(val, (list, tuple)):
-        return tuple(canon(v) for v in val)
-    if hasattr(val, "isoformat"):
-        return val.isoformat()
-    import decimal
-    if isinstance(val, decimal.Decimal):
-        return float(val)
-    return val
+def norm(df):
+    """Sort columns by name and rows by all columns, driver-style."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def rows_of(table):
-    cols = sorted(table.column_names)
-    arr = table.select(cols).to_pylist()
-    return cols, sorted(tuple(canon(r[c]) for c in cols) for r in arr)
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (a == b) or (np.isnan(a) and np.isnan(b))
+    return type(a) is type(b) and a == b
+
+
+def compare(name, sp, dk):
+    if sorted(sp.columns) != sorted(dk.columns):
+        print(f"FAIL {name}: columns {sorted(sp.columns)} vs {sorted(dk.columns)}")
+        return False
+    sp, dk = norm(sp), norm(dk)
+    if len(sp) != len(dk):
+        print(f"FAIL {name}: {len(sp)} spark rows vs {len(dk)} duckdb rows")
+        return False
+    ok = True
+    for c in sp.columns:
+        s, d = sp[c], dk[c]
+        # kind-level check: decimal objects vs float64 is the classic trap.
+        # Integer width (int32 vs int64) and datetime resolution (ns vs us)
+        # hash-matched in the driver's round-1 gate, so only kind matters.
+        sk, dk_ = s.dtype.kind, d.dtype.kind
+        if not ({sk, dk_} <= set("iu") or sk == dk_):
+            print(f"FAIL {name}: column {c} dtype {s.dtype} vs {d.dtype}")
+            ok = False
+            continue
+        if sk in "iu":
+            sa = s.to_numpy().astype(np.int64)
+            da = d.to_numpy().astype(np.int64)
+            bad = sa != da
+        elif sk == "M":
+            sa = s.to_numpy().astype("datetime64[ns]")
+            da = d.to_numpy().astype("datetime64[ns]")
+            bad = sa != da
+        elif sk == "f":
+            sa, da = s.to_numpy(), d.to_numpy()
+            bad = ~((sa == da) | (np.isnan(sa) & np.isnan(da)))
+        else:
+            bad = np.array([not cells_equal(s.iloc[i], d.iloc[i])
+                            for i in range(len(s))])
+        if bad.any():
+            i = int(np.argmax(bad))
+            print(f"FAIL {name}: column {c} differs at row {i}: "
+                  f"{s.iloc[i]!r} vs {d.iloc[i]!r} ({int(bad.sum())} cells)")
+            ok = False
+    return ok
 
 
 def main():
-    run_verify()
+    if RUN_VERIFY:
+        run_verify()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     failures = 0
     for name in sorted(p.name for p in OUT.iterdir() if p.is_dir()):
-        spark_tbl = ds.dataset(str(OUT / name)).to_table()
+        sp = pd.read_parquet(OUT / name)
         if name not in oracle:
-            print(f"  [rows-only] {name}: {spark_tbl.num_rows} rows")
+            # rows-only path still sorts in pandas — must not crash
+            try:
+                norm(sp)
+            except Exception as e:
+                print(f"FAIL {name}: rows-only sort crashed: {e}")
+                failures += 1
+                continue
+            print(f"  [rows-only] {name}: {len(sp)} rows")
             continue
-        duck_tbl = con.sql(oracle[name]).arrow()
-        scols, srows = rows_of(spark_tbl)
-        dcols, drows = rows_of(duck_tbl)
-        if scols != dcols:
-            print(f"FAIL {name}: columns {scols} vs {dcols}")
+        dk = con.sql(oracle[name]).df()
+        if compare(name, sp, dk):
+            print(f"  OK {name}: {len(sp)} rows")
+        else:
             failures += 1
-            continue
-        if srows == drows:
-            print(f"  OK {name}: {len(srows)} rows")
-            continue
-        failures += 1
-        print(f"FAIL {name}: {len(srows)} spark rows vs {len(drows)} duckdb rows")
-        sset, dset = set(srows), set(drows)
-        for r in list(sset - dset)[:3]:
-            print(f"    spark-only: {r}")
-        for r in list(dset - sset)[:3]:
-            print(f"    duck-only:  {r}")
     sys.exit(1 if failures else 0)
 
 
