@@ -55,6 +55,12 @@ object GraftFunctions {
     "simhash64" -> checked("simhash64", 1) { args => SimHash64(args(0)) },
     "bitset_inter_count" -> checked("bitset_inter_count", 2) { args =>
       BitsetInterCount(args(0), args(1)) },
+    "bitset_jaccard" -> checked("bitset_jaccard", 4) { args =>
+      BitsetJaccard(args(0), args(1), args(2), args(3)) },
+    "sorted_string_jaccard" -> checked("sorted_string_jaccard", 2) { args =>
+      SortedStringJaccard(args(0), args(1)) },
+    "sorted_long_jaccard" -> checked("sorted_long_jaccard", 2) { args =>
+      SortedLongJaccard(args(0), args(1)) },
     "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
   )
 

@@ -59,6 +59,43 @@ case class BitsetInterCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two sets stored as dense bitsets
+  * (`array<bigint>`) with their true cardinalities: inter/(sza+szb−inter)
+  * in ONE pass. Exists because the composed form
+  * `inter/(sza+szb−inter) ≥ θ` names the intersection twice and Catalyst
+  * does not CSE inside a join condition — on an all-pairs join that
+  * doubles the hot-loop popcount work. Returns 0.0 for an empty union. */
+case class BitsetJaccard(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bitset_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bitset_jaccard requires (array<bigint>, array<bigint>, int, int), got " +
+          children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+    }
+
+  override def nullSafeEval(a: Any, b: Any, sa: Any, sb: Any): Any =
+    BitsetKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      sa.asInstanceOf[Int], sb.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, sa, sb) =>
+      s"graft.functions.BitsetKernel.jaccard($a, $b, $sa, $sb)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
 /** Builds a dense `array<bigint>` bitset of `nWords` words from an array of
   * bit ids (0-indexed). One compiled pass — replaces the
   * groupBy-per-word + map densify it superseded. Ids outside
@@ -87,7 +124,129 @@ case class BitsetFromIds(child: Expression, nWords: Int)
     copy(child = newChild)
 }
 
+/** Jaccard similarity of two DISTINCT-element string sets stored as
+  * binary-SORTED `array<string>` (what `sort_array` produces): one merge
+  * pass counts the intersection, union = |a|+|b|−inter. Exact — no
+  * hashing — and far cheaper than `array_intersect` (no per-pair hash-set
+  * build) or a dense-bitset detour (no vocabulary window / id join /
+  * bitset materialization stages at all). The set-similarity verify
+  * kernel. */
+case class SortedStringJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_string_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_string_jaccard requires array<string> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitsetKernel.sortedStringJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetKernel.sortedStringJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** UPPER BOUND on the Jaccard similarity of two string sets, computed
+  * from their SORTED `array<bigint>` xxhash64 images in a primitive merge
+  * (no per-element object allocation — ~5× faster than the string merge
+  * on short shingles). Hash collisions can only inflate the intersection
+  * (each common string contributes its hash to both sides, so the
+  * multiset-min merge count ≥ |A∩B|), never deflate it — a `≥ θ` filter
+  * on this bound is therefore a LOSSLESS prefilter for true-Jaccard ≥ θ;
+  * survivors get the exact [[SortedStringJaccard]]. */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_long_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_long_jaccard requires array<bigint> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitsetKernel.sortedLongJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetKernel.sortedLongJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitsetKernel {
+  /** Multiset merge-intersection Jaccard over sorted long arrays; 0.0 on
+    * an empty union. On equal heads both cursors advance, so duplicate
+    * hashes contribute min(countA, countB). */
+  def sortedLongJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var ia = 0
+    var ib = 0
+    var inter = 0
+    while (ia < na && ib < nb) {
+      val x = a.getLong(ia)
+      val y = b.getLong(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    val union = na + nb - inter
+    if (union <= 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Merge-intersection Jaccard over binary-sorted distinct string
+    * arrays; 0.0 on an empty union. */
+  def sortedStringJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var ia = 0
+    var ib = 0
+    var inter = 0
+    while (ia < na && ib < nb) {
+      val c = a.getUTF8String(ia).compareTo(b.getUTF8String(ib))
+      if (c == 0) { inter += 1; ia += 1; ib += 1 }
+      else if (c < 0) ia += 1
+      else ib += 1
+    }
+    val union = na + nb - inter
+    if (union <= 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** inter/(sza+szb−inter) in one AND-popcount pass (0.0 on empty union). */
+  def jaccard(a: ArrayData, b: ArrayData, sza: Int, szb: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var inter = 0
+    var i = 0
+    while (i < n) {
+      inter += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    val union = sza + szb - inter
+    if (union <= 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
   def fromIds(ids: ArrayData, nWords: Int): ArrayData = {
     val words = new Array[Long](nWords)
     val n = ids.numElements()

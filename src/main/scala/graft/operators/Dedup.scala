@@ -7,10 +7,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shuffle-first (no cross joins on the scale path):
   *
   *  - [[exact]]: hash-groupBy exact dedup.
-  *  - [[jaccardPairs]]: exact n-gram-shingle Jaccard similarity join via
-  *    shingle-explode + equi-join + group-count (|A∩B| from shared-shingle
-  *    counts, |A∪B| = |A|+|B|−|A∩B|) — cost ∝ shared-shingle pairs, never
-  *    materializes the n² matrix.
+  *  - [[jaccardPairs]]: exact n-gram-shingle Jaccard similarity join —
+  *    PPJoin-style prefix-filtered candidates on sparse corpora, all-pairs
+  *    block scoring on dense ones, both verified by a codegen'd
+  *    sorted-array merge kernel — cost ∝ surviving pairs, never
+  *    materializes the n² matrix on the sparse path.
   *  - [[minhashLshPairs]]: MinHash signatures + banded LSH bucketing →
   *    candidate pairs → exact-Jaccard verification. The classic
   *    shingle→minhash→band→bucket-join pipeline; at 100 TB the bucket join
@@ -39,115 +40,80 @@ object Dedup {
         graft.functions.word_shingles(col(textCol), n).as("sh"))
       .repartition(col("doc"))
 
-  /** Exact set-intersection verification of candidate pairs: joins the
-    * shingle sets back (broadcast candidates) and computes
-    * inter / (|A| + |B| − inter) exactly. */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
-      theta: Double): DataFrame = {
-    val sa = sets.select(col("doc").as("doc_a"), col("sh").as("sha"),
-      col("sz").as("sza"))
-    val sb = sets.select(col("doc").as("doc_b"), col("sh").as("shb"),
-      col("sz").as("szb"))
-    cands.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= theta)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
-
-  /** Dense per-doc bitsets over the global shingle vocabulary:
-    * (doc, sz, bs: array<bigint>). One groupBy + a compiled
-    * [[graft.functions.BitsetFromIds]] pass. */
-  private def denseBitsets(ex: DataFrame, freq: DataFrame,
-      nWords: Int): DataFrame = {
-    val vocab = freq.select(col("g"))
-      .withColumn("wid", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
-        .cast("int"))
-    ex.join(broadcast(vocab), "g")
-      .groupBy("doc", "sz").agg(collect_list(col("wid")).as("wids"))
-      .select(col("doc"), col("sz"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.BitsetFromIds(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("wids")),
-            nWords)).as("bs"))
-      // both sides of the pair join read this frame; the exchange makes
-      // the two branches share one computed copy (ReuseExchange) instead
-      // of re-running the whole explode+join+aggregate tree twice
-      .repartition(col("doc"))
-  }
-
-  private def interPopcount(a: Column, b: Column): Column =
+  /** inter/(|A|+|B|−inter) over binary-SORTED distinct string arrays in
+    * ONE codegen'd merge pass ([[graft.functions.SortedStringJaccard]]) —
+    * exact, no per-pair hash-set build (`array_intersect`), and no dense
+    * bitset detour (which needed a global vocabulary id assignment: a
+    * single-partition window plus a broadcast join and a groupBy, several
+    * whole stages of plumbing before the first pair is scored). */
+  private def sortedJaccardCol(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.BitsetInterCount(
+      graft.functions.SortedStringJaccard(
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  /** Candidate verification via dense bitsets: when the global shingle
-    * vocabulary is small, each doc's set becomes an `array<bigint>` bitset
-    * and intersection is a codegen'd AND-popcount ([[
-    * graft.functions.BitsetInterCount]]) — orders of magnitude cheaper
-    * than joining and intersecting string arrays per candidate. */
-  private def bitsetVerify(cands: DataFrame, ex: DataFrame, freq: DataFrame,
-      nWords: Int, theta: Double): DataFrame = {
-    val bitsets = denseBitsets(ex, freq, nWords)
-    val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
-      col("bs").as("bsa"))
-    val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
-      col("bs").as("bsb"))
-    cands.join(broadcast(ba), "doc_a").join(broadcast(bb), "doc_b")
-      .withColumn("inter", interPopcount(col("bsa"), col("bsb")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
+  /** Exact set-intersection verification of candidate pairs: joins the
+    * (sorted) shingle sets back and merge-counts the intersection. AQE
+    * turns the set-side joins into broadcasts when they fit. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+      theta: Double): DataFrame = {
+    val sorted = sets.select(col("doc"), sort_array(col("sh")).as("sh"))
+    val sa = sorted.select(col("doc").as("doc_a"), col("sh").as("sha"))
+    val sb = sorted.select(col("doc").as("doc_b"), col("sh").as("shb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", sortedJaccardCol(col("sha"), col("shb")))
       .where(col("jaccard") >= theta)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** All-pairs bitset block-nested-loop for DENSE corpora — when the
-    * shingle vocabulary is so small relative to the corpus that nearly
-    * every pair shares a shingle, candidate generation keeps ~all pairs
-    * and its explode-join + pair-distinct shuffle costs more than just
-    * scoring every pair with a codegen'd AND-popcount (measured at sf0.1:
-    * 5.49M of 12.5M possible pairs survived prefix blocking; 27 s via the
-    * candidate join vs ~2 s here). The length-ratio conjunct still prunes
-    * before the popcount. */
-  private def bitsetAllPairs(ex: DataFrame, freq: DataFrame,
-      nWords: Int, theta: Double,
-      useBroadcast: Boolean = true): DataFrame = {
-    val bitsets = denseBitsets(ex, freq, nWords)
-    val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
-      col("bs").as("bsa"))
-    val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
-      col("bs").as("bsb"))
-    // beyond broadcast size, a partitioned cartesian still beats candidate
-    // generation in the dense regime: each task scores one (partA, partB)
-    // block of bitset rows in codegen
-    ba.crossJoin(if (useBroadcast) broadcast(bb) else bb)
+  /** All-pairs scoring for DENSE corpora — when the shingle vocabulary is
+    * so small relative to the corpus that nearly every pair shares a
+    * shingle, candidate generation keeps ~all pairs and its explode-join
+    * + pair-distinct shuffle costs more than just scoring every pair
+    * (measured at sf0.1: 5.49M of 12.5M possible pairs survived prefix
+    * blocking; 27 s via the candidate join vs ~2 s all-pairs).
+    *
+    * The n² hot loop runs on sorted xxhash64 arrays — a primitive-long
+    * merge ([[graft.functions.SortedLongJaccard]]) that upper-bounds the
+    * true Jaccard (collisions only ever inflate it), so `≥ θ` keeps a
+    * lossless candidate superset; the handful of survivors get the exact
+    * string-merge verification. The length-ratio conjunct (minsz
+    * precomputed per ROW — in the join condition it would be two double
+    * ceils per PAIR) prunes before the merge. Beyond broadcast size, a
+    * partitioned cartesian still beats candidate generation in this
+    * regime: each task scores one (partA, partB) block in codegen. */
+  private def hashAllPairs(sets: DataFrame, theta: Double,
+      useBroadcast: Boolean): DataFrame = {
+    // both branches read this frame; the exchange makes them share one
+    // computed copy (ReuseExchange) instead of re-hashing twice
+    val hashed = sets.select(col("doc"), col("sz"),
+        ceil(lit(theta) * col("sz")).cast("int").as("minsz"),
+        sort_array(transform(col("sh"), g => xxhash64(g))).as("hs"))
+      .repartition(col("doc"))
+    val ba = hashed.select(col("doc").as("doc_a"), col("sz").as("sza"),
+      col("minsz").as("minsza"), col("hs").as("hsa"))
+    val bb = hashed.select(col("doc").as("doc_b"), col("sz").as("szb"),
+      col("minsz").as("minszb"), col("hs").as("hsb"))
+    val cands = ba.crossJoin(if (useBroadcast) broadcast(bb) else bb)
       .where(col("doc_a") < col("doc_b") &&
-        col("sza") >= ceil(lit(theta) * col("szb")) &&
-        col("szb") >= ceil(lit(theta) * col("sza")))
-      .withColumn("inter", interPopcount(col("bsa"), col("bsb")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= theta)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        col("sza") >= col("minszb") && col("szb") >= col("minsza") &&
+        sortedLongJaccardCol(col("hsa"), col("hsb")) >= theta)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccard(cands, sets, theta)
   }
 
-  /** Vocab-size ceiling for the bitset verification path (bitset bytes per
-    * doc = vocab/8; 256k bits = 32 KB). */
-  val BitsetVocabMax = 262144
+  private def sortedLongJaccardCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedLongJaccard(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Exact Jaccard ≥ θ pairs via PPJoin-style prefix filtering: only the
     * (1−θ)·|A|+1 globally-rarest shingles of each doc generate candidates
     * (lossless for J ≥ θ under a shared total order), with a length-ratio
     * conjunct — avoids the Σf² quadratic blow-up on frequent shingles that
-    * a plain shingle join suffers on skewed corpora. Verification picks
-    * dense-bitset AND-popcount when the vocabulary fits
-    * ([[BitsetVocabMax]]), string-array intersection otherwise.
+    * a plain shingle join suffers on skewed corpora. Verification is the
+    * sorted-array merge kernel ([[graft.functions.SortedStringJaccard]]).
     * Output: doc_a < doc_b, jaccard (double, int-ratio exact).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -188,40 +154,42 @@ object Dedup {
     // exact over the true shingle sets — a 64-bit collision costs at most
     // a few extra candidates, never a wrong pair. Shuffling longs instead
     // of shingle strings roughly halves the exchange volume at scale.
-    val exh = ex.select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"))
-    val freqH = exh.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    val exh = ex.select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"),
+      octet_length(col("g")).as("glen"))
+    val freqH = exh.groupBy("gh")
+      .agg(count(lit(1)).as("gdf"), min(col("glen")).as("glen"))
     // ONE eager stats job over the hashed shingles; the doc count for the
     // gate heuristic comes from the raw input (a metadata-cheap count —
     // counting docs with zero shingles only overestimates allPairs, which
     // biases the gate toward the conservative sparse path)
     val stats = freqH.agg(count(lit(1)).as("vocab"),
-      coalesce(sum(col("gdf") * col("gdf")), lit(0L)).as("sumf2")).head()
+      coalesce(sum(col("gdf") * col("gdf")), lit(0L)).as("sumf2"),
+      coalesce(sum(col("gdf")), lit(0L)).as("totinst"),
+      coalesce(sum(col("gdf") * col("glen")), lit(0L)).as("instbytes")).head()
     val vocabSize = stats.getLong(0)
     val sumF2 = stats.getLong(1)
+    val totInstances = stats.getLong(2)
+    val instBytes = stats.getLong(3)
     if (vocabSize == 0) { // no doc produced any shingle — empty result
       return sets.select(col("doc").as("doc_a"), col("doc").as("doc_b"),
         lit(0.0).as("jaccard")).where(lit(false))
     }
     val nDocs = df.count()
     val allPairs = nDocs * math.max(nDocs - 1, 0) / 2
-    // one spare word of margin so 64-bit hash collisions (hashed vocab <
-    // true string vocab) can never push a wid past the bitset
-    val nWords = ((vocabSize + 64 + 63) / 64).toInt
+    // estimated in-memory bytes of the sorted shingle-set table (string
+    // bytes + 16 B/element array overhead + 48 B/row)
+    val setsBytes = instBytes.toDouble + 16.0 * totInstances + 48.0 * nDocs
     // dense corpus: blocking would keep most pairs anyway → all-pairs
-    // popcount beats candidate generation. Broadcast the bitset table when
-    // it fits (≤256 MB); up to 4 GB fall back to a partitioned cartesian
-    // (each task scores one block pair); beyond that the corpus is big
-    // enough that candidate generation wins again.
-    val bitsetBytes = nDocs.toDouble * nWords * 8
-    val dense = vocabSize <= BitsetVocabMax &&
-      bitsetBytes <= 4e9 &&
-      sumF2 / 2 >= allPairs / 4
-    // the bitset paths need the exact string vocabulary (map-side combine
-    // keeps this shuffle ≤ vocab × partitions rows — small by the gate)
-    def freqStr = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // merge scoring beats candidate generation. Broadcast the set table
+    // when it fits (≤256 MB); up to 4 GB fall back to a partitioned
+    // cartesian (each task scores one block pair); beyond that the corpus
+    // is big enough that candidate generation wins again.
+    val dense = setsBytes <= 4e9 && sumF2 / 2 >= allPairs / 4
     if (dense) {
-      bitsetAllPairs(ex, freqStr, nWords, theta,
-        useBroadcast = bitsetBytes <= 256e6)
+      // broadcast gate on the HASH table (16 B/element + row overhead) —
+      // the hot side carries hashes, not strings
+      val hashBytes = 16.0 * totInstances + 48.0 * nDocs
+      hashAllPairs(sets, theta, useBroadcast = hashBytes <= 256e6)
     } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc")).orderBy(col("gdf").asc, col("gh").asc)
@@ -238,14 +206,7 @@ object Dedup {
             col("b.sz") >= ceil(lit(theta) * col("a.sz")))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
         .distinct()
-      // bitset verification broadcasts the full bitset table — gate on
-      // its size, not just the vocabulary (1M docs × small vocab would
-      // otherwise broadcast gigabytes); the string-array path has no
-      // broadcast and covers the rest
-      if (vocabSize <= BitsetVocabMax && bitsetBytes <= 256e6)
-        bitsetVerify(cands, ex, freqStr, nWords, theta)
-      else
-        verifyJaccard(cands, sets, theta)
+      verifyJaccard(cands, sets, theta)
     }
   }
 
@@ -293,8 +254,7 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
 
-    verifyJaccard(candidates,
-      sets.select(col("doc"), col("sh"), size(col("sh")).as("sz")), theta)
+    verifyJaccard(candidates, sets.select(col("doc"), col("sh")), theta)
   }
 
   /** 64-bit SimHash per document over distinct word n-gram shingles

@@ -62,6 +62,33 @@ class DedupSpec extends SparkTestBase {
     assert(fast.contains((500L, 501L)) && fast((500L, 501L)) == 1.0)
   }
 
+  test("merge kernels agree with the set formula (fuzz) and hash bound holds") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      def set() = (0 until 1 + rnd.nextInt(40))
+        .map(_ => s"w${rnd.nextInt(60)}").distinct
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.selectExpr(
+      "id",
+      "sorted_string_jaccard(sort_array(a), sort_array(b)) AS js",
+      """sorted_long_jaccard(sort_array(transform(a, g -> xxhash64(g))),
+         sort_array(transform(b, g -> xxhash64(g)))) AS jh""")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (id, a, b) =>
+      val inter = (a.toSet intersect b.toSet).size
+      val uni = (a.toSet union b.toSet).size
+      val exact = if (uni == 0) 0.0 else inter.toDouble / uni
+      val (js, jh) = out(id)
+      assert(js == exact, s"string kernel $js != $exact for $id")
+      // hash image is an upper bound (equal here absent 64-bit collisions)
+      assert(jh >= exact - 1e-15, s"hash bound $jh < $exact for $id")
+    }
+  }
+
   test("jaccard on a corpus with zero shingles returns empty, not an error") {
     val s = spark
     import s.implicits._
