@@ -25,6 +25,7 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (FuzzyQueries.queries, FuzzyQueries.oracles),
+      (GoldQueries.queries, GoldQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (AnnQueries.queries, AnnQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
