@@ -61,6 +61,9 @@ object GraftFunctions {
       SortedStringJaccard(args(0), args(1)) },
     "sorted_long_jaccard" -> checked("sorted_long_jaccard", 2) { args =>
       SortedLongJaccard(args(0), args(1)) },
+    "sorted_long_jaccard_ge" -> checked("sorted_long_jaccard_ge", 3) { args =>
+      SortedLongJaccardGE(args(0), args(1),
+        litDouble(args(2), "sorted_long_jaccard_ge", "theta")) },
     "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
   )
 
@@ -68,6 +71,17 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $param must be an integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression, fn: String, param: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $param must be a numeric literal, got $other")
   }
 
   /** Idempotently register all graft functions on a live session — for

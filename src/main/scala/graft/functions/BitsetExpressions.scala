@@ -195,6 +195,38 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Boolean `sorted_long_jaccard(a, b) ≥ theta` with merge early-exit —
+  * the all-pairs hot-loop form: most pairs bail long before the merge
+  * ends (see [[BitsetKernel.sortedLongJaccardGE]]; result is identical
+  * to filtering on the full [[SortedLongJaccard]]). */
+case class SortedLongJaccardGE(left: Expression, right: Expression,
+    theta: Double) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_long_jaccard_ge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_long_jaccard_ge requires array<bigint> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitsetKernel.sortedLongJaccardGE(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], theta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetKernel.sortedLongJaccardGE($a, $b, $theta)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitsetKernel {
   /** Multiset merge-intersection Jaccard over sorted long arrays; 0.0 on
     * an empty union. On equal heads both cursors advance, so duplicate
@@ -214,6 +246,36 @@ object BitsetKernel {
     }
     val union = na + nb - inter
     if (union <= 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** `sortedLongJaccard(a, b) ≥ theta`, with early exit: J is monotone in
+    * the final intersection, and inter can grow by at most
+    * min(remaining_a, remaining_b), so once that best case falls below a
+    * conservatively-slack integer bound (⌈θ(na+nb)/(1+θ)⌉ − 1 — the −1
+    * absorbs any fp rounding in the bound itself) the answer is certainly
+    * false. The FINAL decision uses the exact division form, identical to
+    * `sortedLongJaccard(a, b) >= theta`, so early exit never changes the
+    * result. On dissimilar pairs (the overwhelming majority in an
+    * all-pairs scan) this bails after ~(1−θ)/(1+θ) of the merge. */
+  def sortedLongJaccardGE(a: ArrayData, b: ArrayData, theta: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val s = na + nb
+    if (s == 0) return false // empty union → jaccard 0.0 < any theta > 0
+    val neededSafe = math.ceil(theta * s / (1.0 + theta)).toInt - 1
+    var ia = 0
+    var ib = 0
+    var inter = 0
+    while (ia < na && ib < nb) {
+      if (inter + math.min(na - ia, nb - ib) < neededSafe) return false
+      val x = a.getLong(ia)
+      val y = b.getLong(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    // union ≥ 1 here: inter ≤ min(na,nb) < s
+    inter.toDouble / (s - inter).toDouble >= theta
   }
 
   /** Merge-intersection Jaccard over binary-sorted distinct string

@@ -103,16 +103,19 @@ object Dedup {
     val cands = ba.crossJoin(if (useBroadcast) broadcast(bb) else bb)
       .where(col("doc_a") < col("doc_b") &&
         col("sza") >= col("minszb") && col("szb") >= col("minsza") &&
-        sortedLongJaccardCol(col("hsa"), col("hsb")) >= theta)
+        sortedLongJaccardGECol(col("hsa"), col("hsb"), theta))
       .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cands, sets, theta)
   }
 
-  private def sortedLongJaccardCol(a: Column, b: Column): Column =
+  /** Early-exit `hash-jaccard ≥ θ` — identical decisions to filtering on
+    * the full merge, but most pairs bail partway. */
+  private def sortedLongJaccardGECol(a: Column, b: Column,
+      theta: Double): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.SortedLongJaccard(
+      graft.functions.SortedLongJaccardGE(
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
-        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+        org.apache.spark.sql.graft.ColumnBridge.expression(b), theta))
 
   /** Exact Jaccard ≥ θ pairs via PPJoin-style prefix filtering: only the
     * (1−θ)·|A|+1 globally-rarest shingles of each doc generate candidates

@@ -113,7 +113,13 @@ object SimilarityJoin {
         val rt = distinctR.withColumn("__tok",
           explode(array_distinct(split(col(NORM_R), " "))))
           .where(col("__tok") =!= "")
-        (lt.join(rt, "__tok").drop("__tok"), true)
+        // pin the token-join width: token rows are byte-small but each
+        // matched candidate runs the scorer, and AQE (bytes-sized) would
+        // coalesce the scoring stage onto one task (measured 1.1 s
+        // single-task at sf0.1)
+        (lt.repartition(scoringParallelism, col("__tok"))
+          .join(rt.repartition(scoringParallelism, col("__tok")), "__tok")
+          .drop("__tok"), true)
       case Blocking.NGram(q) =>
         // pad with q-1 sentinel chars on both ends (classic q-gram
         // padding): keys shorter than q still produce grams, and any two

@@ -22,12 +22,17 @@ object GoldQueries {
 
   /** Fuzzy match `part` against itself as postings↔payroll (the testdata
     * has no payroll table; part carries a name + a money column, which is
-    * all the flow needs). */
+    * all the flow needs). The postings side is a 1-in-50 sample: the
+    * reference's flow is a SMALL postings table against a large payroll
+    * (≈5k × 600k), and the testdata's 64-name key space would otherwise
+    * make the row join-back quadratic in rows-per-name. */
   private def matches(s: SparkSession, dir: String): DataFrame = {
-    val postings = t(s, dir, "part").select(
-      col("p_partkey").as("posting_id"),
-      col("p_name").as("business_title"),
-      col("p_retailprice").as("posting_mid_salary"))
+    val postings = t(s, dir, "part")
+      .where(col("p_partkey") % 50 === 0)
+      .select(
+        col("p_partkey").as("posting_id"),
+        col("p_name").as("business_title"),
+        col("p_retailprice").as("posting_mid_salary"))
     val payroll = t(s, dir, "part").select(
       col("p_partkey").as("payroll_id"),
       col("p_name").as("title_description"),
@@ -80,7 +85,8 @@ object GoldQueries {
       |         b.p_retailprice AS base_salary,
       |         100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
       |           / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)) AS score
-      |  FROM part a, part b),
+      |  FROM part a, part b
+      |  WHERE a.p_partkey % 50 = 0),
       |f AS (SELECT * FROM sim
       |      WHERE score >= 60.0
       |        AND base_salary >= posting_mid_salary * 0.9

@@ -40,6 +40,11 @@ object ProfileQuery {
       .forEach(e => println(
         f"[stage] ${e.getKey}%4d ${e.getValue._1}%6d ms ${e.getValue._2}%4d tasks"))
     run(s"$name (warm)")(graft.SparkEntry.queries(name)(spark, sfDir))
+    if (sys.env.contains("GRAFT_PRINT_PLAN")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString())
+    }
     spark.stop()
   }
 }

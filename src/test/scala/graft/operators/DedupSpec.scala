@@ -87,6 +87,17 @@ class DedupSpec extends SparkTestBase {
       // hash image is an upper bound (equal here absent 64-bit collisions)
       assert(jh >= exact - 1e-15, s"hash bound $jh < $exact for $id")
     }
+    // early-exit GE decisions must equal the full-merge filter exactly
+    for (theta <- Seq(0.3, 0.5, 0.6, 0.85)) {
+      val cmp = df.selectExpr(
+        s"""sorted_long_jaccard_ge(sort_array(transform(a, g -> xxhash64(g))),
+            sort_array(transform(b, g -> xxhash64(g))), $theta) AS ge""",
+        s"""sorted_long_jaccard(sort_array(transform(a, g -> xxhash64(g))),
+            sort_array(transform(b, g -> xxhash64(g)))) >= $theta AS full""")
+        .collect()
+      cmp.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1),
+        s"GE early-exit diverged from full merge at theta=$theta"))
+    }
   }
 
   test("jaccard on a corpus with zero shingles returns empty, not an error") {
