@@ -30,6 +30,7 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
+      (TemporalQueries.queries, TemporalQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
     )
 

@@ -117,6 +117,51 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b), theta))
 
+  /** Vocab ceiling for the bitset dense path (bitset bytes per doc =
+    * vocab/8; 256k bits = 32 KB). */
+  val BitsetVocabMax = 262144
+
+  /** All-pairs scoring via dense BITSETS — for the heavy-dense regime
+    * (large sets over a tiny vocabulary, e.g. char-grams on a small
+    * alphabet) where the per-pair AND-popcount over vocab/64 words is
+    * several times cheaper than merging ~2·|set| sorted hashes (measured
+    * at 100k docs / 300-gram sets / 3k vocab: merge 393 s vs bitsets
+    * ~90 s). Costs a global vocabulary id assignment (single-partition
+    * window over ≤[[BitsetVocabMax]] vocab entries — bounded) plus a
+    * broadcast join and a groupBy, which only amortizes when
+    * allPairs·avgSz is large — the [[jaccardPairsBy]] gate decides. */
+  private def bitsetAllPairs(ex: DataFrame, freq: DataFrame, nWords: Int,
+      theta: Double, useBroadcast: Boolean): DataFrame = {
+    val vocab = freq.select(col("g"))
+      .withColumn("wid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("g"))) - 1)
+        .cast("int"))
+    val bitsets = ex.join(broadcast(vocab), "g")
+      .groupBy("doc", "sz").agg(collect_list(col("wid")).as("wids"))
+      .select(col("doc"), col("sz"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.BitsetFromIds(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("wids")),
+            nWords)).as("bs"))
+      // both pair-join branches share this exchange (ReuseExchange)
+      .transform(spread(_, col("doc")))
+    val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
+      ceil(lit(theta) * col("sz")).cast("int").as("minsza"), col("bs").as("bsa"))
+    val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
+      ceil(lit(theta) * col("sz")).cast("int").as("minszb"), col("bs").as("bsb"))
+    ba.crossJoin(if (useBroadcast) broadcast(bb) else bb)
+      .where(col("doc_a") < col("doc_b") &&
+        col("sza") >= col("minszb") && col("szb") >= col("minsza"))
+      .withColumn("jaccard", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BitsetJaccard(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsa")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("bsb")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sza")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("szb")))))
+      .where(col("jaccard") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact Jaccard ≥ θ pairs via PPJoin-style prefix filtering: only the
     * (1−θ)·|A|+1 globally-rarest shingles of each doc generate candidates
     * (lossless for J ≥ θ under a shared total order), with a length-ratio
@@ -198,7 +243,24 @@ object Dedup {
       // broadcast gate on the HASH table (16 B/element + row overhead) —
       // the hot side carries hashes, not strings
       val hashBytes = 16.0 * totInstances + 48.0 * nDocs
-      hashAllPairs(sets, theta, useBroadcast = hashBytes <= 256e6)
+      val avgSz = totInstances.toDouble / math.max(nDocs, 1L)
+      val nWords = ((vocabSize + 64 + 63) / 64).toInt
+      val bitsetBytes = nDocs.toDouble * nWords * 8
+      // Two dense representations, chosen by measured per-pair work:
+      // the sorted-hash merge costs ~2·avgSz steps/pair with zero setup;
+      // dense bitsets cost vocab/64 words/pair but need a vocabulary id
+      // pipeline (window + broadcast join + groupBy). Bitsets win in the
+      // heavy-dense regime — large sets over a tiny vocabulary — once
+      // total pair work amortizes the setup (measured crossover around
+      // allPairs·avgSz ≈ 1e10: char-grams at 100k docs ran 393 s merged
+      // vs ~90 s bitset; word-shingles at 5k docs the reverse).
+      val bitsetWins = vocabSize <= BitsetVocabMax && bitsetBytes <= 4e9 &&
+        nWords * 2 < avgSz && allPairs.toDouble * avgSz >= 1e10
+      if (bitsetWins)
+        bitsetAllPairs(ex, ex.groupBy("g").agg(count(lit(1)).as("gdf")),
+          nWords, theta, useBroadcast = bitsetBytes <= 256e6)
+      else
+        hashAllPairs(sets, theta, useBroadcast = hashBytes <= 256e6)
     } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc")).orderBy(col("gdf").asc, col("gh").asc)

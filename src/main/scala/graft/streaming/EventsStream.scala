@@ -62,6 +62,20 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** STREAM-STREAM interval join: same-key pairs with
+    * `right.ts ∈ [left.ts, left.ts + window]`, both sides watermarked so
+    * Structured Streaming can bound the join state (rows older than
+    * watermark + window are evicted). The batch face of the same plan is
+    * [[graft.operators.TemporalJoins.intervalJoin]] — one definition of
+    * the condition, two execution modes. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      window: String, watermark: String): DataFrame =
+    graft.operators.TemporalJoins.intervalJoin(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      keys, leftTs, rightTs, window)
+
   /** Stream-static enrichment join: events against a small static
     * dimension, broadcast so the stream side never shuffles. Works
     * identically over batch and readStream inputs (stream-static joins

@@ -165,4 +165,35 @@ class EventsStreamSpec extends SparkTestBase {
     assert(df.schema("ts").dataType.typeName == "timestamp")
     assert(df.count() == 1000)
   }
+
+  test("stream-stream interval join matches the batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val c = clicks.toDF().toDF("cid", "k", "cts")
+    val v = views.toDF().toDF("vid", "k", "vts")
+
+    val query = EventsStream
+      .intervalJoinStream(c, v, Seq("k"), "cts", "vts",
+        window = "30 minutes", watermark = "1 hour")
+      .select("cid", "vid")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 5L, ts("2024-01-01 00:00:00")),
+        (2L, 5L, ts("2024-01-01 02:00:00")),
+        (3L, 6L, ts("2024-01-01 00:05:00")))
+      views.addData((10L, 5L, ts("2024-01-01 00:10:00")), // joins click 1
+        (11L, 5L, ts("2024-01-01 01:00:00")),             // outside window
+        (12L, 6L, ts("2024-01-01 00:05:00")),             // joins click 3 (inclusive)
+        (13L, 7L, ts("2024-01-01 00:10:00")))             // no such key
+      query.processAllAvailable()
+      val streamed = s.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((1L, 10L), (3L, 12L)))
+    } finally query.stop()
+  }
 }

@@ -80,7 +80,7 @@ def compare(name, sp, dk):
         elif sk == "M":
             sa = s.to_numpy().astype("datetime64[ns]")
             da = d.to_numpy().astype("datetime64[ns]")
-            bad = sa != da
+            bad = (sa != da) & ~(np.isnat(sa) & np.isnat(da))
         elif sk == "f":
             sa, da = s.to_numpy(), d.to_numpy()
             bad = ~((sa == da) | (np.isnan(sa) & np.isnan(da)))
