@@ -45,4 +45,18 @@ object Serve {
   /** JSON page for an HTTP layer (reference returns list-of-dicts JSON). */
   def fetchJson(spark: SparkSession, id: Int, offset: Int, limit: Int): Seq[String] =
     fetchDataset(spark, id, offset, limit).toJSON.collect().toSeq
+
+  /** Dashboard score-range filter (streamlit/app.py:65-73 — the slider's
+    * `between`). */
+  def filterScoreRange(df: DataFrame, scoreCol: String, lo: Double,
+      hi: Double): DataFrame =
+    df.where(col(scoreCol).cast("double").between(lo, hi))
+
+  /** Dashboard metrics: (mean, min, max) of the score column
+    * (streamlit/app.py:56-57,90). */
+  def scoreStats(df: DataFrame, scoreCol: String): (Double, Double, Double) = {
+    val r = df.agg(avg(col(scoreCol).cast("double")),
+      min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double"))).head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
 }
