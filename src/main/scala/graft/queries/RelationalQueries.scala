@@ -99,16 +99,16 @@ object RelationalQueries {
         date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
           .as("plus_30d"))),
 
-    // S5/W1: bronze audit columns (_source_file, _record_id)
-    // (reference utils.py:177-188); record id windowed over an explicit
-    // unique ordering for determinism
-    "q9_bronze_audit" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"))
-        .withColumn("_source_file", lit("lineitem"))
-        .withColumn("_record_id", row_number().over(w))
-    }),
+    // S5/W1: bronze audit columns (_source_file, _record_id); the dense
+    // record id runs DISTRIBUTED (range repartition + partition offsets,
+    // Bronze.denseIds) over an explicit unique ordering — same 1..N ids
+    // as the reference's ROW_NUMBER() OVER (), without the
+    // single-partition window
+    "q9_bronze_audit" -> ((s, dir) =>
+      graft.sources.Bronze.denseIds(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"))
+        .withColumn("_source_file", lit("lineitem"))),
 
     // A1 exact shape: GROUP BY + MAX over many columns incl. a computed
     // date-diff inside MAX (reference sql/cleaned.sql:28-42)

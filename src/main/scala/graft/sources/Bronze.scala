@@ -10,12 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `_source_file`, `_ingestion_timestamp`, `_record_id`.
   *
   * Two id flavors:
-  *  - scalable (default): `monotonically_increasing_id()` — no shuffle, ids
+  *  - sparse (default): `monotonically_increasing_id()` — no shuffle, ids
   *    unique but sparse; the reference attaches no ordering meaning to
   *    `ROW_NUMBER() OVER ()` (unordered frame), so this is semantics-
   *    preserving at any scale.
-  *  - exact: `row_number` over a caller-supplied ordering — single-partition
-  *    window, only for small tables needing dense ids.
+  *  - dense: [[denseIds]] — exact 1..N over a caller-supplied total
+  *    order, computed DISTRIBUTED (range repartition + per-partition
+  *    offsets), not as the classic single-partition window.
   */
 object Bronze {
 
@@ -25,12 +26,51 @@ object Bronze {
       .withColumn("_source_file", lit(sourceFile))
       .withColumn("_ingestion_timestamp", current_timestamp())
     denseIdOrder match {
-      case Some(orderCols) =>
-        base.withColumn("_record_id",
-          row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("bigint"))
+      case Some(orderCols) => denseIds(base, orderCols)
       case None =>
         base.withColumn("_record_id", monotonically_increasing_id())
     }
+  }
+
+  /** Dense 1..N ids in `orderCols` order, at cluster scale: range-
+    * repartition on the order columns (ascending ranges land in ascending
+    * partition ids), sort within partitions, then add each partition's
+    * row count prefix-sum as an offset to the within-partition sequence
+    * from `monotonically_increasing_id` (documented layout: partition id
+    * in the upper bits, per-partition row number in the lower 33). The
+    * single-partition `Window.orderBy` this replaces moves the WHOLE
+    * table through one task — fine at 60k rows, fatal at 100 TB; here
+    * the only narrow step is a per-partition COUNT collect (width
+    * integers).
+    *
+    * EAGER (one counts job at construction) and the ranged frame is
+    * persisted so the shuffle+sort runs once, not once for counts and
+    * again at execution. `orderCols` should be a total order for
+    * deterministic ids (ties get dense but arbitrary ids). */
+  def denseIds(df: DataFrame, orderCols: Seq[String],
+      idCol: String = "_record_id"): DataFrame = {
+    val spark = df.sparkSession
+    val width = spark.sparkContext.defaultParallelism
+    val mask = (1L << 33) - 1
+    val ranged = df
+      .repartitionByRange(width, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__graft_mid", monotonically_increasing_id())
+      .withColumn("__graft_pid",
+        shiftright(col("__graft_mid"), 33).cast("int"))
+      .withColumn("__graft_rn", col("__graft_mid").bitwiseAND(mask))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy("__graft_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = counts.keys.toSeq.sorted
+      .foldLeft((0L, Vector.empty[(Int, Long)])) { case ((acc, out), pid) =>
+        (acc + counts(pid), out :+ (pid -> acc))
+      }._2
+    val offDf = broadcast(
+      spark.createDataFrame(offsets).toDF("__graft_pid", "__graft_off"))
+    ranged.join(offDf, "__graft_pid")
+      .withColumn(idCol, col("__graft_off") + col("__graft_rn") + 1L)
+      .drop("__graft_mid", "__graft_pid", "__graft_rn", "__graft_off")
   }
 
   /** Register one parquet file/dir as `bronze.<table>` (idempotent, like the

@@ -54,4 +54,22 @@ class LakeIOSpec extends SparkTestBase {
     Bronze.registerLake(spark, dir.getAbsolutePath)
     assert(spark.table("bronze.my_table_name").count() == 2)
   }
+
+  test("distributed denseIds equals the single-partition window row_number") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // more rows than partitions, skewed keys, shuffled input order
+    val rows = rnd.shuffle((0 until 5000).map(i =>
+      (i % 997, s"k${i % 37}", rnd.nextDouble())))
+    val df = rows.toDF("a", "b", "v")
+    val got = Bronze.denseIds(df, Seq("a", "b", "v"))
+      .select("a", "b", "v", "_record_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)) -> r.getLong(3))
+      .toMap
+    val expected = rows.sortBy(t => (t._1, t._2, t._3)).zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    assert(got.size == 5000)
+    assert(got == expected)
+  }
 }
