@@ -26,7 +26,11 @@ object TemporalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // x1: for every purchase, the latest click at-or-before it (per user)
+    // x1: for every purchase, the latest click at-or-before it (per
+    // user). Unmatched lefts keep left-join semantics in the operator
+    // (spec-covered); the GATE projection coalesces the nulls to
+    // sentinels because NaN/NaT cells hash unreliably in a pandas-level
+    // compare (CPython hashes NaN by object identity)
     "x1_asof_join" -> ((s, dir) => {
       val purchases = t(s, dir, "events")
         .where(col("event_type") === "purchase")
@@ -36,9 +40,11 @@ object TemporalQueries {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         rightCols = Seq("click_id", "click_value"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          col("purchase_value"), col("asof_ts").as("click_ts"),
-          col("asof_click_id").as("click_id"),
-          col("asof_click_value").as("click_value"))
+          col("purchase_value"),
+          coalesce(col("asof_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("click_ts"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("asof_click_value"), lit(-1.0)).as("click_value"))
     }),
 
     // x2: every view within 30 minutes AFTER a click, same user
@@ -68,7 +74,9 @@ object TemporalQueries {
         |p AS (SELECT event_id, ts, user_id, value AS purchase_value
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
-        |       cd.ts AS click_ts, cd.click_id, cd.click_value
+        |       coalesce(cd.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |       coalesce(cd.click_id, -1) AS click_id,
+        |       coalesce(cd.click_value, -1.0) AS click_value
         |FROM p ASOF LEFT JOIN cd
         |  ON p.user_id = cd.user_id AND p.ts >= cd.ts""".stripMargin,
 
