@@ -236,6 +236,11 @@ object BitsetKernel {
     val nb = b.numElements()
     var ia = 0
     var ib = 0
+    // skip NULL elements (sort_array places them first): null ∉ multiset
+    while (ia < na && a.isNullAt(ia)) ia += 1
+    while (ib < nb && b.isNullAt(ib)) ib += 1
+    val effA = na - ia
+    val effB = nb - ib
     var inter = 0
     while (ia < na && ib < nb) {
       val x = a.getLong(ia)
@@ -244,7 +249,7 @@ object BitsetKernel {
       else if (x < y) ia += 1
       else ib += 1
     }
-    val union = na + nb - inter
+    val union = effA + effB - inter
     if (union <= 0) 0.0 else inter.toDouble / union.toDouble
   }
 
@@ -260,11 +265,13 @@ object BitsetKernel {
   def sortedLongJaccardGE(a: ArrayData, b: ArrayData, theta: Double): Boolean = {
     val na = a.numElements()
     val nb = b.numElements()
-    val s = na + nb
-    if (s == 0) return false // empty union → jaccard 0.0 < any theta > 0
-    val neededSafe = math.ceil(theta * s / (1.0 + theta)).toInt - 1
     var ia = 0
     var ib = 0
+    while (ia < na && a.isNullAt(ia)) ia += 1
+    while (ib < nb && b.isNullAt(ib)) ib += 1
+    val s = (na - ia) + (nb - ib)
+    if (s == 0) return 0.0 >= theta // empty union → jaccard 0.0 (matches the full form for any theta)
+    val neededSafe = math.ceil(theta * s / (1.0 + theta)).toInt - 1
     var inter = 0
     while (ia < na && ib < nb) {
       if (inter + math.min(na - ia, nb - ib) < neededSafe) return false
@@ -274,17 +281,23 @@ object BitsetKernel {
       else if (x < y) ia += 1
       else ib += 1
     }
-    // union ≥ 1 here: inter ≤ min(na,nb) < s
+    // union ≥ 1 here: inter ≤ min(non-null a, non-null b) < s
     inter.toDouble / (s - inter).toDouble >= theta
   }
 
   /** Merge-intersection Jaccard over binary-sorted distinct string
-    * arrays; 0.0 on an empty union. */
+    * arrays; 0.0 on an empty union. NULL elements are skipped (null ∉
+    * set — `sort_array` places them first, so the skip is one leading
+    * scan, and the SQL surface can't NPE on arrays containing NULL). */
   def sortedStringJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     var ia = 0
     var ib = 0
+    while (ia < na && a.isNullAt(ia)) ia += 1
+    while (ib < nb && b.isNullAt(ib)) ib += 1
+    val effA = na - ia
+    val effB = nb - ib
     var inter = 0
     while (ia < na && ib < nb) {
       val c = a.getUTF8String(ia).compareTo(b.getUTF8String(ib))
@@ -292,7 +305,7 @@ object BitsetKernel {
       else if (c < 0) ia += 1
       else ib += 1
     }
-    val union = na + nb - inter
+    val union = effA + effB - inter
     if (union <= 0) 0.0 else inter.toDouble / union.toDouble
   }
 

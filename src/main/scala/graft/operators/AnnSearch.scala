@@ -18,14 +18,6 @@ import graft.functions.VectorFunctions
   */
 object AnnSearch {
 
-  /** Hash-repartition at EXPLICIT width. A bare `repartition(col)` leaves
-    * the width to AQE, which sizes post-shuffle partitions by BYTES — an
-    * embedding table is byte-small but each row feeds an n² scoring loop,
-    * so AQE happily coalesces the whole scan onto one core (measured:
-    * the sf0.1 all-pairs cosine ran as a single 1.7 s task). */
-  private def spread(df: DataFrame, cs: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cs: _*)
-
   /** (tables × bits) hyperplane-signature structs for bucketing — table t
     * uses planes [t*bits, (t+1)*bits) of the shared family. */
   private def tableSigs(v: Column, bits: Int, tables: Int): Column =
@@ -50,7 +42,7 @@ object AnnSearch {
     // spread the corpus across cores — a single parquet file otherwise
     // plans the whole cross join as one task
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .transform((d: DataFrame) => spread(d, col("neighbor_id")))
+      .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
@@ -72,7 +64,7 @@ object AnnSearch {
     require(bits <= 20, "signature must stay bucket-join friendly")
     require(probeHamming <= 3, "probe count grows as C(bits, r) — cap r at 3")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .transform((d: DataFrame) => spread(d, col("neighbor_id"))) // parallelize + materialize before sig
+      .transform((d: DataFrame) => Par.spread(d, col("neighbor_id"))) // parallelize + materialize before sig
       .withColumn("bk", explode(tableSigs(col("cv"), bits, tables)))
       .select(col("neighbor_id"), col("cv"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
@@ -108,7 +100,7 @@ object AnnSearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .transform((d: DataFrame) => spread(d, col("neighbor_id")))
+      .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
     // materialize the nlist centroids once — the frame feeds two broadcast
     // branches, and leaving it lazy would run the corpus-wide
     // TakeOrdered twice
@@ -164,7 +156,7 @@ object AnnSearch {
       theta: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     require(bits <= 20, "signature must stay bucket-join friendly")
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .transform((d: DataFrame) => spread(d, col("id")))
+      .transform((d: DataFrame) => Par.spread(d, col("id")))
       .withColumn("bk", explode(tableSigs(col("v"), bits, tables)))
       .select(col("id"), col("v"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
@@ -188,7 +180,7 @@ object AnnSearch {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       theta: Double): DataFrame = {
     val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-      .transform((d: DataFrame) => spread(d, col("vec_a"))) // one-file inputs must not serialize the n² scan
+      .transform((d: DataFrame) => Par.spread(d, col("vec_a"))) // one-file inputs must not serialize the n² scan
     val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .where(col("vec_a") < col("vec_b"))

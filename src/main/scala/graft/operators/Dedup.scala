@@ -38,13 +38,7 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
         graft.functions.word_shingles(col(textCol), n).as("sh"))
-      .transform(spread(_, col("doc")))
-
-  /** Hash-repartition at EXPLICIT width — AQE sizes post-shuffle
-    * partitions by bytes, and a byte-small doc table feeding an n² or
-    * per-pair scoring loop would otherwise coalesce onto one core. */
-  private def spread(df: DataFrame, c: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, c)
+      .transform(Par.spread(_, col("doc")))
 
   /** inter/(|A|+|B|−inter) over binary-SORTED distinct string arrays in
     * ONE codegen'd merge pass ([[graft.functions.SortedStringJaccard]]) —
@@ -95,7 +89,7 @@ object Dedup {
     val hashed = sets.select(col("doc"), col("sz"),
         ceil(lit(theta) * col("sz")).cast("int").as("minsz"),
         sort_array(transform(col("sh"), g => xxhash64(g))).as("hs"))
-      .transform(spread(_, col("doc")))
+      .transform(Par.spread(_, col("doc")))
     val ba = hashed.select(col("doc").as("doc_a"), col("sz").as("sza"),
       col("minsz").as("minsza"), col("hs").as("hsa"))
     val bb = hashed.select(col("doc").as("doc_b"), col("sz").as("szb"),
@@ -144,7 +138,7 @@ object Dedup {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("wids")),
             nWords)).as("bs"))
       // both pair-join branches share this exchange (ReuseExchange)
-      .transform(spread(_, col("doc")))
+      .transform(Par.spread(_, col("doc")))
     val ba = bitsets.select(col("doc").as("doc_a"), col("sz").as("sza"),
       ceil(lit(theta) * col("sz")).cast("int").as("minsza"), col("bs").as("bsa"))
     val bb = bitsets.select(col("doc").as("doc_b"), col("sz").as("szb"),
@@ -196,7 +190,7 @@ object Dedup {
   def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
       theta: Double, cacheSets: Boolean = true): DataFrame = {
     val setsPlan = df.select(col(idCol).as("doc"), shingles.as("sh"))
-      .transform(spread(_, col("doc")))
+      .transform(Par.spread(_, col("doc")))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
     val sets = if (cacheSets)

@@ -33,7 +33,8 @@ object TemporalJoins {
     *
     * @param tolerance max allowed left.ts − right.ts; older matches null
     * @param tieBreak  deterministic order among right rows sharing
-    *                  (key, ts) — the LAST one in this order wins
+    *                  (key, ts), in the expressions' native types — the
+    *                  LAST one in ascending order wins
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
@@ -47,27 +48,33 @@ object TemporalJoins {
     val tbNames = tieBreak.indices.map(i => s"__graft_tb$i")
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select((rightTs +: rightCols).map(col): _*).schema.fields)
+    // tiebreak columns keep their NATIVE types (resolved against the
+    // right frame) so numeric/timestamp tiebreaks order numerically, not
+    // lexicographically
+    val tbTypes = tieBreak.map(tb => right.select(tb).schema.head.dataType)
     val sideCols = keys ++ (ts +: tag +: payload +: leftStruct +: tbNames)
 
-    val lSide = tieBreak.zip(tbNames).foldLeft(
+    val lSide = tbNames.zip(tbTypes).foldLeft(
       left
         .withColumn(ts, col(leftTs))
         .withColumn(tag, lit(1))
         .withColumn(payload, lit(null).cast(payloadType))
         .withColumn(leftStruct, struct(left.columns.map(col): _*))) {
-      case (df, (_, n)) => df.withColumn(n, lit(null).cast("string"))
+      case (df, (n, dt)) => df.withColumn(n, lit(null).cast(dt))
     }.select(sideCols.map(col): _*)
 
-    // tiebreak expressions are evaluated against the RIGHT frame before
-    // the projection narrows it
+    // a NULL right timestamp can never satisfy right.ts <= left.ts — and
+    // it would otherwise sort to the head of the partition and leak into
+    // every left row's carried-forward match
     val rSide = tieBreak.zip(tbNames).foldLeft(
       right
+        .where(col(rightTs).isNotNull)
         .withColumn(ts, col(rightTs))
         .withColumn(tag, lit(0))
         .withColumn(payload, struct((rightTs +: rightCols).map(col): _*))
         .withColumn(leftStruct, lit(null).cast(
           org.apache.spark.sql.types.StructType(left.schema.fields)))) {
-      case (df, (tb, n)) => df.withColumn(n, tb.cast("string"))
+      case (df, (tb, n)) => df.withColumn(n, tb)
     }.select(sideCols.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
@@ -101,12 +108,14 @@ object TemporalJoins {
     val overlap = left.columns.toSet intersect right.columns.toSet
     val r = overlap.foldLeft(right)((df, n) =>
       df.withColumnRenamed(n, s"$rightPrefix$n"))
-    val rKeys = keys.map(k => if (overlap(k)) s"$rightPrefix$k" else k)
+    // join keys exist on both sides by definition, so they are always in
+    // `overlap` and always carry the prefix on the right
+    val rKeys = keys.map(k => s"$rightPrefix$k")
     val rTs = if (overlap(rightTs)) s"$rightPrefix$rightTs" else rightTs
     val cond = keys.zip(rKeys).map { case (lk, rk) => col(lk) === col(rk) }
       .reduce(_ && _) &&
       col(rTs) >= col(leftTs) &&
       col(rTs) <= col(leftTs) + expr(s"INTERVAL $window")
-    left.join(r, cond).drop(rKeys.filter(_.startsWith(rightPrefix)): _*)
+    left.join(r, cond).drop(rKeys: _*)
   }
 }

@@ -53,10 +53,12 @@ object Serve {
     df.where(col(scoreCol).cast("double").between(lo, hi))
 
   /** Dashboard metrics: (mean, min, max) of the score column
-    * (streamlit/app.py:56-57,90). */
-  def scoreStats(df: DataFrame, scoreCol: String): (Double, Double, Double) = {
+    * (streamlit/app.py:56-57,90); None when the table is empty or the
+    * column all-null (the aggregates come back NULL). */
+  def scoreStats(df: DataFrame, scoreCol: String): Option[(Double, Double, Double)] = {
     val r = df.agg(avg(col(scoreCol).cast("double")),
       min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double"))).head()
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    if (r.isNullAt(0)) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2)))
   }
 }

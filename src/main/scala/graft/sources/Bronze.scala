@@ -43,23 +43,28 @@ object Bronze {
     * the only narrow step is a per-partition COUNT collect (width
     * integers).
     *
-    * EAGER (one counts job at construction) and the ranged frame is
-    * persisted so the shuffle+sort runs once, not once for counts and
-    * again at execution. `orderCols` should be a total order for
+    * EAGER (one counts job at construction) and, with `cache` (default),
+    * the ranged frame is persisted MEMORY_AND_DISK so the shuffle+sort
+    * runs once, not once for counts and again at execution — the cache
+    * lives until the caller clears it (`spark.catalog.clearCache()`);
+    * pass `cache = false` when embedding in a pipeline that manages its
+    * own persistence. `orderCols` should be a total order for
     * deterministic ids (ties get dense but arbitrary ids). */
   def denseIds(df: DataFrame, orderCols: Seq[String],
-      idCol: String = "_record_id"): DataFrame = {
+      idCol: String = "_record_id", cache: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val width = spark.sparkContext.defaultParallelism
     val mask = (1L << 33) - 1
-    val ranged = df
+    val rangedPlan = df
       .repartitionByRange(width, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__graft_mid", monotonically_increasing_id())
       .withColumn("__graft_pid",
         shiftright(col("__graft_mid"), 33).cast("int"))
       .withColumn("__graft_rn", col("__graft_mid").bitwiseAND(mask))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = if (cache)
+      rangedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rangedPlan
     val counts = ranged.groupBy("__graft_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = counts.keys.toSeq.sorted

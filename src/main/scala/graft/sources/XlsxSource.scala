@@ -33,14 +33,24 @@ class XlsxSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = XlsxSource.pathOf(options)
     val header = Option(options.get("header")).forall(_.toBoolean)
-    val rows = XlsxParser.readRows(XlsxSource.readAllBytes(path))
+    val rows = XlsxParser.readRows(
+      XlsxSource.readAllBytes(path, XlsxSource.driverHadoopConf()))
     val first = rows.headOption.getOrElse(
       throw new IllegalArgumentException(s"graft-xlsx: $path has no rows"))
     val width = rows.map(_.length).maxOption.getOrElse(0)
-    val names =
+    val raw =
       if (header) (0 until width).map(i =>
         Option(first.lift(i).flatten.orNull).getOrElse(s"_c$i"))
       else (0 until width).map(i => s"_c$i")
+    // repeated header labels get positional suffixes — resolution is by
+    // NAME downstream, so duplicates would silently all read the first
+    // occurrence's cells
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = raw.map { n =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
     StructType(names.map(n => StructField(n, StringType)))
   }
 
@@ -54,11 +64,18 @@ object XlsxSource {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-xlsx requires .load(path)"))
 
+  /** The session's Hadoop conf (spark.hadoop.* — object-store creds, fs
+    * impls) for driver-side reads; a bare `new Configuration()` would
+    * ignore all of it. */
+  def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   /** Whole-file read through the Hadoop FS API (works for file:// and
     * object stores alike). */
-  def readAllBytes(path: String): Array[Byte] = {
+  def readAllBytes(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -67,6 +84,22 @@ object XlsxSource {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.toByteArray
     } finally in.close()
+  }
+}
+
+/** Hadoop Configuration is not Serializable; ship it to executors via
+  * its Writable form (the same trick Spark's own file sources use). */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -104,20 +137,23 @@ final class XlsxScanBuilder(fullSchema: StructType, props: Map[String, String])
     // column → position mapping uses the FULL header so pruning keeps
     // reading the right cells
     val fullNames = fullSchema.fieldNames
-    new XlsxReaderFactory(fullNames, prunedSchema.fieldNames, header)
+    new XlsxReaderFactory(fullNames, prunedSchema.fieldNames, header,
+      new SerializableHadoopConf(XlsxSource.driverHadoopConf()))
   }
 }
 
 final case class XlsxFilePartition(path: String) extends InputPartition
 
 final class XlsxReaderFactory(fullNames: Array[String],
-    wanted: Array[String], header: Boolean) extends PartitionReaderFactory {
+    wanted: Array[String], header: Boolean,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxFilePartition].path
     new PartitionReader[InternalRow] {
       private val wantedIdx = wanted.map(fullNames.indexOf(_))
       private lazy val rows: Iterator[Array[Option[String]]] = {
-        val all = XlsxParser.readRows(XlsxSource.readAllBytes(path)).iterator
+        val all = XlsxParser.readRows(
+          XlsxSource.readAllBytes(path, conf.value)).iterator
         if (header && all.hasNext) { all.next(); all } else all
       }
       private var current: Array[Option[String]] = _

@@ -87,6 +87,15 @@ class DedupSpec extends SparkTestBase {
       // hash image is an upper bound (equal here absent 64-bit collisions)
       assert(jh >= exact - 1e-15, s"hash bound $jh < $exact for $id")
     }
+    // NULL array elements are skipped, not NPE'd (SQL-surface hardening)
+    val nullCase = df.limit(1).selectExpr(
+      "sorted_string_jaccard(array(CAST(NULL AS STRING), 'a', 'b'), array('a', 'b')) AS js",
+      "sorted_long_jaccard(array(CAST(NULL AS BIGINT), 1L, 2L), array(1L, 2L)) AS jh",
+      "sorted_long_jaccard_ge(array(CAST(NULL AS BIGINT), 1L, 2L), array(1L, 2L), 0.9) AS ge")
+      .head()
+    assert(nullCase.getDouble(0) == 1.0 && nullCase.getDouble(1) == 1.0 &&
+      nullCase.getBoolean(2))
+
     // early-exit GE decisions must equal the full-merge filter exactly
     for (theta <- Seq(0.3, 0.5, 0.6, 0.85)) {
       val cmp = df.selectExpr(

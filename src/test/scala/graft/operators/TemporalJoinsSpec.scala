@@ -33,10 +33,8 @@ class TemporalJoinsSpec extends SparkTestBase {
         if (cands.isEmpty) None
         else {
           val maxTs = cands.map(_._3.getTime).max
-          // tie winner = greatest rid in STRING order (the operator's
-          // documented tiebreak collation)
-          Some(cands.filter(_._3.getTime == maxTs)
-            .maxBy(c => c._1.toString)._1)
+          // tie winner = greatest rid in NATIVE (numeric) order
+          Some(cands.filter(_._3.getTime == maxTs).maxBy(_._1)._1)
         }
       assert(out(lid) == expected, s"left $lid key $k ts $lts")
     }
@@ -54,6 +52,20 @@ class TemporalJoinsSpec extends SparkTestBase {
       .toMap
     assert(out(1L).contains(10L)) // 5 min old — inside tolerance
     assert(out(2L).isEmpty)       // 405 min old — stale
+  }
+
+  test("asof ignores right rows with a NULL timestamp") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 1L, ts(100))).toDF("lid", "k", "lts")
+    val r = Seq((10L, 1L, null.asInstanceOf[Timestamp], 1.0),
+      (11L, 1L, ts(50), 2.0)).toDF("rid", "k", "rts", "v")
+    val out = TemporalJoins.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid", "v"))
+      .select("lid", "asof_rid").collect()
+    assert(out.head.getLong(1) == 11L) // the null-ts row never matches
+    val onlyNull = TemporalJoins.asofJoin(l,
+      r.where(col("rid") === 10L), Seq("k"), "lts", "rts", Seq("rid", "v"))
+    assert(onlyNull.where(col("asof_rid").isNull).count() == 1)
   }
 
   test("asof join output keeps unmatched left rows (left-join semantics)") {

@@ -157,11 +157,12 @@ class NycPipelineSpec extends SparkTestBase {
 
     // dashboard range filter + metrics (P8/A4): slider semantics
     val full = spark.table("gold.nyc_salary_matches")
-    val (mean, lo, hi) = Serve.scoreStats(full, "match_score")
+    val Some((mean, lo, hi)) = Serve.scoreStats(full, "match_score")
     assert(lo <= mean && mean <= hi)
     val clipped = Serve.filterScoreRange(full, "match_score", lo, mean)
     assert(clipped.count() > 0 && clipped.count() <= full.count())
     assert(Serve.filterScoreRange(full, "match_score", hi + 1, hi + 2).count() == 0)
+    assert(Serve.scoreStats(full.limit(0), "match_score").isEmpty)
 
     // page boundaries are stable across independent requests: stitching
     // non-overlapping pages reproduces the full result exactly, in order

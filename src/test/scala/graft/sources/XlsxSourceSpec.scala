@@ -108,6 +108,27 @@ class XlsxSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("39.5", "21", null))
   }
 
+  test("duplicate header labels get positional suffixes, cells stay aligned") {
+    val p = java.nio.file.Files.createTempFile("dup", ".xlsx")
+    val zip = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>Postings</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>Median</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>Postings</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    p.toFile.deleteOnExit()
+    val df = spark.read.format("graft-xlsx").option("header", "true").load(p.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("Postings", "Median", "Postings_1"))
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("1", "2", "3"))
+  }
+
   test("column letter arithmetic (AA = 26)") {
     assert(XlsxParser.colIndex("A1") == 0)
     assert(XlsxParser.colIndex("Z9") == 25)
