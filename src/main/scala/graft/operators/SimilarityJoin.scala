@@ -57,7 +57,15 @@ final case class SimilarityJoinConfig(
     topKTieBreak: Seq[Column] = Nil,
     scoreCol: String = "score",
     /** Distinct-key-count threshold under which Auto picks Exact. */
-    autoExactMaxKeys: Long = 200000L)
+    autoExactMaxKeys: Long = 200000L,
+    /** Token-blocking skew mitigation: salt factor k > 1 splits every
+      * token bucket k ways (left side salted by key hash, right side
+      * replicated k×) so one pathologically hot token cannot pin a whole
+      * scoring partition — the explicit-width token exchange opts out of
+      * AQE skew splitting, so this is the manual valve. Results are
+      * identical for any k; right-side candidate volume grows k×, so keep
+      * k small (4–16) and only when token skew is measured. */
+    tokenSalt: Int = 1)
 
 object SimilarityJoin {
 
@@ -107,19 +115,31 @@ object SimilarityJoin {
         (distinctL.repartition(scoringParallelism)
           .crossJoin(broadcast(distinctR)), false)
       case Blocking.Token =>
-        val lt = distinctL.withColumn("__tok",
+        require(cfg.tokenSalt >= 1, "tokenSalt must be >= 1")
+        val lt0 = distinctL.withColumn("__tok",
           explode(array_distinct(split(col(NORM_L), " "))))
           .where(col("__tok") =!= "")
-        val rt = distinctR.withColumn("__tok",
+        val rt0 = distinctR.withColumn("__tok",
           explode(array_distinct(split(col(NORM_R), " "))))
           .where(col("__tok") =!= "")
+        // skew valve: salt splits each token's bucket k ways — left rows
+        // scatter by key hash, right rows replicate to every salt
+        val (lt, rt, joinKeys) =
+          if (cfg.tokenSalt <= 1) (lt0, rt0, Seq("__tok"))
+          else (
+            lt0.withColumn("__salt",
+              pmod(xxhash64(col(KEY_L)), lit(cfg.tokenSalt)).cast("int")),
+            rt0.withColumn("__salt",
+              explode(sequence(lit(0), lit(cfg.tokenSalt - 1)))),
+            Seq("__tok", "__salt"))
         // pin the token-join width: token rows are byte-small but each
         // matched candidate runs the scorer, and AQE (bytes-sized) would
         // coalesce the scoring stage onto one task (measured 1.1 s
         // single-task at sf0.1)
-        (lt.repartition(scoringParallelism, col("__tok"))
-          .join(rt.repartition(scoringParallelism, col("__tok")), "__tok")
-          .drop("__tok"), true)
+        (lt.repartition(scoringParallelism, joinKeys.map(col): _*)
+          .join(rt.repartition(scoringParallelism, joinKeys.map(col): _*),
+            joinKeys)
+          .drop(joinKeys: _*), true)
       case Blocking.NGram(q) =>
         // pad with q-1 sentinel chars on both ends (classic q-gram
         // padding): keys shorter than q still produce grams, and any two

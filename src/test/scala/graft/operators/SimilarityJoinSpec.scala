@@ -82,6 +82,19 @@ class SimilarityJoinSpec extends SparkTestBase {
     assert(run(Blocking.Auto) == exact)
   }
 
+  test("token salting (skew valve) changes nothing but the partitioning") {
+    val exact = run(Blocking.Exact)
+    for (k <- Seq(2, 8)) {
+      val salted = SimilarityJoin(jobs, payroll,
+        cfg(Blocking.Token).copy(tokenSalt = k))
+        .select("business_title", "title_description", "score")
+        .collect()
+        .map { case Row(a: String, b: String, s: Double) => (a, b, s) }
+        .toSet
+      assert(salted == exact, s"salt=$k diverged")
+    }
+  }
+
   test("output schema is left ++ right ++ score with right winning collisions") {
     val out = SimilarityJoin(jobs, payroll, cfg(Blocking.Exact))
     assert(out.columns.toSeq ==
