@@ -21,6 +21,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Execution-path override for [[jaccardPairsBy]]: `Auto` gates on
+    * measured corpus statistics; the forced values exist for testing and
+    * for operators who know their corpus shape. All strategies produce
+    * identical results (spec-checked) — they differ only in cost. */
+  sealed trait JaccardStrategy
+  object JaccardStrategy {
+    case object Auto extends JaccardStrategy
+    /** PPJoin prefix-filter candidates + merge verify. */
+    case object Sparse extends JaccardStrategy
+    /** All-pairs sorted-hash merge prefilter + exact verify. */
+    case object DenseMerge extends JaccardStrategy
+    /** All-pairs dense-bitset popcount. */
+    case object DenseBitset extends JaccardStrategy
+  }
+
   /** Exact dedup: one surviving row id per identical key, plus the
     * duplicate count. */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
@@ -188,7 +203,8 @@ object Dedup {
     * embedding this in a larger cached pipeline can pass
     * `cacheSets = false`. */
   def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
-      theta: Double, cacheSets: Boolean = true): DataFrame = {
+      theta: Double, cacheSets: Boolean = true,
+      strategy: JaccardStrategy = JaccardStrategy.Auto): DataFrame = {
     val setsPlan = df.select(col(idCol).as("doc"), shingles.as("sh"))
       .transform(Par.spread(_, col("doc")))
       .withColumn("sz", size(col("sh")))
@@ -233,45 +249,52 @@ object Dedup {
     // cartesian (each task scores one block pair); beyond that the corpus
     // is big enough that candidate generation wins again.
     val dense = setsBytes <= 4e9 && sumF2 / 2 >= allPairs / 4
-    if (dense) {
-      // broadcast gate on the HASH table (16 B/element + row overhead) —
-      // the hot side carries hashes, not strings
-      val hashBytes = 16.0 * totInstances + 48.0 * nDocs
-      val avgSz = totInstances.toDouble / math.max(nDocs, 1L)
-      val nWords = ((vocabSize + 64 + 63) / 64).toInt
-      val bitsetBytes = nDocs.toDouble * nWords * 8
-      // Two dense representations, chosen by measured per-pair work:
-      // the sorted-hash merge costs ~2·avgSz steps/pair with zero setup;
-      // dense bitsets cost vocab/64 words/pair but need a vocabulary id
-      // pipeline (window + broadcast join + groupBy). Bitsets win in the
-      // heavy-dense regime — large sets over a tiny vocabulary — once
-      // total pair work amortizes the setup (measured crossover around
-      // allPairs·avgSz ≈ 1e10: char-grams at 100k docs ran 393 s merged
-      // vs ~90 s bitset; word-shingles at 5k docs the reverse).
-      val bitsetWins = vocabSize <= BitsetVocabMax && bitsetBytes <= 4e9 &&
-        nWords * 2 < avgSz && allPairs.toDouble * avgSz >= 1e10
-      if (bitsetWins)
-        bitsetAllPairs(ex, ex.groupBy("g").agg(count(lit(1)).as("gdf")),
-          nWords, theta, useBroadcast = bitsetBytes <= 256e6)
-      else
-        hashAllPairs(sets, theta, useBroadcast = hashBytes <= 256e6)
-    } else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc")).orderBy(col("gdf").asc, col("gh").asc)
-      val prefix = exh.join(freqH, "gh")
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <=
-          (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int"))
-        .select(col("doc"), col("sz"), col("gh"))
-      val a = prefix.alias("a")
-      val b = prefix.alias("b")
-      val cands = a.join(b,
-          col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc") &&
-            col("a.sz") >= ceil(lit(theta) * col("b.sz")) &&
-            col("b.sz") >= ceil(lit(theta) * col("a.sz")))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-        .distinct()
-      verifyJaccard(cands, sets, theta)
+    // broadcast gate on the HASH table (16 B/element + row overhead) —
+    // the hot side carries hashes, not strings
+    val hashBytes = 16.0 * totInstances + 48.0 * nDocs
+    val avgSz = totInstances.toDouble / math.max(nDocs, 1L)
+    val nWords = ((vocabSize + 64 + 63) / 64).toInt
+    val bitsetBytes = nDocs.toDouble * nWords * 8
+    // Two dense representations, chosen by measured per-pair work:
+    // the sorted-hash merge costs ~2·avgSz steps/pair with zero setup;
+    // dense bitsets cost vocab/64 words/pair but need a vocabulary id
+    // pipeline (window + broadcast join + groupBy). Bitsets win in the
+    // heavy-dense regime — large sets over a tiny vocabulary — once
+    // total pair work amortizes the setup (measured crossover around
+    // allPairs·avgSz ≈ 1e10: char-grams at 100k docs ran 393 s merged
+    // vs ~90 s bitset; word-shingles at 5k docs the reverse).
+    val bitsetWins = vocabSize <= BitsetVocabMax && bitsetBytes <= 4e9 &&
+      nWords * 2 < avgSz && allPairs.toDouble * avgSz >= 1e10
+    def runBitset() =
+      bitsetAllPairs(ex, ex.groupBy("g").agg(count(lit(1)).as("gdf")),
+        nWords, theta, useBroadcast = bitsetBytes <= 256e6)
+    def runMerge() =
+      hashAllPairs(sets, theta, useBroadcast = hashBytes <= 256e6)
+    strategy match {
+      case JaccardStrategy.DenseBitset =>
+        require(vocabSize <= BitsetVocabMax,
+          s"DenseBitset needs vocab <= $BitsetVocabMax, measured $vocabSize")
+        runBitset()
+      case JaccardStrategy.DenseMerge => runMerge()
+      case JaccardStrategy.Auto if dense =>
+        if (bitsetWins) runBitset() else runMerge()
+      case _ => // Sparse forced, or Auto on a sparse corpus
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc")).orderBy(col("gdf").asc, col("gh").asc)
+        val prefix = exh.join(freqH, "gh")
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <=
+            (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int"))
+          .select(col("doc"), col("sz"), col("gh"))
+        val a = prefix.alias("a")
+        val b = prefix.alias("b")
+        val cands = a.join(b,
+            col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc") &&
+              col("a.sz") >= ceil(lit(theta) * col("b.sz")) &&
+              col("b.sz") >= ceil(lit(theta) * col("a.sz")))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .distinct()
+        verifyJaccard(cands, sets, theta)
     }
   }
 

@@ -109,6 +109,45 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("all three jaccard strategies agree with brute force on a dense corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // small vocab → dense regime; includes planted near-dups
+    val vocab = Array.tabulate(40)(i => s"tok$i")
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val planted = Seq((900L, base(5)._2), (901L, base(5)._2 + " extra"))
+    val df = (base ++ planted).toDF("doc_id", "text")
+
+    import Dedup.JaccardStrategy._
+    def run(st: Dedup.JaccardStrategy) =
+      Dedup.jaccardPairsBy(df, "doc_id",
+        graft.functions.word_shingles(col("text"), 2), theta = 0.5,
+        strategy = st)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val sets = Dedup.shingleSets(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      uni = (sets(a) union sets(b)).size
+      j = if (uni == 0) 0.0 else inter.toDouble / uni
+      if j >= 0.5
+    } yield ((a, b), j)).toMap
+
+    for (st <- Seq(Sparse, DenseMerge, DenseBitset)) {
+      val got = run(st)
+      assert(got.keySet == brute.keySet,
+        s"$st: missed=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+      got.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12, s"$st $k") }
+    }
+  }
+
   test("jaccard on a corpus with zero shingles returns empty, not an error") {
     val s = spark
     import s.implicits._
