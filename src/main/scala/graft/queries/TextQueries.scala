@@ -35,7 +35,22 @@ object TextQueries {
 
     "t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), fingerprint(col("text")).as("fp")))
+        col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Gopher-style repetition signal: fraction of word 2-grams that are
+    // repeats (1 − distinct/total). Degenerate boilerplate/loop docs
+    // score high; a standard pretraining quality filter.
+    "t5_repetition" -> ((s, dir) => {
+      val total = greatest(tokenCount(col("text")) - 1, lit(0))
+      val dist = size(graft.functions.word_shingles(col("text"), 2))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        total.as("total_2grams"),
+        dist.as("distinct_2grams"),
+        when(total === 0, lit(0.0))
+          .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
+          .as("repetition_ratio"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,6 +102,26 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "t5_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens <= 1 THEN 0 ELSE n_tokens - 1 END AS total_2grams,
+        |    CASE WHEN n_tokens <= 1 THEN 0
+        |         ELSE len(list_distinct(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1]))) END AS distinct_2grams
+        |  FROM b)
+        |SELECT doc_id, total_2grams, distinct_2grams,
+        |  CASE WHEN total_2grams = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(distinct_2grams AS DOUBLE)
+        |            / CAST(total_2grams AS DOUBLE) END AS repetition_ratio
+        |FROM g""".stripMargin
   )
 }

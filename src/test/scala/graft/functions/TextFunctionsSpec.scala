@@ -61,4 +61,25 @@ class TextFunctionsSpec extends SparkTestBase {
     val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
     assert(df.select(arrayJaccard(col("x"), col("y"))).head.getDouble(0) == 1.0 / 3.0)
   }
+
+  test("repetition ratio: degenerate docs score high, varied docs zero") {
+    val s = spark
+    import s.implicits._
+    def ratio(text: String): (Int, Int, Double) = {
+      val total = org.apache.spark.sql.functions.greatest(
+        tokenCount(col("t")) - 1, org.apache.spark.sql.functions.lit(0))
+      val dist = org.apache.spark.sql.functions.size(
+        graft.functions.word_shingles(col("t"), 2))
+      val r = Seq(text).toDF("t").select(total, dist,
+        org.apache.spark.sql.functions.when(total === 0,
+          org.apache.spark.sql.functions.lit(0.0))
+          .otherwise(org.apache.spark.sql.functions.lit(1.0) -
+            dist.cast("double") / total.cast("double"))).head()
+      (r.getInt(0), r.getInt(1), r.getDouble(2))
+    }
+    assert(ratio("a a a a") == ((3, 1, 1.0 - 1.0 / 3.0))) // one distinct 2-gram, 3 total
+    assert(ratio("w x y z") == ((3, 3, 0.0)))       // all distinct
+    assert(ratio("solo") == ((0, 0, 0.0)))          // no 2-grams at all
+    assert(ratio("") == ((0, 0, 0.0)))
+  }
 }
