@@ -207,6 +207,13 @@ case class SortedLongJaccardGE(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // theta is interpolated into generated Java source (doGenCode), so
+      // a NaN/Infinity — reachable through the registered SQL function —
+      // must fail analysis cleanly, not produce uncompilable codegen
+      // ("NaN" is not a Java literal)
+      case _ if !java.lang.Double.isFinite(theta) || theta < 0 || theta > 1 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_long_jaccard_ge requires a finite theta in [0, 1], got $theta")
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(

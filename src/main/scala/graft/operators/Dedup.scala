@@ -198,9 +198,11 @@ object Dedup {
     * — `explain` on the result (or PlanAudit) therefore triggers cluster
     * jobs. With `cacheSets` (default) the parsed shingle sets are
     * persisted MEMORY_AND_DISK so the expensive shingle lineage computes
-    * once, not once for stats and again at execution; the cache lives
-    * until the caller unpersists (`spark.catalog.clearCache()`) — callers
-    * embedding this in a larger cached pipeline can pass
+    * once, not once for stats and again at execution. The cache lives in
+    * a [[graft.ManagedCache]] slot: re-entering this operator releases
+    * the previous call's cached sets, so repeated invocation in a
+    * long-lived session holds one cached frame, not an accumulating
+    * pile — callers embedding this in a larger cached pipeline can pass
     * `cacheSets = false`. */
   def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
       theta: Double, cacheSets: Boolean = true,
@@ -210,7 +212,7 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
     val sets = if (cacheSets)
-      setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ManagedCache.swap("Dedup.jaccardPairsBy", setsPlan)
     else setsPlan
     val ex = sets.select(col("doc"), col("sz"), explode(col("sh")).as("g"))
     // Candidate generation runs on 8-byte shingle HASHES: frequency order

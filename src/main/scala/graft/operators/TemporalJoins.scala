@@ -101,11 +101,26 @@ object TemporalJoins {
     * `right.ts ∈ [left.ts, left.ts + window]`. The equi-key bounds the
     * join; the range rides as a conjunct (evaluated inside the join's
     * codegen). Output = left columns ++ right columns (right renamed via
-    * `rightPrefix` on collision). */
+    * `rightPrefix` on collision).
+    *
+    * `keys` and `rightTs` name columns of the UNRENAMED `right` frame
+    * (the prefix is an output-disambiguation detail, not part of the
+    * input contract); a right frame that already contains a
+    * `rightPrefix`-ed collision name is rejected — the rename would
+    * silently produce duplicate output columns. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, window: String,
       rightPrefix: String = "r_"): DataFrame = {
+    require(right.columns.contains(rightTs),
+      s"rightTs must name a column of the right frame (its original, " +
+        s"pre-rename name); '$rightTs' not in [${right.columns.mkString(", ")}]")
     val overlap = left.columns.toSet intersect right.columns.toSet
+    overlap.foreach { n =>
+      require(!right.columns.contains(s"$rightPrefix$n"),
+        s"right frame already has a column '$rightPrefix$n' that the " +
+          s"collision rename of '$n' would duplicate — drop or rename it " +
+          s"first, or pick another rightPrefix")
+    }
     val r = overlap.foldLeft(right)((df, n) =>
       df.withColumnRenamed(n, s"$rightPrefix$n"))
     // join keys exist on both sides by definition, so they are always in

@@ -56,7 +56,7 @@ object TemporalQueries {
         .where(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       TemporalJoins.intervalJoin(clicksRaw, views,
-        keys = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         window = "30 minutes")
         .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
           col("view_id"), col("r_ts").as("view_ts"))

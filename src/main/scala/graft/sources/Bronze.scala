@@ -45,9 +45,10 @@ object Bronze {
     * EAGER (one counts job at construction) and, with `cache` (default),
     * the ranged frame is persisted MEMORY_AND_DISK so the shuffle+sort
     * runs once, not once for counts and again at execution — the cache
-    * lives until the caller clears it (`spark.catalog.clearCache()`);
-    * pass `cache = false` when embedding in a pipeline that manages its
-    * own persistence. `orderCols` should be a total order for
+    * lives in a [[graft.ManagedCache]] slot, so re-entering this operator
+    * releases the previous call's frame rather than accumulating; pass
+    * `cache = false` when embedding in a pipeline that manages its own
+    * persistence. `orderCols` should be a total order for
     * deterministic ids (ties get dense but arbitrary ids). */
   def denseIds(df: DataFrame, orderCols: Seq[String],
       idCol: String = "_record_id", cache: Boolean = true): DataFrame = {
@@ -62,7 +63,7 @@ object Bronze {
         shiftright(col("__graft_mid"), 33).cast("int"))
       .withColumn("__graft_rn", col("__graft_mid").bitwiseAND(mask))
     val ranged = if (cache)
-      rangedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ManagedCache.swap("Bronze.denseIds", rangedPlan)
     else rangedPlan
     val counts = ranged.groupBy("__graft_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

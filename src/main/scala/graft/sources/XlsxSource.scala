@@ -320,7 +320,11 @@ object XlsxParser {
             case "c" if cellCol >= 0 =>
               val raw = text.toString
               val value = cellType match {
-                case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+                // toIntOption: a shared-string cell with a missing/empty
+                // <v> (`<c t="s"/>`, legal OOXML for an empty cell) or a
+                // malformed index degrades to a blank cell, like the
+                // out-of-range case, instead of failing the whole read
+                case "s" => raw.trim.toIntOption.flatMap(shared.lift).getOrElse("")
                 case "b" => if (raw.trim == "1") "true" else "false"
                 case _ => raw // inlineStr/str accumulate via <t>, numbers via <v>
               }

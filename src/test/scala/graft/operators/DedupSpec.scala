@@ -194,4 +194,46 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
+
+  test("sorted_long_jaccard_ge rejects non-finite / out-of-range theta at analysis") {
+    // theta is interpolated into generated Java — NaN must fail cleanly,
+    // not produce uncompilable codegen. SQL literals can't spell NaN, so
+    // exercise it through the expression API; out-of-range via SQL.
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_long_jaccard_ge(array(1L), array(1L), 1.5)").collect()
+    }
+    assert(e1.getMessage.contains("finite theta"), e1.getMessage)
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, -0.1)) {
+      val col = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedLongJaccardGE(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.lit(1L))),
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.lit(1L))),
+          bad))
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1).select(col).collect()
+      }
+      assert(e.getMessage.contains("finite theta"), s"theta=$bad: ${e.getMessage}")
+    }
+    // boundary values still work
+    val ok = spark.sql(
+      "SELECT sorted_long_jaccard_ge(array(1L), array(1L), 1.0) AS hi, " +
+        "sorted_long_jaccard_ge(array(1L), array(2L), 0.0) AS lo").head()
+    assert(ok.getBoolean(0) && ok.getBoolean(1))
+  }
+
+  test("re-entering jaccardPairsBy releases the previous cached sets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc ee"), (3L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.5).count()
+    val after1 = graft.ManagedCache.size
+    Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.5).count()
+    // the slot swapped, not stacked: still one held frame for this call site
+    assert(graft.ManagedCache.size == after1)
+  }
 }

@@ -96,4 +96,29 @@ class TemporalJoinsSpec extends SparkTestBase {
     } yield (cid, vid)).toSet
     assert(got == expected)
   }
+
+  test("interval join rejects a rightTs that is not a right-frame column") {
+    val s = spark
+    import s.implicits._
+    val c = Seq((1L, 1L, ts(0))).toDF("cid", "k", "ts")
+    val v = Seq((2L, 1L, ts(1))).toDF("vid", "k", "ts")
+    // "r_ts" is the POST-rename name — the contract wants the original
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoin(c, v, Seq("k"), "ts", "r_ts", "30 minutes")
+    }
+    assert(e.getMessage.contains("pre-rename"))
+  }
+
+  test("interval join rejects pre-existing prefixed collision names") {
+    val s = spark
+    import s.implicits._
+    val c = Seq((1L, 1L, ts(0))).toDF("cid", "k", "ts")
+    // right already has r_ts; renaming its own "ts" → "r_ts" would
+    // silently produce two r_ts output columns
+    val v = Seq((2L, 1L, ts(1), ts(2))).toDF("vid", "k", "ts", "r_ts")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoin(c, v, Seq("k"), "ts", "ts", "30 minutes")
+    }
+    assert(e.getMessage.contains("r_ts"))
+  }
 }

@@ -129,6 +129,31 @@ class XlsxSourceSpec extends SparkTestBase {
     assert((r.getString(0), r.getString(1), r.getString(2)) == ("1", "2", "3"))
   }
 
+  test("empty or malformed shared-string cells degrade to blank, not error") {
+    val p = java.nio.file.Files.createTempFile("emptyss", ".xlsx")
+    val zip = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="x"><si><t>alpha</t></si></sst>""")
+    // B2: `<c t="s"/>` — legal OOXML for an empty shared-string cell (no <v>);
+    // C2: non-numeric index — both must blank out, not NumberFormatException
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>h2</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>h3</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"/>
+        |  <c r="C2" t="s"><v>oops</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    p.toFile.deleteOnExit()
+    val df = spark.read.format("graft-xlsx").option("header", "true").load(p.toString)
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("alpha", null, null))
+  }
+
   test("column letter arithmetic (AA = 26)") {
     assert(XlsxParser.colIndex("A1") == 0)
     assert(XlsxParser.colIndex("Z9") == 25)
