@@ -32,6 +32,7 @@ object SparkEntry {
       (StreamQueries.queries, StreamQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.queries.Tables.t
+
+/** End-to-end corpus-curation pipeline — the composition a pretraining
+  * data pipeline actually runs, as ONE lazy Spark plan (C4/Gopher-style
+  * stages; each stage reuses an already-oracle-checked operator):
+  *
+  *   1. signal extraction: language-ID + token count + repetition ratio
+  *      (single projection pass, all codegen'd kernels);
+  *   2. quality gate: keep identifiable-language docs of sane length with
+  *      low boilerplate repetition;
+  *   3. exact dedup: one survivor (min doc_id) per identical text;
+  *   4. near-dup drop: word-2-gram Jaccard ≥ θ pairs among survivors
+  *      ([[Dedup.jaccardPairs]] — PPJoin/dense-adaptive), dropping the
+  *      higher doc_id of every pair.
+  *
+  * At 100 TB the shape holds: stages 1–2 are a narrow map over the scan
+  * (filter pushes to parquet), stage 3 one hash-shuffle on text, stage 4
+  * the density-gated similarity join — no driver-side loops anywhere.
+  * Stage order matters for cost: the quality gate runs BEFORE any
+  * shuffle, so dedup and the pair join only see surviving docs.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // stage 1: per-doc signals in one projection
+      val total2g = greatest(tokenCount(col("text")) - 1, lit(0))
+      val dist2g = size(graft.functions.word_shingles(col("text"), 2))
+      val signals = docs.select(
+        col("doc_id"), col("text"),
+        langId(col("text")).as("lang_guess"),
+        tokenCount(col("text")).as("n_words"),
+        when(total2g === 0, lit(0.0))
+          .otherwise(lit(1.0) - dist2g.cast("double") / total2g.cast("double"))
+          .as("rep"))
+      // stage 2: quality gate (thresholds sized to the corpus: words
+      // 20..1000, repetition ≤ 0.1, language identifiable)
+      val gated = signals.where(col("lang_guess") =!= "und" &&
+        col("n_words").between(20, 1000) && col("rep") <= 0.1)
+      // stage 3: exact dedup — keep the min doc_id of each identical text
+      val kept = gated.join(
+        Dedup.exact(gated, "text", "doc_id")
+          .select(col("kept_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // stage 4: near-dup drop — for every Jaccard≥θ pair, the smaller
+      // doc_id survives
+      val nearDupLosers = Dedup
+        .jaccardPairs(kept, "doc_id", "text", n = 2, theta = 0.5)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_guess"), col("n_words"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // mirrors t3 (lang-id), t1 (tokens), t5 (repetition), d1 (exact
+    // dedup), d2 (jaccard pairs) oracle fragments, composed
+    "c1_corpus_pipeline" ->
+      """WITH sig AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    string_split_regex(trim(text), '\s+') AS ws,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|una)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht|ein)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|des|est|une)\b')) AS fr
+        |  FROM documents),
+        |lg AS (
+        |  SELECT doc_id, text, n_words, ws,
+        |    CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |         WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+        |         ELSE 'und' END AS lang_guess,
+        |    CASE WHEN n_words <= 1 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+        |              / CAST(n_words - 1 AS DOUBLE) END AS rep
+        |  FROM sig),
+        |gated AS (
+        |  SELECT * FROM lg
+        |  WHERE lang_guess <> 'und' AND n_words BETWEEN 20 AND 1000 AND rep <= 0.1),
+        |kept AS (
+        |  SELECT * FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS s
+        |  FROM kept),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)
+        |SELECT doc_id, lang_guess, n_words FROM kept
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+  )
+}

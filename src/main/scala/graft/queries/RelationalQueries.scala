@@ -128,7 +128,57 @@ object RelationalQueries {
         count(lit(1)).as("cnt"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
-        countDistinct(col("o_custkey")).as("customers")))
+        countDistinct(col("o_custkey")).as("customers"))),
+
+    // ROLLUP hierarchy totals (SURVEY §2.4 notes grouping sets as absent
+    // from the reference — engine extension; one hash-agg pass produces
+    // all grouping levels). Group columns coalesce to 'ALL' so subtotal
+    // rows carry no NULLs through the gate compare.
+    "q12_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))),
+
+    // LEFT SEMI + LEFT ANTI join (existence checks without row
+    // multiplication — the join shapes a filter pipeline needs; both are
+    // broadcast-able on the probe side at scale)
+    "q13_semi_anti" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orderKeys = t(s, dir, "orders").select(col("o_custkey"))
+      customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+        .unionByName(
+          customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"),
+              "left_anti")
+            .select(col("c_custkey"), lit("no_orders").as("tag")))
+    }),
+
+    // PIVOT: long→wide conditional aggregation with a fixed value list
+    // (explicit values keep the plan deterministic and skip the
+    // values-collection job a dynamic pivot needs)
+    "q14_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .na.fill(0.0, Seq("O", "F", "P"))),
+
+    // Exact interpolated percentiles (sort-based; DuckDB quantile_cont
+    // uses the same lower+(upper−lower)·frac interpolation, so the
+    // doubles are bit-identical). percentile_approx is the sketch
+    // variant for 100 TB — not oracle-able, so the exact one gates.
+    "q15_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          count(lit(1)).as("cnt")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +257,41 @@ object RelationalQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price,
         |       count(DISTINCT o_custkey) AS customers
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q13_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q14_pivot" ->
+      """SELECT o_orderpriority,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O') AS DOUBLE), 0.0) AS "O",
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F') AS DOUBLE), 0.0) AS "F",
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P') AS DOUBLE), 0.0) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.75) AS p75,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin
   )
 }
