@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Exact distributed quantiles via order statistics — the 100 TB shape
+  * for interpolated percentiles.
+  *
+  * Spark's built-in exact `percentile` buffers EVERY value in the
+  * aggregation buffer (partial agg = a counts-map of the whole group),
+  * which is fine at 10⁵ rows and fatal at 10¹¹. This operator never
+  * buffers: it range-repartitions on (key, value) — a parallel sort —
+  * then turns per-partition row positions into global per-key ranks
+  * with driver-side prefix sums (width × |keys| integers, the
+  * [[graft.sources.Bronze.denseIds]] trick), and fetches only the
+  * O(|keys|·|ps|) boundary order statistics needed for interpolation.
+  * Cost: one range shuffle + one tiny counts job + a filter join, all
+  * streaming.
+  *
+  * Interpolation matches `percentile`/DuckDB `quantile_cont` BIT-exactly:
+  * `pos = p·(n−1); (⌈pos⌉−pos)·lower + (pos−⌊pos⌋)·upper` on doubles —
+  * the two-sided lerp both engines use. The one-sided
+  * `lower + (upper−lower)·frac` form is algebraically equal but rounds
+  * differently (observed 1-ulp divergence on real data), so the exact
+  * weight form matters.
+  *
+  * Intended for low-cardinality keys (the counts collect is
+  * width × |keys| rows); for high-cardinality keys the built-in
+  * partial-agg percentile is the right tool instead.
+  *
+  * Output: keyCols…, `p` (double), `q` (double), `n` (long non-null
+  * count). NULL values are ignored, like the built-in. Keys with no
+  * non-null values produce no rows.
+  */
+object Quantiles {
+
+  def exactQuantiles(df: DataFrame, keyCols: Seq[String], valCol: String,
+      ps: Seq[Double], width: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must lie in [0, 1], got $ps")
+    val spark = df.sparkSession
+    val w = if (width > 0) width else spark.sparkContext.defaultParallelism
+    val mask = (1L << 33) - 1
+    val sortCols = keyCols.map(col) :+ col("__v")
+
+    // parallel sort by (key, value); local row index from the documented
+    // monotonically_increasing_id layout (partition id << 33 | row#)
+    val ranged = df
+      .select(keyCols.map(col) :+ col(valCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .repartitionByRange(w, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lrn", col("__mid").bitwiseAND(mask))
+    val cached = graft.ManagedCache.swap("Quantiles.exactQuantiles", ranged)
+
+    // ONE tiny job: per-(partition, key) row count + run start; the
+    // range partitioner keeps each partition's key-runs contiguous, so
+    // min(__lrn) is where the key's run begins in that partition
+    val keyIdx = keyCols.indices
+    val counts = cached.groupBy(col("__pid") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), min(col("__lrn")).as("__runStart"))
+      .collect()
+
+    // driver-side prefix sums: global rank offset of each (pid, key) run
+    case class RunInfo(pid: Int, key: Seq[Any], cnt: Long, runStart: Long)
+    val runs = counts.map(r => RunInfo(r.getInt(0),
+      keyIdx.map(i => r.get(1 + i)), r.getLong(1 + keyCols.length),
+      r.getLong(2 + keyCols.length)))
+    val byKey = runs.groupBy(_.key)
+    val keyOffsets = byKey.flatMap { case (_, rs) =>
+      rs.sortBy(_.pid)
+        .foldLeft((0L, List.empty[(RunInfo, Long)])) { case ((acc, out), r) =>
+          (acc + r.cnt, (r, acc) :: out)
+        }._2
+    }.toSeq
+    val nByKey: Map[Seq[Any], Long] =
+      byKey.view.mapValues(_.map(_.cnt).sum).toMap
+
+    val keyFields = keyCols.map(k => df.schema(k))
+
+    // broadcast map A: (pid, key) → (runStart, keyOffset)
+    val offSchema = StructType(StructField("__pid", IntegerType) +:
+      keyFields :+ StructField("__runStart2", LongType)
+      :+ StructField("__keyOff", LongType))
+    val offRows = keyOffsets.map { case (r, off) =>
+      Row.fromSeq(r.pid +: r.key :+ r.runStart :+ off)
+    }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+
+    // broadcast map B: the boundary order statistics each key needs —
+    // both ⌊pos⌋ and ⌈pos⌉ per requested fraction (equal when frac = 0)
+    val bSchema = StructType(keyFields :+ StructField("__rank", LongType)
+      :+ StructField("p", DoubleType) :+ StructField("__wlo", DoubleType)
+      :+ StructField("__whi", DoubleType)
+      :+ StructField("__which", StringType) :+ StructField("n", LongType))
+    val bRows = nByKey.toSeq.flatMap { case (key, n) =>
+      ps.flatMap { p =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        // two-sided weights, computed exactly as the engines do
+        // (Long − Double promotion); wlo + whi need not equal 1.0 in
+        // floating point, which is precisely why both are carried
+        val wlo = hi - pos
+        val whi = pos - lo
+        Seq(Row.fromSeq(key :+ lo :+ p :+ wlo :+ whi :+ "lo" :+ n),
+          Row.fromSeq(key :+ hi :+ p :+ wlo :+ whi :+ "hi" :+ n))
+      }
+    }
+    val bDf = spark.createDataFrame(java.util.Arrays.asList(bRows: _*), bSchema)
+
+    // global per-key rank, then keep only boundary rows (the join is the
+    // filter — |bounds| rows survive out of everything scanned)
+    val withRank = cached
+      .join(broadcast(offDf), ("__pid" +: keyCols).toSeq)
+      .withColumn("__grank", col("__keyOff") + col("__lrn") - col("__runStart2"))
+    val joinCond = keyCols.map(k => withRank(k) === bDf(k)).reduce(_ && _) &&
+      withRank("__grank") === bDf("__rank")
+    val matched = withRank.join(broadcast(bDf), joinCond)
+      .select(keyCols.map(bDf(_)) ++ Seq(bDf("p"), bDf("__wlo"), bDf("__whi"),
+        bDf("n"), col("__which"), col("__v")): _*)
+
+    // lo == hi (integral pos) makes both weights 0 — return lower, like
+    // the built-in's equal-index short-circuit
+    matched.groupBy(keyCols.map(col) :+ col("p"): _*)
+      .agg(first(col("__wlo")).as("__wlo"), first(col("__whi")).as("__whi"),
+        first(col("n")).as("n"),
+        min(when(col("__which") === "lo", col("__v"))).as("__lower"),
+        min(when(col("__which") === "hi", col("__v"))).as("__upper"))
+      .select(keyCols.map(col) ++ Seq(col("p"),
+        when(col("__whi") === 0.0, col("__lower"))
+          .otherwise(col("__wlo") * col("__lower") + col("__whi") * col("__upper"))
+          .as("q"), col("n")): _*)
+  }
+}

@@ -30,17 +30,30 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_pipeline" -> ((s, dir) => {
+      // spread the one-file scan across cores FIRST: the signal kernels
+      // (lang-ID regexes, shingles) are the per-row cost, and a single
+      // parquet file otherwise evaluates them in one task
       val docs = t(s, dir, "documents")
-      // stage 1: per-doc signals in one projection
+        .transform(graft.operators.Par.spread(_, col("doc_id")))
+      // stage 1: per-doc signals in one projection, computed ONCE — the
+      // persist boundary stops Catalyst pushing the (expensive) gate
+      // predicate below the spread exchange into the single-task scan,
+      // and the three consumers of this frame (exact-dedup grouping,
+      // pair stats, final output) share the computation instead of
+      // re-running the regex battery per branch. ManagedCache bounds the
+      // cache across re-entries. At 100 TB the same persist is how the
+      // one-pass-signals/many-consumers shape should run (or a
+      // materialized silver table).
       val total2g = greatest(tokenCount(col("text")) - 1, lit(0))
       val dist2g = size(graft.functions.word_shingles(col("text"), 2))
-      val signals = docs.select(
-        col("doc_id"), col("text"),
-        langId(col("text")).as("lang_guess"),
-        tokenCount(col("text")).as("n_words"),
-        when(total2g === 0, lit(0.0))
-          .otherwise(lit(1.0) - dist2g.cast("double") / total2g.cast("double"))
-          .as("rep"))
+      val signals = graft.ManagedCache.swap("CurationQueries.c1.signals",
+        docs.select(
+          col("doc_id"), col("text"),
+          langId(col("text")).as("lang_guess"),
+          tokenCount(col("text")).as("n_words"),
+          when(total2g === 0, lit(0.0))
+            .otherwise(lit(1.0) - dist2g.cast("double") / total2g.cast("double"))
+            .as("rep")))
       // stage 2: quality gate (thresholds sized to the corpus: words
       // 20..1000, repetition ≤ 0.1, language identifiable)
       val gated = signals.where(col("lang_guess") =!= "und" &&

@@ -168,17 +168,21 @@ object RelationalQueries {
         .agg(sum(dec(col("o_totalprice"))).cast("double"))
         .na.fill(0.0, Seq("O", "F", "P"))),
 
-    // Exact interpolated percentiles (sort-based; DuckDB quantile_cont
-    // uses the same lower+(upper−lower)·frac interpolation, so the
-    // doubles are bit-identical). percentile_approx is the sketch
-    // variant for 100 TB — not oracle-able, so the exact one gates.
-    "q15_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"),
-          count(lit(1)).as("cnt")))
+    // Exact interpolated percentiles via distributed order statistics
+    // (graft.operators.Quantiles: range-repartition + partition-offset
+    // rank arithmetic — never buffers a group in memory, unlike the
+    // built-in exact `percentile`, and bit-identical to it and to DuckDB
+    // quantile_cont; QuantilesSpec proves the builtin equivalence).
+    "q15_percentiles" -> ((s, dir) => {
+      val q = graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+      q.groupBy(col("l_returnflag"))
+        .agg(min(when(col("p") === 0.25, col("q"))).as("p25"),
+          min(when(col("p") === 0.5, col("q"))).as("p50"),
+          min(when(col("p") === 0.75, col("q"))).as("p75"),
+          min(col("n")).as("cnt"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
