@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sequence packing for training pipelines: assign documents to
+  * fixed-token-budget packs (context windows) in a deterministic order.
+  *
+  * The kernel is a DISTRIBUTED exclusive prefix sum ([[cumSumBefore]]):
+  * the classic `sum() OVER (ORDER BY …)` global window moves the whole
+  * table through ONE task — fine at 10⁵ rows, fatal at 10¹¹. Here the
+  * order is established once by a range repartition (parallel sort);
+  * each partition computes its LOCAL running sums with an ordinary
+  * window, and a driver-side prefix over the width per-partition totals
+  * (the [[graft.sources.Bronze.denseIds]] offset trick, summed instead
+  * of counted) lifts them to global values.
+  *
+  * Packing semantics: doc d goes to pack `⌊cumBefore(d) / budget⌋` —
+  * boundary-straddling docs belong to the pack where their token run
+  * starts. This is the order-deterministic "chunk the token stream"
+  * discipline (packs may overrun by at most one doc's tail); next-fit
+  * greedy packing is sequential by nature and belongs within shards,
+  * not across a cluster.
+  */
+object Packing {
+
+  /** Adds `outCol` = sum of `valCol` over all rows strictly BEFORE this
+    * row in `orderCols` order (exclusive prefix sum), distributed.
+    * `orderCols` should be a total order for deterministic results. */
+  def cumSumBefore(df: DataFrame, orderCols: Seq[String], valCol: String,
+      outCol: String = "cum_before", width: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "cumSumBefore needs ordering columns")
+    val spark = df.sparkSession
+    val w = if (width > 0) width else spark.sparkContext.defaultParallelism
+    val mask = (1L << 33) - 1
+    val ranged = df
+      .repartitionByRange(w, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid",
+        shiftright(monotonically_increasing_id(), 33).cast("int"))
+    val cached = graft.ManagedCache.swap("Packing.cumSumBefore", ranged)
+
+    // local exclusive running sum per partition (the window's pid
+    // partitioning re-clusters rows that are already clustered — one
+    // 1:1 exchange; the alternative is imperative mapPartitions)
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = cached.withColumn("__local",
+      coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+
+    // driver prefix over per-partition totals → global offset
+    val totals = cached.groupBy("__pid")
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = totals.keys.toSeq.sorted
+      .foldLeft((0L, Vector.empty[(Int, Long)])) { case ((acc, out), pid) =>
+        (acc + totals(pid), out :+ (pid -> acc))
+      }._2
+    val offDf = broadcast(
+      spark.createDataFrame(offsets).toDF("__pid", "__off"))
+    local.join(offDf, "__pid")
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Pack documents into `budget`-token bins in `orderCols` order:
+    * output = input ++ (`cum_before`, `pack_id`). */
+  def packByTokenBudget(df: DataFrame, orderCols: Seq[String],
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    cumSumBefore(df, orderCols, tokensCol)
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+  }
+}

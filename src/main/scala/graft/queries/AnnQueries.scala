@@ -62,7 +62,13 @@ object AnnQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
-    // a2_ann_lsh, a3_ann_ivf, a4_neardup_lsh: rows-only (approximate by
-    // construction)
+    // a2_ann_lsh / a3_ann_ivf / a4_neardup_lsh stay rows-only
+    // DELIBERATELY: the d3-style total-recall parameterization was
+    // evaluated and rejected for this corpus — its near-dup pairs all sit
+    // at cosine 0.45–0.51 (weak angular signal, per-bit collision
+    // p ≈ 0.65), so parameters guaranteeing recall 1.0 (e.g. 4 bits ×
+    // 32 tables) multiply candidate volume ~8× and reduce the query to
+    // brute force with extra steps. The approximate configs are instead
+    // pinned by AnnSpec recall assertions against the exact baselines.
   )
 }

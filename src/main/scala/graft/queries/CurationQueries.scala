@@ -71,6 +71,18 @@ object CurationQueries {
         .distinct()
       kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang_guess"), col("n_words"))
+    }),
+
+    // sequence packing: assign every doc to a 2048-token context-window
+    // pack in doc_id order, via the DISTRIBUTED exclusive prefix sum
+    // (operators/Packing — no single-task global window; see its
+    // Scaladoc for the offset construction)
+    "c2_token_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .packByTokenBudget(docs, Seq("doc_id"), "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("pack_id"))
     })
   )
 
@@ -116,6 +128,23 @@ object CurationQueries {
         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)
         |SELECT doc_id, lang_guess, n_words FROM kept
-        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // the oracle states packing as the classic single-window form the
+    // operator distributes
+    "c2_token_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 2048) AS BIGINT) AS pack_id
+        |FROM tok""".stripMargin
   )
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+
+  test("distributed exclusive prefix sum equals the global-window form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // shuffled insert order: the operator must establish the order itself
+    val rows = rnd.shuffle((0 until 20000).toList)
+      .map(i => (i.toLong, rnd.nextInt(500) + 1))
+    val df = rows.toDF("id", "tok").repartition(7)
+
+    val got = Packing.cumSumBefore(df, Seq("id"), "tok")
+      .select("id", "cum_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val expected = df.withColumn("cb",
+        coalesce(sum(col("tok")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "cb").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(got == expected)
+  }
+
+  test("packByTokenBudget bins where the token run starts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1000), (2L, 1000), (3L, 1000), (4L, 48), (5L, 2048), (6L, 1))
+      .toDF("doc_id", "n")
+    val out = Packing.packByTokenBudget(df, Seq("doc_id"), "n", 2048L)
+      .select("doc_id", "cum_before", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc3 starts at 2000 (< 2048) so it straddles into pack 0;
+    // doc5 starts at 3048 → pack 1; doc6 starts at 5096 → pack 2
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 1000L, 0L), (3L, 2000L, 0L),
+      (4L, 3000L, 1L), (5L, 3048L, 1L), (6L, 5096L, 2L)))
+  }
+}
