@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, engine-portable dataset splits — the reproducible
+  * train/validation/test assignment a training pipeline needs.
+  *
+  * `sample()`/`sampleBy()` are seeded but engine-specific (their RNG
+  * stream is a Spark implementation detail): a rerun on another engine —
+  * or the same engine after a partitioning change — can move rows
+  * between splits. Here membership is a PURE function of (salt, id):
+  * the first 12 hex digits of `md5(salt ":" id)` compared
+  * lexicographically against cumulative-fraction thresholds (lowercase
+  * hex order == numeric order, and every engine's md5 agrees), so the
+  * assignment survives reruns, repartitioning, and engine migrations,
+  * and any two tables keyed by the same id split consistently.
+  * Per-split fractions are accurate to 16⁻¹² ≈ 3.6e-15.
+  *
+  * Shuffle-free and codegen'd: one md5 + substring + string compares per
+  * row, no state at any scale.
+  */
+object Splits {
+
+  /** 12-hex-digit threshold for cumulative fraction `f`. */
+  private[operators] def thresholdHex(f: Double): String =
+    f"${(f * math.pow(16, 12)).toLong}%012x"
+
+  /** The per-row hash key: first 12 lowercase-hex digits of
+    * md5("salt:id"). */
+  def hashKey(idCol: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))
+      .cast("binary")), 1, 12)
+
+  /** Adds `outCol` naming each row's split. `splits` are
+    * (name, fraction) pairs summing to 1.0; assignment follows their
+    * order over the hash space. */
+  def assignSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1.0: $splits")
+    val key = hashKey(col(idCol), salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), f)) =>
+        val cond = key < lit(thresholdHex(f))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get.otherwise(lit(splits.last._1))
+    df.withColumn(outCol, assigned)
+  }
+}

@@ -83,7 +83,15 @@ object CurationQueries {
       graft.operators.Packing
         .packByTokenBudget(docs, Seq("doc_id"), "n_tokens", budget = 2048L)
         .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("pack_id"))
-    })
+    }),
+
+    // deterministic 10/10/80 train-split assignment — membership is a
+    // pure function of (salt, doc_id) via md5, so it survives reruns,
+    // repartitioning, and engine migrations (operators/Splits)
+    "c3_hash_split" -> ((s, dir) =>
+      graft.operators.Splits.assignSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "graft-r3",
+        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,6 +153,17 @@ object CurationQueries {
         |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 2048) AS BIGINT) AS pack_id
-        |FROM tok""".stripMargin
+        |FROM tok""".stripMargin,
+
+    // thresholds are the 12-hex-digit cumulative fractions 0.1 and 0.2
+    // (Splits.thresholdHex); lowercase-hex order == numeric order
+    "c3_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5('graft-r3:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |            < '199999999999' THEN 'val'
+        |       WHEN substring(md5('graft-r3:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |            < '333333333333' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin
   )
 }
