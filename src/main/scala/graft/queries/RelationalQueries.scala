@@ -182,6 +182,24 @@ object RelationalQueries {
           min(when(col("p") === 0.5, col("q"))).as("p50"),
           min(when(col("p") === 0.75, col("q"))).as("p75"),
           min(col("n")).as("cnt"))
+    }),
+
+    // Window frames: lag/lead + rows-frame running aggregate per key
+    // (SURVEY §2.5 notes frames as absent from the reference — engine
+    // extension; one shuffle on the partition key, frames evaluated in
+    // the sorted window pass)
+    "q16_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_order"),
+        coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_order"),
+        sum(dec(col("o_totalprice"))).over(w3).cast("double").as("trailing3_spend"),
+        datediff(col("o_orderdate").cast("date"),
+          coalesce(lag(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+            .cast("date")).as("days_since_prev"))
     })
   )
 
@@ -296,6 +314,21 @@ object RelationalQueries {
         |       quantile_cont(l_extendedprice, 0.75) AS p75,
         |       count(*) AS cnt
         |FROM lineitem
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q16_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing3_spend,
+        |  datediff('day',
+        |    CAST(coalesce(lag(o_orderdate, 1) OVER w, o_orderdate) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
   )
 }
