@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The sketch aggregates that replace their exact counterparts at
+  * 100 TB, each pinned against the exact answer on data where both run:
+  * HyperLogLog distinct counts, t-digest-style approximate quantiles,
+  * Bloom-filter membership, Count-Min frequency. All are Spark
+  * built-ins — the spec documents the error contracts the engine
+  * relies on when exact operators (q11 countDistinct, q15 exact
+  * quantiles) stop fitting. */
+class SketchesSpec extends SparkTestBase {
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.01/orders.parquet").cache()
+
+  test("approx_count_distinct lands within its rsd bound of the exact count") {
+    val exact = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = orders
+      .select(approx_count_distinct(col("o_custkey"), rsd = 0.02))
+      .head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    info(s"exact=$exact approx=$approx err=$err")
+    assert(err <= 0.06, s"HLL error $err beyond 3×rsd") // 3σ of rsd=0.02
+  }
+
+  test("approx quantiles bracket the exact order statistics") {
+    val eps = 0.01
+    val Array(q25, q50, q75) = orders.stat
+      .approxQuantile("o_totalprice", Array(0.25, 0.5, 0.75), eps)
+    val n = orders.count()
+    val sorted = orders.select("o_totalprice").orderBy("o_totalprice")
+    def rankOf(v: Double): Long =
+      sorted.where(col("o_totalprice") <= v).count()
+    for ((q, p) <- Seq(q25 -> 0.25, q50 -> 0.5, q75 -> 0.75)) {
+      val r = rankOf(q).toDouble / n
+      assert(math.abs(r - p) <= eps + 1.0 / n,
+        s"approx p=$p returned rank fraction $r")
+    }
+  }
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    val fpp = 0.03
+    val bf = orders.stat.bloomFilter("o_orderkey", 20000, fpp)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.forall(bf.mightContain), "bloom filter false negative")
+    val absent = (1L to 20000L).map(_ + 10000000L)
+    val fp = absent.count(bf.mightContain).toDouble / absent.size
+    info(s"false-positive rate $fp (target $fpp)")
+    assert(fp <= fpp * 3, s"bloom fp rate $fp far beyond target $fpp")
+  }
+
+  test("count-min sketch overestimates only, within epsilon of total mass") {
+    val eps = 0.001
+    val cms = orders.stat.countMinSketch(col("o_orderpriority"),
+      eps = eps, confidence = 0.99, seed = 42)
+    val exact = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS underestimated $k: $est < $n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"CMS overestimate for $k beyond eps bound: $est vs $n")
+    }
+  }
+}
