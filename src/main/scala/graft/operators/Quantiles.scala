@@ -69,35 +69,30 @@ object Quantiles {
     val runs = counts.map(r => RunInfo(r.getInt(0),
       keyIdx.map(i => r.get(1 + i)), r.getLong(1 + keyCols.length),
       r.getLong(2 + keyCols.length)))
-    val byKey = runs.groupBy(_.key)
-    val keyOffsets = byKey.flatMap { case (_, rs) =>
-      rs.sortBy(_.pid)
-        .foldLeft((0L, List.empty[(RunInfo, Long)])) { case ((acc, out), r) =>
-          (acc + r.cnt, (r, acc) :: out)
-        }._2
-    }.toSeq
-    val nByKey: Map[Seq[Any], Long] =
-      byKey.view.mapValues(_.map(_.cnt).sum).toMap
+    val byKey = runs.groupBy(_.key).view
+      .mapValues { rs =>
+        val sorted = rs.sortBy(_.pid)
+        val offs = sorted.scanLeft(0L)(_ + _.cnt)
+        (sorted, offs) // run i holds global key-ranks [offs(i), offs(i+1))
+      }.toMap
 
-    val keyFields = keyCols.map(k => df.schema(k))
-
-    // broadcast map A: (pid, key) → (runStart, keyOffset)
-    val offSchema = StructType(StructField("__pid", IntegerType) +:
-      keyFields :+ StructField("__runStart2", LongType)
-      :+ StructField("__keyOff", LongType))
-    val offRows = keyOffsets.map { case (r, off) =>
-      Row.fromSeq(r.pid +: r.key :+ r.runStart :+ off)
+    // the driver knows which (partition, local row) each boundary order
+    // statistic lives at, so the scan needs ONE broadcast equi-join on
+    // (__pid, __lrn) — no per-row global-rank arithmetic at all
+    def locate(key: Seq[Any], rank: Long): (Int, Long) = {
+      val (sorted, offs) = byKey(key)
+      var i = offs.length - 2
+      while (i > 0 && offs(i) > rank) i -= 1
+      (sorted(i).pid, rank - offs(i) + sorted(i).runStart)
     }
-    val offDf = spark.createDataFrame(
-      java.util.Arrays.asList(offRows: _*), offSchema)
-
-    // broadcast map B: the boundary order statistics each key needs —
-    // both ⌊pos⌋ and ⌈pos⌉ per requested fraction (equal when frac = 0)
-    val bSchema = StructType(keyFields :+ StructField("__rank", LongType)
+    val keyFields = keyCols.map(k => df.schema(k))
+    val bSchema = StructType(StructField("__pid", IntegerType)
+      +: StructField("__lrn", LongType) +: keyFields
       :+ StructField("p", DoubleType) :+ StructField("__wlo", DoubleType)
       :+ StructField("__whi", DoubleType)
       :+ StructField("__which", StringType) :+ StructField("n", LongType))
-    val bRows = nByKey.toSeq.flatMap { case (key, n) =>
+    val bRows = byKey.keys.toSeq.flatMap { key =>
+      val n = byKey(key)._1.map(_.cnt).sum
       ps.flatMap { p =>
         val pos = p * (n - 1)
         val lo = math.floor(pos).toLong
@@ -107,20 +102,18 @@ object Quantiles {
         // floating point, which is precisely why both are carried
         val wlo = hi - pos
         val whi = pos - lo
-        Seq(Row.fromSeq(key :+ lo :+ p :+ wlo :+ whi :+ "lo" :+ n),
-          Row.fromSeq(key :+ hi :+ p :+ wlo :+ whi :+ "hi" :+ n))
+        val (loPid, loLrn) = locate(key, lo)
+        val (hiPid, hiLrn) = locate(key, hi)
+        Seq(Row.fromSeq(loPid +: loLrn +: key :+ p :+ wlo :+ whi :+ "lo" :+ n),
+          Row.fromSeq(hiPid +: hiLrn +: key :+ p :+ wlo :+ whi :+ "hi" :+ n))
       }
     }
     val bDf = spark.createDataFrame(java.util.Arrays.asList(bRows: _*), bSchema)
 
-    // global per-key rank, then keep only boundary rows (the join is the
-    // filter — |bounds| rows survive out of everything scanned)
-    val withRank = cached
-      .join(broadcast(offDf), ("__pid" +: keyCols).toSeq)
-      .withColumn("__grank", col("__keyOff") + col("__lrn") - col("__runStart2"))
-    val joinCond = keyCols.map(k => withRank(k) === bDf(k)).reduce(_ && _) &&
-      withRank("__grank") === bDf("__rank")
-    val matched = withRank.join(broadcast(bDf), joinCond)
+    // the join IS the filter: |bounds| rows survive out of the scan
+    val joinCond = cached("__pid") === bDf("__pid") &&
+      cached("__lrn") === bDf("__lrn")
+    val matched = cached.join(broadcast(bDf), joinCond)
       .select(keyCols.map(bDf(_)) ++ Seq(bDf("p"), bDf("__wlo"), bDf("__whi"),
         bDf("n"), col("__which"), col("__v")): _*)
 
