@@ -11,9 +11,13 @@ import org.apache.spark.storage.StorageLevel
   * (e.g. Bench looping its queries) holds a bounded cache instead of
   * accumulating dead entries until LRU eviction or `clearCache()`.
   *
-  * Unpersisting the previous occupant is safe even if an old returned
-  * plan still references it — Spark recomputes the lineage; the cache is
-  * a throughput optimization, never a correctness dependency.
+  * Unpersisting the previous occupant makes an old returned plan that
+  * still references it recompute its lineage. That is result-identical
+  * whenever the lineage is deterministic — which every caller here
+  * guarantees by contract (denseIds/Quantiles/Packing document that
+  * their order columns must be a total order; with genuinely tied rows
+  * a recompute may reassign ids among the ties, exactly as rerunning
+  * the operator would).
   */
 private[graft] object ManagedCache {
   private val held = scala.collection.mutable.Map.empty[String, DataFrame]

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** Sequence packing for training pipelines: assign documents to
   * fixed-token-budget packs (context windows) in a deterministic order.
@@ -31,27 +31,28 @@ object Packing {
   def cumSumBefore(df: DataFrame, orderCols: Seq[String], valCol: String,
       outCol: String = "cum_before", width: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "cumSumBefore needs ordering columns")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input — pick another")
     val spark = df.sparkSession
     val w = if (width > 0) width else spark.sparkContext.defaultParallelism
-    val mask = (1L << 33) - 1
     val ranged = df
       .repartitionByRange(w, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("__pid",
+      .withColumn("__graft_pid",
         shiftright(monotonically_increasing_id(), 33).cast("int"))
     val cached = graft.ManagedCache.swap("Packing.cumSumBefore", ranged)
 
     // local exclusive running sum per partition (the window's pid
     // partitioning re-clusters rows that are already clustered — one
     // 1:1 exchange; the alternative is imperative mapPartitions)
-    val wLocal = Window.partitionBy(col("__pid"))
+    val wLocal = Window.partitionBy(col("__graft_pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = cached.withColumn("__local",
+    val local = cached.withColumn("__graft_local",
       coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
 
     // driver prefix over per-partition totals → global offset
-    val totals = cached.groupBy("__pid")
+    val totals = cached.groupBy("__graft_pid")
       .agg(coalesce(sum(col(valCol)), lit(0L)).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = totals.keys.toSeq.sorted
@@ -59,10 +60,10 @@ object Packing {
         (acc + totals(pid), out :+ (pid -> acc))
       }._2
     val offDf = broadcast(
-      spark.createDataFrame(offsets).toDF("__pid", "__off"))
-    local.join(offDf, "__pid")
-      .withColumn(outCol, col("__off") + col("__local"))
-      .drop("__pid", "__local", "__off")
+      spark.createDataFrame(offsets).toDF("__graft_pid", "__graft_off"))
+    local.join(offDf, "__graft_pid")
+      .withColumn(outCol, col("__graft_off") + col("__graft_local"))
+      .drop("__graft_pid", "__graft_local", "__graft_off")
   }
 
   /** Pack documents into `budget`-token bins in `orderCols` order:
@@ -70,6 +71,8 @@ object Packing {
   def packByTokenBudget(df: DataFrame, orderCols: Seq[String],
       tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains("pack_id"),
+      "input already has a pack_id column — drop or rename it first")
     cumSumBefore(df, orderCols, tokensCol)
       .withColumn("pack_id", floor(col("cum_before") / budget))
   }

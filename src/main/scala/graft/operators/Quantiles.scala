@@ -39,29 +39,33 @@ object Quantiles {
       ps: Seq[Double], width: Int = 0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must lie in [0, 1], got $ps")
+    // the output appends these names to the key columns — a key named
+    // p/q/n would make the final projection ambiguous
+    Seq("p", "q", "n").foreach(r => require(!keyCols.contains(r),
+      s"key column '$r' collides with the $r output column — alias it first"))
     val spark = df.sparkSession
     val w = if (width > 0) width else spark.sparkContext.defaultParallelism
     val mask = (1L << 33) - 1
-    val sortCols = keyCols.map(col) :+ col("__v")
+    val sortCols = keyCols.map(col) :+ col("__graft_v")
 
     // parallel sort by (key, value); local row index from the documented
     // monotonically_increasing_id layout (partition id << 33 | row#)
     val ranged = df
-      .select(keyCols.map(col) :+ col(valCol).cast("double").as("__v"): _*)
-      .where(col("__v").isNotNull)
+      .select(keyCols.map(col) :+ col(valCol).cast("double").as("__graft_v"): _*)
+      .where(col("__graft_v").isNotNull)
       .repartitionByRange(w, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .withColumn("__lrn", col("__mid").bitwiseAND(mask))
+      .withColumn("__graft_mid", monotonically_increasing_id())
+      .withColumn("__graft_pid", shiftright(col("__graft_mid"), 33).cast("int"))
+      .withColumn("__graft_lrn", col("__graft_mid").bitwiseAND(mask))
     val cached = graft.ManagedCache.swap("Quantiles.exactQuantiles", ranged)
 
     // ONE tiny job: per-(partition, key) row count + run start; the
     // range partitioner keeps each partition's key-runs contiguous, so
-    // min(__lrn) is where the key's run begins in that partition
+    // min(__graft_lrn) is where the key's run begins in that partition
     val keyIdx = keyCols.indices
-    val counts = cached.groupBy(col("__pid") +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__cnt"), min(col("__lrn")).as("__runStart"))
+    val counts = cached.groupBy(col("__graft_pid") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"), min(col("__graft_lrn")).as("__graft_runstart"))
       .collect()
 
     // driver-side prefix sums: global rank offset of each (pid, key) run
@@ -78,7 +82,7 @@ object Quantiles {
 
     // the driver knows which (partition, local row) each boundary order
     // statistic lives at, so the scan needs ONE broadcast equi-join on
-    // (__pid, __lrn) — no per-row global-rank arithmetic at all
+    // (__graft_pid, __graft_lrn) — no per-row global-rank arithmetic at all
     def locate(key: Seq[Any], rank: Long): (Int, Long) = {
       val (sorted, offs) = byKey(key)
       var i = offs.length - 2
@@ -86,11 +90,11 @@ object Quantiles {
       (sorted(i).pid, rank - offs(i) + sorted(i).runStart)
     }
     val keyFields = keyCols.map(k => df.schema(k))
-    val bSchema = StructType(StructField("__pid", IntegerType)
-      +: StructField("__lrn", LongType) +: keyFields
-      :+ StructField("p", DoubleType) :+ StructField("__wlo", DoubleType)
-      :+ StructField("__whi", DoubleType)
-      :+ StructField("__which", StringType) :+ StructField("n", LongType))
+    val bSchema = StructType(StructField("__graft_pid", IntegerType)
+      +: StructField("__graft_lrn", LongType) +: keyFields
+      :+ StructField("p", DoubleType) :+ StructField("__graft_wlo", DoubleType)
+      :+ StructField("__graft_whi", DoubleType)
+      :+ StructField("__graft_which", StringType) :+ StructField("n", LongType))
     val bRows = byKey.keys.toSeq.flatMap { key =>
       val n = byKey(key)._1.map(_.cnt).sum
       ps.flatMap { p =>
@@ -111,22 +115,22 @@ object Quantiles {
     val bDf = spark.createDataFrame(java.util.Arrays.asList(bRows: _*), bSchema)
 
     // the join IS the filter: |bounds| rows survive out of the scan
-    val joinCond = cached("__pid") === bDf("__pid") &&
-      cached("__lrn") === bDf("__lrn")
+    val joinCond = cached("__graft_pid") === bDf("__graft_pid") &&
+      cached("__graft_lrn") === bDf("__graft_lrn")
     val matched = cached.join(broadcast(bDf), joinCond)
-      .select(keyCols.map(bDf(_)) ++ Seq(bDf("p"), bDf("__wlo"), bDf("__whi"),
-        bDf("n"), col("__which"), col("__v")): _*)
+      .select(keyCols.map(bDf(_)) ++ Seq(bDf("p"), bDf("__graft_wlo"), bDf("__graft_whi"),
+        bDf("n"), col("__graft_which"), col("__graft_v")): _*)
 
     // lo == hi (integral pos) makes both weights 0 — return lower, like
     // the built-in's equal-index short-circuit
     matched.groupBy(keyCols.map(col) :+ col("p"): _*)
-      .agg(first(col("__wlo")).as("__wlo"), first(col("__whi")).as("__whi"),
+      .agg(first(col("__graft_wlo")).as("__graft_wlo"), first(col("__graft_whi")).as("__graft_whi"),
         first(col("n")).as("n"),
-        min(when(col("__which") === "lo", col("__v"))).as("__lower"),
-        min(when(col("__which") === "hi", col("__v"))).as("__upper"))
+        min(when(col("__graft_which") === "lo", col("__graft_v"))).as("__graft_lower"),
+        min(when(col("__graft_which") === "hi", col("__graft_v"))).as("__graft_upper"))
       .select(keyCols.map(col) ++ Seq(col("p"),
-        when(col("__whi") === 0.0, col("__lower"))
-          .otherwise(col("__wlo") * col("__lower") + col("__whi") * col("__upper"))
+        when(col("__graft_whi") === 0.0, col("__graft_lower"))
+          .otherwise(col("__graft_wlo") * col("__graft_lower") + col("__graft_whi") * col("__graft_upper"))
           .as("q"), col("n")): _*)
   }
 }

@@ -27,9 +27,14 @@ object Splits {
     f"${(f * math.pow(16, 12)).toLong}%012x"
 
   /** The per-row hash key: first 12 lowercase-hex digits of
-    * md5("salt:id"). */
+    * md5("salt:id"). `concat` (not `concat_ws`) so a NULL id propagates
+    * to a NULL key → the row falls through to the LAST split in every
+    * engine (matching SQL CASE semantics), instead of all null ids
+    * silently hashing the bare salt. Salts are caller-chosen constants;
+    * a salt containing ':' can collide with another (salt, id) pairing,
+    * so keep ':' out of salts. */
   def hashKey(idCol: Column, salt: String): Column =
-    substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))
+    substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))
       .cast("binary")), 1, 12)
 
   /** Adds `outCol` naming each row's split. `splits` are

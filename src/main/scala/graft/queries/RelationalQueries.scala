@@ -307,12 +307,16 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // count(l_extendedprice), not count(*): the operator's n counts
+    // non-null values, and a key whose values were all NULL produces no
+    // row at all (documented in Quantiles) — keep the oracle on the same
+    // semantics so a null-bearing corpus can't silently diverge
     "q15_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_extendedprice, 0.25) AS p25,
         |       quantile_cont(l_extendedprice, 0.5) AS p50,
         |       quantile_cont(l_extendedprice, 0.75) AS p75,
-        |       count(*) AS cnt
+        |       count(l_extendedprice) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
 

@@ -49,7 +49,10 @@ object Bronze {
     * releases the previous call's frame rather than accumulating; pass
     * `cache = false` when embedding in a pipeline that manages its own
     * persistence. `orderCols` should be a total order for
-    * deterministic ids (ties get dense but arbitrary ids). */
+    * deterministic ids: ties still get dense ids, but WHICH tied row
+    * gets which id is arbitrary and only stable while the cache lives —
+    * a recompute (cache released or evicted) may permute ids among
+    * tied rows between actions on the same frame. */
   def denseIds(df: DataFrame, orderCols: Seq[String],
       idCol: String = "_record_id", cache: Boolean = true): DataFrame = {
     val spark = df.sparkSession

@@ -126,14 +126,19 @@ object ScaleSmoke {
         topKPerLeft = Some(5), topKTieBreak = Seq(col("pay_id")))))
 
     // round-3 kernels: distributed prefix sum / packing, hash splits,
-    // exact quantiles by order statistics — all linear-shaped
+    // exact quantiles by order statistics — all linear-shaped.
+    // Aggregate over the COMPUTED columns: a bare count() would let
+    // ColumnPruning strip the very expressions being timed (the md5
+    // keys, the prefix-sum window) and time an empty scan instead.
     time("token_packing")(graft.operators.Packing.packByTokenBudget(
       docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens")),
-      Seq("doc_id"), "n_tokens", budget = 4096L))
+      Seq("doc_id"), "n_tokens", budget = 4096L)
+      .groupBy(col("pack_id")).agg(sum(col("cum_before"))))
     time("hash_split")(graft.operators.Splits.assignSplit(
       docs.select(col("doc_id")), "doc_id", "scale",
-      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8)))
+      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))
+      .groupBy(col("split")).count())
     time("exact_quantiles")(graft.operators.Quantiles.exactQuantiles(
       payroll.withColumn("grade", pmod(xxhash64(col("pay_id")), lit(8L))),
       Seq("grade"), "base_salary", Seq(0.25, 0.5, 0.75, 0.99)))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 class SketchesSpec extends SparkTestBase {
 
   private lazy val orders =
-    spark.read.parquet("/root/testdata/sf0.01/orders.parquet").cache()
+    spark.read.parquet(s"${sf("sf0.01")}/orders.parquet").cache()
 
   test("approx_count_distinct lands within its rsd bound of the exact count") {
     val exact = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
