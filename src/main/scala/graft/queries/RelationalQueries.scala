@@ -200,6 +200,36 @@ object RelationalQueries {
         datediff(col("o_orderdate").cast("date"),
           coalesce(lag(col("o_orderdate"), 1).over(w), col("o_orderdate"))
             .cast("date")).as("days_since_prev"))
+    }),
+
+    // FULL OUTER join (unmatched rows from BOTH sides survive; nulls
+    // coalesced to sentinels for the gate's hash compare). supplier and
+    // customer nation-keys only partially overlap per segment, so both
+    // null fringes are exercised.
+    "q17_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val supp = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 5000.0)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(-1L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(-1L)).as("n_supp"))
+    }),
+
+    // INTERSECT / EXCEPT (SURVEY §2.7 notes both as absent from the
+    // reference — engine extension; hash-distinct set semantics)
+    "q18_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+      val machinery = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey"))
+      building.intersect(machinery)
+        .select(col("c_nationkey"), lit("both").as("tag"))
+        .unionByName(building.except(machinery)
+          .select(col("c_nationkey"), lit("building_only").as("tag")))
     })
   )
 
@@ -333,6 +363,27 @@ object RelationalQueries {
         |    CAST(o_orderdate AS DATE)) AS days_since_prev
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q17_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |           FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |       coalesce(n_cust, -1) AS n_cust,
+        |       coalesce(n_supp, -1) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin,
+
+    "q18_setops" ->
+      """SELECT c_nationkey, 'both' AS tag FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |UNION ALL
+        |SELECT c_nationkey, 'building_only' AS tag FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin
   )
 }
