@@ -300,6 +300,21 @@ object Dedup {
     }
   }
 
+  /** Near-dup SURVIVORS — the keep-one-per-cluster discipline layered on
+    * any pair generator: for every emitted pair the smaller id wins, so
+    * a row survives iff no pair links it to a smaller near-duplicate.
+    * (Greedy min-id rule, not connected components: in a chain a–b–c
+    * with no a–c pair, c survives because its only pair partner b was
+    * itself dropped — deterministic either way, and one anti-join
+    * instead of an iterative components computation at scale.)
+    *
+    * @param pairs output of [[jaccardPairs]]/[[minhashLshPairs]]/
+    *              [[simhashPairs]]-shaped operators: doc_a < doc_b
+    */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** MinHash signature column: array of `numHashes` min-hashes of the
     * shingle set, using xxhash64(seed_i, shingle). Empty sets get
     * Long.MaxValue sentinels (never collide with real buckets).

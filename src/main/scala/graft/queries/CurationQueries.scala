@@ -64,12 +64,9 @@ object CurationQueries {
           .select(col("kept_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       // stage 4: near-dup drop — for every Jaccard≥θ pair, the smaller
-      // doc_id survives
-      val nearDupLosers = Dedup
-        .jaccardPairs(kept, "doc_id", "text", n = 2, theta = 0.5)
-        .select(col("doc_b").as("doc_id"))
-        .distinct()
-      kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      // doc_id survives (Dedup.dropNearDups over the exact pair join)
+      Dedup.dropNearDups(kept, "doc_id",
+          Dedup.jaccardPairs(kept, "doc_id", "text", n = 2, theta = 0.5))
         .select(col("doc_id"), col("lang_guess"), col("n_words"))
     }),
 
