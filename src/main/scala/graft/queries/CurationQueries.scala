@@ -44,16 +44,21 @@ object CurationQueries {
       // cache across re-entries. At 100 TB the same persist is how the
       // one-pass-signals/many-consumers shape should run (or a
       // materialized silver table).
+      // the distinct word-2-gram SET is cached alongside the scalars:
+      // the repetition signal needs its size here, and stage 4's pair
+      // join consumes the same arrays — one shingle pass, not two
       val total2g = greatest(tokenCount(col("text")) - 1, lit(0))
-      val dist2g = size(graft.functions.word_shingles(col("text"), 2))
       val signals = graft.ManagedCache.swap("CurationQueries.c1.signals",
         docs.select(
-          col("doc_id"), col("text"),
-          langId(col("text")).as("lang_guess"),
-          tokenCount(col("text")).as("n_words"),
-          when(total2g === 0, lit(0.0))
-            .otherwise(lit(1.0) - dist2g.cast("double") / total2g.cast("double"))
-            .as("rep")))
+            col("doc_id"), col("text"),
+            graft.functions.word_shingles(col("text"), 2).as("sh"),
+            langId(col("text")).as("lang_guess"),
+            tokenCount(col("text")).as("n_words"),
+            total2g.as("__t2g"))
+          .withColumn("rep", when(col("__t2g") === 0, lit(0.0))
+            .otherwise(lit(1.0) - size(col("sh")).cast("double")
+              / col("__t2g").cast("double")))
+          .drop("__t2g"))
       // stage 2: quality gate (thresholds sized to the corpus: words
       // 20..1000, repetition ≤ 0.1, language identifiable)
       val gated = signals.where(col("lang_guess") =!= "und" &&
@@ -64,9 +69,10 @@ object CurationQueries {
           .select(col("kept_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       // stage 4: near-dup drop — for every Jaccard≥θ pair, the smaller
-      // doc_id survives (Dedup.dropNearDups over the exact pair join)
+      // doc_id survives (Dedup.dropNearDups over the exact pair join,
+      // fed the CACHED shingle arrays — no second shingle pass)
       Dedup.dropNearDups(kept, "doc_id",
-          Dedup.jaccardPairs(kept, "doc_id", "text", n = 2, theta = 0.5))
+          Dedup.jaccardPairsBy(kept, "doc_id", col("sh"), theta = 0.5))
         .select(col("doc_id"), col("lang_guess"), col("n_words"))
     }),
 
