@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyword retrieval over a document corpus — the lexical complement to
+  * [[AnnSearch]]'s embedding search.
+  *
+  *  - [[termStats]]: the inverted-index statistics build — one
+  *    explode + two hash aggregations; at 100 TB this is the classic
+  *    linear posting-list construction, shuffled once on the term.
+  *  - [[bm25TopK]]: Okapi BM25 scoring of a tokenized query — the
+  *    (tiny) query-term frame broadcasts against the per-(doc, term)
+  *    frequency table, so the corpus never shuffles: score = one
+  *    broadcast semi-join + a per-doc sum + a top-k window.
+  *
+  * Tokenization is lowercase whitespace splitting of
+  * [[graft.functions.NormalizeTitle]]-style normalized text (strip
+  * punctuation, collapse whitespace) so "Engineer," and "engineer"
+  * agree.
+  */
+object TextSearch {
+
+  /** Lowercased, punctuation-stripped, whitespace-split tokens. */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    split(trim(regexp_replace(regexp_replace(lower(c),
+      "[\\p{Punct}]", " "), "\\s+", " ")), " ")
+
+  /** Per-(doc, term) term frequency — the postings table. Empty docs
+    * contribute nothing. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+
+  /** Corpus term statistics: document frequency and collection
+    * frequency per term. */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(df, idCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("coll_freq"))
+
+  /** Okapi BM25 top-k: standard idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
+    * saturation `tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen))`.
+    * Output: doc, score (double), rank — deterministic tie-break on doc.
+    * EAGER: N and avg doc length are computed at construction (two tiny
+    * aggregates over the postings). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    val post = postings(df, idCol, textCol)
+      .transform(Par.spread(_, col("doc")))
+    val cached = graft.ManagedCache.swap("TextSearch.bm25TopK", post)
+    val docLen = cached.groupBy("doc").agg(sum(col("tf")).as("len"))
+    val global = docLen.agg(count(lit(1)), avg(col("len"))).head()
+    val nDocs = global.getLong(0)
+    val avgLen = global.getDouble(1)
+
+    val qTerms = query.toLowerCase.replaceAll("[\\p{Punct}]", " ")
+      .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "empty query")
+    import spark.implicits._
+    val qDf = qTerms.toDF("term")
+
+    val dfPerTerm = cached.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = cached
+      .join(broadcast(qDf), "term")
+      .join(broadcast(dfPerTerm.join(broadcast(qDf), "term")), "term")
+      .join(docLen, "doc")
+      .withColumn("idf", log(
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen)))
+      .groupBy("doc").agg(sum(col("w")).as("score"))
+    // distributed top-k (TakeOrdered) FIRST; the rank window then runs
+    // over ≤ k rows, so its single partition is not a scale hazard
+    val top = scored.orderBy(col("score").desc, col("doc").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc").asc)))
+      .select(col("doc"), col("score"), col("rank"))
+  }
+}

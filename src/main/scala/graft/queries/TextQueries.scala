@@ -37,6 +37,16 @@ object TextQueries {
       t(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Inverted-index statistics build (TextSearch.postings/termStats):
+    // per-term document frequency + collection frequency — the linear
+    // posting-list construction keyword retrieval needs; integers, so
+    // the oracle is exact. BM25 scoring over this index is spec-checked
+    // (TextSearchSpec) — its log/division doubles aren't guaranteed
+    // bit-identical across engines.
+    "t6_term_stats" -> ((s, dir) =>
+      graft.operators.TextSearch.termStats(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Gopher-style repetition signal: fraction of word 2-grams that are
     // repeats (1 − distinct/total). Degenerate boilerplate/loop docs
     // score high; a standard pretraining quality filter.
@@ -103,6 +113,19 @@ object TextQueries {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    "t6_term_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term)
+        |SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS coll_freq
+        |FROM post GROUP BY term""".stripMargin,
 
     "t5_repetition" ->
       """WITH b AS (

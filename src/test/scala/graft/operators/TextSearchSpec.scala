@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class TextSearchSpec extends SparkTestBase {
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a quick tour of the data engine and its query planner"),
+    (3L, "dogs and foxes: a field guide"),
+    (4L, "THE QUICK, QUICK results page"),
+    (5L, "completely unrelated text about sailing ships"),
+    (6L, ""))
+
+  /** Independent reference BM25 (plain Scala, same tokenizer contract). */
+  private def referenceBm25(query: String, k1: Double = 1.2,
+      b: Double = 0.75): Map[Long, Double] = {
+    def toks(s: String): Seq[String] = s.toLowerCase
+      .replaceAll("[\\p{Punct}]", " ").trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }
+      .filter(_._2.nonEmpty).toMap
+    val n = docToks.size
+    val avgLen = docToks.values.map(_.size).sum.toDouble / n
+    val qTerms = toks(query).distinct
+    docToks.flatMap { case (id, ts) =>
+      val score = qTerms.map { term =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = docToks.values.count(_.contains(term)).toDouble
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * ts.size / avgLen))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }
+  }
+
+  test("bm25TopK matches an independent reference implementation") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    for (query <- Seq("quick fox", "the dog", "Query PLANNER!", "sailing")) {
+      val got = TextSearch.bm25TopK(df, "doc_id", "text", query, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = referenceBm25(query)
+      assert(got.keySet == expected.keySet, s"query '$query' docs")
+      got.foreach { case (id, sc) =>
+        assert(math.abs(sc - expected(id)) < 1e-12,
+          s"query '$query' doc $id: $sc vs ${expected(id)}")
+      }
+    }
+  }
+
+  test("ranking is deterministic and rank-ordered with doc tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val rows = TextSearch.bm25TopK(df, "doc_id", "text", "quick", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.map(_._3).toSeq == (1 to rows.length))
+    assert(rows.sortBy(r => (-r._2, r._1)).toSeq == rows.toSeq)
+    // doc 4 says "quick" twice in a short doc → strongest signal
+    assert(rows.head._1 == 4L)
+  }
+
+  test("termStats counts frequencies over the normalized tokens") {
+    val s = spark
+    import s.implicits._
+    val stats = TextSearch.termStats(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("quick") == (3L, 4L)) // docs 1,2,4; doc 4 twice
+    assert(stats("the") == (3L, 4L))   // docs 1 (×2), 2, 4
+    assert(!stats.contains(""))
+  }
+}
