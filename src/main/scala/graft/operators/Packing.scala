@@ -66,6 +66,36 @@ object Packing {
       .drop("__graft_pid", "__graft_local", "__graft_off")
   }
 
+  /** Sliding-window token chunking — split each document into
+    * `chunkSize`-token windows advancing by `chunkSize − overlap`
+    * tokens (context-window preparation; the intra-document sibling of
+    * [[packByTokenBudget]]'s cross-document packing). Pure per-row
+    * array work: no shuffle, embarrassingly parallel at any scale.
+    *
+    * Output: idCol, `chunk_id` (0-based), `n_chunk_tokens`,
+    * `chunk_text` (single-space joined). Tokens are whitespace splits
+    * of the trimmed text; empty documents produce no chunks; the final
+    * window may be shorter than `chunkSize`. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val ws = split(trim(col(textCol)), "\\s+")
+    val chunks = df
+      .withColumn("__graft_ws", ws)
+      .withColumn("__graft_len", size(col("__graft_ws")))
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), col("__graft_len") - 1, lit(step)),
+          start => slice(col("__graft_ws"), start + 1, lit(chunkSize)))))
+      .withColumnRenamed("pos", "chunk_id")
+    chunks.select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+      size(col("col")).cast("long").as("n_chunk_tokens"),
+      array_join(col("col"), " ").as("chunk_text"))
+  }
+
   /** Pack documents into `budget`-token bins in `orderCols` order:
     * output = input ++ (`cum_before`, `pack_id`). */
   def packByTokenBudget(df: DataFrame, orderCols: Seq[String],

@@ -94,7 +94,14 @@ object CurationQueries {
     "c3_hash_split" -> ((s, dir) =>
       graft.operators.Splits.assignSplit(
         t(s, dir, "documents").select(col("doc_id")), "doc_id", "graft-r3",
-        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8)))
+        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))),
+
+    // sliding-window chunking: 48-token context windows with 8-token
+    // overlap — shuffle-free per-row array work (Packing.chunkTokens)
+    "c4_chunking" -> ((s, dir) =>
+      graft.operators.Packing.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 48, overlap = 8))
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +164,24 @@ object CurationQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM tok""".stripMargin,
+
+    // DuckDB range() is stop-EXCLUSIVE where Spark sequence() is
+    // stop-inclusive: range(0, len, step) == sequence(0, len-1, step)
+    // for positive step
+    "c4_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, s.i AS start_tok,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s.i) - 1
+        |           AS chunk_id,
+        |         ws[s.i + 1 : s.i + 48] AS chunk
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(ws), 40)) AS i) s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     // thresholds are the 12-hex-digit cumulative fractions 0.1 and 0.2
     // (Splits.thresholdHex); lowercase-hex order == numeric order

@@ -41,4 +41,32 @@ class PackingSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 1000L, 0L), (3L, 2000L, 0L),
       (4L, 3000L, 1L), (5L, 3048L, 1L), (6L, 5096L, 2L)))
   }
+
+  test("chunkTokens slides with overlap; short and empty docs behave") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, "   "),                                    // whitespace-only → none
+      (4L, "")                                        // empty → none
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    // step 3: starts 0,3,6,9 → [w1..w4][w4..w7][w7..w10][w10]
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 1L, "w10"),
+      (2L, 0L, 2L, "a b")))
+    // overlap invariant: consecutive chunks share exactly `overlap` tokens
+    val chunks1 = out.filter(_._1 == 1L).map(_._4.split(" ").toSeq).toSeq
+    chunks1.sliding(2).foreach {
+      case Seq(a, bchunk) => assert(a.takeRight(1) == bchunk.take(1))
+      case _ =>
+    }
+  }
 }
