@@ -301,12 +301,13 @@ object Dedup {
   }
 
   /** Near-dup SURVIVORS — the keep-one-per-cluster discipline layered on
-    * any pair generator: for every emitted pair the smaller id wins, so
-    * a row survives iff no pair links it to a smaller near-duplicate.
-    * (Greedy min-id rule, not connected components: in a chain a–b–c
-    * with no a–c pair, c survives because its only pair partner b was
-    * itself dropped — deterministic either way, and one anti-join
-    * instead of an iterative components computation at scale.)
+    * any pair generator: a row survives iff it is the doc_a-side
+    * minimum of every pair it appears in, i.e. NO pair names it as
+    * doc_b. (One-shot rule, not connected components and not iterative
+    * greedy: in a chain a–b–c with pairs (a,b) and (b,c), both b and c
+    * are dropped — c's partner b is gone, but c was still named as a
+    * doc_b. Deterministic, and one anti-join instead of an iterative
+    * components computation at scale.)
     *
     * @param pairs output of [[jaccardPairs]]/[[minhashLshPairs]]/
     *              [[simhashPairs]]-shaped operators: doc_a < doc_b

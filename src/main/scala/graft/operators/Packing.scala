@@ -75,7 +75,11 @@ object Packing {
     * Output: idCol, `chunk_id` (0-based), `n_chunk_tokens`,
     * `chunk_text` (single-space joined). Tokens are whitespace splits
     * of the trimmed text; empty documents produce no chunks; the final
-    * window may be shorter than `chunkSize`. */
+    * window may be shorter than `chunkSize`. Window starts stop at
+    * `len − overlap − 1`: a later start would add no tokens beyond the
+    * previous chunk's overlap tail and emit a fully-contained duplicate
+    * chunk (e.g. 48-token doc at 48/8 → one chunk, not a redundant
+    * second one of tokens 41–48). */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
@@ -88,7 +92,8 @@ object Packing {
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(0), col("__graft_len") - 1, lit(step)),
+          sequence(lit(0),
+            greatest(col("__graft_len") - 1 - overlap, lit(0)), lit(step)),
           start => slice(col("__graft_ws"), start + 1, lit(chunkSize)))))
       .withColumnRenamed("pos", "chunk_id")
     chunks.select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),

@@ -55,18 +55,27 @@ object TextSearch {
     val docLen = cached.groupBy("doc").agg(sum(col("tf")).as("len"))
     val global = docLen.agg(count(lit(1)), avg(col("len"))).head()
     val nDocs = global.getLong(0)
-    val avgLen = global.getDouble(1)
 
     val qTerms = query.toLowerCase.replaceAll("[\\p{Punct}]", " ")
       .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "empty query")
     import spark.implicits._
+    // a corpus with no non-empty documents scores nothing — return the
+    // empty result instead of NPE-ing on avg(len) = null
+    if (nDocs == 0)
+      return Seq.empty[(Long, Double, Int)].toDF("doc", "score", "rank")
+        .select(col("doc").cast(df.schema(idCol).dataType),
+          col("score"), col("rank"))
+    val avgLen = global.getDouble(1)
     val qDf = qTerms.toDF("term")
 
-    val dfPerTerm = cached.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = cached
-      .join(broadcast(qDf), "term")
-      .join(broadcast(dfPerTerm.join(broadcast(qDf), "term")), "term")
+    // filter the postings by the broadcast query terms FIRST; document
+    // frequency then aggregates only the matching postings — no
+    // corpus-wide by-term shuffle at query time
+    val qPost = cached.join(broadcast(qDf), "term")
+    val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = qPost
+      .join(broadcast(dfPerTerm), "term")
       .join(docLen, "doc")
       .withColumn("idf", log(
         (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

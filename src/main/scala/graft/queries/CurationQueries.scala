@@ -70,9 +70,12 @@ object CurationQueries {
         Seq("doc_id"), "left_semi")
       // stage 4: near-dup drop — for every Jaccard≥θ pair, the smaller
       // doc_id survives (Dedup.dropNearDups over the exact pair join,
-      // fed the CACHED shingle arrays — no second shingle pass)
+      // fed the CACHED shingle arrays — no second shingle pass, and
+      // cacheSets=false so the arrays aren't persisted a second time in
+      // the Dedup slot on top of the signals cache)
       Dedup.dropNearDups(kept, "doc_id",
-          Dedup.jaccardPairsBy(kept, "doc_id", col("sh"), theta = 0.5))
+          Dedup.jaccardPairsBy(kept, "doc_id", col("sh"), theta = 0.5,
+            cacheSets = false))
         .select(col("doc_id"), col("lang_guess"), col("n_words"))
     }),
 
@@ -177,7 +180,7 @@ object CurationQueries {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY s.i) - 1
         |           AS chunk_id,
         |         ws[s.i + 1 : s.i + 48] AS chunk
-        |  FROM d, LATERAL (SELECT unnest(range(0, len(ws), 40)) AS i) s)
+        |  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 8, 1), 40)) AS i) s)
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text

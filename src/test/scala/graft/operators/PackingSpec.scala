@@ -55,12 +55,13 @@ class PackingSpec extends SparkTestBase {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(r => (r._1, r._2))
-    // step 3: starts 0,3,6,9 → [w1..w4][w4..w7][w7..w10][w10]
+    // step 3, starts capped at len−overlap−1 = 8: 0,3,6 →
+    // [w1..w4][w4..w7][w7..w10]; a start at 9 would emit [w10], which
+    // is already chunk 2's overlap tail — no duplicate chunk
     assert(out.toSeq == Seq(
       (1L, 0L, 4L, "w1 w2 w3 w4"),
       (1L, 1L, 4L, "w4 w5 w6 w7"),
       (1L, 2L, 4L, "w7 w8 w9 w10"),
-      (1L, 3L, 1L, "w10"),
       (2L, 0L, 2L, "a b")))
     // overlap invariant: consecutive chunks share exactly `overlap` tokens
     val chunks1 = out.filter(_._1 == 1L).map(_._4.split(" ").toSeq).toSeq
