@@ -65,6 +65,15 @@ class TextSearchSpec extends SparkTestBase {
     assert(rows.head._1 == 4L)
   }
 
+  test("empty or all-blank corpus returns an empty result, not an NPE") {
+    val s = spark
+    import s.implicits._
+    for (rows <- Seq(Seq.empty[(Long, String)], Seq((1L, ""), (2L, "   ")))) {
+      val df = rows.toDF("doc_id", "text")
+      assert(TextSearch.bm25TopK(df, "doc_id", "text", "anything", 5).count() == 0)
+    }
+  }
+
   test("termStats counts frequencies over the normalized tokens") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,26 @@ class LayoutSpec extends SparkTestBase {
     assert(zx + zy < lx + ly, s"z ${zx + zy} !< linear ${lx + ly}")
   }
 
+  test("degenerate inputs: empty frame, >3 dims, zCol collision") {
+    val s = spark
+    import s.implicits._
+    // empty frame: null min/max treated as constant columns, no NPE
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderBy(empty, Seq("x", "y"), 4).count() == 0)
+    // 4 dims: bits shrink (63/4 = 15 per dim) so the code stays positive
+    val four = Seq((1L, 2L, 3L, 4L), (5L, 6L, 7L, 8L), (0L, 0L, 0L, 0L))
+      .toDF("a", "b", "c", "d")
+    val z4 = Layout.withZValue(four, Seq("a", "b", "c", "d"))
+      .select("_zvalue").collect().map(_.getLong(0))
+    assert(z4.forall(_ >= 0L))
+    assert(z4.distinct.length == 3) // distinct points keep distinct codes
+    // pre-existing zCol name is rejected, not silently destroyed
+    val clash = Seq((1L, 2L, 3L)).toDF("x", "y", "_zvalue")
+    intercept[IllegalArgumentException] {
+      Layout.zorderBy(clash, Seq("x", "y"), 2)
+    }
+  }
+
   test("interleave places alternating bits") {
     val s = spark
     import s.implicits._
