@@ -37,6 +37,25 @@ object Splits {
     substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))
       .cast("binary")), 1, 12)
 
+  /** Deterministic per-stratum downsampling — the data-MIXING primitive:
+    * keep a row iff its hash key falls under its stratum's rate. Same
+    * portability contract as [[assignSplit]] (pure function of
+    * (salt, id)), so remixing with new rates keeps maximal overlap with
+    * the previous sample (rate 0.2 ⊃ rate 0.1 exactly), and reruns are
+    * identical. Strata missing from `rates` are dropped; rate 1.0 keeps
+    * everything. Shuffle-free. */
+  def sampleByHash(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String, rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must lie in [0, 1]: $rates")
+    val key = hashKey(col(idCol), salt)
+    val cond = rates.toSeq.sortBy(_._1).map { case (stratum, r) =>
+      col(stratumCol) === stratum &&
+        (if (r >= 1.0) lit(true) else key < lit(thresholdHex(r)))
+    }.reduce(_ || _)
+    df.where(cond)
+  }
+
   /** Adds `outCol` naming each row's split. `splits` are
     * (name, fraction) pairs summing to 1.0; assignment follows their
     * order over the hash space. */

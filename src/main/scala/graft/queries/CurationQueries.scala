@@ -108,7 +108,16 @@ object CurationQueries {
     "c4_chunking" -> ((s, dir) =>
       graft.operators.Packing.chunkTokens(
         t(s, dir, "documents"), "doc_id", "text",
-        chunkSize = 48, overlap = 8))
+        chunkSize = 48, overlap = 8)),
+
+    // data mixing: deterministic per-language downsampling (keep all en,
+    // half es, quarter de, drop the rest) — a pure (salt, doc_id)
+    // function, so remixing at new rates nests exactly
+    "c5_mix_sample" -> ((s, dir) =>
+      graft.operators.Splits.sampleByHash(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", "mix-r3",
+        Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +198,16 @@ object CurationQueries {
         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    // rate thresholds: Splits.thresholdHex(0.5) = 800000000000,
+    // thresholdHex(0.25) = 400000000000
+    "c5_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en')
+        |   OR (lang = 'es' AND substring(md5('mix-r3:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |         < '800000000000')
+        |   OR (lang = 'de' AND substring(md5('mix-r3:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |         < '400000000000')""".stripMargin,
 
     // thresholds are the 12-hex-digit cumulative fractions 0.1 and 0.2
     // (Splits.thresholdHex); lowercase-hex order == numeric order

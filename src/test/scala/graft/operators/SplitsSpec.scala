@@ -29,6 +29,27 @@ class SplitsSpec extends SparkTestBase {
     assert(math.abs(counts("test") - 200) < 60, counts.toString)
   }
 
+  test("sampleByHash: rates nest exactly and respect strata") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    def ids(rates: Map[String, Double]): Set[Long] =
+      Splits.sampleByHash(df, "id", "lang", "mix", rates)
+        .collect().map(_.getLong(0)).toSet
+    val r10 = ids(Map("lang0" -> 0.1, "lang1" -> 1.0))
+    val r20 = ids(Map("lang0" -> 0.2, "lang1" -> 1.0))
+    // the 10% sample is EXACTLY contained in the 20% sample (same hash
+    // space, higher threshold) — remixing preserves prior picks
+    assert(r10.subsetOf(r20), "rate nesting violated")
+    // rate 1.0 keeps every row of its stratum; absent strata drop
+    val lang1All = df.where($"lang" === "lang1").collect().map(_.getLong(0)).toSet
+    assert(r10.filter(_ % 3 == 1) == lang1All)
+    assert(r10.forall(_ % 3 != 2)) // lang2 has no rate → dropped
+    // fractions land near target
+    val kept0 = r20.count(_ % 3 == 0)
+    assert(math.abs(kept0 - 200) < 60, s"20% of 1000 ≈ 200, got $kept0")
+  }
+
   test("assignment survives repartitioning and differs across salts") {
     val s = spark
     import s.implicits._
