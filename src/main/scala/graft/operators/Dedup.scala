@@ -316,6 +316,40 @@ object Dedup {
     df.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Cross-corpus near-dup pairs — DECONTAMINATION: find corpus docs
+    * whose shingle sets overlap a (small) reference set, e.g. training
+    * documents that leak evaluation benchmarks. The reference side
+    * broadcasts (benchmarks are tiny next to a training corpus), so the
+    * corpus never shuffles: one broadcast nested-loop with the same
+    * early-exit sorted-hash prefilter + exact sorted-string verify as
+    * [[jaccardPairsBy]], cost |corpus|·|ref| prefilter probes with most
+    * pairs bailing in a few comparisons. For a reference set too big to
+    * broadcast, block with [[minhashLshPairs]]-style banding instead.
+    * Output: corpus_id, ref_id, jaccard (exact). */
+  def crossJaccardPairs(corpus: DataFrame, corpusId: String,
+      ref: DataFrame, refId: String, shingles: Column,
+      theta: Double): DataFrame = {
+    def prep(df: DataFrame, id: String, side: String): DataFrame =
+      df.select(col(id).as(s"${side}_id"), shingles.as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col(s"${side}_id"),
+          sort_array(col("sh")).as(s"${side}_sh"),
+          sort_array(transform(col("sh"), g => xxhash64(g)))
+            .as(s"${side}_hs"),
+          size(col("sh")).as(s"${side}_sz"))
+    val c = prep(corpus, corpusId, "corpus")
+      .transform(Par.spread(_, col("corpus_id")))
+    val r = prep(ref, refId, "ref")
+    c.crossJoin(broadcast(r))
+      .where(col("corpus_sz") >= ceil(lit(theta) * col("ref_sz")) &&
+        col("ref_sz") >= ceil(lit(theta) * col("corpus_sz")) &&
+        sortedLongJaccardGECol(col("corpus_hs"), col("ref_hs"), theta))
+      .withColumn("jaccard",
+        sortedJaccardCol(col("corpus_sh"), col("ref_sh")))
+      .where(col("jaccard") >= theta)
+      .select(col("corpus_id"), col("ref_id"), col("jaccard"))
+  }
+
   /** MinHash signature column: array of `numHashes` min-hashes of the
     * shingle set, using xxhash64(seed_i, shingle). Empty sets get
     * Long.MaxValue sentinels (never collide with real buckets).

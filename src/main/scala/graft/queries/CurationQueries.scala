@@ -117,7 +117,18 @@ object CurationQueries {
       graft.operators.Splits.sampleByHash(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", "mix-r3",
-        Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25)))
+        Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25))),
+
+    // decontamination: training docs whose word-2-gram sets overlap a
+    // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —
+    // the benchmark side broadcasts, the corpus never shuffles
+    "c6_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.crossJaccardPairs(
+        docs.where(col("doc_id") % 25 =!= 0), "doc_id",
+        docs.where(col("doc_id") % 25 === 0), "doc_id",
+        graft.functions.word_shingles(col("text"), 2), theta = 0.5)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +209,25 @@ object CurationQueries {
         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    "c6_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split_regex(trim(text), '\s+'))),
+        |      i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |           string_split_regex(trim(text), '\s+')[i+1])) AS s
+        |  FROM documents),
+        |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 25 <> 0),
+        |r AS (SELECT doc_id AS ref_id, s FROM sh WHERE doc_id % 25 = 0)
+        |SELECT corpus_id, ref_id,
+        |       CAST(len(list_intersect(c.s, r.s)) AS DOUBLE) /
+        |       CAST(len(c.s) + len(r.s) - len(list_intersect(c.s, r.s)) AS DOUBLE)
+        |         AS jaccard
+        |FROM c, r
+        |WHERE CAST(len(list_intersect(c.s, r.s)) AS DOUBLE) /
+        |      CAST(len(c.s) + len(r.s) - len(list_intersect(c.s, r.s)) AS DOUBLE)
+        |      >= 0.5""".stripMargin,
 
     // rate thresholds: Splits.thresholdHex(0.5) = 800000000000,
     // thresholdHex(0.25) = 400000000000

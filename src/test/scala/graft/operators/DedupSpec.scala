@@ -195,6 +195,43 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("crossJaccardPairs equals the brute-force cross comparison") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.tabulate(60)(i => s"t$i")
+    def mkDoc() = Seq.fill(12 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (0 until 120).map(i => (i.toLong, mkDoc()))
+    // refs: some verbatim corpus leaks, some perturbed, some clean
+    val refs = (0 until 15).map { j =>
+      val base = corpus(j * 7)._2
+      val text = j % 3 match {
+        case 0 => base                                      // exact leak
+        case 1 => base.split(" ").drop(2).mkString(" ")     // near leak
+        case _ => mkDoc()                                   // independent
+      }
+      (1000L + j, text)
+    }
+    val theta = 0.6
+    val got = Dedup.crossJaccardPairs(
+      corpus.toDF("doc_id", "text"), "doc_id",
+      refs.toDF("doc_id", "text"), "doc_id",
+      graft.functions.word_shingles(col("text"), 2), theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    def sh(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (cid, ct) <- corpus
+      (rid, rt) <- refs
+      inter = (sh(ct) intersect sh(rt)).size
+      j = inter.toDouble / (sh(ct).size + sh(rt).size - inter)
+      if j >= theta
+    } yield (cid, rid, j)).toSet
+    assert(expected.nonEmpty, "fixture produced no leaks — strengthen it")
+    assert(got == expected)
+  }
+
   test("sorted_long_jaccard_ge rejects non-finite / out-of-range theta at analysis") {
     // theta is interpolated into generated Java — NaN must fail cleanly,
     // not produce uncompilable codegen. SQL literals can't spell NaN, so
