@@ -58,6 +58,16 @@ final case class SimilarityJoinConfig(
     scoreCol: String = "score",
     /** Distinct-key-count threshold under which Auto picks Exact. */
     autoExactMaxKeys: Long = 200000L,
+    /** Max scored-pair rows that may be FORCE-broadcast in the join-back
+      * ([[SimilarityJoin.apply]]). Nothing bounds the post-threshold pair
+      * set a priori — lowered thresholds or 100× key cardinality can make
+      * it multi-GB, and an unconditional broadcast hint overrides AQE's
+      * size logic and OOMs the driver. Default ≈ the session's 64 MB
+      * autoBroadcastJoinThreshold at ~130 B/pair row (two short string
+      * keys + a double). Above the cap the pair set joins as an ordinary
+      * equi-join; AQE may still convert it at runtime when the measured
+      * size allows. */
+    broadcastPairsMaxRows: Long = 500000L,
     /** Token-blocking skew mitigation: salt factor k > 1 splits every
       * token bucket k ways (left side salted by key hash, right side
       * replicated k×) so one pathologically hot token cannot pin a whole
@@ -182,8 +192,19 @@ object SimilarityJoin {
     // with input columns can't confuse resolution.
     val tmpScore = "__graft_score"
     val rowId = "__graft_lrow"
-    val pairs = scoredKeyPairs(left, right, cfg)
-      .withColumnRenamed(cfg.scoreCol, tmpScore)
+    // Size-gate the join-back broadcast (cfg.broadcastPairsMaxRows): the
+    // scoring work is shared between the count probe and the join through
+    // a ManagedCache slot (one computation, bounded across re-entries), so
+    // the gate costs one cheap count over cached rows. Recompute-on-evict
+    // is result-identical — the scored pairs are a pure function of the
+    // key sets.
+    val pairs = graft.ManagedCache.swap("SimilarityJoin.pairs",
+      scoredKeyPairs(left, right, cfg)
+        .withColumnRenamed(cfg.scoreCol, tmpScore))
+    val nPairs = pairs.count()
+    val pairsSide =
+      if (nPairs <= cfg.broadcastPairsMaxRows) pairs.hint("broadcast")
+      else pairs
 
     val overlapping = left.columns.toSet intersect right.columns.toSet
     // reference semantics ({**job, **pay, "score"}): right wins on a
@@ -201,7 +222,7 @@ object SimilarityJoin {
     // string references (not dataset-id refs) to avoid the ambiguous
     // self-join trap.
     val joined = leftWithId.alias("__gl")
-      .join(pairs.hint("broadcast").alias("__gp"),
+      .join(pairsSide.alias("__gp"),
         col(s"__gl.`${cfg.leftKey}`") === col(s"__gp.$KEY_L"))
       .join(right.alias("__gr"),
         col(s"__gp.$KEY_R") === col(s"__gr.`${cfg.rightKey}`"))

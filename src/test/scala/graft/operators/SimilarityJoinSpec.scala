@@ -147,6 +147,48 @@ class SimilarityJoinSpec extends SparkTestBase {
     assert(out.select("score").collect().forall(_.getDouble(0) >= 85.0))
   }
 
+  test("join-back broadcast is size-gated: above the cap no hint is forced") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def userHints(maxRows: Long) =
+      SimilarityJoin(jobs, payroll,
+        cfg(Blocking.Exact).copy(broadcastPairsMaxRows = maxRows))
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined =>
+            j.hint
+        }
+    // the pairs frame is cached inside apply, so the blocking-stage hint is
+    // behind the InMemoryRelation — any surviving hint is the join-back's
+    assert(userHints(Long.MaxValue).nonEmpty,
+      "under the cap the pairs side should carry the broadcast hint")
+    assert(userHints(0L).isEmpty,
+      "above the cap no forced broadcast hint may survive")
+  }
+
+  test("above the cap the join-back plans a shuffle join, results identical") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      // -1 disables both static and AQE-runtime broadcast conversion: the
+      // ONLY way a BroadcastHashJoin can appear is our forced hint
+      spark.conf.set(key, "-1")
+      def planAfterRun(maxRows: Long): (String, Set[(String, String, Double)]) = {
+        val out = SimilarityJoin(jobs, payroll,
+          cfg(Blocking.Exact).copy(broadcastPairsMaxRows = maxRows))
+        val rows = out.select("business_title", "title_description", "score")
+          .collect()
+          .map { case Row(a: String, b: String, s: Double) => (a, b, s) }.toSet
+        (out.queryExecution.executedPlan.toString, rows)
+      }
+      val (forcedPlan, forcedRows) = planAfterRun(Long.MaxValue)
+      val (gatedPlan, gatedRows) = planAfterRun(0L)
+      assert(forcedPlan.contains("BroadcastHashJoin"),
+        "under the cap the pairs join should broadcast")
+      assert(!gatedPlan.contains("BroadcastHashJoin"),
+        "above the cap the pairs join must fall back to a shuffle join")
+      assert(gatedRows == forcedRows && gatedRows == oracle(85.0, 85.0))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("lightcast-style flow at 75/75 without extra predicate") {
     val c = SimilarityJoinConfig(
       leftKey = "business_title", rightKey = "title_description",
