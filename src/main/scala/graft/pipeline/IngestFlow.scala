@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{Bronze, HttpJsonPageFetcher}
+
+/** The reference's three scheduled flows chained as one entry point:
+  *
+  *  1. Data_Ingestion_Flow (/root/reference/src/data_ingestion.py:73-96) —
+  *     paginated REST fetch → parquet lake write, one artifact per source.
+  *  2. db_sync (/root/reference/src/db_sync.py:16-63) — lake → BRONZE
+  *     catalog tables with audit columns.
+  *  3. fuzzy_match (/root/reference/src/fuzzy_flows.py:9-14) — salary match
+  *     (J1) then lightcast match (J2), each persisted to bronze.
+  *  4. business_logic_aggregation (/root/reference/src/cleaned_data.py:17-46)
+  *     — the four GOLD CTAS.
+  *
+  * The reference schedules these as three weekly Prefect crons (ingestion
+  * midnight, matching 1am, gold 2am — data_ingestion.py:98-106,
+  * fuzzy_flows.py:16-23, cleaned_data.py:48-56); here the sequencing is a
+  * plain function call so any scheduler (cron, Airflow, a driver loop) can
+  * own the trigger. Each stage is independently callable and idempotent
+  * where the reference's is (bronze/gold CREATE IF NOT EXISTS).
+  *
+  * Scale shape: the REST scan parallelizes page fetches across executors
+  * (unlike the reference's driver-side fetch loop), the lake write is a
+  * normal distributed parquet write, and the match flows are the
+  * prefix-filtered [[graft.operators.SimilarityJoin]] — nothing in the
+  * chain funnels data through the driver.
+  */
+object IngestFlow {
+
+  /** One paginated REST source (the reference's NYC_PAYROLL_DATA_API /
+    * NYC_JOB_POSTINGS_API env pair, data_ingestion.py:77-78). `fields` is
+    * required because Socrata JSON carries no schema; values arrive
+    * stringly and are cast by the typed projections below, exactly as the
+    * reference casts downstream of its polars ingest. `fetcherClass` is
+    * injectable per source so tests (and air-gapped runs) can substitute
+    * a deterministic fetcher for HTTP. */
+  final case class RestDataset(
+      table: String,
+      url: String,
+      fields: Seq[String],
+      pageSize: Long = 50000,
+      maxPages: Int = 64,
+      fetcherClass: String = classOf[HttpJsonPageFetcher].getName)
+
+  /** The payroll schema the match flow declares
+    * (fuzzy_match_salary.py:40-48,94-107): numeric pay columns as doubles. */
+  def typedPayroll(raw: DataFrame): DataFrame =
+    raw.select(
+      col("title_description"),
+      col("base_salary").cast("double"),
+      col("pay_basis"),
+      col("regular_gross_paid").cast("double"),
+      col("total_ot_paid").cast("double"),
+      col("total_other_pay").cast("double"),
+      col("fiscal_year"))
+
+  /** Jobs columns the match flow consumes (fuzzy_match_salary.py:49-55). */
+  def typedJobs(raw: DataFrame): DataFrame =
+    raw.select(
+      col("business_title"),
+      col("salary_range_from").cast("double"),
+      col("salary_range_to").cast("double"),
+      col("posting_date"),
+      col("post_until"))
+
+  /** Flow 1: fetch every source and land it in the lake as parquet.
+    * Returns the written paths. */
+  def runDataIngestion(spark: SparkSession, sources: Seq[RestDataset],
+      lakeDir: String): Seq[String] =
+    sources.map { src =>
+      val df = spark.read.format("graft-rest")
+        .option("url", src.url)
+        .option("fields", src.fields.mkString(","))
+        .option("pageSize", src.pageSize.toString)
+        .option("maxPages", src.maxPages.toString)
+        .option("fetcher", src.fetcherClass)
+        .load()
+      val path = s"$lakeDir/${src.table}.parquet"
+      df.write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Flow 2: lake → bronze catalog (db_sync's update_data,
+    * utils.py:171-188). Idempotent per table like the reference's CTAS
+    * IF NOT EXISTS. */
+  def dbSync(spark: SparkSession, lakeDir: String): Seq[String] =
+    Bronze.registerLake(spark, lakeDir)
+
+  /** Flow 3: both fuzzy-match stages, persisted to the bronze tables the
+    * gold layer reads (fuzzy_flows.py:9-14; table names from
+    * fuzzy_match_salary.py / fuzzy_match_jobs_durations.py outputs). The
+    * lightcast table carries the XLSX-derived columns — absent it (the
+    * reference raises FileNotFoundError), this throws the catalog's
+    * table-not-found. */
+  def runFuzzyMatch(spark: SparkSession,
+      payrollTable: String = "bronze.nyc_payroll_data",
+      jobsTable: String = "bronze.nyc_job_postings_data",
+      lightcastTable: String = "bronze.lightcast_job_postings_data"): Unit = {
+    val matches = NycPipeline.salaryMatch(
+      typedPayroll(spark.table(payrollTable)),
+      typedJobs(spark.table(jobsTable)))
+    matches.write.mode("overwrite")
+      .saveAsTable("bronze.payroll_to_jobs_title_fuzzy_matches")
+    // J2 reads the PERSISTED matches (like the reference's second flow
+    // reading the first's parquet) so the expensive J1 join runs once
+    NycPipeline.lightcastMatch(
+      spark.table("bronze.payroll_to_jobs_title_fuzzy_matches"),
+      spark.table(lightcastTable))
+      .write.mode("overwrite")
+      .saveAsTable("bronze.jobs_to_lightcast_title_fuzzy_matches")
+  }
+
+  /** Flow 4: the gold CTAS layer. */
+  def runGoldLayer(spark: SparkSession): Unit = GoldLayer.run(spark)
+
+  /** The whole weekly chain: ingest → sync → match → gold. After this,
+    * [[graft.serve.Serve]] / [[graft.serve.HttpApi]] can page every gold
+    * table from a previously cold catalog. */
+  def runAll(spark: SparkSession, sources: Seq[RestDataset],
+      lakeDir: String): Unit = {
+    runDataIngestion(spark, sources, lakeDir)
+    dbSync(spark, lakeDir)
+    runFuzzyMatch(spark)
+    runGoldLayer(spark)
+  }
+}

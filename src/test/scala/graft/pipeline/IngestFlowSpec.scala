@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.serve.Serve
+import graft.sources.PageFetcher
+import org.apache.spark.sql.functions._
+
+/** Stand-in for the NYC payroll Socrata feed: FIXTURES.md-shaped rows,
+  * stringly like real Socrata JSON, served 2 rows per page to exercise
+  * pagination. */
+class PayrollPageFetcher extends PageFetcher {
+  private val rows = Seq(
+    Seq("SOFTWARE ENGINEER", "100000", "per Annum", "101000", "500", "200", "2024"),
+    Seq("Software Engineer.", "150000", "per Annum", "151000", "0", "0", "2025"),
+    Seq("SOFTWARE ENGINEER", "95000", "per Annum", "96000", "100", "0", "2023"),
+    Seq("POLICE OFFICER", "65000", "per Annum", "70000", "5000", "1000", "2024"),
+    Seq("POLICE OFFICER", "90000", "per Annum", "95000", "2000", "500", "2025"),
+    Seq("Crossing Guard", "33000", "per Annum", "33500", "0", "0", "2024"))
+  private val fields = Seq("title_description", "base_salary", "pay_basis",
+    "regular_gross_paid", "total_ot_paid", "total_other_pay", "fiscal_year")
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] =
+    rows.slice(offset.toInt, (offset + limit).toInt)
+      .map(r => fields.zip(r).toMap)
+}
+
+/** Stand-in for the NYC job-postings feed, including the malformed
+  * posting_date row P4 must drop and a null post_until P5 must fill. */
+class JobsPageFetcher extends PageFetcher {
+  private val rows = Seq(
+    Seq("Software Engineer", "90000", "120000", "2025-01-15T00:00:00.000", "15-AUG-2025"),
+    Seq("Senior Software-Engineer", "140000", "160000", "2025-02-01T00:00:00", null),
+    Seq("Police Officer", "50000", "80000", "2025-03-10T12:30:00", "01-MAY-2025"),
+    Seq("Crossing Guard", "30000", "40000", "not-a-date", "01-JUN-2025"))
+  private val fields = Seq("business_title", "salary_range_from",
+    "salary_range_to", "posting_date", "post_until")
+  override def fetch(baseUrl: String, limit: Long, offset: Long): Seq[Map[String, String]] =
+    rows.slice(offset.toInt, (offset + limit).toInt)
+      .map(r => fields.zip(r).toMap)
+}
+
+/** Drives the whole reference flow chain — REST fetch → lake → bronze →
+  * fuzzy match → gold — from a cold catalog, through [[IngestFlow.runAll]]
+  * alone. */
+class IngestFlowSpec extends SparkTestBase {
+
+  private val allTables = Seq(
+    "bronze.nyc_payroll_data", "bronze.nyc_job_postings_data",
+    "bronze.lightcast_job_postings_data",
+    "bronze.payroll_to_jobs_title_fuzzy_matches",
+    "bronze.jobs_to_lightcast_title_fuzzy_matches",
+    "gold.nyc_salary_matches", "gold.nyc_matched_job_posting_duration_soc",
+    "gold.nyc_salary_matches_unique_job_posting_title",
+    "gold.nyc_matched_job_posting_duration_soc_unique_title")
+
+  private def coldCatalog(): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze")
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold")
+    allTables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val Array(db, name) = t.split('.')
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"$db.db/$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+  }
+
+  test("runAll: REST → lake → bronze → match → gold from a cold catalog") {
+    coldCatalog()
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
+
+    // the lightcast artifact arrives in the lake out-of-band (the
+    // reference uploads its XLSX-derived parquet to object storage by
+    // hand; fuzzy_match_jobs_durations.py:34 just reads the newest one)
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("Software Developers", 12000, 35.0),
+      ("Police Officers", 4000, 28.5),
+      ("Paralegals", 900, 41.0))
+      .toDF("Occupation (SOC)", "Total Postings (Jan 2024 - Jun 2025)",
+        "Median Posting Duration")
+      .write.mode("overwrite")
+      .parquet(s"$lake/lightcast_job_postings_data.parquet")
+
+    IngestFlow.runAll(spark,
+      Seq(
+        IngestFlow.RestDataset("nyc_payroll_data", "synthetic://payroll",
+          Seq("title_description", "base_salary", "pay_basis",
+            "regular_gross_paid", "total_ot_paid", "total_other_pay",
+            "fiscal_year"),
+          pageSize = 2, maxPages = 8,
+          fetcherClass = classOf[PayrollPageFetcher].getName),
+        IngestFlow.RestDataset("nyc_job_postings_data", "synthetic://jobs",
+          Seq("business_title", "salary_range_from", "salary_range_to",
+            "posting_date", "post_until"),
+          pageSize = 2, maxPages = 8,
+          fetcherClass = classOf[JobsPageFetcher].getName)),
+      lake)
+
+    // bronze carries the full feeds plus audit columns
+    val payroll = spark.table("bronze.nyc_payroll_data")
+    assert(payroll.count() == 6)
+    assert(payroll.columns.contains("_record_id"))
+    assert(spark.table("bronze.nyc_job_postings_data").count() == 4)
+
+    // gold is populated end-to-end from nothing but the flow
+    val gold = spark.table("gold.nyc_salary_matches")
+    assert(gold.count() > 0)
+    // parity with the directly-constructed pipeline of NycPipelineSpec:
+    // same match survives the year filter, band, and 85/85 thresholds
+    val se = gold.where(col("posted_job_title") === "Software Engineer")
+      .collect()
+    assert(se.nonEmpty && se.forall(_.getInt(6) == 212)) // posting_duration_days
+    assert(gold.where(col("posted_job_title") === "Crossing Guard").count() == 0)
+
+    val soc = spark.table("gold.nyc_matched_job_posting_duration_soc")
+    assert(soc.count() > 0)
+    assert(soc.columns.contains("lightcast_matched_occupation"))
+
+    // and the serving layer pages it without any further setup
+    val page = Serve.fetchDataset(spark, 0, offset = 0, limit = 2).collect()
+    assert(page.nonEmpty)
+
+    // re-running the chain is idempotent at the gold layer (CREATE IF NOT
+    // EXISTS — reference sql/cleaned.sql semantics)
+    IngestFlow.runFuzzyMatch(spark)
+    IngestFlow.runGoldLayer(spark)
+    assert(spark.table("gold.nyc_salary_matches").count() == gold.count())
+  }
+}
