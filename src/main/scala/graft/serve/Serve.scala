@@ -42,9 +42,21 @@ object Serve {
     t.orderBy(primary +: tiebreak: _*).offset(offset).limit(limit)
   }
 
-  /** JSON page for an HTTP layer (reference returns list-of-dicts JSON). */
-  def fetchJson(spark: SparkSession, id: Int, offset: Int, limit: Int): Seq[String] =
-    fetchDataset(spark, id, offset, limit).toJSON.collect().toSeq
+  /** The reference API's page size (api/main.py:45) — also the hard cap
+    * below: a page is collected onto the driver, so an uncapped request
+    * scales driver heap with client input. 750k rows of the widest gold
+    * table is ~100 MB of JSON — comfortable; an accidental MaxValue
+    * request would not be. */
+  val defaultMaxPageRows: Int = 750000
+
+  /** JSON page for an HTTP layer (reference returns list-of-dicts JSON).
+    * `limit` is clamped to `maxPageRows`; clients page with `offset` for
+    * more (same contract as the reference, which never returns more than
+    * one 750k page per request). */
+  def fetchJson(spark: SparkSession, id: Int, offset: Int, limit: Int,
+      maxPageRows: Int = defaultMaxPageRows): Seq[String] =
+    fetchDataset(spark, id, offset, math.min(limit, maxPageRows))
+      .toJSON.collect().toSeq
 
   /** Dashboard score-range filter (streamlit/app.py:65-73 — the slider's
     * `between`). */
