@@ -54,6 +54,32 @@ class FuzzyExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("threshold boundaries hold through the codegen expression") {
+    val s = spark
+    import s.implicits._
+    // raw-score cutoffs vs display rounding: 84.848… rounds to 85 but a
+    // `wratio >= 85` filter must drop it; exactly 85.0 must survive
+    val df = Seq(
+      ("a" * 20, "a" * 17 + "bbb", true),   // 85.0 exactly
+      ("a" * 17, "a" * 14 + "bb", false),   // 84.848… (rounds to 85)
+      ("a" * 100, "a" * 84 + "b" * 15, false), // 84.422…
+      ("a" * 20, "a" * 15 + "b" * 5, false), // 75.0 — passes 75, not 85
+      ("a" * 100, "a" * 74 + "b" * 25, false) // 74.371… — fails both
+    ).toDF("a", "b", "keep")
+    val kept = df.where(wratio(col("a"), col("b")) >= 85.0)
+      .select("a").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a" * 20))
+    val kept75 = df.where(wratio(col("a"), col("b")) >= 75.0)
+      .select("a").collect().length
+    assert(kept75 == 4) // only the 74.371… pair falls below 75
+    // the SQL surface agrees with the kernel digit-for-digit on the
+    // boundary pairs (same codegen path the joins compile to)
+    df.select(col("a"), col("b"), wratio(col("a"), col("b")).as("w"))
+      .collect().foreach { case Row(a: String, b: String, w: Double) =>
+        assert(w == FuzzyKernel.wratio(a, b))
+      }
+  }
+
   test("null inputs score null; normalize_title maps null to empty") {
     val s = spark
     import s.implicits._
