@@ -39,7 +39,42 @@ object AnnQueries {
 
     "a4_neardup_lsh" -> ((s, dir) =>
       AnnSearch.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        theta = 0.45, bits = 6, tables = 16))
+        theta = 0.45, bits = 6, tables = 16)),
+
+    // Recall CONTRACT query: the driver-visible guard against an LSH/IVF
+    // recall collapse that ScalaTest alone would catch only at build time.
+    // Emits one row per approximate method with its measured recall@5 vs
+    // the exact baseline (same parameterizations as a2/a3) and the
+    // in-plan verdict against the floor — rows-only by design; the row
+    // itself carries the evidence. Floor 0.5: the a2/a3 configs measure
+    // 0.68–0.72 at sf0.001/sf0.01 (deliberately speed-biased — the
+    // probe/table params trade recall for candidate volume, AnnQueries
+    // scaladoc above), so 0.5 cleanly separates "configured approximation"
+    // from "bucketing broke" (a collision-logic bug sends recall to ~0).
+    "a5_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+      val exact = AnnSearch.bruteForceTopK(emb.where(col("vec_id") % 50 === 0),
+        emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        exact.join(
+          approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(col("hit")) / count(lit(1))).as("r"))
+          .select(lit(method).as("method"),
+            round(col("r"), 4).as("recall_at_5"),
+            lit(0.5).as("contract_floor"),
+            (col("r") >= 0.5).as("meets_contract"))
+      recallOf(
+        AnnSearch.lshTopK(q, emb, "vec_id", "embedding",
+          k = 5, bits = 8, tables = 8, probeHamming = 1), "lsh")
+        .unionAll(recallOf(
+          AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 6), "ivf"))
+        .orderBy("method")
+    })
   )
 
   val oracles: Map[String, String] = Map(

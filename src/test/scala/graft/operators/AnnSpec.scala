@@ -75,4 +75,16 @@ class AnnSpec extends SparkTestBase {
       assert(recall >= 0.6, s"recall $recall")
     }
   }
+
+  test("a5_ann_recall contract query reports both methods above the floor") {
+    val rows = graft.SparkEntry.queries("a5_ann_recall")(spark, sf())
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      val recall = r.getDouble(1)
+      info(s"${r.getString(0)} recall@5 = $recall")
+      assert(recall >= 0.5 && recall <= 1.0)
+      assert(r.getBoolean(3), s"${r.getString(0)} under the contract floor")
+    }
+  }
 }
