@@ -320,7 +320,12 @@ object Dedup {
     * whose shingle sets overlap a (small) reference set, e.g. training
     * documents that leak evaluation benchmarks. The reference side
     * broadcasts (benchmarks are tiny next to a training corpus), so the
-    * corpus never shuffles: one broadcast nested-loop with the same
+    * corpus never shuffles ON A JOIN KEY — no hash co-location is needed
+    * for a broadcast join. (The one corpus movement is Par.spread's
+    * repartition, there to spread single-file test scans across local
+    * cores; on a cluster whose scan is already as wide as the executor
+    * count it buys nothing and can be dropped.) The scoring itself is
+    * one broadcast nested-loop with the same
     * early-exit sorted-hash prefilter + exact sorted-string verify as
     * [[jaccardPairsBy]], cost |corpus|·|ref| prefilter probes with most
     * pairs bailing in a few comparisons. For a reference set too big to

@@ -33,6 +33,7 @@ object Packing {
     require(orderCols.nonEmpty, "cumSumBefore needs ordering columns")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists on the input — pick another")
+    graft.Reserved.requireNone(df, "Packing.cumSumBefore")
     val spark = df.sparkSession
     val w = if (width > 0) width else spark.sparkContext.defaultParallelism
     val ranged = df

@@ -43,6 +43,7 @@ object Quantiles {
     // p/q/n would make the final projection ambiguous
     Seq("p", "q", "n").foreach(r => require(!keyCols.contains(r),
       s"key column '$r' collides with the $r output column — alias it first"))
+    graft.Reserved.requireNone(df, "Quantiles.exactQuantiles")
     val spark = df.sparkSession
     val w = if (width > 0) width else spark.sparkContext.defaultParallelism
     val mask = (1L << 33) - 1

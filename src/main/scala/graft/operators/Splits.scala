@@ -22,9 +22,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Splits {
 
-  /** 12-hex-digit threshold for cumulative fraction `f`. */
-  private[operators] def thresholdHex(f: Double): String =
+  /** 12-hex-digit threshold for cumulative fraction `f`. Defined only for
+    * f < 1.0: f = 1.0 would format to the 13-char "1000000000000", and a
+    * 12-vs-13-char lexicographic compare keeps ~1/16 of rows instead of
+    * all — both callers guard (assignSplit never compares the final
+    * cumulative fraction; sampleByHash special-cases r >= 1.0), and this
+    * require keeps a future caller from reintroducing the silent
+    * mis-split. */
+  private[operators] def thresholdHex(f: Double): String = {
+    require(f >= 0.0 && f < 1.0,
+      s"thresholdHex is defined on [0, 1): got $f — compare against a " +
+        "full-range fraction with a constant-true predicate instead")
     f"${(f * math.pow(16, 12)).toLong}%012x"
+  }
 
   /** The per-row hash key: first 12 lowercase-hex digits of
     * md5("salt:id"). `concat` (not `concat_ws`) so a NULL id propagates

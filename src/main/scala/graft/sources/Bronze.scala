@@ -55,6 +55,7 @@ object Bronze {
     * tied rows between actions on the same frame. */
   def denseIds(df: DataFrame, orderCols: Seq[String],
       idCol: String = "_record_id", cache: Boolean = true): DataFrame = {
+    graft.Reserved.requireNone(df, "Bronze.denseIds")
     val spark = df.sparkSession
     val width = spark.sparkContext.defaultParallelism
     val mask = (1L << 33) - 1

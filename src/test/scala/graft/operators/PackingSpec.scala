@@ -70,4 +70,17 @@ class PackingSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("reserved __graft_ input columns are rejected, not silently dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "__graft_pid")
+    val e = intercept[IllegalArgumentException](
+      Packing.cumSumBefore(df, Seq("id"), "__graft_pid"))
+    assert(e.getMessage.contains("__graft_"))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(df, Seq("id"), "__graft_pid", Seq(0.5)))
+    intercept[IllegalArgumentException](
+      graft.sources.Bronze.denseIds(df, Seq("id")))
+  }
 }

@@ -61,4 +61,12 @@ class SplitsSpec extends SparkTestBase {
     assert(run(df.repartition(13), "s1") == base)
     assert(run(df, "s2") != base)
   }
+
+  test("thresholdHex rejects f >= 1.0 (13-hex-char silent mis-split guard)") {
+    assert(Splits.thresholdHex(0.0) == "000000000000")
+    assert(Splits.thresholdHex(0.5) == "800000000000")
+    intercept[IllegalArgumentException](Splits.thresholdHex(1.0))
+    intercept[IllegalArgumentException](Splits.thresholdHex(1.5))
+    intercept[IllegalArgumentException](Splits.thresholdHex(-0.1))
+  }
 }
