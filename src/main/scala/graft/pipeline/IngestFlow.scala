@@ -84,6 +84,20 @@ object IngestFlow {
       path
     }
 
+  /** XLSX → lake: the reference's Lightcast workbook arrives in object
+    * storage by hand and is converted to parquet out-of-band
+    * (fuzzy_match_jobs_durations.py:34 only ever reads "the most recent
+    * lightcast parquet"); this makes that conversion a flow step over the
+    * native [[graft.sources.XlsxSource]] reader. Returns the lake path. */
+  def ingestXlsx(spark: SparkSession, xlsxPath: String, table: String,
+      lakeDir: String, header: Boolean = true): String = {
+    val df = spark.read.format("graft-xlsx")
+      .option("header", header.toString).load(xlsxPath)
+    val path = s"$lakeDir/$table.parquet"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Flow 2: lake → bronze catalog (db_sync's update_data,
     * utils.py:171-188). Idempotent per table like the reference's CTAS
     * IF NOT EXISTS. */

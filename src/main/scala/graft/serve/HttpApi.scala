@@ -27,9 +27,16 @@ import org.apache.spark.sql.SparkSession
   */
 object HttpApi {
 
-  final case class Api(server: HttpServer) {
+  final case class Api(server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    /** Stops the listener AND its worker pool — the pool's threads are
+      * non-daemon, so leaving them running would keep the embedding JVM
+      * alive after main() returns. */
+    def stop(): Unit = {
+      server.stop(0)
+      pool.shutdown()
+    }
   }
 
   /** Start serving on `port` (0 = ephemeral, for tests). */
@@ -37,9 +44,10 @@ object HttpApi {
       maxPageRows: Int = Serve.defaultMaxPageRows): Api = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(spark, ex, maxPageRows))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
-    Api(server)
+    Api(server, pool)
   }
 
   private val ReportPath = "/reports/([^/]+)".r

@@ -13,12 +13,11 @@ object IngestFlowDrive {
     graft.GraftFunctions.register(spark)
 
     val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
-    val s = spark
-    import s.implicits._
-    Seq(("Software Developers", 12000, 35.0), ("Police Officers", 4000, 28.5))
-      .toDF("Occupation (SOC)", "Total Postings (Jan 2024 - Jun 2025)",
-        "Median Posting Duration")
-      .write.parquet(s"$lake/lightcast_job_postings_data.parquet")
+    // lightcast arrives as a real XLSX workbook → lake parquet flow step
+    val xlsx = java.nio.file.Files.createTempFile("lightcast", ".xlsx")
+    LightcastXlsxFixture.write(xlsx)
+    IngestFlow.ingestXlsx(spark, xlsx.toString,
+      "lightcast_job_postings_data", lake)
 
     IngestFlow.runAll(spark,
       Seq(

@@ -38,6 +38,49 @@ class JobsPageFetcher extends PageFetcher {
       .map(r => fields.zip(r).toMap)
 }
 
+/** Minimal Lightcast-shaped workbook (inline strings + numbers) for the
+  * XLSX → lake flow step. */
+object LightcastXlsxFixture {
+  def write(path: java.nio.file.Path): Unit = {
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    def row(cells: Seq[Any]): String =
+      "<row>" + cells.map {
+        case s: String => s"""<c t="inlineStr"><is><t>$s</t></is></c>"""
+        case n => s"<c><v>$n</v></c>"
+      }.mkString + "</row>"
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |  <sheetData>
+         |    ${row(Seq("Occupation (SOC)", "Total Postings (Jan 2024 - Jun 2025)", "Median Posting Duration"))}
+         |    ${row(Seq("Software Developers", 12000, 35.0))}
+         |    ${row(Seq("Police Officers", 4000, 28.5))}
+         |    ${row(Seq("Paralegals", 900, 41.0))}
+         |  </sheetData>
+         |</worksheet>""".stripMargin)
+    zip.close()
+  }
+}
+
 /** Drives the whole reference flow chain — REST fetch → lake → bronze →
   * fuzzy match → gold — from a cold catalog, through [[IngestFlow.runAll]]
   * alone. */
@@ -69,19 +112,13 @@ class IngestFlowSpec extends SparkTestBase {
     coldCatalog()
     val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
 
-    // the lightcast artifact arrives in the lake out-of-band (the
-    // reference uploads its XLSX-derived parquet to object storage by
-    // hand; fuzzy_match_jobs_durations.py:34 just reads the newest one)
-    val s = spark
-    import s.implicits._
-    Seq(
-      ("Software Developers", 12000, 35.0),
-      ("Police Officers", 4000, 28.5),
-      ("Paralegals", 900, 41.0))
-      .toDF("Occupation (SOC)", "Total Postings (Jan 2024 - Jun 2025)",
-        "Median Posting Duration")
-      .write.mode("overwrite")
-      .parquet(s"$lake/lightcast_job_postings_data.parquet")
+    // the lightcast workbook arrives as XLSX (the reference converts it
+    // to parquet out-of-band; fuzzy_match_jobs_durations.py:34 reads the
+    // newest parquet) — here the conversion is a first-class flow step
+    val xlsx = java.nio.file.Files.createTempFile("lightcast", ".xlsx")
+    LightcastXlsxFixture.write(xlsx)
+    IngestFlow.ingestXlsx(spark, xlsx.toString,
+      "lightcast_job_postings_data", lake)
 
     IngestFlow.runAll(spark,
       Seq(
