@@ -66,6 +66,30 @@ object HttpApi {
           val items = Serve.reportsList
             .map { case (id, name) => s"""{"id":$id,"report":"$name"}""" }
           send(ex, 200, items.mkString("[", ",", "]"))
+        case "/dashboard" =>
+          sendHtml(ex, 200, Dashboard.html)
+        case "/dashboard/data" =>
+          val p = queryParams(ex)
+          (p.get("id").flatMap(_.toIntOption),
+            p.get("lo").map(_.toDoubleOption), p.get("hi").map(_.toDoubleOption)) match {
+            case (Some(id), lo, hi)
+                if Serve.registry.exists(_.id == id) &&
+                  !lo.contains(None) && !hi.contains(None) =>
+              val scoreCol = p.getOrElse("score_col",
+                Serve.registry.find(_.id == id).get.sortKey)
+              val s = Serve.dashboardSection(spark, id, scoreCol,
+                lo.flatten, hi.flatten,
+                math.min(p.get("max_rows").flatMap(_.toIntOption).getOrElse(1000),
+                  maxPageRows))
+              val statsJson = s.stats.fold("null") { case (mean, mn, mx) =>
+                s"""{"mean":$mean,"min":$mn,"max":$mx}"""
+              }
+              send(ex, 200,
+                s"""{"total":${s.total},"filtered":${s.filtered},""" +
+                  s""""stats":$statsJson,"rows":${s.rows.mkString("[", ",", "]")}}""")
+            case _ =>
+              send(ex, 400, jsonDetail("id must be a known dataset; lo/hi/max_rows numeric"))
+          }
         case ReportPath(idStr) =>
           val params = queryParams(ex)
           val id = idStr.toIntOption
@@ -101,10 +125,14 @@ object HttpApi {
   private def jsonDetail(msg: String): String =
     s"""{"detail":"${msg.replace("\"", "\\\"")}"}"""
 
-  private def send(ex: HttpExchange, status: Int, body: String): Unit = {
+  private def send(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
   }
+
+  private def sendHtml(ex: HttpExchange, status: Int, body: String): Unit =
+    send(ex, status, body, "text/html; charset=utf-8")
 }

@@ -28,18 +28,25 @@ object Serve {
   def reportsList: Seq[(Int, String)] =
     registry.map(d => d.id -> d.table.stripPrefix("gold."))
 
+  private def datasetOf(id: Int): Dataset =
+    registry.find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown dataset id $id"))
+
+  /** Deterministic ordering for pages: the sort key alone is massively
+    * tied (rounded int scores), so every remaining column joins the
+    * ordering and page boundaries are stable across independent requests
+    * (unique up to fully-identical rows). */
+  private def ordered(t: DataFrame, ds: Dataset): DataFrame = {
+    val primary = if (ds.desc) col(ds.sortKey).desc else col(ds.sortKey).asc
+    val tiebreak = t.columns.filterNot(_ == ds.sortKey).sorted.map(col(_).asc)
+    t.orderBy(primary +: tiebreak: _*)
+  }
+
   /** GET /reports/{id} — one page; defaults mirror api/main.py:45. */
   def fetchDataset(spark: SparkSession, id: Int,
       offset: Int = 0, limit: Int = 750000): DataFrame = {
-    val ds = registry.find(_.id == id)
-      .getOrElse(throw new IllegalArgumentException(s"unknown dataset id $id"))
-    val t = spark.table(ds.table)
-    // the sort key alone is massively tied (rounded int scores): every
-    // remaining column joins the ordering so page boundaries are stable
-    // across independent requests (unique up to fully-identical rows)
-    val primary = if (ds.desc) col(ds.sortKey).desc else col(ds.sortKey).asc
-    val tiebreak = t.columns.filterNot(_ == ds.sortKey).sorted.map(col(_).asc)
-    t.orderBy(primary +: tiebreak: _*).offset(offset).limit(limit)
+    val ds = datasetOf(id)
+    ordered(spark.table(ds.table), ds).offset(offset).limit(limit)
   }
 
   /** The reference API's page size (api/main.py:45) — also the hard cap
@@ -72,5 +79,25 @@ object Serve {
       min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double"))).head()
     if (r.isNullAt(0)) None
     else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+  }
+
+  /** One dashboard section (streamlit/app.py:40-92): optional score-range
+    * filter + stats over the FILTERED rows + a bounded page of them in
+    * the dataset's deterministic order. The two counts and the stats are
+    * distributed aggregates; only `maxRows` rows reach the driver. */
+  final case class DashboardSection(total: Long, filtered: Long,
+      stats: Option[(Double, Double, Double)], rows: Seq[String])
+
+  def dashboardSection(spark: SparkSession, id: Int, scoreCol: String,
+      lo: Option[Double], hi: Option[Double],
+      maxRows: Int = 1000): DashboardSection = {
+    val ds = datasetOf(id)
+    val full = spark.table(ds.table)
+    val f = (lo, hi) match {
+      case (Some(l), Some(h)) => filterScoreRange(full, scoreCol, l, h)
+      case _ => full
+    }
+    DashboardSection(full.count(), f.count(), scoreStats(f, scoreCol),
+      ordered(f, ds).limit(maxRows).toJSON.collect().toSeq)
   }
 }

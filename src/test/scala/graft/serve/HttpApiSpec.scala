@@ -19,18 +19,39 @@ class HttpApiSpec extends SparkTestBase {
     (resp.statusCode(), resp.body())
   }
 
+  private def replaceTable(name: String)(write: String => Unit): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold")
+    spark.sql(s"DROP TABLE IF EXISTS gold.$name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"gold.db/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    write(s"gold.$name")
+  }
+
   private def withGold(): Unit = {
     val s = spark
     import s.implicits._
-    spark.sql("CREATE DATABASE IF NOT EXISTS gold")
-    spark.sql("DROP TABLE IF EXISTS gold.nyc_salary_matches")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "gold.db/nyc_salary_matches")
-    org.apache.commons.io.FileUtils.deleteQuietly(loc)
-    (1 to 10).map(i => (s"Title $i", 80 + i))
-      .toDF("posted_job_title", "match_score")
-      .write.saveAsTable("gold.nyc_salary_matches")
+    replaceTable("nyc_salary_matches") { t =>
+      (1 to 10).map(i => (s"Title $i", 80 + i))
+        .toDF("posted_job_title", "match_score")
+        .write.saveAsTable(t)
+    }
+  }
+
+  private def withDashboardGold(): Unit = {
+    val s = spark
+    import s.implicits._
+    replaceTable("nyc_salary_matches_unique_job_posting_title") { t =>
+      (1 to 10).map(i => (s"Title $i", 80 + i))
+        .toDF("posted_job_title", "match_score")
+        .write.saveAsTable(t)
+    }
+    replaceTable("nyc_matched_job_posting_duration_soc_unique_title") { t =>
+      Seq(("Software Developers", 35.0), ("Police Officers", 28.5))
+        .toDF("lightcast_matched_occupation", "median_posting_duration")
+        .write.saveAsTable(t)
+    }
   }
 
   test("endpoints: root, health, reports list, report page, errors") {
@@ -68,6 +89,50 @@ class HttpApiSpec extends SparkTestBase {
       assert(get(api.port, "/reports/0?offset=nope")._1 == 400)
       assert(get(api.port, "/reports/0?offset=100")._1 == 404) // past the end
       assert(get(api.port, "/nonsense")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("dashboard page and data endpoint mirror the viewer semantics") {
+    withDashboardGold()
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      val (hCode, html) = get(api.port, "/dashboard")
+      assert(hCode == 200 && html.contains("<html>") &&
+        html.contains("NYC Hiring Audit"))
+
+      // unfiltered: totals + stats over the whole dataset
+      val (dCode, dBody) = get(api.port, "/dashboard/data?id=2&score_col=match_score")
+      assert(dCode == 200)
+      assert(dBody.contains("\"total\":10") && dBody.contains("\"filtered\":10"))
+      assert(dBody.contains("\"mean\":85.5") && dBody.contains("\"max\":90.0"))
+
+      // slider range applies server-side; stats recompute over the filter
+      val (_, fBody) = get(api.port,
+        "/dashboard/data?id=2&score_col=match_score&lo=86&hi=88")
+      assert(fBody.contains("\"filtered\":3") && fBody.contains("\"mean\":87.0"))
+      assert("\"match_score\":(\\d+)".r.findAllMatchIn(fBody)
+        .map(_.group(1).toInt).toSet == Set(86, 87, 88))
+
+      // empty range → null stats, zero rows (streamlit "no rows" path)
+      val (_, eBody) = get(api.port,
+        "/dashboard/data?id=2&score_col=match_score&lo=200&hi=300")
+      assert(eBody.contains("\"filtered\":0") && eBody.contains("\"stats\":null"))
+
+      // SOC section: plain sorted table
+      val (_, socBody) = get(api.port,
+        "/dashboard/data?id=3&score_col=median_posting_duration")
+      assert(socBody.contains("\"total\":2"))
+      val socRows = socBody.substring(socBody.indexOf("\"rows\":"))
+      assert(socRows.indexOf("35.0") < socRows.indexOf("28.5")) // desc order
+
+      // max_rows caps the page, counts stay dataset-wide
+      val (_, cBody) = get(api.port,
+        "/dashboard/data?id=2&score_col=match_score&max_rows=2")
+      assert(cBody.contains("\"filtered\":10"))
+      assert("\"match_score\":".r.findAllIn(cBody).length == 2)
+
+      assert(get(api.port, "/dashboard/data?id=99")._1 == 400)
+      assert(get(api.port, "/dashboard/data?id=2&lo=x&hi=1")._1 == 400)
     } finally api.stop()
   }
 
