@@ -99,10 +99,13 @@ object IngestFlow {
   }
 
   /** Flow 2: lake → bronze catalog (db_sync's update_data,
-    * utils.py:171-188). Idempotent per table like the reference's CTAS
-    * IF NOT EXISTS. */
-  def dbSync(spark: SparkSession, lakeDir: String): Seq[String] =
-    Bronze.registerLake(spark, lakeDir)
+    * utils.py:171-188). Default mirrors the reference's CTAS IF NOT
+    * EXISTS (first ingestion wins); `refresh = true` re-reads every lake
+    * artifact so a weekly re-ingestion actually reaches bronze — see
+    * [[graft.sources.Bronze.register]]. */
+  def dbSync(spark: SparkSession, lakeDir: String,
+      refresh: Boolean = false): Seq[String] =
+    Bronze.registerLake(spark, lakeDir, refresh)
 
   /** Flow 3: both fuzzy-match stages, persisted to the bronze tables the
     * gold layer reads (fuzzy_flows.py:9-14; table names from

@@ -82,28 +82,37 @@ object Bronze {
       .drop("__graft_mid", "__graft_pid", "__graft_rn", "__graft_off")
   }
 
-  /** Register one parquet file/dir as `bronze.<table>` (idempotent, like the
-    * reference's CREATE TABLE IF NOT EXISTS). */
+  /** Register one parquet file/dir as `bronze.<table>`.
+    *
+    * Default `refresh = false` is the reference's exact semantics —
+    * `CREATE TABLE IF NOT EXISTS` (utils.py:178-184), meaning a weekly
+    * re-ingestion that lands NEW data in the lake still serves LAST
+    * week's bronze (the reference's "refreshes on new data" log line
+    * notwithstanding, db_sync.py:55). `refresh = true` is the fix a real
+    * deployment wants: overwrite the table from the current lake
+    * artifact so re-ingestion propagates. */
   def register(spark: SparkSession, path: String, table: String,
-      denseIdOrder: Option[Seq[String]] = None): Unit = {
+      denseIdOrder: Option[Seq[String]] = None,
+      refresh: Boolean = false): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS bronze")
     val qualified = s"bronze.$table"
-    if (!spark.catalog.tableExists(qualified)) {
+    if (refresh || !spark.catalog.tableExists(qualified)) {
       val name = path.split('/').last.stripSuffix(".parquet")
       withAuditColumns(spark.read.parquet(path), name, denseIdOrder)
-        .write.saveAsTable(qualified)
+        .write.mode("overwrite").saveAsTable(qualified)
     }
   }
 
   /** Register every parquet under a lake directory, deriving table names the
     * way the reference does (lowercase, dashes/spaces → underscores;
     * utils.py:172-173). */
-  def registerLake(spark: SparkSession, lakeDir: String): Seq[String] = {
+  def registerLake(spark: SparkSession, lakeDir: String,
+      refresh: Boolean = false): Seq[String] = {
     val files = LakeIO.listLake(spark, s"$lakeDir/*.parquet")
     files.map { f =>
       val table = f.split('/').last.stripSuffix(".parquet")
         .toLowerCase.replace("-", "_").replace(" ", "_")
-      register(spark, f, table)
+      register(spark, f, table, refresh = refresh)
       table
     }
   }

@@ -39,6 +39,19 @@ object IngestFlowDrive {
     spark.table("gold.nyc_salary_matches").show(20, truncate = false)
     println("serve page: " +
       graft.serve.Serve.fetchJson(spark, 0, 0, 3).mkString("\n"))
+
+    // re-ingestion: default sync keeps first ingestion (reference
+    // semantics); refresh=true propagates the new lake artifact
+    val s = spark
+    import s.implicits._
+    (1 to 9).map(i => Tuple1(s"t$i")).toDF("title_description")
+      .write.mode("overwrite").parquet(s"$lake/nyc_payroll_data.parquet")
+    IngestFlow.dbSync(spark, lake)
+    println("bronze payroll after default re-sync: " +
+      spark.table("bronze.nyc_payroll_data").count())
+    IngestFlow.dbSync(spark, lake, refresh = true)
+    println("bronze payroll after refresh re-sync: " +
+      spark.table("bronze.nyc_payroll_data").count())
     spark.stop()
   }
 }

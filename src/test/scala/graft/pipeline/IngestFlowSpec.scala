@@ -164,5 +164,17 @@ class IngestFlowSpec extends SparkTestBase {
     IngestFlow.runFuzzyMatch(spark)
     IngestFlow.runGoldLayer(spark)
     assert(spark.table("gold.nyc_salary_matches").count() == gold.count())
+
+    // bronze sync semantics on RE-ingestion: default keeps the first
+    // ingestion (the reference's IF NOT EXISTS, utils.py:178); refresh
+    // re-reads the lake so new data propagates
+    val s2 = spark
+    import s2.implicits._
+    (1 to 9).map(i => Tuple1(s"t$i")).toDF("title_description")
+      .write.mode("overwrite").parquet(s"$lake/nyc_payroll_data.parquet")
+    IngestFlow.dbSync(spark, lake)
+    assert(spark.table("bronze.nyc_payroll_data").count() == 6) // stale, as the reference
+    IngestFlow.dbSync(spark, lake, refresh = true)
+    assert(spark.table("bronze.nyc_payroll_data").count() == 9)
   }
 }
