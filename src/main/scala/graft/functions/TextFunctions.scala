@@ -110,4 +110,42 @@ object TextFunctions {
 
   /** Hamming distance between two long bit-vectors. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII redaction patterns, applied in this order (email first so its
+    * digits can't be half-eaten by the numeric patterns; card before
+    * phone so a 4-4-4-4 run is one `<CC>`, not fragments). All patterns
+    * are DIALECT-PORTABLE by construction — character classes, bounded
+    * repetition, and ASCII `\b` only, no lookaround or backreferences —
+    * so Java regex (Spark codegen) and RE2 (DuckDB, Go engines) produce
+    * byte-identical output; the t7 oracle pins that. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\d{3}-\\d{2}-\\d{4}" -> "<SSN>",
+    "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b" -> "<CC>",
+    "\\d{3}[-.]\\d{3}[-.]\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII scrub — the pretraining-corpus redaction pass: emails, SSNs,
+    * card numbers, phone numbers, IPv4 addresses → typed placeholder
+    * tokens. A chain of codegen'd `regexp_replace`s (one narrow map, no
+    * shuffle, no UDF) — at 100 TB this runs at scan speed. */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** Count of PII matches by class — the audit-side companion to
+    * [[piiScrub]] (how much was redacted, per class). Each class counts
+    * on the text AS SCRUBBED BY THE PREVIOUS classes, matching exactly
+    * what the scrub chain replaces (a card number is one `cc`, not also
+    * phone fragments). */
+  def piiCounts(text: Column): Column = {
+    val (counts, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, cur), (p, r)) =>
+        val n = size(regexp_extract_all(cur, lit(p), lit(0)))
+          .as(r.stripPrefix("<").stripSuffix(">").toLowerCase + "s")
+        (acc :+ n, regexp_replace(cur, p, r))
+    }
+    struct(counts: _*)
+  }
 }

@@ -72,9 +72,19 @@ object GoldLayer {
   val all: Seq[String] = Seq(salaryMatchesSql, socDurationSql,
     salaryMatchesUniqueSql, socDurationUniqueSql)
 
-  /** Run the gold layer (reference src/cleaned_data.py:16-46). */
-  def run(spark: SparkSession): Unit = {
+  private val tables = Seq("nyc_salary_matches",
+    "nyc_matched_job_posting_duration_soc",
+    "nyc_salary_matches_unique_job_posting_title",
+    "nyc_matched_job_posting_duration_soc_unique_title")
+
+  /** Run the gold layer (reference src/cleaned_data.py:16-46). Default
+    * mirrors the reference's CREATE TABLE IF NOT EXISTS — gold built once
+    * never changes even when bronze does; `refresh = true` drops and
+    * rebuilds the four tables from current bronze so a re-run of the
+    * weekly chain propagates. */
+  def run(spark: SparkSession, refresh: Boolean = false): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS gold")
+    if (refresh) tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS gold.$t"))
     all.foreach(spark.sql(_))
   }
 }

@@ -132,16 +132,22 @@ object IngestFlow {
   }
 
   /** Flow 4: the gold CTAS layer. */
-  def runGoldLayer(spark: SparkSession): Unit = GoldLayer.run(spark)
+  def runGoldLayer(spark: SparkSession, refresh: Boolean = false): Unit =
+    GoldLayer.run(spark, refresh)
 
   /** The whole weekly chain: ingest → sync → match → gold. After this,
     * [[graft.serve.Serve]] / [[graft.serve.HttpApi]] can page every gold
-    * table from a previously cold catalog. */
+    * table from a previously cold catalog. `refresh = true` makes a
+    * RE-run propagate end to end (bronze re-read from the lake, gold
+    * rebuilt); the default keeps the reference's first-run-wins
+    * semantics at both layers. The match stage always overwrites its
+    * bronze outputs, exactly as the reference's flows overwrite their
+    * match parquet on every run. */
   def runAll(spark: SparkSession, sources: Seq[RestDataset],
-      lakeDir: String): Unit = {
+      lakeDir: String, refresh: Boolean = false): Unit = {
     runDataIngestion(spark, sources, lakeDir)
-    dbSync(spark, lakeDir)
+    dbSync(spark, lakeDir, refresh)
     runFuzzyMatch(spark)
-    runGoldLayer(spark)
+    runGoldLayer(spark, refresh)
   }
 }

@@ -60,6 +60,32 @@ object TextQueries {
         when(total === 0, lit(0.0))
           .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
           .as("repetition_ratio"))
+    }),
+
+    // PII redaction: the corpus itself is clean, so the query EMBEDS
+    // deterministic doc_id-derived PII (email/SSN/phone/IP) identically
+    // in both engines, then scrubs it — proving the substitution
+    // semantics and the Java-regex/RE2 portability of the patterns with
+    // an exact oracle, plus the per-class audit counts.
+    "t7_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val embedded = concat(
+        col("text"), lit(" contact user"), id,
+        lit("@mail.example.com phone 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), embedded.as("embedded"))
+        .select(col("doc_id"),
+          piiScrub(col("embedded")).as("scrubbed"),
+          piiCounts(col("embedded")).as("c"))
+        .select(col("doc_id"), col("scrubbed"),
+          col("c.emails").as("n_emails"), col("c.ssns").as("n_ssns"),
+          col("c.phones").as("n_phones"), col("c.ips").as("n_ips"))
     })
   )
 
@@ -145,6 +171,41 @@ object TextQueries {
         |  CASE WHEN total_2grams = 0 THEN 0.0
         |       ELSE 1.0 - CAST(distinct_2grams AS DOUBLE)
         |            / CAST(total_2grams AS DOUBLE) END AS repetition_ratio
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // the patterns here must stay in lockstep with TextFunctions.piiPatterns
+    "t7_pii_scrub" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com phone 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' ssn 123-45-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |         || CAST((doc_id * 7) % 256 AS VARCHAR) AS embedded
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(embedded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    regexp_replace(embedded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM e),
+        |c2 AS (SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS n_ssns,
+        |    regexp_replace(t, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS t
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, n_emails, n_ssns,
+        |    regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g') AS t
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, n_emails, n_ssns,
+        |    len(regexp_extract_all(t, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phones,
+        |    regexp_replace(t, '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS t
+        |  FROM c3),
+        |c5 AS (SELECT doc_id, n_emails, n_ssns, n_phones,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+        |  FROM c4)
+        |SELECT doc_id, t AS scrubbed, n_emails, n_ssns, n_phones, n_ips
+        |FROM c5""".stripMargin
   )
 }

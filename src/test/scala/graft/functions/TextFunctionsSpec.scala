@@ -82,4 +82,31 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(ratio("solo") == ((0, 0, 0.0)))          // no 2-grams at all
     assert(ratio("") == ((0, 0, 0.0)))
   }
+
+  test("piiScrub redacts every class; counts match what was replaced") {
+    val s = spark
+    import s.implicits._
+    def scrub(text: String): String =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextFunctions.piiScrub(col("t"))).head().getString(0)
+
+    assert(scrub("mail bob.smith+x@corp.example.co now") == "mail <EMAIL> now")
+    assert(scrub("ssn 078-05-1120.") == "ssn <SSN>.")
+    assert(scrub("card 4111 1111 1111 1111!") == "card <CC>!")
+    assert(scrub("call 212-555-0199 or 212.555.0188") == "call <PHONE> or <PHONE>")
+    assert(scrub("host 192.168.0.1 up") == "host <IP> up")
+    // a card number is ONE <CC>, never phone fragments (ordering)
+    assert(scrub("4111-1111-1111-1111") == "<CC>")
+    // clean text is untouched
+    assert(scrub("just words 123 and 45.6") == "just words 123 and 45.6")
+    // everything at once
+    assert(scrub("a@b.io 078-05-1120 4111 1111 1111 1111 212-555-0199 10.0.0.7")
+      == "<EMAIL> <SSN> <CC> <PHONE> <IP>")
+
+    val counts = Seq(Tuple1("a@b.io c@d.io 078-05-1120 212-555-0199 10.0.0.7"))
+      .toDF("t").select(TextFunctions.piiCounts(col("t")).as("c"))
+      .select("c.emails", "c.ssns", "c.ccs", "c.phones", "c.ips").head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2),
+      counts.getInt(3), counts.getInt(4)) == ((2, 1, 0, 1, 1)))
+  }
 }

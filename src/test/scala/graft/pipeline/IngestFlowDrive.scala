@@ -52,6 +52,20 @@ object IngestFlowDrive {
     IngestFlow.dbSync(spark, lake, refresh = true)
     println("bronze payroll after refresh re-sync: " +
       spark.table("bronze.nyc_payroll_data").count())
+
+    // gold refresh: shrink bronze matches, default run stays stale,
+    // refresh rebuilds from current bronze
+    val m = spark.table("bronze.payroll_to_jobs_title_fuzzy_matches")
+    val rows = m.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows.drop(1): _*), m.schema)
+      .write.mode("overwrite")
+      .saveAsTable("bronze.payroll_to_jobs_title_fuzzy_matches")
+    IngestFlow.runGoldLayer(spark)
+    println("gold rows after default re-run: " +
+      spark.table("gold.nyc_salary_matches").count())
+    IngestFlow.runGoldLayer(spark, refresh = true)
+    println("gold rows after refresh re-run: " +
+      spark.table("gold.nyc_salary_matches").count())
     spark.stop()
   }
 }

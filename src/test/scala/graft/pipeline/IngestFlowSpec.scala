@@ -165,6 +165,20 @@ class IngestFlowSpec extends SparkTestBase {
     IngestFlow.runGoldLayer(spark)
     assert(spark.table("gold.nyc_salary_matches").count() == gold.count())
 
+    // gold refresh semantics: shrink bronze matches; the default run
+    // leaves gold stale (reference IF NOT EXISTS), refresh rebuilds it
+    val matchRows = spark.table("bronze.payroll_to_jobs_title_fuzzy_matches")
+    val allMatches = matchRows.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(allMatches.drop(1): _*), matchRows.schema)
+      .write.mode("overwrite")
+      .saveAsTable("bronze.payroll_to_jobs_title_fuzzy_matches")
+    IngestFlow.runGoldLayer(spark)
+    assert(spark.table("gold.nyc_salary_matches").count() == gold.count())
+    IngestFlow.runGoldLayer(spark, refresh = true)
+    assert(spark.table("gold.nyc_salary_matches").count() ==
+      allMatches.length - 1)
+
     // bronze sync semantics on RE-ingestion: default keeps the first
     // ingestion (the reference's IF NOT EXISTS, utils.py:178); refresh
     // re-reads the lake so new data propagates
