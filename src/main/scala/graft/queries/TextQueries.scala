@@ -67,6 +67,31 @@ object TextQueries {
     // in both engines, then scrubs it — proving the substitution
     // semantics and the Java-regex/RE2 portability of the patterns with
     // an exact oracle, plus the per-class audit counts.
+    // URL/domain analysis — the curation primitive behind domain
+    // blocklists and per-source mixing: extract URLs, aggregate per
+    // domain (docs containing it + total occurrences). Corpus text has
+    // no URLs, so the query embeds deterministic doc_id-derived ones in
+    // both engines, like t7. One narrow extract + explode + one hash
+    // shuffle on the (low-cardinality) domain at any scale.
+    "t8_url_domains" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val embedded = concat(
+        col("text"), lit(" see http://site"),
+        (col("doc_id") % 20).cast("string"), lit(".example.com/p/"), id,
+        lit(" and https://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/x"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), embedded.as("embedded"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("embedded"),
+            lit("https?://[A-Za-z0-9.-]+[^\\s]*"), lit(0))).as("url"))
+        .withColumn("domain",
+          regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1))
+        .groupBy("domain")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+    }),
+
     "t7_pii_scrub" -> ((s, dir) => {
       val id = col("doc_id").cast("string")
       val embedded = concat(
@@ -206,6 +231,23 @@ object TextQueries {
         |    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
         |  FROM c4)
         |SELECT doc_id, t AS scrubbed, n_emails, n_ssns, n_phones, n_ips
-        |FROM c5""".stripMargin
+        |FROM c5""".stripMargin,
+
+    "t8_url_domains" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' see http://site' || CAST(doc_id % 20 AS VARCHAR)
+        |         || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |         || ' and https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.example.org/x' AS embedded
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(embedded,
+        |           'https?://[A-Za-z0-9.-]+[^\s]*')) AS url
+        |  FROM e)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_urls
+        |FROM u GROUP BY 1""".stripMargin
   )
 }
