@@ -91,11 +91,20 @@ object Bench {
     if (args.contains("--child")) { childMain(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
 
-    val forked = (1 to runs).map(_ => forkPass())
+    // a flaky fork is retried once; surviving forked passes are kept
+    // (they are the i.i.d. samples) — only a total fork failure falls
+    // back to the in-process mode, which is documented as inflating
+    // CPU-dense queries with JVM aging
+    val forked = (1 to runs).flatMap(_ => forkPass().orElse(forkPass()))
     val samples: Seq[Map[String, Double]] =
-      if (forked.forall(_.isDefined)) forked.flatten
-      else {
+      if (forked.nonEmpty) {
+        if (forked.size < runs) System.err.println(
+          s"[bench] only ${forked.size}/$runs forked passes succeeded — " +
+            "reporting medians over the survivors")
+        forked
+      } else {
         System.err.println(
           "[bench] fork unavailable — falling back to in-process passes " +
             "(expect JVM-aging inflation on CPU-dense queries)")
@@ -105,9 +114,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
       val ok = samples.flatMap(_.get(n)).filter(_ >= 0)
-      // any failed round marks the query failed — a flaky query must not
-      // quietly report the median of its surviving rounds
-      n -> (if (ok.size < runs) -1.0 else median(ok))
+      // a query that failed in any surviving pass is marked failed — it
+      // must not quietly report the median of its successful rounds
+      n -> (if (ok.size < samples.size) -1.0 else median(ok))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

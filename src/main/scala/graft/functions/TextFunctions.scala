@@ -134,18 +134,28 @@ object TextFunctions {
       regexp_replace(c, p, r)
     }
 
-  /** Count of PII matches by class — the audit-side companion to
-    * [[piiScrub]] (how much was redacted, per class). Each class counts
-    * on the text AS SCRUBBED BY THE PREVIOUS classes, matching exactly
-    * what the scrub chain replaces (a card number is one `cc`, not also
-    * phone fragments). */
-  def piiCounts(text: Column): Column = {
-    val (counts, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+  private def piiFold(text: Column): (Seq[Column], Column) =
+    piiPatterns.foldLeft((Seq.empty[Column], text)) {
       case ((acc, cur), (p, r)) =>
         val n = size(regexp_extract_all(cur, lit(p), lit(0)))
           .as(r.stripPrefix("<").stripSuffix(">").toLowerCase + "s")
         (acc :+ n, regexp_replace(cur, p, r))
     }
-    struct(counts: _*)
+
+  /** Count of PII matches by class — the audit-side companion to
+    * [[piiScrub]] (how much was redacted, per class). Each class counts
+    * on the text AS SCRUBBED BY THE PREVIOUS classes, matching exactly
+    * what the scrub chain replaces (a card number is one `cc`, not also
+    * phone fragments). */
+  def piiCounts(text: Column): Column = struct(piiFold(text)._1: _*)
+
+  /** Scrubbed text AND the per-class counts as one struct — what a
+    * redaction pipeline (t7) selects. The counts' progressive chain and
+    * the scrub chain share every `regexp_replace` step structurally, so
+    * the sharing does not depend on codegen subexpression elimination
+    * spotting duplicate subtrees across output columns. */
+  def piiAudit(text: Column): Column = {
+    val (counts, scrubbed) = piiFold(text)
+    struct(scrubbed.as("scrubbed") +: counts: _*)
   }
 }

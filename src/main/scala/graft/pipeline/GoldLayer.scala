@@ -72,10 +72,11 @@ object GoldLayer {
   val all: Seq[String] = Seq(salaryMatchesSql, socDurationSql,
     salaryMatchesUniqueSql, socDurationUniqueSql)
 
-  private val tables = Seq("nyc_salary_matches",
-    "nyc_matched_job_posting_duration_soc",
-    "nyc_salary_matches_unique_job_posting_title",
-    "nyc_matched_job_posting_duration_soc_unique_title")
+  // derived from the CTAS text itself so a renamed gold table can never
+  // drift apart from what refresh drops
+  private val tables: Seq[String] =
+    all.map("""CREATE TABLE IF NOT EXISTS gold\.(\w+)""".r
+      .findFirstMatchIn(_).get.group(1))
 
   /** Run the gold layer (reference src/cleaned_data.py:16-46). Default
     * mirrors the reference's CREATE TABLE IF NOT EXISTS — gold built once

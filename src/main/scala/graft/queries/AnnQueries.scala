@@ -62,7 +62,11 @@ object AnnQueries {
           approx.select(col("query_id"), col("neighbor_id"))
             .withColumn("hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
-          .agg((sum(col("hit")) / count(lit(1))).as("r"))
+          // coalesce: zero overlapping hits must read recall 0.0 /
+          // meets_contract false — sum(all-NULL) is NULL, which would
+          // make the contract verdict NULL exactly when the collapse
+          // this query guards against happens
+          .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
           .select(lit(method).as("method"),
             round(col("r"), 4).as("recall_at_5"),
             lit(0.5).as("contract_floor"),

@@ -105,12 +105,10 @@ object TextQueries {
         ((col("doc_id") * 7) % 256).cast("string"))
       t(s, dir, "documents")
         .select(col("doc_id"), embedded.as("embedded"))
-        .select(col("doc_id"),
-          piiScrub(col("embedded")).as("scrubbed"),
-          piiCounts(col("embedded")).as("c"))
-        .select(col("doc_id"), col("scrubbed"),
-          col("c.emails").as("n_emails"), col("c.ssns").as("n_ssns"),
-          col("c.phones").as("n_phones"), col("c.ips").as("n_ips"))
+        .select(col("doc_id"), piiAudit(col("embedded")).as("a"))
+        .select(col("doc_id"), col("a.scrubbed").as("scrubbed"),
+          col("a.emails").as("n_emails"), col("a.ssns").as("n_ssns"),
+          col("a.phones").as("n_phones"), col("a.ips").as("n_ips"))
     })
   )
 

@@ -45,12 +45,19 @@ object Dashboard {
       |<div id="soc-table"></div>
       |
       |<script>
+      |// gold values originate from an EXTERNAL feed — escape everything
+      |// that reaches innerHTML or a title like "<img onerror=…>" executes
+      |// in every viewer's browser
+      |function esc(v) {
+      |  return String(v).replace(/&/g, "&amp;").replace(/</g, "&lt;")
+      |    .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
+      |}
       |function renderTable(el, rows) {
       |  if (!rows.length) { el.textContent = "No rows returned"; return; }
       |  const cols = Object.keys(rows[0]);
-      |  let h = "<table><tr>" + cols.map(c => "<th>" + c + "</th>").join("") + "</tr>";
+      |  let h = "<table><tr>" + cols.map(c => "<th>" + esc(c) + "</th>").join("") + "</tr>";
       |  for (const r of rows)
-      |    h += "<tr>" + cols.map(c => "<td>" + (r[c] ?? "") + "</td>").join("") + "</tr>";
+      |    h += "<tr>" + cols.map(c => "<td>" + esc(r[c] ?? "") + "</td>").join("") + "</tr>";
       |  el.innerHTML = h + "</table>";
       |}
       |async function section(id, params) {

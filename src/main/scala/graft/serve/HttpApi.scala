@@ -16,9 +16,12 @@ import org.apache.spark.sql.SparkSession
   *    (the reference hardcodes offset 0 / limit 750000, main.py:45; the
   *    query params expose the pagination fetch_single_dataset already
   *    takes, fetch_data.py:28).
+  *  - `GET /dashboard`, `GET /dashboard/data` → the viewer ([[Dashboard]]).
   *
-  * Status mapping follows fetch_data.py:72-80: malformed/unknown id → 400,
-  * empty page → 404 ("Report not found", main.py:46-47).
+  * Status mapping follows fetch_data.py:72-80: malformed/unknown id and
+  * bad parameters (negative offsets, half-specified ranges, undecodable
+  * query strings) → 400, empty page → 404 ("Report not found",
+  * main.py:46-47).
   *
   * Uses the JDK's built-in `com.sun.net.httpserver` — no extra
   * dependencies; a handful of serving threads is plenty because each
@@ -52,6 +55,9 @@ object HttpApi {
 
   private val ReportPath = "/reports/([^/]+)".r
 
+  /** Client-input errors that must map to 400, not 500. */
+  private final class BadRequest(msg: String) extends RuntimeException(msg)
+
   private def handle(spark: SparkSession, ex: HttpExchange,
       maxPageRows: Int): Unit =
     try {
@@ -70,45 +76,52 @@ object HttpApi {
           sendHtml(ex, 200, Dashboard.html)
         case "/dashboard/data" =>
           val p = queryParams(ex)
-          (p.get("id").flatMap(_.toIntOption),
-            p.get("lo").map(_.toDoubleOption), p.get("hi").map(_.toDoubleOption)) match {
-            case (Some(id), lo, hi)
-                if Serve.registry.exists(_.id == id) &&
-                  !lo.contains(None) && !hi.contains(None) =>
-              val scoreCol = p.getOrElse("score_col",
-                Serve.registry.find(_.id == id).get.sortKey)
-              val s = Serve.dashboardSection(spark, id, scoreCol,
-                lo.flatten, hi.flatten,
-                math.min(p.get("max_rows").flatMap(_.toIntOption).getOrElse(1000),
-                  maxPageRows))
-              val statsJson = s.stats.fold("null") { case (mean, mn, mx) =>
-                s"""{"mean":$mean,"min":$mn,"max":$mx}"""
-              }
-              send(ex, 200,
-                s"""{"total":${s.total},"filtered":${s.filtered},""" +
-                  s""""stats":$statsJson,"rows":${s.rows.mkString("[", ",", "]")}}""")
-            case _ =>
-              send(ex, 400, jsonDetail("id must be a known dataset; lo/hi/max_rows numeric"))
+          val id = p.get("id").flatMap(_.toIntOption)
+            .getOrElse(throw new BadRequest("id must be an integer"))
+          val ds = Serve.registry.find(_.id == id)
+            .getOrElse(throw new BadRequest(s"Invalid dataset_id: $id"))
+          val lo = p.get("lo").map(_.toDoubleOption
+            .getOrElse(throw new BadRequest("lo must be numeric")))
+          val hi = p.get("hi").map(_.toDoubleOption
+            .getOrElse(throw new BadRequest("hi must be numeric")))
+          // a half-specified range must fail, not silently unfilter
+          if (lo.isDefined != hi.isDefined)
+            throw new BadRequest("lo and hi must be given together")
+          val maxRows = p.get("max_rows")
+            .map(_.toIntOption.filter(_ >= 0)
+              .getOrElse(throw new BadRequest("max_rows must be a non-negative integer")))
+            .getOrElse(1000)
+          val s = Serve.dashboardSection(spark, id,
+            p.getOrElse("score_col", ds.sortKey), lo, hi,
+            math.min(maxRows, maxPageRows))
+          val statsJson = s.stats.fold("null") { case (mean, mn, mx) =>
+            s"""{"mean":$mean,"min":$mn,"max":$mx}"""
           }
+          send(ex, 200,
+            s"""{"total":${s.total},"filtered":${s.filtered},""" +
+              s""""stats":$statsJson,"rows":${s.rows.mkString("[", ",", "]")}}""")
         case ReportPath(idStr) =>
           val params = queryParams(ex)
           val id = idStr.toIntOption
-          val offset = params.get("offset").fold(Option(0))(_.toIntOption)
-          val limit = params.get("limit").fold(Option(maxPageRows))(_.toIntOption)
-          (id, offset, limit) match {
-            case (None, _, _) | (_, None, _) | (_, _, None) =>
-              send(ex, 400, jsonDetail("id/offset/limit must be integers"))
-            case (Some(i), _, _) if !Serve.registry.exists(_.id == i) =>
-              send(ex, 400, jsonDetail(s"Invalid dataset_id: $idStr"))
-            case (Some(i), Some(o), Some(l)) =>
-              val rows = Serve.fetchJson(spark, i, o, l, maxPageRows)
-              if (rows.isEmpty) send(ex, 404, jsonDetail("Report not found"))
-              else send(ex, 200, rows.mkString("[", ",", "]"))
-          }
+            .getOrElse(throw new BadRequest("id must be an integer"))
+          if (!Serve.registry.exists(_.id == id))
+            throw new BadRequest(s"Invalid dataset_id: $idStr")
+          def nonNeg(name: String, default: Int): Int =
+            params.get(name)
+              .map(_.toIntOption.filter(_ >= 0).getOrElse(
+                throw new BadRequest(s"$name must be a non-negative integer")))
+              .getOrElse(default)
+          val rows = Serve.fetchJson(spark, id,
+            nonNeg("offset", 0), nonNeg("limit", maxPageRows), maxPageRows)
+          if (rows.isEmpty) send(ex, 404, jsonDetail("Report not found"))
+          else send(ex, 200, rows.mkString("[", ",", "]"))
         case _ =>
           send(ex, 404, jsonDetail("Not Found"))
       }
     } catch {
+      case e: BadRequest => send(ex, 400, jsonDetail(e.getMessage))
+      case e: IllegalArgumentException => // undecodable %-escapes, bad args
+        send(ex, 400, jsonDetail(s"Bad Request: ${e.getMessage}"))
       case scala.util.control.NonFatal(e) =>
         send(ex, 500, jsonDetail(s"Internal Server Error: ${e.getMessage}"))
     } finally ex.close()
@@ -122,8 +135,25 @@ object HttpApi {
           java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
 
+  /** Full JSON string escaping — error text routinely embeds Spark
+    * exception messages with newlines, backslashes, and quotes; a 500
+    * body must still parse as JSON. */
+  private[serve] def jsonString(msg: String): String = {
+    val sb = new StringBuilder("\"")
+    Option(msg).getOrElse("null").foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   private def jsonDetail(msg: String): String =
-    s"""{"detail":"${msg.replace("\"", "\\\"")}"}"""
+    s"""{"detail":${jsonString(msg)}}"""
 
   private def send(ex: HttpExchange, status: Int, body: String,
       contentType: String = "application/json"): Unit = {

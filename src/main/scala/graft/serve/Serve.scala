@@ -93,11 +93,20 @@ object Serve {
       maxRows: Int = 1000): DashboardSection = {
     val ds = datasetOf(id)
     val full = spark.table(ds.table)
-    val f = (lo, hi) match {
+    val filtered = (lo, hi) match {
       case (Some(l), Some(h)) => filterScoreRange(full, scoreCol, l, h)
       case _ => full
     }
-    DashboardSection(full.count(), f.count(), scoreStats(f, scoreCol),
-      ordered(f, ds).limit(maxRows).toJSON.collect().toSeq)
+    // one aggregate serves both the filtered count and the stats (a
+    // dashboard request is a hot path — don't scan the filter twice);
+    // the unfiltered total only needs its own job when a filter exists
+    val sc = col(scoreCol).cast("double")
+    val r = filtered.agg(count(lit(1)), avg(sc), min(sc), max(sc)).head()
+    val nFiltered = r.getLong(0)
+    val stats = if (r.isNullAt(1)) None
+      else Some((r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val total = if (lo.isEmpty && hi.isEmpty) nFiltered else full.count()
+    DashboardSection(total, nFiltered, stats,
+      ordered(filtered, ds).limit(maxRows).toJSON.collect().toSeq)
   }
 }

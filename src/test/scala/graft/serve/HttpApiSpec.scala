@@ -133,7 +133,37 @@ class HttpApiSpec extends SparkTestBase {
 
       assert(get(api.port, "/dashboard/data?id=99")._1 == 400)
       assert(get(api.port, "/dashboard/data?id=2&lo=x&hi=1")._1 == 400)
+      // a half-specified range is an error, not a silent unfilter
+      assert(get(api.port, "/dashboard/data?id=2&lo=86")._1 == 400)
+      assert(get(api.port, "/dashboard/data?id=2&max_rows=-1")._1 == 400)
+      // table values reach the page HTML-escaped (the esc() in Dashboard)
+      assert(Dashboard.html.contains("esc(r[c]"))
     } finally api.stop()
+  }
+
+  test("bad client input maps to 400; error bodies are valid JSON") {
+    withGold()
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      assert(get(api.port, "/reports/0?offset=-1")._1 == 400)
+      assert(get(api.port, "/reports/0?limit=-5")._1 == 400)
+      // undecodable %-escape: java.net.http refuses to even send this, so
+      // drive the server with a raw socket
+      val sock = new java.net.Socket("localhost", api.port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /reports/0?offset=%zz HTTP/1.1\r\n" +
+          "Host: localhost\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        // com.sun.net.httpserver itself 400s a malformed request-URI
+        // before the handler runs — either layer answering 400 is correct
+        assert(resp.startsWith("HTTP/1.1 400"), resp.linesIterator.next())
+      } finally sock.close()
+    } finally api.stop()
+    // JSON string escaping covers quotes, backslashes, control chars
+    assert(HttpApi.jsonString("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
+    assert(HttpApi.jsonString("\u0001") == "\"\\u0001\"")
   }
 
   test("fetchJson clamps the page to maxPageRows") {
