@@ -128,6 +128,26 @@ object CurationQueries {
         docs.where(col("doc_id") % 25 =!= 0), "doc_id",
         docs.where(col("doc_id") % 25 === 0), "doc_id",
         graft.functions.word_shingles(col("text"), 2), theta = 0.5)
+    }),
+
+    // Data card: the per-stratum corpus summary a dataset release ships
+    // (docs, token totals/extremes, median length per language) —
+    // integer aggregates plus the DISTRIBUTED exact median
+    // ([[graft.operators.Quantiles]], never buffers a group), so the
+    // same query runs on 10⁵ or 10¹¹ documents. One groupBy shuffle on
+    // the (tiny) language key + the quantiles range exchange.
+    "c7_data_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), tokenCount(col("text")).as("n_tokens"))
+      val base = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      val med = graft.operators.Quantiles
+        .exactQuantiles(docs, Seq("lang"), "n_tokens", Seq(0.5))
+        .select(col("lang"), col("q").as("p50_tokens"))
+      base.join(med, Seq("lang"))
     })
   )
 
@@ -248,6 +268,20 @@ object CurationQueries {
         |       WHEN substring(md5('graft-r3:' || CAST(doc_id AS VARCHAR)), 1, 12)
         |            < '333333333333' THEN 'test'
         |       ELSE 'train' END AS split
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "c7_data_card" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       min(n_tokens) AS min_tokens,
+        |       max(n_tokens) AS max_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50_tokens
+        |FROM d GROUP BY lang""".stripMargin
   )
 }

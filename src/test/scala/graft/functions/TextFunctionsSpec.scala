@@ -4,7 +4,7 @@ import graft.SparkTestBase
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-class TextFunctionsSpec extends SparkTestBase {
+class TextFunctionsSpec extends SparkTestBase with graft.PropHelper {
   import TextFunctions._
 
   private def one(c: org.apache.spark.sql.Column, text: String): Row = {
@@ -108,5 +108,33 @@ class TextFunctionsSpec extends SparkTestBase {
       .select("c.emails", "c.ssns", "c.ccs", "c.phones", "c.ips").head()
     assert((counts.getInt(0), counts.getInt(1), counts.getInt(2),
       counts.getInt(3), counts.getInt(4)) == ((2, 1, 0, 1, 1)))
+  }
+
+  test("piiScrub property: generated PII never survives scrubbing") {
+    import org.scalacheck.Gen
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    val noise = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val digits = (n: Int) => Gen.stringOfN(n, Gen.numChar)
+    val email = for { l <- word; d <- word } yield s"$l@$d.com"
+    val ssn = for { a <- digits(3); b <- digits(2); c <- digits(4) } yield s"$a-$b-$c"
+    val phone = for { a <- digits(3); b <- digits(3); c <- digits(4) } yield s"$a-$b-$c"
+    val ip = Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString("."))
+    val pii = Gen.oneOf(email, ssn, phone, ip)
+    val embedded = for { pre <- noise; p <- pii; post <- noise }
+      yield s"$pre $p $post"
+
+    val s = spark
+    import s.implicits._
+    forAllGen(Gen.listOfN(50, embedded), trials = 4) { texts =>
+      val scrubbed = texts.toDF("t")
+        .select(TextFunctions.piiScrub(col("t"))).collect().map(_.getString(0))
+      scrubbed.zip(texts).foreach { case (out, in) =>
+        TextFunctions.piiPatterns.foreach { case (p, _) =>
+          assert(!p.r.findFirstIn(out).isDefined,
+            s"pattern $p survived: [$in] -> [$out]")
+        }
+        assert(out.contains("<"), s"nothing redacted in [$in] -> [$out]")
+      }
+    }
   }
 }
