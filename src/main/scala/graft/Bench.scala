@@ -61,12 +61,29 @@ object Bench {
     println(s"""BENCH_PASS:$qs""")
   }
 
+  /** Parent JVM flags that must NOT be replayed onto child forks: agents,
+    * debug listeners, JMX remote ports, and flight recordings bind
+    * singleton resources (a port, a recording file) — duplicating them
+    * across forks collides or aborts the child, which would silently fall
+    * back to the in-process mode the fork exists to avoid. */
+  private def childSafe(arg: String): Boolean =
+    !(arg.startsWith("-agentlib:") || arg.startsWith("-agentpath:") ||
+      arg.startsWith("-javaagent:") || arg.startsWith("-Xrunjdwp") ||
+      arg.startsWith("-Xdebug") ||
+      arg.startsWith("-Dcom.sun.management.jmxremote") ||
+      arg.startsWith("-XX:StartFlightRecording") ||
+      arg.startsWith("-XX:FlightRecorderOptions"))
+
   /** Fork one pass as a fresh JVM; None if the fork machinery fails. */
   private def forkPass(): Option[Map[String, Double]] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
+    // SPARK_GRAFT_BENCH_CHILD_JVM_ARGS replaces the inherited flags
+    // wholesale for runners whose parent flags can't be safely replayed
+    val jvmArgs = sys.env.get("SPARK_GRAFT_BENCH_CHILD_JVM_ARGS")
+      .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      .getOrElse(java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filter(childSafe))
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--child")
     val pb = new ProcessBuilder(cmd.asJava)

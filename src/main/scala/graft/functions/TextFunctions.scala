@@ -120,9 +120,9 @@ object TextFunctions {
     * byte-identical output; the t7 oracle pins that. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\d{3}-\\d{2}-\\d{4}" -> "<SSN>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
     "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b" -> "<CC>",
-    "\\d{3}[-.]\\d{3}[-.]\\d{4}" -> "<PHONE>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
 
   /** PII scrub — the pretraining-corpus redaction pass: emails, SSNs,

@@ -214,15 +214,15 @@ object TextQueries {
         |    regexp_replace(embedded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
         |  FROM e),
         |c2 AS (SELECT doc_id, n_emails,
-        |    len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS n_ssns,
-        |    regexp_replace(t, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS t
+        |    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+        |    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
         |  FROM c1),
         |c3 AS (SELECT doc_id, n_emails, n_ssns,
         |    regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g') AS t
         |  FROM c2),
         |c4 AS (SELECT doc_id, n_emails, n_ssns,
-        |    len(regexp_extract_all(t, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phones,
-        |    regexp_replace(t, '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS t
+        |    len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |    regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
         |  FROM c3),
         |c5 AS (SELECT doc_id, n_emails, n_ssns, n_phones,
         |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,

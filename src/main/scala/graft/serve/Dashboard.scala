@@ -68,6 +68,14 @@ object Dashboard {
       |async function loadMatches() {
       |  const lo = document.getElementById("lo").value;
       |  const hi = document.getElementById("hi").value;
+      |  // a half-specified range is a user error the server would 400 on —
+      |  // say so instead of silently fetching unfiltered rows under inputs
+      |  // that look like a filter
+      |  if ((lo === "") !== (hi === "")) {
+      |    document.getElementById("matches-count").textContent =
+      |      "Fill in BOTH ends of the match_score range (or clear both).";
+      |    return;
+      |  }
       |  const p = {score_col: "match_score"};
       |  if (lo !== "" && hi !== "") { p.lo = lo; p.hi = hi; }
       |  const d = await section(2, p);

@@ -42,10 +42,17 @@ object HttpApi {
     }
   }
 
-  /** Start serving on `port` (0 = ephemeral, for tests). */
+  /** Start serving on `host:port` (port 0 = ephemeral, for tests).
+    *
+    * Binds LOOPBACK by default: the API serves unauthenticated full-table
+    * paging of the gold layer, so exposing it on every interface must be
+    * an explicit decision — pass `host = "0.0.0.0"` to serve externally
+    * (and put an authenticating proxy in front, as the reference deploys
+    * FastAPI behind its own ingress). */
   def start(spark: SparkSession, port: Int = 8000,
-      maxPageRows: Int = Serve.defaultMaxPageRows): Api = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      maxPageRows: Int = Serve.defaultMaxPageRows,
+      host: String = "127.0.0.1"): Api = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(spark, ex, maxPageRows))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     server.setExecutor(pool)
@@ -91,8 +98,13 @@ object HttpApi {
             .map(_.toIntOption.filter(_ >= 0)
               .getOrElse(throw new BadRequest("max_rows must be a non-negative integer")))
             .getOrElse(1000)
-          val s = Serve.dashboardSection(spark, id,
-            p.getOrElse("score_col", ds.sortKey), lo, hi,
+          // score_col is client input — resolve it against the dataset's
+          // actual columns here so a typo (or probing) is a 400, not an
+          // AnalysisException-turned-500 aggregating arbitrary columns
+          val scoreCol = p.getOrElse("score_col", ds.sortKey)
+          if (!spark.table(ds.table).columns.contains(scoreCol))
+            throw new BadRequest(s"Invalid score_col: $scoreCol")
+          val s = Serve.dashboardSection(spark, id, scoreCol, lo, hi,
             math.min(maxRows, maxPageRows))
           val statsJson = s.stats.fold("null") { case (mean, mn, mx) =>
             s"""{"mean":$mean,"min":$mn,"max":$mx}"""
@@ -111,10 +123,10 @@ object HttpApi {
               .map(_.toIntOption.filter(_ >= 0).getOrElse(
                 throw new BadRequest(s"$name must be a non-negative integer")))
               .getOrElse(default)
-          val rows = Serve.fetchJson(spark, id,
+          val rows = Serve.fetchJsonIterator(spark, id,
             nonNeg("offset", 0), nonNeg("limit", maxPageRows), maxPageRows)
-          if (rows.isEmpty) send(ex, 404, jsonDetail("Report not found"))
-          else send(ex, 200, rows.mkString("[", ",", "]"))
+          if (!rows.hasNext) send(ex, 404, jsonDetail("Report not found"))
+          else sendJsonArray(ex, rows)
         case _ =>
           send(ex, 404, jsonDetail("Not Found"))
       }
@@ -161,6 +173,26 @@ object HttpApi {
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+  }
+
+  /** Stream a JSON array of pre-serialized rows as a chunked response
+    * (length 0 → Transfer-Encoding: chunked). A 750k-row report page is
+    * ~100 MB of JSON; writing rows as they arrive from `toLocalIterator`
+    * means the driver never assembles that page as one `String` — peak
+    * extra heap is one row plus the 64 KiB write buffer. */
+  private def sendJsonArray(ex: HttpExchange, rows: Iterator[String]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L)
+    val out = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+    out.write('[')
+    var first = true
+    rows.foreach { r =>
+      if (!first) out.write(',')
+      first = false
+      out.write(r.getBytes(StandardCharsets.UTF_8))
+    }
+    out.write(']')
+    out.flush()
   }
 
   private def sendHtml(ex: HttpExchange, status: Int, body: String): Unit =

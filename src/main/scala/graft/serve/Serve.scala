@@ -65,18 +65,30 @@ object Serve {
     fetchDataset(spark, id, offset, math.min(limit, maxPageRows))
       .toJSON.collect().toSeq
 
+  /** Same page as [[fetchJson]] but as a driver-side iterator
+    * (`toLocalIterator`): partitions of the sorted page are fetched one at
+    * a time, so an HTTP layer can stream a 750k-row page to the socket
+    * holding at most one partition of JSON strings — not the whole ~100 MB
+    * page — on the driver heap. */
+  def fetchJsonIterator(spark: SparkSession, id: Int, offset: Int, limit: Int,
+      maxPageRows: Int = defaultMaxPageRows): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    fetchDataset(spark, id, offset, math.min(limit, maxPageRows))
+      .toJSON.toLocalIterator().asScala
+  }
+
   /** Dashboard score-range filter (streamlit/app.py:65-73 — the slider's
     * `between`). */
   def filterScoreRange(df: DataFrame, scoreCol: String, lo: Double,
       hi: Double): DataFrame =
-    df.where(col(scoreCol).cast("double").between(lo, hi))
+    df.where(col(scoreCol).try_cast("double").between(lo, hi))
 
   /** Dashboard metrics: (mean, min, max) of the score column
     * (streamlit/app.py:56-57,90); None when the table is empty or the
     * column all-null (the aggregates come back NULL). */
   def scoreStats(df: DataFrame, scoreCol: String): Option[(Double, Double, Double)] = {
-    val r = df.agg(avg(col(scoreCol).cast("double")),
-      min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double"))).head()
+    val r = df.agg(avg(col(scoreCol).try_cast("double")),
+      min(col(scoreCol).try_cast("double")), max(col(scoreCol).try_cast("double"))).head()
     if (r.isNullAt(0)) None
     else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2)))
   }
@@ -93,20 +105,23 @@ object Serve {
       maxRows: Int = 1000): DashboardSection = {
     val ds = datasetOf(id)
     val full = spark.table(ds.table)
-    val filtered = (lo, hi) match {
-      case (Some(l), Some(h)) => filterScoreRange(full, scoreCol, l, h)
-      case _ => full
+    val sc = col(scoreCol).try_cast("double")
+    // ONE conditional aggregate serves the unfiltered total, the filtered
+    // count AND the filtered stats — a filtered dashboard request must not
+    // pay a second table scan just for the "of M total" figure (a
+    // dashboard request is a hot path; at 100× gold size the extra scan
+    // would double its latency)
+    val pred = (lo, hi) match {
+      case (Some(l), Some(h)) => sc.between(l, h)
+      case _ => lit(true)
     }
-    // one aggregate serves both the filtered count and the stats (a
-    // dashboard request is a hot path — don't scan the filter twice);
-    // the unfiltered total only needs its own job when a filter exists
-    val sc = col(scoreCol).cast("double")
-    val r = filtered.agg(count(lit(1)), avg(sc), min(sc), max(sc)).head()
-    val nFiltered = r.getLong(0)
-    val stats = if (r.isNullAt(1)) None
-      else Some((r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-    val total = if (lo.isEmpty && hi.isEmpty) nFiltered else full.count()
+    val r = full.agg(count(lit(1)), count(when(pred, lit(1))),
+      avg(when(pred, sc)), min(when(pred, sc)), max(when(pred, sc))).head()
+    val total = r.getLong(0)
+    val nFiltered = r.getLong(1)
+    val stats = if (r.isNullAt(2)) None
+      else Some((r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     DashboardSection(total, nFiltered, stats,
-      ordered(filtered, ds).limit(maxRows).toJSON.collect().toSeq)
+      ordered(full.where(pred), ds).limit(maxRows).toJSON.collect().toSeq)
   }
 }

@@ -99,6 +99,10 @@ class TextFunctionsSpec extends SparkTestBase with graft.PropHelper {
     assert(scrub("4111-1111-1111-1111") == "<CC>")
     // clean text is untouched
     assert(scrub("just words 123 and 45.6") == "just words 123 and 45.6")
+    // longer digit/separator runs are NOT partially eaten (\b anchors):
+    // neither a 4-3-5 run as <PHONE> nor a 4-2-5 run as <SSN>
+    assert(scrub("1234-567-89012") == "1234-567-89012")
+    assert(scrub("1234-56-78901") == "1234-56-78901")
     // everything at once
     assert(scrub("a@b.io 078-05-1120 4111 1111 1111 1111 212-555-0199 10.0.0.7")
       == "<EMAIL> <SSN> <CC> <PHONE> <IP>")

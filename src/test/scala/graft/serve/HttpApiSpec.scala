@@ -166,6 +166,83 @@ class HttpApiSpec extends SparkTestBase {
     assert(HttpApi.jsonString("\u0001") == "\"\\u0001\"")
   }
 
+  test("report pages stream chunked with bytes identical to the buffered JSON") {
+    withGold()
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      // byte identity: the chunked body is exactly what one mkString built
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${api.port}/reports/0")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val buffered = Serve.fetchJson(spark, 0, 0, Serve.defaultMaxPageRows)
+        .mkString("[", ",", "]")
+      assert(resp.body() == buffered)
+      // and it really is streamed: chunked transfer, no Content-Length
+      assert(resp.headers().firstValue("Transfer-encoding").orElse("")
+        == "chunked")
+      assert(!resp.headers().firstValue("Content-length").isPresent)
+    } finally api.stop()
+  }
+
+  test("a large page streams without one page-sized driver string") {
+    val s = spark
+    import s.implicits._
+    replaceTable("nyc_salary_matches") { t =>
+      (1 to 50000).map(i => (s"Title $i", i % 100))
+        .toDF("posted_job_title", "match_score")
+        .write.saveAsTable(t)
+    }
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      val (code, body) = get(api.port, "/reports/0?limit=50000")
+      assert(code == 200)
+      assert("\"match_score\":".r.findAllIn(body).length == 50000)
+      // valid JSON array framing survives the incremental writes
+      assert(body.startsWith("[{") && body.endsWith("}]") &&
+        !body.contains(",,") && !body.contains("}{"))
+    } finally api.stop()
+  }
+
+  test("unknown score_col is a 400, not a 500 over arbitrary columns") {
+    withDashboardGold()
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      val (code, body) = get(api.port, "/dashboard/data?id=2&score_col=nope")
+      assert(code == 400 && body.contains("Invalid score_col"))
+      // a real non-default column is still allowed
+      assert(get(api.port,
+        "/dashboard/data?id=2&score_col=posted_job_title")._1 == 200)
+    } finally api.stop()
+  }
+
+  test("filtered dashboard section is exactly two actions (one scan + one page)") {
+    withDashboardGold()
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    org.apache.spark.graft.ListenerBusBridge.flush(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      val sec = Serve.dashboardSection(spark, 2, "match_score",
+        lo = Some(86.0), hi = Some(88.0))
+      assert(sec.total == 10 && sec.filtered == 3)
+      assert(sec.stats.exists(_._1 == 87.0))
+      org.apache.spark.graft.ListenerBusBridge.flush(spark.sparkContext)
+      // one conditional aggregate (total+filtered+stats) + one page collect;
+      // before the conditional-agg fold this was three (extra full.count())
+      assert(seen.size == 2,
+        s"expected 2 actions for a filtered dashboard request, saw: $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("fetchJson clamps the page to maxPageRows") {
     withGold()
     val rows = Serve.fetchJson(spark, 0, 0, Int.MaxValue, maxPageRows = 3)
