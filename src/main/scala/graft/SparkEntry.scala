@@ -35,9 +35,20 @@ object SparkEntry {
       (CurationQueries.queries, CurationQueries.oracles),
     )
 
+  /** Queries with no DuckDB-expressible oracle — the driver gate checks
+    * only their row counts, so each output row additionally carries a
+    * [[GoldenHash]] `content_hash` drift contract pinned by GOLDENS.json
+    * and GoldenHashSpec. */
+  val noOracleHashed: Set[String] = Set("a2_ann_lsh", "a3_ann_ivf",
+    "a4_neardup_lsh", "a5_ann_recall", "d4_simhash_pairs", "j2_simjoin_fuzzy")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_._1).toMap
+    groups.flatMap(_._1).toMap.transform { (name, f) =>
+      if (noOracleHashed(name))
+        (s: SparkSession, dir: String) => GoldenHash.withContentHash(f(s, dir))
+      else f
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

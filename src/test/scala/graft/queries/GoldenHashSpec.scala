@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Drift gate for the no-oracle queries (VERDICT r4 tasks 1+8): the
+  * driver's correctness gate sees only row counts for these, so `sbt
+  * test` pins the [[GoldenHash]] content hash of each full result at
+  * sf0.001. A wrong-but-same-cardinality regression (e.g. a broken
+  * WRatio edge, an LSH banding bug that still emits 50 rows) fails here
+  * instead of surviving until a judge round.
+  *
+  * The pinned values live in GOLDENS.json (with their sf0.01
+  * counterparts, which the driver-run Verify parquet carries in its
+  * `content_hash` column). After an INTENDED semantic change: re-run
+  * `sbt "runMain graft.tools.GoldenDump"`, eyeball the diff, update
+  * GOLDENS.json and these constants together.
+  */
+class GoldenHashSpec extends SparkTestBase {
+
+  private val pinned = Map(
+    "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
+    "a3_ann_ivf" -> (50L, "06546d1ba7b3ead3"),
+    "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
+    "a5_ann_recall" -> (2L, "5775a13c4fb26e4a"),
+    "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
+    "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
+
+  test("the hashed set IS the no-oracle set (no query escapes both gates)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == SparkEntry.noOracleHashed)
+    assert(pinned.keySet == SparkEntry.noOracleHashed)
+  }
+
+  for ((name, (rows, hash)) <- pinned.toSeq.sortBy(_._1))
+    test(s"$name content pinned at sf0.001: $rows rows, hash $hash") {
+      val df = SparkEntry.queries(name)(spark, sf())
+      val hashes = df.select(GoldenHash.column).distinct().collect()
+        .map(_.getString(0)).toSeq
+      // every row carries the digest of the WHOLE result, so exactly one
+      // distinct value — and it must be the committed golden
+      assert(hashes == Seq(hash),
+        s"content drift in $name: got $hashes, pinned $hash — if the " +
+          "change is intended, regenerate with graft.tools.GoldenDump")
+      assert(df.count() == rows)
+    }
+}
