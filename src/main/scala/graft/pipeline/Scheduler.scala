@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable scheduler binding for [[IngestFlow.runAll]] — the set-and-forget
+  * deployment shell the reference gets from its three weekly Prefect crons
+  * (/root/reference/src/data_ingestion.py:98-106, src/fuzzy_flows.py:16-23,
+  * src/cleaned_data.py:48-56: ingestion Sunday 00:00, matching 01:00, gold
+  * 02:00). The reference staggers three crons purely to SEQUENCE the
+  * stages; `runAll` sequences them in-process, so one schedule drives the
+  * whole chain and the 1-hour guard gaps disappear.
+  *
+  *   sbt "runMain graft.pipeline.Scheduler --every 7d --lake /data/lake"
+  *
+  * Source URLs come from the reference's own env pair
+  * (`NYC_PAYROLL_DATA_API`, `NYC_JOB_POSTINGS_API`, data_ingestion.py:77-78).
+  *
+  * Semantics:
+  *  - every tick runs `IngestFlow.runAll(refresh = true)`: re-ingested
+  *    lake data propagates through bronze to gold — the reason a weekly
+  *    schedule exists. `--refresh false` keeps the reference's literal
+  *    CTAS-IF-NOT-EXISTS first-run-wins at bronze/gold (matches still
+  *    overwrite, as the reference's flows do).
+  *  - fixed-rate, anchored at start: ticks fire at start + k·interval. A
+  *    run that overruns its slot triggers the next tick immediately and
+  *    the missed slots COLLAPSE (no backlog of stacked runs — the data
+  *    a missed tick would have ingested is ingested by the catch-up one).
+  *  - a failing tick logs and does not kill the schedule (the reference's
+  *    cron fires again next week regardless).
+  */
+object Scheduler {
+
+  /** "150ms" | "30s" | "10m" | "2h" | "7d" → milliseconds. */
+  def parseInterval(s: String): Long = {
+    val m = "^([0-9]+)(ms|s|m|h|d)$".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"interval must be <n>(ms|s|m|h|d), got '$s'"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n
+      case "s" => n * 1000L
+      case "m" => n * 60L * 1000L
+      case "h" => n * 3600L * 1000L
+      case "d" => n * 24L * 3600L * 1000L
+    }
+  }
+
+  /** Fixed-rate loop: run `tick` at start + k·interval for up to `maxTicks`
+    * firings (≤ 0 = forever). `sleep`/`now` are injectable for tests.
+    * Overruns collapse: after a long tick the next one fires immediately,
+    * then the schedule re-anchors to the original grid. Returns ticks run. */
+  def loop(intervalMs: Long, maxTicks: Int,
+      sleep: Long => Unit = Thread.sleep,
+      now: () => Long = () => System.currentTimeMillis())(
+      tick: Int => Unit): Int = {
+    require(intervalMs > 0, s"interval must be positive, got $intervalMs ms")
+    val start = now()
+    var n = 0
+    var continue = true
+    while (continue && (maxTicks <= 0 || n < maxTicks)) {
+      tick(n + 1)
+      n += 1
+      if (maxTicks <= 0 || n < maxTicks) {
+        // next grid slot strictly after "now" — missed slots are skipped,
+        // not queued; max(n, …) keeps an instant tick from re-firing
+        // inside its own slot
+        val elapsedSlots = (now() - start) / intervalMs + 1
+        val next = start + math.max(n.toLong, elapsedSlots) * intervalMs
+        val wait = next - now()
+        if (wait > 0) sleep(wait)
+      }
+    }
+    n
+  }
+
+  /** Drive the full chain on a schedule. `afterTick` is an observability /
+    * test hook invoked after each completed run. Returns ticks run. */
+  def run(spark: SparkSession, sources: Seq[IngestFlow.RestDataset],
+      lakeDir: String, intervalMs: Long, maxTicks: Int,
+      refresh: Boolean = true,
+      sleep: Long => Unit = Thread.sleep,
+      afterTick: Int => Unit = _ => ()): Int = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    loop(intervalMs, maxTicks, sleep) { n =>
+      log.info(s"Scheduler tick $n: runAll(refresh=$refresh) → $lakeDir")
+      try {
+        IngestFlow.runAll(spark, sources, lakeDir, refresh)
+        afterTick(n)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // the next tick still fires — cron semantics, not fail-stop
+          log.error(s"Scheduler tick $n failed: ${e.getMessage}", e)
+      }
+    }
+  }
+
+  private def opt(args: Array[String], key: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`key`, v) => v }
+
+  def main(args: Array[String]): Unit = {
+    val intervalMs = parseInterval(opt(args, "--every").getOrElse("7d"))
+    val lakeDir = opt(args, "--lake")
+      .orElse(sys.env.get("GRAFT_LAKE_DIR"))
+      .getOrElse(throw new IllegalArgumentException(
+        "pass --lake <dir> (or set GRAFT_LAKE_DIR)"))
+    val maxTicks = opt(args, "--ticks").fold(0)(_.toInt)
+    val refresh = opt(args, "--refresh").fold(true)(_.toBoolean)
+    def url(env: String): String = sys.env.getOrElse(env,
+      throw new IllegalArgumentException(
+        s"set $env to the Socrata JSON endpoint (reference " +
+          "data_ingestion.py:77-78 reads the same variables)"))
+    val sources = Seq(
+      IngestFlow.RestDataset("nyc_payroll_data", url("NYC_PAYROLL_DATA_API"),
+        Seq("title_description", "base_salary", "pay_basis",
+          "regular_gross_paid", "total_ot_paid", "total_other_pay",
+          "fiscal_year")),
+      IngestFlow.RestDataset("nyc_job_postings_data",
+        url("NYC_JOB_POSTINGS_API"),
+        Seq("business_title", "salary_range_from", "salary_range_to",
+          "posting_date", "post_until")))
+    val spark = graft.Sessions.local("graft-scheduler")
+    try {
+      val n = run(spark, sources, lakeDir, intervalMs, maxTicks, refresh)
+      println(s"Scheduler finished after $n tick(s)")
+    } finally spark.stop()
+  }
+}
