@@ -86,6 +86,9 @@ object GoldLayer {
   def run(spark: SparkSession, refresh: Boolean = false): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS gold")
     if (refresh) tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS gold.$t"))
+    // a crashed earlier run can leave a table's location without its
+    // catalog entry; CTAS refuses to adopt it and the weekly chain wedges
+    tables.foreach(graft.sources.Bronze.dropOrphanLocation(spark, "gold", _))
     all.foreach(spark.sql(_))
   }
 }

@@ -117,6 +117,12 @@ object IngestFlow {
       payrollTable: String = "bronze.nyc_payroll_data",
       jobsTable: String = "bronze.nyc_job_postings_data",
       lightcastTable: String = "bronze.lightcast_job_postings_data"): Unit = {
+    // recover from a crashed run's orphaned locations (see
+    // Bronze.dropOrphanLocation) before the overwriting saves
+    Bronze.dropOrphanLocation(spark, "bronze",
+      "payroll_to_jobs_title_fuzzy_matches")
+    Bronze.dropOrphanLocation(spark, "bronze",
+      "jobs_to_lightcast_title_fuzzy_matches")
     val matches = NycPipeline.salaryMatch(
       typedPayroll(spark.table(payrollTable)),
       typedJobs(spark.table(jobsTable)))

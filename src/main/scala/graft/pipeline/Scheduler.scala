@@ -109,15 +109,20 @@ object Scheduler {
       throw new IllegalArgumentException(
         s"set $env to the Socrata JSON endpoint (reference " +
           "data_ingestion.py:77-78 reads the same variables)"))
+    // per-source fetcher overrides keep the main drivable where HTTP is
+    // not (air-gapped smoke runs, canned replay fetchers)
+    val httpFetcher = classOf[graft.sources.HttpJsonPageFetcher].getName
     val sources = Seq(
       IngestFlow.RestDataset("nyc_payroll_data", url("NYC_PAYROLL_DATA_API"),
         Seq("title_description", "base_salary", "pay_basis",
           "regular_gross_paid", "total_ot_paid", "total_other_pay",
-          "fiscal_year")),
+          "fiscal_year"),
+        fetcherClass = opt(args, "--payroll-fetcher").getOrElse(httpFetcher)),
       IngestFlow.RestDataset("nyc_job_postings_data",
         url("NYC_JOB_POSTINGS_API"),
         Seq("business_title", "salary_range_from", "salary_range_to",
-          "posting_date", "post_until")))
+          "posting_date", "post_until"),
+        fetcherClass = opt(args, "--jobs-fetcher").getOrElse(httpFetcher)))
     val spark = graft.Sessions.local("graft-scheduler")
     try {
       val n = run(spark, sources, lakeDir, intervalMs, maxTicks, refresh)

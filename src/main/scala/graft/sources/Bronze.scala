@@ -91,12 +91,34 @@ object Bronze {
     * notwithstanding, db_sync.py:55). `refresh = true` is the fix a real
     * deployment wants: overwrite the table from the current lake
     * artifact so re-ingestion propagates. */
+  /** Remove a managed table's default location when it exists WITHOUT a
+    * catalog entry. A run that died between writing files and committing
+    * the catalog entry leaves this orphan behind, and `saveAsTable` /
+    * CTAS refuse to adopt it (LOCATION_ALREADY_EXISTS) — which would
+    * wedge every future scheduled refresh. The files are unreachable
+    * through the catalog by definition, so deleting them is recovery,
+    * not data loss. Hadoop-FileSystem-generic (file:, s3a:, …). */
+  def dropOrphanLocation(spark: SparkSession, db: String,
+      table: String): Unit =
+    if (!spark.catalog.tableExists(s"$db.$table")) {
+      val dbLoc = spark.catalog.getDatabase(db).locationUri.stripSuffix("/")
+      val loc = new org.apache.hadoop.fs.Path(s"$dbLoc/$table")
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$db.$table has no catalog entry but its location $loc exists " +
+            "(crashed earlier run?) — removing the orphan before recreate")
+        fs.delete(loc, true)
+      }
+    }
+
   def register(spark: SparkSession, path: String, table: String,
       denseIdOrder: Option[Seq[String]] = None,
       refresh: Boolean = false): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS bronze")
     val qualified = s"bronze.$table"
     if (refresh || !spark.catalog.tableExists(qualified)) {
+      dropOrphanLocation(spark, "bronze", table)
       val name = path.split('/').last.stripSuffix(".parquet")
       withAuditColumns(spark.read.parquet(path), name, denseIdOrder)
         .write.mode("overwrite").saveAsTable(qualified)
