@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `singleFile` coalesces when a one-file artifact is required
   *    (cosmetic at small scale, avoid at 100 TB).
   *  - [[listLake]]: S4 bucket glob listing (utils.py:161-169).
+  *
+  * Hadoop-FileSystem-generic: every helper resolves the filesystem from
+  * the PATH, so `file:`, `hdfs:` and `s3a:` lakes all work. The s3a path
+  * is proven by S3LakeRoundTripSpec, which runs these helpers AND the
+  * whole ingest→bronze→gold chain against `s3a://bucket/...` URIs backed
+  * by an in-JVM object store with S3A semantics (graft.testkit
+  * .InMemS3FileSystem) — against real S3/MinIO only `fs.s3a.impl` and
+  * credentials change (the reference's substrate, docker-compose.yml:2-18).
   */
 object LakeIO {
 
