@@ -79,6 +79,8 @@ final case class SimilarityJoinConfig(
 
 object SimilarityJoin {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val NORM_L = "__graft_norm_l"
   private val NORM_R = "__graft_norm_r"
   /** Output key-column names of [[scoredKeyPairs]]. */
@@ -102,7 +104,11 @@ object SimilarityJoin {
       case Blocking.Auto =>
         // cheap cardinality probe on the *distinct key* sets only
         val rKeys = distinctR.count()
-        if (rKeys <= cfg.autoExactMaxKeys) Blocking.Exact else Blocking.Token
+        val picked: Blocking =
+          if (rKeys <= cfg.autoExactMaxKeys) Blocking.Exact else Blocking.Token
+        log.info(s"Blocking.Auto: $rKeys distinct right keys vs " +
+          s"autoExactMaxKeys=${cfg.autoExactMaxKeys} -> $picked")
+        picked
       case b => b
     }
 
@@ -202,6 +208,10 @@ object SimilarityJoin {
       scoredKeyPairs(left, right, cfg)
         .withColumnRenamed(cfg.scoreCol, tmpScore))
     val nPairs = pairs.count()
+    log.info(s"join-back: $nPairs scored pairs vs broadcastPairsMaxRows=" +
+      s"${cfg.broadcastPairsMaxRows} -> " +
+      (if (nPairs <= cfg.broadcastPairsMaxRows) "broadcast hint"
+       else "ordinary equi-join (AQE may still convert on measured size)"))
     val pairsSide =
       if (nPairs <= cfg.broadcastPairsMaxRows) pairs.hint("broadcast")
       else pairs

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJoinConfig}
 
@@ -19,7 +19,7 @@ import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJo
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val mode = args.headOption
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,6 +27,16 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode.contains("simjoin1m")) {
+      // keep the operator's own decision logging visible in the run log
+      // (the object's logger is "…SimilarityJoin$" — set the package)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.operators", org.apache.logging.log4j.Level.INFO)
+      simJoin1M(spark)
+      spark.stop()
+      return
+    }
+    val nDocs = mode.map(_.toInt).getOrElse(100000)
 
     // seeded corpus: 40-80 words from a 50k vocab; every 100th doc is a
     // near-dup of its predecessor with one word changed
@@ -143,5 +153,132 @@ object ScaleSmoke {
       payroll.withColumn("grade", pmod(xxhash64(col("pay_id")), lit(8L))),
       Seq("grade"), "base_salary", Seq(0.25, 0.5, 0.75, 0.99)))
     spark.stop()
+  }
+
+  /** The J1-shaped Token-blocking scale proof (VERDICT r4 task 3), two
+    * stages, both generated EXECUTOR-side (deterministic xxhash typos):
+    *
+    *  1. `auto_token_1.5m`: 150k distinct left titles vs 1.5M distinct
+    *     right variants — `Blocking.Auto`'s probe crosses
+    *     `autoExactMaxKeys` (200k) and picks Token, and the ~1.4M scored
+    *     pairs exceed `broadcastPairsMaxRows` (500k) so the join-back
+    *     runs as an ordinary equi-join (the run log prints both decisions
+    *     and the executed join-back plan).
+    *
+    *  2. `skew_hot_token`: 1M right keys of which 100k share the planted
+    *     hot token, 200 of 3k left keys share it too → the hot bucket is
+    *     200×100k = 20M candidates in ONE token group. The explicit-width
+    *     token exchange opts out of AQE skew splitting, so unsalted this
+    *     pins one task; `tokenSalt = 8` splits the bucket 8 ways. The
+    *     reference's skew is real — single titles match 157k payroll rows
+    *     (logs/application.log.1) — and this is its valve, timed
+    *     unsalted vs salted with result-identity asserted.
+    *
+    * Run: `sbt "runMain graft.tools.ScaleSmoke simjoin1m"`.
+    */
+  private def simJoin1M(spark: SparkSession): Unit = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- stage 1: Auto crosses autoExactMaxKeys; join-back exceeds cap
+    val nBases = 150000
+    val bases = spark.range(nBases).select(concat(
+      lit("dept"), col("id"), lit(" unit"), (col("id") * 2 + 1).cast("string"),
+      lit(" role"), (col("id") * 3 + 2).cast("string")).as("title"))
+    // 10 variants per base: v=0 exact, v>0 drops one deterministic char —
+    // 1.5M distinct right keys whose tokens are unique to their base, so
+    // candidate volume is ~pairs (no token hot spots in this stage)
+    val right = bases
+      .withColumn("v", explode(sequence(lit(0), lit(9))))
+      .withColumn("pos",
+        (pmod(xxhash64(col("title"), col("v")), length(col("title")) - 2) + 1)
+          .cast("int"))
+      .select(when(col("v") === 0, col("title"))
+        .otherwise(expr(
+          "concat(substring(title, 1, pos), substring(title, pos + 2))"))
+        .as("pay_title"))
+      .repartition(64).cache()
+    val left = bases.select(col("title").as("job_title"))
+      .repartition(32).cache()
+    println(s"[scale] stage 1: ${left.count()} distinct left, " +
+      s"${right.count()} right rows (~1.5M distinct keys)")
+
+    val cfg = SimilarityJoinConfig(leftKey = "job_title",
+      rightKey = "pay_title", preThreshold = 85, scoreThreshold = 85,
+      blocking = Blocking.Auto, topKPerLeft = Some(5),
+      topKTieBreak = Seq(col("pay_title")))
+    val pairs = timed("scored_pairs(auto)") {
+      val p = SimilarityJoin.scoredKeyPairs(left, right, cfg)
+      println(s"[scale]   scored pairs: ${p.count()} " +
+        "(> broadcastPairsMaxRows=500000 -> non-broadcast join-back)")
+      p
+    }
+    val joined = SimilarityJoin(left, right, cfg)
+    timed("similarity_join(auto_1.5m)") {
+      println(s"[scale]   join rows: ${joined.count()}")
+    }
+    val plan = joined.queryExecution.executedPlan.toString
+    // the pairs frame is the side keyed key_l/key_r: it was broadcast only
+    // if a BroadcastHashJoin BUILT that side (a BuildLeft of the small
+    // LEFT TABLE streaming the pairs is the correct non-broadcast shape)
+    val bhj =
+      """BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], \w+, (BuildLeft|BuildRight)""".r
+    val pairsBuilt = bhj.findAllMatchIn(plan).exists { m =>
+      def hasPairKeys(s: String) = s.contains("key_l") || s.contains("key_r")
+      (hasPairKeys(m.group(1)) && m.group(3) == "BuildLeft") ||
+        (hasPairKeys(m.group(2)) && m.group(3) == "BuildRight")
+    }
+    println(s"[scale]   pairs side broadcast-built: $pairsBuilt " +
+      "(false = ordinary shuffle join-back, the >cap contract)")
+    println("[scale]   executed plan (join nodes):")
+    plan.linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))
+      .foreach(l => println(s"[scale-plan] ${l.trim.take(160)}"))
+
+    // ---- stage 2: planted hot token, unsalted vs tokenSalt = 8
+    val hot = "metropolitan"
+    // shared left-key formula (ids 0..2999); right reuses it for the
+    // planted exact matches
+    def leftKeyExpr(id: Column): Column =
+      when(id < 200, concat(lit(s"$hot area"), id,
+        lit(" post"), (id * 11 + 5).cast("string")))
+        .otherwise(concat(lit("area"), id, lit(" post"),
+          (id * 11 + 5).cast("string"), lit(" beat"),
+          (id * 13 + 7).cast("string")))
+    val rightSkew = spark.range(1000000).select(
+      when(col("id") < 100000, concat(lit(s"$hot zone"), col("id"),
+        lit(" sec"), (col("id") * 7 + 3).cast("string")))
+        // the last 1000 right keys are EXACT copies of left keys 0..999 —
+        // planted true matches, so result identity is checked on a
+        // non-empty pair set (and 200 of them live in the hot bucket)
+        .when(col("id") >= 999000, leftKeyExpr(col("id") - 999000))
+        .otherwise(concat(lit("zone"), col("id"), lit(" sec"),
+          (col("id") * 7 + 3).cast("string"), lit(" ward"),
+          (col("id") * 3 + 1).cast("string")))
+        .as("pay_title"))
+      .repartition(64).cache()
+    val leftSkew = spark.range(3000)
+      .select(leftKeyExpr(col("id")).as("job_title"))
+      .repartition(8).cache()
+    println(s"[scale] stage 2: hot token '$hot' in " +
+      s"${leftSkew.where(col("job_title").contains(hot)).count()} of " +
+      s"${leftSkew.count()} left and " +
+      s"${rightSkew.where(col("pay_title").contains(hot)).count()} of " +
+      s"${rightSkew.count()} right keys (hot bucket = 20M candidates)")
+
+    def skewCfg(salt: Int) = SimilarityJoinConfig(leftKey = "job_title",
+      rightKey = "pay_title", preThreshold = 85, scoreThreshold = 85,
+      blocking = Blocking.Token, tokenSalt = salt)
+    val unsalted = timed("skew_hot_token(salt=1)") {
+      SimilarityJoin.scoredKeyPairs(leftSkew, rightSkew, skewCfg(1)).count()
+    }
+    val salted = timed("skew_hot_token(salt=8)") {
+      SimilarityJoin.scoredKeyPairs(leftSkew, rightSkew, skewCfg(8)).count()
+    }
+    println(s"[scale]   result identity: unsalted=$unsalted salted=$salted " +
+      s"identical=${unsalted == salted}")
   }
 }
