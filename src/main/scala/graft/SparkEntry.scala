@@ -36,19 +36,30 @@ object SparkEntry {
     )
 
   /** Queries with no DuckDB-expressible oracle — the driver gate checks
-    * only their row counts, so each output row additionally carries a
-    * [[GoldenHash]] `content_hash` drift contract pinned by GOLDENS.json
-    * and GoldenHashSpec. */
+    * only their row counts, so on the CORRECTNESS surface each output row
+    * additionally carries a [[GoldenHash]] `content_hash` drift contract,
+    * pinned by GOLDENS.json and GoldenHashSpec. Attached via
+    * [[hashedQuery]] by Verify/GoldenDump/GoldenHashSpec — NOT inside
+    * [[queries]] itself, so Bench times the undecorated queries (the
+    * digest's cache+broadcast plumbing costs ~0.3–2.8 s of first-
+    * execution JIT/cache-build per query in a forked pass, which would
+    * read as a phantom regression on exactly the queries the hash is
+    * meant to keep honest). */
   val noOracleHashed: Set[String] = Set("a2_ann_lsh", "a3_ann_ivf",
     "a4_neardup_lsh", "a5_ann_recall", "d4_simhash_pairs", "j2_simjoin_fuzzy")
 
+  /** The query as the correctness gate runs it: no-oracle queries carry
+    * the whole-result `content_hash` column, oracle queries unchanged. */
+  def hashedQuery(name: String): (SparkSession, String) => DataFrame = {
+    val f = queries(name)
+    if (noOracleHashed(name))
+      (s: SparkSession, dir: String) => GoldenHash.withContentHash(f(s, dir))
+    else f
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_._1).toMap.transform { (name, f) =>
-      if (noOracleHashed(name))
-        (s: SparkSession, dir: String) => GoldenHash.withContentHash(f(s, dir))
-      else f
-    }
+    groups.flatMap(_._1).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

@@ -9,9 +9,12 @@ object Verify {
     val spark = graft.Sessions.local("graft-verify",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // hashedQuery: the no-oracle queries' dump carries the content_hash
+    // drift column (GOLDENS.json) — the gate's rows-only check is
+    // unaffected, and the written parquet is diffable round over round
+    SparkEntry.queries.keys.foreach { name =>
+      try SparkEntry.hashedQuery(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -18,7 +18,7 @@ object GoldenDump {
       dir <- dirs
       name <- graft.SparkEntry.noOracleHashed.toSeq.sorted
     } yield {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val df = graft.SparkEntry.hashedQuery(name)(spark, dir)
       val rows = df.select(graft.queries.GoldenHash.column).take(1)
       val hash = rows.headOption.map(_.getString(0)).getOrElse("<empty>")
       val n = df.count()

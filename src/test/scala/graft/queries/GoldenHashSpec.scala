@@ -33,7 +33,7 @@ class GoldenHashSpec extends SparkTestBase {
 
   for ((name, (rows, hash)) <- pinned.toSeq.sortBy(_._1))
     test(s"$name content pinned at sf0.001: $rows rows, hash $hash") {
-      val df = SparkEntry.queries(name)(spark, sf())
+      val df = SparkEntry.hashedQuery(name)(spark, sf())
       val hashes = df.select(GoldenHash.column).distinct().collect()
         .map(_.getString(0)).toSeq
       // every row carries the digest of the WHOLE result, so exactly one
