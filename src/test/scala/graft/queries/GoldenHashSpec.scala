@@ -31,6 +31,24 @@ class GoldenHashSpec extends SparkTestBase {
     assert(pinned.keySet == SparkEntry.noOracleHashed)
   }
 
+  // the driver's CORRECTNESS gate runs at sf0.01 — pin that scale too so
+  // a drift visible only at the gate's scale still fails sbt test
+  private val pinnedSf001 = Map(
+    "a2_ann_lsh" -> "221d7e490852c370",
+    "a3_ann_ivf" -> "b1c93ea0ef6dee39",
+    "a4_neardup_lsh" -> "33464f57b6c9d31e",
+    "a5_ann_recall" -> "e46f77c5d0d08b56",
+    "d4_simhash_pairs" -> "c015e8e4ac029638",
+    "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
+
+  test("sf0.01 content hashes match GOLDENS.json (the driver-gate scale)") {
+    for ((name, hash) <- pinnedSf001.toSeq.sortBy(_._1)) {
+      val got = SparkEntry.hashedQuery(name)(spark, sf("sf0.01"))
+        .select(GoldenHash.column).head().getString(0)
+      assert(got == hash, s"sf0.01 content drift in $name")
+    }
+  }
+
   for ((name, (rows, hash)) <- pinned.toSeq.sortBy(_._1))
     test(s"$name content pinned at sf0.001: $rows rows, hash $hash") {
       val df = SparkEntry.hashedQuery(name)(spark, sf())
