@@ -79,7 +79,10 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // SPARK_GRAFT_BENCH_CHILD_JVM_ARGS replaces the inherited flags
-    // wholesale for runners whose parent flags can't be safely replayed
+    // wholesale for runners whose parent flags can't be safely replayed.
+    // Whitespace-split: flags whose VALUES contain spaces are not
+    // supported here (quote-aware parsing isn't worth it for JVM flags,
+    // which are conventionally space-free)
     val jvmArgs = sys.env.get("SPARK_GRAFT_BENCH_CHILD_JVM_ARGS")
       .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
       .getOrElse(java.lang.management.ManagementFactory.getRuntimeMXBean

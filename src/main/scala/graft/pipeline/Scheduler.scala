@@ -21,10 +21,13 @@ import org.apache.spark.sql.SparkSession
   *    schedule exists. `--refresh false` keeps the reference's literal
   *    CTAS-IF-NOT-EXISTS first-run-wins at bronze/gold (matches still
   *    overwrite, as the reference's flows do).
-  *  - fixed-rate, anchored at start: ticks fire at start + k·interval. A
-  *    run that overruns its slot triggers the next tick immediately and
-  *    the missed slots COLLAPSE (no backlog of stacked runs — the data
-  *    a missed tick would have ingested is ingested by the catch-up one).
+  *  - fixed-rate, anchored at start: ticks fire at start + k·interval,
+  *    exactly like cron fires at wall-clock slots. A run that overruns
+  *    its slot SKIPS the missed slots (no backlog of stacked runs) and
+  *    the next run fires at the next grid point — the data a missed
+  *    slot would have ingested is ingested then. This is the
+  *    reference's own failure semantics: a Prefect weekly cron that
+  *    overruns simply fires next week.
   *  - a failing tick logs and does not kill the schedule (the reference's
   *    cron fires again next week regardless).
   */
@@ -47,8 +50,9 @@ object Scheduler {
 
   /** Fixed-rate loop: run `tick` at start + k·interval for up to `maxTicks`
     * firings (≤ 0 = forever). `sleep`/`now` are injectable for tests.
-    * Overruns collapse: after a long tick the next one fires immediately,
-    * then the schedule re-anchors to the original grid. Returns ticks run. */
+    * Cron semantics on overrun: missed grid slots are skipped, the next
+    * run fires at the next grid point (never a backlog of stacked runs).
+    * Returns ticks run. */
   def loop(intervalMs: Long, maxTicks: Int,
       sleep: Long => Unit = Thread.sleep,
       now: () => Long = () => System.currentTimeMillis())(
@@ -105,24 +109,35 @@ object Scheduler {
         "pass --lake <dir> (or set GRAFT_LAKE_DIR)"))
     val maxTicks = opt(args, "--ticks").fold(0)(_.toInt)
     val refresh = opt(args, "--refresh").fold(true)(_.toBoolean)
-    def url(env: String): String = sys.env.getOrElse(env,
-      throw new IllegalArgumentException(
-        s"set $env to the Socrata JSON endpoint (reference " +
-          "data_ingestion.py:77-78 reads the same variables)"))
     // per-source fetcher overrides keep the main drivable where HTTP is
-    // not (air-gapped smoke runs, canned replay fetchers)
+    // not (air-gapped smoke runs, canned replay fetchers); a canned
+    // fetcher never dereferences the URL, so the env var is only
+    // REQUIRED for the default HTTP fetcher
     val httpFetcher = classOf[graft.sources.HttpJsonPageFetcher].getName
+    def source(env: String, fetcherArg: String): (String, String) = {
+      val fetcher = opt(args, fetcherArg).getOrElse(httpFetcher)
+      val u = sys.env.get(env).getOrElse {
+        if (fetcher == httpFetcher) throw new IllegalArgumentException(
+          s"set $env to the Socrata JSON endpoint (reference " +
+            "data_ingestion.py:77-78 reads the same variables)")
+        else s"synthetic://${env.toLowerCase}"
+      }
+      (u, fetcher)
+    }
+    val (payrollUrl, payrollFetcher) =
+      source("NYC_PAYROLL_DATA_API", "--payroll-fetcher")
+    val (jobsUrl, jobsFetcher) =
+      source("NYC_JOB_POSTINGS_API", "--jobs-fetcher")
     val sources = Seq(
-      IngestFlow.RestDataset("nyc_payroll_data", url("NYC_PAYROLL_DATA_API"),
+      IngestFlow.RestDataset("nyc_payroll_data", payrollUrl,
         Seq("title_description", "base_salary", "pay_basis",
           "regular_gross_paid", "total_ot_paid", "total_other_pay",
           "fiscal_year"),
-        fetcherClass = opt(args, "--payroll-fetcher").getOrElse(httpFetcher)),
-      IngestFlow.RestDataset("nyc_job_postings_data",
-        url("NYC_JOB_POSTINGS_API"),
+        fetcherClass = payrollFetcher),
+      IngestFlow.RestDataset("nyc_job_postings_data", jobsUrl,
         Seq("business_title", "salary_range_from", "salary_range_to",
           "posting_date", "post_until"),
-        fetcherClass = opt(args, "--jobs-fetcher").getOrElse(httpFetcher)))
+        fetcherClass = jobsFetcher))
     val spark = graft.Sessions.local("graft-scheduler")
     try {
       val n = run(spark, sources, lakeDir, intervalMs, maxTicks, refresh)

@@ -66,7 +66,11 @@ object HttpApi {
   private final class BadRequest(msg: String) extends RuntimeException(msg)
 
   private def handle(spark: SparkSession, ex: HttpExchange,
-      maxPageRows: Int): Unit =
+      maxPageRows: Int): Unit = {
+    // handler-local: HttpExchange.setAttribute writes to the CONTEXT's
+    // shared attribute map (one streamed page would poison every later
+    // exchange), so committed-ness must live on this call's stack
+    var headersCommitted = false
     try {
       if (ex.getRequestMethod != "GET") send(ex, 405, jsonDetail("Method Not Allowed"))
       else ex.getRequestURI.getPath.stripSuffix("/") match {
@@ -100,10 +104,12 @@ object HttpApi {
             .getOrElse(1000)
           // score_col is client input — resolve it against the dataset's
           // actual columns here so a typo (or probing) is a 400, not an
-          // AnalysisException-turned-500 aggregating arbitrary columns
-          val scoreCol = p.getOrElse("score_col", ds.sortKey)
-          if (!spark.table(ds.table).columns.contains(scoreCol))
-            throw new BadRequest(s"Invalid score_col: $scoreCol")
+          // AnalysisException-turned-500 aggregating arbitrary columns;
+          // resolution is case-insensitive like Spark's own analyzer
+          val requested = p.getOrElse("score_col", ds.sortKey)
+          val scoreCol = spark.table(ds.table).columns
+            .find(_.equalsIgnoreCase(requested))
+            .getOrElse(throw new BadRequest(s"Invalid score_col: $requested"))
           val s = Serve.dashboardSection(spark, id, scoreCol, lo, hi,
             math.min(maxRows, maxPageRows))
           val statsJson = s.stats.fold("null") { case (mean, mn, mx) =>
@@ -126,17 +132,26 @@ object HttpApi {
           val rows = Serve.fetchJsonIterator(spark, id,
             nonNeg("offset", 0), nonNeg("limit", maxPageRows), maxPageRows)
           if (!rows.hasNext) send(ex, 404, jsonDetail("Report not found"))
-          else sendJsonArray(ex, rows)
+          else sendJsonArray(ex, rows, onCommit = () => headersCommitted = true)
         case _ =>
           send(ex, 404, jsonDetail("Not Found"))
       }
     } catch {
+      // once a chunked 200 is committed (streaming page), headers cannot
+      // be resent: log the real cause and abort the exchange so the
+      // client sees a truncated chunked stream (a protocol-level error),
+      // not a fake complete 200 — and the Spark error isn't masked by a
+      // secondary "headers already sent" throw
+      case scala.util.control.NonFatal(e) if headersCommitted =>
+        org.slf4j.LoggerFactory.getLogger(getClass).error(
+          s"mid-stream failure after headers committed: ${e.getMessage}", e)
       case e: BadRequest => send(ex, 400, jsonDetail(e.getMessage))
       case e: IllegalArgumentException => // undecodable %-escapes, bad args
         send(ex, 400, jsonDetail(s"Bad Request: ${e.getMessage}"))
       case scala.util.control.NonFatal(e) =>
         send(ex, 500, jsonDetail(s"Internal Server Error: ${e.getMessage}"))
     } finally ex.close()
+  }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
@@ -180,8 +195,10 @@ object HttpApi {
     * ~100 MB of JSON; writing rows as they arrive from `toLocalIterator`
     * means the driver never assembles that page as one `String` — peak
     * extra heap is one row plus the 64 KiB write buffer. */
-  private def sendJsonArray(ex: HttpExchange, rows: Iterator[String]): Unit = {
+  private def sendJsonArray(ex: HttpExchange, rows: Iterator[String],
+      onCommit: () => Unit): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    onCommit()
     ex.sendResponseHeaders(200, 0L)
     val out = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
     out.write('[')

@@ -3,14 +3,18 @@ package graft.tools
 /** Regenerates GOLDENS.json — the pinned [[graft.queries.GoldenHash]]
   * content hashes for the no-oracle queries, at sf0.001 (what
   * GoldenHashSpec asserts) and sf0.01 (what the driver's Verify output
-  * carries). Run after any INTENDED semantic change to one of these
-  * queries, eyeball the diff, commit:
+  * carries). Writes the file DIRECTLY (like PlanAudit) so sbt's [info]
+  * log noise can never leak into the committed JSON. Run after any
+  * INTENDED semantic change to one of these queries, eyeball the diff,
+  * update GoldenHashSpec's pinned maps to match, commit:
   *
-  *   sbt -batch "runMain graft.tools.GoldenDump" > GOLDENS.json
+  *   sbt -batch "runMain graft.tools.GoldenDump"          # -> GOLDENS.json
+  *   sbt -batch "runMain graft.tools.GoldenDump out.json <sfDir>..."
   */
 object GoldenDump {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq
+    val out = args.headOption.getOrElse("GOLDENS.json")
+    val dirs = if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     val spark = graft.Sessions.local("golden-dump",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
@@ -24,7 +28,9 @@ object GoldenDump {
       val n = df.count()
       s"""  {"query":"$name","sf_dir":"$dir","rows":$n,"content_hash":"$hash"}"""
     }
-    println(entries.mkString("[\n", ",\n", "\n]"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      entries.mkString("[\n", ",\n", "\n]\n"))
+    println(s"wrote $out")
     spark.stop()
   }
 }
