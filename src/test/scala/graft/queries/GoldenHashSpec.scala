@@ -25,6 +25,25 @@ class GoldenHashSpec extends SparkTestBase {
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
 
+  test("digest is partitioning/order independent; pair boundaries don't collide") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("1b=2", "3"), ("1", "2b=3"), ("x", "y")).toDF("a", "b")
+    def hashOf(d: org.apache.spark.sql.DataFrame): String =
+      GoldenHash.withContentHash(d).select(GoldenHash.column)
+        .head().getString(0)
+    // same rows, any physical layout -> same digest
+    assert(hashOf(df) == hashOf(df.repartition(7)))
+    assert(hashOf(df) == hashOf(df.orderBy(org.apache.spark.sql.functions.desc("b"))))
+    // values that would be byte-identical without a pair separator
+    // ("a=1b=2" + "b=3" vs "a=1" + "b=2b=3") digest differently
+    assert(hashOf(Seq(("1b=2", "3")).toDF("a", "b")) !=
+      hashOf(Seq(("1", "2b=3")).toDF("a", "b")))
+    // NULL digests differently from an empty string
+    assert(hashOf(Seq((null.asInstanceOf[String], "y")).toDF("a", "b")) !=
+      hashOf(Seq(("", "y")).toDF("a", "b")))
+  }
+
   test("the hashed set IS the no-oracle set (no query escapes both gates)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == SparkEntry.noOracleHashed)
