@@ -91,13 +91,21 @@ object Bronze {
     * notwithstanding, db_sync.py:55). `refresh = true` is the fix a real
     * deployment wants: overwrite the table from the current lake
     * artifact so re-ingestion propagates. */
-  /** Remove a managed table's default location when it exists WITHOUT a
-    * catalog entry. A run that died between writing files and committing
+  /** Move a managed table's default location ASIDE when it exists WITHOUT
+    * a catalog entry. A run that died between writing files and committing
     * the catalog entry leaves this orphan behind, and `saveAsTable` /
     * CTAS refuse to adopt it (LOCATION_ALREADY_EXISTS) — which would
-    * wedge every future scheduled refresh. The files are unreachable
-    * through the catalog by definition, so deleting them is recovery,
-    * not data loss. Hadoop-FileSystem-generic (file:, s3a:, …). */
+    * wedge every future scheduled refresh.
+    *
+    * The files are QUARANTINED (renamed to `<loc>.orphan-<millis>`), not
+    * deleted: "no catalog entry" only proves THIS session's catalog
+    * doesn't know the table. A fresh or relocated metastore (embedded
+    * Derby in a new cwd) over a persisted warehouse, or a second catalog
+    * sharing the same s3a warehouse prefix, also presents as "orphan" —
+    * a recursive delete there silently destroys live data on every
+    * scheduled run. A rename keeps the refresh unwedged while leaving
+    * the bytes recoverable by an operator. Hadoop-FileSystem-generic
+    * (file:, s3a:, … — on S3A the rename is copy+delete, still safe). */
   def dropOrphanLocation(spark: SparkSession, db: String,
       table: String): Unit =
     if (!spark.catalog.tableExists(s"$db.$table")) {
@@ -105,10 +113,15 @@ object Bronze {
       val loc = new org.apache.hadoop.fs.Path(s"$dbLoc/$table")
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) {
+        val quarantine = new org.apache.hadoop.fs.Path(
+          s"$dbLoc/$table.orphan-${System.currentTimeMillis()}")
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"$db.$table has no catalog entry but its location $loc exists " +
-            "(crashed earlier run?) — removing the orphan before recreate")
-        fs.delete(loc, true)
+            s"(crashed earlier run, or a foreign catalog's table?) — " +
+            s"quarantining to $quarantine before recreate")
+        if (!fs.rename(loc, quarantine))
+          throw new java.io.IOException(
+            s"failed to quarantine orphan table location $loc → $quarantine")
       }
     }
 
