@@ -106,8 +106,16 @@ object AnnSearch {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // id uniqueness is load-bearing for the slim assignment exchange below:
+    // `assignedIds` carries one row per DISTINCT id, and the vector rejoin
+    // would fan that back out to every duplicate corpus row — changing
+    // candidate sets vs the pre-slim argmax plan (which collapsed
+    // duplicates). Enforce one row per id here; dropDuplicates lands on
+    // the hash(neighbor_id) partitioning Par.spread just installed, so it
+    // costs a map-side aggregate, not another exchange.
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
+      .dropDuplicates("neighbor_id")
     // materialize the nlist centroids once — the frame feeds two broadcast
     // branches, and leaving it lazy would run the corpus-wide
     // TakeOrdered twice

@@ -98,8 +98,18 @@ object Scheduler {
     }
   }
 
-  private def opt(args: Array[String], key: String): Option[String] =
-    args.sliding(2).collectFirst { case Array(`key`, v) => v }
+  private def opt(args: Array[String], key: String): Option[String] = {
+    if (args.lastOption.contains(key)) throw new IllegalArgumentException(
+      s"$key expects a value")
+    args.sliding(2).collectFirst {
+      case Array(`key`, v) =>
+        // a flag missing its value would otherwise swallow the NEXT flag
+        // as its value ("--lake --every 7d" → lake="--every"): error out
+        if (v.startsWith("--")) throw new IllegalArgumentException(
+          s"$key expects a value, got flag '$v' — did you omit the value?")
+        v
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val intervalMs = parseInterval(opt(args, "--every").getOrElse("7d"))

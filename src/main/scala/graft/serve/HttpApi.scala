@@ -138,10 +138,14 @@ object HttpApi {
       }
     } catch {
       // once a chunked 200 is committed (streaming page), headers cannot
-      // be resent: log the real cause and abort the exchange so the
-      // client sees a truncated chunked stream (a protocol-level error),
-      // not a fake complete 200 — and the Spark error isn't masked by a
-      // secondary "headers already sent" throw
+      // be resent, and the JDK HttpExchange offers no way to abort the
+      // connection without a clean terminal chunk (no socket access;
+      // sun.net.httpserver is strongly encapsulated). The documented
+      // failure signal is therefore the BODY: the closing ']' is written
+      // only after the iterator is exhausted, so an interrupted page is
+      // never well-formed JSON — clients detect truncation as a parse
+      // failure. Log the real cause here so the Spark error isn't masked
+      // by a secondary "headers already sent" throw.
       case scala.util.control.NonFatal(e) if headersCommitted =>
         org.slf4j.LoggerFactory.getLogger(getClass).error(
           s"mid-stream failure after headers committed: ${e.getMessage}", e)

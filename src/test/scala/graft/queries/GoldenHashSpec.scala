@@ -17,7 +17,7 @@ import graft.{SparkEntry, SparkTestBase}
   */
 class GoldenHashSpec extends SparkTestBase {
 
-  private val pinned = Map(
+  private val pinnedSf0001 = Map(
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
     "a3_ann_ivf" -> (50L, "06546d1ba7b3ead3"),
     "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
@@ -47,12 +47,12 @@ class GoldenHashSpec extends SparkTestBase {
   test("the hashed set IS the no-oracle set (no query escapes both gates)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == SparkEntry.noOracleHashed)
-    assert(pinned.keySet == SparkEntry.noOracleHashed)
+    assert(pinnedSf0001.keySet == SparkEntry.noOracleHashed)
   }
 
   // the driver's CORRECTNESS gate runs at sf0.01 — pin that scale too so
   // a drift visible only at the gate's scale still fails sbt test
-  private val pinnedSf001 = Map(
+  private val pinnedSf01 = Map(
     "a2_ann_lsh" -> "221d7e490852c370",
     "a3_ann_ivf" -> "b1c93ea0ef6dee39",
     "a4_neardup_lsh" -> "33464f57b6c9d31e",
@@ -61,14 +61,14 @@ class GoldenHashSpec extends SparkTestBase {
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
 
   test("sf0.01 content hashes match GOLDENS.json (the driver-gate scale)") {
-    for ((name, hash) <- pinnedSf001.toSeq.sortBy(_._1)) {
+    for ((name, hash) <- pinnedSf01.toSeq.sortBy(_._1)) {
       val got = SparkEntry.hashedQuery(name)(spark, sf("sf0.01"))
         .select(GoldenHash.column).head().getString(0)
       assert(got == hash, s"sf0.01 content drift in $name")
     }
   }
 
-  for ((name, (rows, hash)) <- pinned.toSeq.sortBy(_._1))
+  for ((name, (rows, hash)) <- pinnedSf0001.toSeq.sortBy(_._1))
     test(s"$name content pinned at sf0.001: $rows rows, hash $hash") {
       val df = SparkEntry.hashedQuery(name)(spark, sf())
       val hashes = df.select(GoldenHash.column).distinct().collect()
