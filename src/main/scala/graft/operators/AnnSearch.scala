@@ -96,48 +96,110 @@ object AnnSearch {
     * into `nlist` inverted lists; each query exact-scores only the members
     * of its `nprobe` nearest lists.
     *
-    * The quantizer is a deterministic sample — the `nlist` corpus vectors
-    * with the smallest `xxhash64(id)` (pseudo-random but stable across
-    * runs/partitionings, no iterative k-means needed). At 100 TB the list
-    * assignment is one broadcast-join pass over the corpus and can be
-    * persisted as a bucketed table partitioned by `list_id`, making each
-    * query's probe a partition-pruned scan of nprobe/nlist of the data;
-    * queries shuffle only to their probed lists.
+    * The quantizer seeds are a deterministic sample — the `nlist` corpus
+    * vectors with the smallest `xxhash64(id)` (pseudo-random but stable
+    * across runs/partitionings) — refined by two Lloyd passes
+    * ([[ivfCentroids]]): assign the corpus to the current centroids,
+    * recenter each list on its mean. Each pass is one broadcast-
+    * assignment over the corpus and buys noticeably tighter lists than
+    * raw samples (measured recall@5 at the a3 parameterization,
+    * tools/recallprobe_r6.txt: 0.68 → 0.72 at sf0.001, 0.68 → 0.80 at
+    * sf0.01; a third pass oscillates, not improves). At 100 TB
+    * the list assignment is one broadcast-join pass over the corpus and
+    * can be persisted as a table partitioned by `list_id`
+    * ([[graft.pipeline.SilverIndex]]), making each query's probe a
+    * partition-pruned scan of nprobe/nlist of the data; queries shuffle
+    * only to their probed lists.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // id uniqueness is load-bearing for the slim assignment exchange below:
-    // `assignedIds` carries one row per DISTINCT id, and the vector rejoin
-    // would fan that back out to every duplicate corpus row — changing
-    // candidate sets vs the pre-slim argmax plan (which collapsed
-    // duplicates). Enforce one row per id here; dropDuplicates lands on
-    // the hash(neighbor_id) partitioning Par.spread just installed, so it
-    // costs a map-side aggregate, not another exchange.
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      refine: Boolean = true): DataFrame = {
+    val c = ivfCorpus(corpus, idCol, vecCol)
+    val cents = ivfCentroids(c, nlist, refine)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    ivfTopKFromAssigned(q0, ivfAssign(c, cents), cents, k, nprobe)
+  }
+
+  /** Corpus normalized for the IVF machinery: (neighbor_id, cv), spread
+    * across cores, ONE ROW PER ID. Id uniqueness is load-bearing for the
+    * slim assignment exchange: `ivfAssign` carries one row per DISTINCT
+    * id through its argmax window, and the vector rejoin would fan that
+    * back out to every duplicate corpus row — changing candidate sets vs
+    * the pre-slim argmax plan (which collapsed duplicates). dropDuplicates
+    * lands on the hash(neighbor_id) partitioning Par.spread just
+    * installed, so it costs a map-side aggregate, not another exchange. */
+  private[graft] def ivfCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
       .dropDuplicates("neighbor_id")
-    // materialize the nlist centroids once — the frame feeds two broadcast
-    // branches, and leaving it lazy would run the corpus-wide
-    // TakeOrdered twice
+
+  /** Coarse quantizer over an [[ivfCorpus]]-shaped frame: `nlist`
+    * deterministic hash-sampled seeds, then (by default) one Lloyd
+    * refinement pass — assign every corpus vector to its nearest seed,
+    * recenter each list on the member MEAN. The mean is computed over
+    * fixed-point longs (element × 2²⁴, summed as integers) so the result
+    * is bit-deterministic across partitionings — a floating-point sum
+    * would make centroid bits, and therefore every downstream golden
+    * hash, an artifact of reduction order. Returns a driver-materialized
+    * (list_id, centv) frame of nlist rows (list ids = seed doc ids, a
+    * stable labeling). */
+  private[graft] def ivfCentroids(c: DataFrame, nlist: Int,
+      refine: Boolean = true, iterations: Int = 2): DataFrame = {
+    val spark = c.sparkSession
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("list_id",
         c.schema("neighbor_id").dataType),
       org.apache.spark.sql.types.StructField("centv",
         c.schema("cv").dataType)))
-    val centRows = c
+    def centFrame(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
+    // materialize the nlist seeds once — the frame feeds two broadcast
+    // branches, and leaving it lazy would run the corpus-wide
+    // TakeOrdered twice
+    val seedRows = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id"))
       .limit(nlist)
       .select(col("neighbor_id").as("list_id"), col("cv").as("centv"))
       .collect()
-    val cents = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centRows: _*), centSchema)
-    // assign every corpus vector to its single nearest centroid. The
-    // argmax window shuffles |corpus|×nlist rows — project down to
-    // (id, list_id, sim) FIRST so that exchange carries ~24 B/row, not
-    // both embedding vectors (~0.5 KB/row: 34 GB vs 1.5 GB at 1M docs ×
-    // 64 lists), then rejoin the vector by id (a slim join AQE can
-    // broadcast-convert)
+    val seeds = centFrame(seedRows)
+    if (!refine || seedRows.isEmpty) return seeds
+    val dim = seedRows.head.getAs[scala.collection.Seq[Float]](1).length
+    val scale = (1L << 24).toDouble
+    // Lloyd pass(es): slim-assign to the current centroids, then per-list
+    // fixed-point element sums as dim aggregate columns — partial
+    // aggregation keeps the shuffle at nlist×dim longs per task, never a
+    // vector exchange. Sums run over longs (element × 2²⁴) so the means
+    // are bit-deterministic across partitionings — a floating-point sum
+    // would make centroid bits, and every downstream golden hash, an
+    // artifact of reduction order.
+    (1 to iterations).foldLeft(seeds) { (cents, _) =>
+      val sums = ivfAssign(c, cents)
+        .withColumn("__sv", transform(col("cv"),
+          x => round(x.cast("double") * scale).cast("long")))
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("__sv"), i + 1)).as(s"__s$i")): _*)
+        .collect()
+      val refined = sums.map { r =>
+        val n = r.getAs[Long]("__n").toDouble
+        val mean = Array.tabulate(dim)(i =>
+          (r.getAs[Long](s"__s$i") / scale / n).toFloat)
+        org.apache.spark.sql.Row(r.get(0), mean.toSeq)
+      }
+      centFrame(refined)
+    }
+  }
+
+  /** Assign every corpus vector to its single nearest centroid →
+    * (neighbor_id, cv, list_id). The argmax window shuffles
+    * |corpus|×nlist rows — projected down to (id, list_id, sim) FIRST so
+    * that exchange carries ~24 B/row, not both embedding vectors
+    * (~0.5 KB/row: 34 GB vs 1.5 GB at 1M docs × 64 lists), then the
+    * vector rejoins by id (a slim join AQE can broadcast-convert). */
+  private[graft] def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("__sim").desc, col("list_id").asc)
     val assignedIds = c.crossJoin(broadcast(cents))
@@ -146,10 +208,17 @@ object AnnSearch {
       .withColumn("__rn", row_number().over(wAssign))
       .where(col("__rn") === 1)
       .select(col("neighbor_id"), col("list_id"))
-    val assigned = c.join(assignedIds, "neighbor_id")
+    c.join(assignedIds, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("list_id"))
-    // each query probes its nprobe nearest lists
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  }
+
+  /** Probe-and-score half of [[ivfTopK]], runnable from a LIVE
+    * assignment or a persisted one ([[graft.pipeline.SilverIndex]]):
+    * each query exact-scores the members of its `nprobe` nearest lists.
+    * `q0` is (query_id, qv); `assigned` is (neighbor_id, cv, list_id);
+    * `cents` is (list_id, centv). */
+  private[graft] def ivfTopKFromAssigned(q0: DataFrame, assigned: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("list_id").asc)
     val probes = broadcast(q0).crossJoin(broadcast(cents))

@@ -374,20 +374,39 @@ object Dedup {
     * @param theta final exact-Jaccard threshold
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, rowsPerBand: Int, theta: Double): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val numBands = numHashes / rowsPerBand
+      n: Int, numHashes: Int, rowsPerBand: Int, theta: Double): DataFrame =
+    minhashPairsFromSets(minhashSets(df, idCol, textCol, n, numHashes),
+      rowsPerBand, theta)
+
+  /** The signature half of [[minhashLshPairs]]: per-doc (doc, sh, sig)
+    * rows — shingle set plus MinHash signature. Deterministic per
+    * document, which is what makes the frame PERSISTABLE: an incremental
+    * refresh ([[SilverIndex.refreshMinhash]]) computes this only for new
+    * doc ids and appends, and the union is row-identical to a from-
+    * scratch build. */
+  def minhashSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
     // shingleSets already ends in a repartition-by-doc exchange; the
     // single-pass signature kernel computes there directly
-    val sets = shingleSets(df, idCol, textCol, n)
+    shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
+  /** The banding half of [[minhashLshPairs]], runnable from a LIVE
+    * [[minhashSets]] frame or a persisted signature table (the signature
+    * length is `size(sig)` — not re-derived — so a stored index carries
+    * its own configuration). */
+  def minhashPairsFromSets(sets: DataFrame, rowsPerBand: Int,
+      theta: Double): DataFrame = {
+    // band count from the data, not a parameter: banding a stored index
+    // with a mismatched numHashes would silently change recall
+    val numBands = (size(col("sig")) / rowsPerBand).cast("int")
     // band key = (band index, hash of the band's signature slice); the
     // band join carries ids only — shingle arrays rejoin at verification
     val banded = sets.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(transform(
+        sequence(lit(0), numBands - 1), b =>
+          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AnnSearch, Dedup}
+
+/** Append-maintained silver tables for the expensive per-document index
+  * artifacts — MinHash signatures and IVF list assignments.
+  *
+  * The reference is a WEEKLY batch (its Prefect crons re-run the whole
+  * chain every Sunday), so at 100 TB the dominant recurring cost is not
+  * the first build but the re-run: recomputing shingles + signatures (or
+  * centroid assignments) for 10¹¹ documents to fold in the 10⁸ that are
+  * new. Both artifacts here are per-document deterministic, so an
+  * incremental refresh is EXACT, not approximate:
+  *
+  *  - [[refreshMinhash]] anti-joins the corpus against the indexed doc
+  *    ids, computes (doc, sh, sig) for new docs only, and appends —
+  *    the union is row-identical to a from-scratch build
+  *    (SilverIndexSpec proves it), and the delta run's cost is
+  *    ∝ |new docs| (ScaleSmoke's incremental stage measures it).
+  *  - [[refreshIvf]] pins the coarse quantizer at FIRST build (the
+  *    standard IVF append discipline: centroids freeze, new vectors are
+  *    assigned to the frozen lists and appended, partitioned by
+  *    `list_id` so probes partition-prune). Assignment is per-row
+  *    deterministic against fixed centroids, so incremental == from-
+  *    scratch with the same centroids, exactly. Re-quantize by deleting
+  *    the index dir when drift warrants (the usual FAISS-style rebuild
+  *    cadence decision, left to the operator).
+  *
+  * Caveat shared by both: rows the operator excludes by construction
+  * (empty shingle sets; duplicate ids) are re-derived and re-excluded on
+  * every refresh — the anti-join only skips what the index RETAINS.
+  * Bounded by the excluded population, which is noise in practice.
+  */
+object SilverIndex {
+
+  /** What a refresh did: rows appended this run / total index rows. */
+  final case class Refresh(appended: Long, total: Long)
+
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Bring the signature table at `path` up to date with `docs`:
+    * signatures are computed ONLY for doc ids not yet indexed, and
+    * appended. Returns counts; read the index back with [[minhashIndex]].
+    * Parameters (`n`, `numHashes`) must match the original build — the
+    * stored signature length is authoritative downstream, so a mismatch
+    * is caught by the width check here rather than silently mixed. */
+  def refreshMinhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, path: String): Refresh = {
+    val spark = docs.sparkSession
+    val newDocs =
+      if (!fsExists(spark, path)) docs
+      else {
+        val ix = spark.read.parquet(path)
+        val width = ix.select(max(size(col("sig")))).head()
+        require(width.isNullAt(0) || width.getInt(0) == numHashes,
+          s"index at $path has signature width ${width.get(0)}, " +
+            s"refresh requested $numHashes — rebuild, don't mix")
+        docs.join(ix.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+      }
+    val before =
+      if (fsExists(spark, path)) spark.read.parquet(path).count() else 0L
+    Dedup.minhashSets(newDocs, idCol, textCol, n, numHashes)
+      .write.mode("append").parquet(path)
+    // appended measured from the files that actually landed (parquet
+    // row-count is metadata-cheap), not by re-running the delta lineage
+    val total = spark.read.parquet(path).count()
+    Refresh(total - before, total)
+  }
+
+  /** The signature table as [[graft.operators.Dedup.minhashPairsFromSets]]
+    * consumes it: (doc, sh, sig). */
+  def minhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Near-dup pairs from the PERSISTED signatures — the weekly-run shape:
+    * zero shingle/signature recompute, banding + exact verification only. */
+  def minhashPairs(spark: SparkSession, path: String, rowsPerBand: Int,
+      theta: Double): DataFrame =
+    Dedup.minhashPairsFromSets(minhashIndex(spark, path), rowsPerBand, theta)
+
+  // -------------------------------------------------------------------- IVF
+
+  private def centPath(path: String) = s"$path/centroids"
+  private def asgPath(path: String) = s"$path/assigned"
+
+  /** Bring the IVF index at `path` up to date with `corpus`. First call
+    * builds + persists the quantizer (hash-sampled seeds + one Lloyd
+    * pass, [[AnnSearch.ivfCentroids]]); later calls FREEZE it and only
+    * assign-and-append vectors whose ids are not yet indexed. The
+    * assignment table is partitioned by `list_id`, so probe-time reads
+    * prune to nprobe/nlist of the files. */
+  def refreshIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String): Refresh = {
+    val spark = corpus.sparkSession
+    val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
+    val cents =
+      if (fsExists(spark, centPath(path))) spark.read.parquet(centPath(path))
+      else {
+        val built = AnnSearch.ivfCentroids(c, nlist)
+        built.write.parquet(centPath(path))
+        built
+      }
+    val newC =
+      if (!fsExists(spark, asgPath(path))) c
+      else {
+        val ids = spark.read.parquet(asgPath(path)).select(col("neighbor_id"))
+        c.join(ids, Seq("neighbor_id"), "left_anti")
+      }
+    val before =
+      if (fsExists(spark, asgPath(path)))
+        spark.read.parquet(asgPath(path)).count()
+      else 0L
+    AnnSearch.ivfAssign(newC, cents)
+      .write.mode("append").partitionBy("list_id").parquet(asgPath(path))
+    val total = spark.read.parquet(asgPath(path)).count()
+    Refresh(total - before, total)
+  }
+
+  /** The persisted assignment, shaped for
+    * [[AnnSearch.ivfTopKFromAssigned]]: (neighbor_id, cv, list_id) with
+    * `list_id` cast back to the centroid table's id type (partition-
+    * column inference narrows it on read). */
+  def ivfAssigned(spark: SparkSession, path: String): DataFrame = {
+    val cents = spark.read.parquet(centPath(path))
+    spark.read.parquet(asgPath(path))
+      .withColumn("list_id",
+        col("list_id").cast(cents.schema("list_id").dataType))
+      .select(col("neighbor_id"), col("cv"), col("list_id"))
+  }
+
+  /** ANN top-k against the PERSISTED index: no quantizer build, no
+    * corpus-wide assignment — the recurring-query shape. */
+  def ivfTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(centPath(path))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    AnnSearch.ivfTopKFromAssigned(q0, ivfAssigned(spark, path), cents,
+      k, nprobe)
+  }
+}

@@ -33,6 +33,27 @@ object AnnQueries {
         k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // Incremental IVF through the driver gate (no-oracle, golden-pinned):
+    // quantizer built and FROZEN on 75% of the corpus, delta refresh
+    // folds in the rest (assignments compute only for new ids —
+    // SilverIndexSpec pins the counts), queries served from the
+    // PERSISTED index. Deterministic end-to-end (hash-sampled seeds +
+    // fixed-point Lloyd means + per-row assignment), so the content hash
+    // pins it at both scales.
+    "a6_incr_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-ix").toString + "/ix"
+      graft.pipeline.SilverIndex.refreshIvf(
+        emb.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nlist = 16, path = path)
+      graft.pipeline.SilverIndex.refreshIvf(emb, "vec_id", "embedding",
+        nlist = 16, path = path)
+      graft.pipeline.SilverIndex.ivfTopKFromIndex(
+        emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        path, k = 5, nprobe = 6)
+    }),
+
     "d5_cosine_neardup" -> ((s, dir) =>
       AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45)),
@@ -45,19 +66,24 @@ object AnnQueries {
     // recall collapse that ScalaTest alone would catch only at build time.
     // Emits one row per approximate method with its measured recall@5 vs
     // the exact baseline (same parameterizations as a2/a3) and the
-    // in-plan verdict against the floor — rows-only by design; the row
-    // itself carries the evidence. Floor 0.5: the a2/a3 configs measure
-    // 0.68–0.72 at sf0.001/sf0.01 (deliberately speed-biased — the
-    // probe/table params trade recall for candidate volume, AnnQueries
-    // scaladoc above), so 0.5 cleanly separates "configured approximation"
-    // from "bucketing broke" (a collision-logic bug sends recall to ~0).
+    // in-plan verdict against a PER-METHOD floor — rows-only by design;
+    // the row itself carries the evidence.
+    //  - lsh floor 0.5: deliberately speed-biased config (the probe/table
+    //    params trade recall for candidate volume, AnnQueries scaladoc
+    //    above), measures 0.6–0.68; 0.5 separates "configured
+    //    approximation" from "bucketing broke" (a collision bug → ~0).
+    //  - ivf floor 0.7: the Lloyd-refined quantizer delivers 0.72–0.80
+    //    at the a3 parameterization (tools/recallprobe_r6.txt), so 0.7
+    //    additionally guards the refinement itself — raw hash-sampled
+    //    seeds measure 0.68 and would fail this floor.
     "a5_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 50 === 0)
       val exact = AnnSearch.bruteForceTopK(emb.where(col("vec_id") % 50 === 0),
         emb, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      def recallOf(approx: DataFrame, method: String): DataFrame =
+      def recallOf(approx: DataFrame, method: String,
+          floor: Double): DataFrame =
         exact.join(
           approx.select(col("query_id"), col("neighbor_id"))
             .withColumn("hit", lit(1)),
@@ -69,14 +95,14 @@ object AnnQueries {
           .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
           .select(lit(method).as("method"),
             round(col("r"), 4).as("recall_at_5"),
-            lit(0.5).as("contract_floor"),
-            (col("r") >= 0.5).as("meets_contract"))
+            lit(floor).as("contract_floor"),
+            (col("r") >= floor).as("meets_contract"))
       recallOf(
         AnnSearch.lshTopK(q, emb, "vec_id", "embedding",
-          k = 5, bits = 8, tables = 8, probeHamming = 1), "lsh")
+          k = 5, bits = 8, tables = 8, probeHamming = 1), "lsh", 0.5)
         .unionAll(recallOf(
           AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 6), "ivf"))
+            k = 5, nlist = 16, nprobe = 6), "ivf", 0.7))
         .orderBy("method")
     })
   )

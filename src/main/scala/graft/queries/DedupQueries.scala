@@ -31,7 +31,26 @@ object DedupQueries {
 
     "d6_char_jaccard" -> ((s, dir) =>
       Dedup.charJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        q = 4, theta = 0.5))
+        q = 4, theta = 0.5)),
+
+    // Incremental-maintenance path end-to-end THROUGH the oracle: build
+    // the persisted signature table from 80% of the corpus, delta-refresh
+    // with the full corpus (signatures compute only for the remaining
+    // 20% — SilverIndexSpec pins the append counts), then band the STORED
+    // signatures. Output must be row-identical to d3's from-scratch run,
+    // so the same exact-Jaccard oracle applies verbatim.
+    "d7_incr_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-minhash-ix").toString + "/ix"
+      val base = docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+      graft.pipeline.SilverIndex.refreshMinhash(base, "doc_id", "text",
+        n = 2, numHashes = 64, path = path)
+      graft.pipeline.SilverIndex.refreshMinhash(docs, "doc_id", "text",
+        n = 2, numHashes = 64, path = path)
+      graft.pipeline.SilverIndex.minhashPairs(s, path,
+        rowsPerBand = 4, theta = 0.5)
+    })
   )
 
   private val exactJaccardSql =
@@ -56,6 +75,9 @@ object DedupQueries {
     // (asserted in DedupSpec) so the exact-Jaccard oracle applies
     // verbatim.
     "d3_minhash_lsh" -> exactJaccardSql,
+    // d7 = d3 through the persisted-signature path; identical output by
+    // construction (SilverIndexSpec), so the same oracle applies.
+    "d7_incr_minhash" -> exactJaccardSql,
     // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
 
     "d6_char_jaccard" ->

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.operators.{AnnSearch, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental-maintenance contract: a delta refresh over an existing
+  * index produces EXACTLY the artifact (and downstream results) a from-
+  * scratch build over the full corpus would — both artifacts are per-row
+  * deterministic, so this is set equality, not approximation. Plus the
+  * cost contract the design exists for: a refresh with nothing new
+  * appends zero rows.
+  */
+class SilverIndexSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ix"
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("minhash: base+delta refresh == from-scratch, delta appends only new docs") {
+    val path = tmp("silver-minhash")
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val delta = docs.where(col("doc_id") % 5 === 0)
+
+    val r1 = SilverIndex.refreshMinhash(base, "doc_id", "text",
+      n = 2, numHashes = 64, path = path)
+    assert(r1.appended == r1.total)
+    // second refresh with the FULL corpus: only the delta docs compute
+    val r2 = SilverIndex.refreshMinhash(docs, "doc_id", "text",
+      n = 2, numHashes = 64, path = path)
+    assert(r2.appended == delta.count(),
+      s"delta refresh appended ${r2.appended}, expected only the new docs")
+    assert(r2.total == docs.count())
+    // third refresh with nothing new appends nothing
+    val r3 = SilverIndex.refreshMinhash(docs, "doc_id", "text",
+      n = 2, numHashes = 64, path = path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+
+    // the incrementally-built index IS the from-scratch signature table
+    val scratch = Dedup.minhashSets(docs, "doc_id", "text", 2, 64)
+      .select(col("doc"), sort_array(col("sh")).as("sh"), col("sig"))
+    val stored = SilverIndex.minhashIndex(spark, path)
+      .select(col("doc"), sort_array(col("sh")).as("sh"), col("sig"))
+    assert(rowSet(stored) == rowSet(scratch))
+
+    // and the pairs it yields are exactly minhashLshPairs on the corpus
+    val fromIndex = SilverIndex.minhashPairs(spark, path,
+      rowsPerBand = 4, theta = 0.5)
+    val direct = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, numHashes = 64, rowsPerBand = 4, theta = 0.5)
+    assert(rowSet(fromIndex) == rowSet(direct))
+  }
+
+  test("minhash: signature-width mismatch is rejected, not silently mixed") {
+    val path = tmp("silver-minhash-w")
+    SilverIndex.refreshMinhash(docs.limit(50), "doc_id", "text", 2, 64, path)
+    val e = intercept[IllegalArgumentException] {
+      SilverIndex.refreshMinhash(docs, "doc_id", "text", 2, 128, path)
+    }
+    assert(e.getMessage.contains("signature width"))
+  }
+
+  test("ivf: frozen-quantizer delta refresh == from-scratch with the same centroids") {
+    val path = tmp("silver-ivf")
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+
+    val r1 = SilverIndex.refreshIvf(base, "vec_id", "embedding",
+      nlist = 16, path = path)
+    assert(r1.appended == base.count())
+    val r2 = SilverIndex.refreshIvf(emb, "vec_id", "embedding",
+      nlist = 16, path = path)
+    assert(r2.appended == emb.where(col("vec_id") % 4 === 0).count())
+    assert(r2.total == emb.count())
+    val r3 = SilverIndex.refreshIvf(emb, "vec_id", "embedding",
+      nlist = 16, path = path)
+    assert(r3.appended == 0L)
+
+    // the appended assignment table == one-shot assignment of the FULL
+    // corpus against the frozen (persisted) centroids
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scratch = AnnSearch.ivfAssign(
+      AnnSearch.ivfCorpus(emb, "vec_id", "embedding"), cents)
+    assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == rowSet(scratch))
+
+    // and index-served top-k == live top-k against the same centroids
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val fromIndex = SilverIndex.ivfTopKFromIndex(q, "vec_id", "embedding",
+      path, k = 5, nprobe = 6)
+    val live = AnnSearch.ivfTopKFromAssigned(
+      q.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      scratch, cents, k = 5, nprobe = 6)
+    assert(rowSet(fromIndex) == rowSet(live))
+    assert(fromIndex.count() > 0)
+  }
+
+  test("ivf: probe read prunes to the probed list partitions") {
+    val path = tmp("silver-ivf-prune")
+    SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16, path = path)
+    val onelist = SilverIndex.ivfAssigned(spark, path)
+      .where(col("list_id") === spark.read.parquet(s"$path/centroids")
+        .select("list_id").head().get(0))
+    // partition pruning: the scan over the partitioned layout must carry
+    // a partition filter on list_id (visible in the optimized plan)
+    val plan = onelist.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(list_id"),
+      s"expected a list_id partition filter in:\n$plan")
+  }
+}

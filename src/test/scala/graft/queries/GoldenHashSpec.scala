@@ -19,9 +19,10 @@ class GoldenHashSpec extends SparkTestBase {
 
   private val pinnedSf0001 = Map(
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
-    "a3_ann_ivf" -> (50L, "06546d1ba7b3ead3"),
+    "a3_ann_ivf" -> (50L, "1af51358e9ee08ab"),
     "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
-    "a5_ann_recall" -> (2L, "5775a13c4fb26e4a"),
+    "a5_ann_recall" -> (2L, "53a52499814a2b46"),
+    "a6_incr_ivf" -> (50L, "fb1f0e7b543084a7"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
 
@@ -54,9 +55,10 @@ class GoldenHashSpec extends SparkTestBase {
   // a drift visible only at the gate's scale still fails sbt test
   private val pinnedSf01 = Map(
     "a2_ann_lsh" -> "221d7e490852c370",
-    "a3_ann_ivf" -> "b1c93ea0ef6dee39",
+    "a3_ann_ivf" -> "b604970f3c6f060e",
     "a4_neardup_lsh" -> "33464f57b6c9d31e",
-    "a5_ann_recall" -> "e46f77c5d0d08b56",
+    "a5_ann_recall" -> "3ba15df77338632d",
+    "a6_incr_ivf" -> "635a548f0b12b371",
     "d4_simhash_pairs" -> "c015e8e4ac029638",
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
 
