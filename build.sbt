@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Scale-canary suite (graft.Slow tag, ~2-4 min) is excluded from plain
+// `sbt test`; run it with `sbt -Dgraft.slow=1 slowTest`. The exclusion
+// is conditional on the sysprop because ScalaTest treats a tag in both
+// -n and -l as excluded — re-including via args alone cannot work.
+Test / testOptions ++= (
+  if (sys.props.contains("graft.slow")) Nil
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
+addCommandAlias("slowTest", "Test/testOnly graft.tools.ScaleCanarySpec")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

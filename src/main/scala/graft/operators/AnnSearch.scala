@@ -165,7 +165,17 @@ object AnnSearch {
       .collect()
     val seeds = centFrame(seedRows)
     if (!refine || seedRows.isEmpty) return seeds
-    val dim = seedRows.head.getAs[scala.collection.Seq[Float]](1).length
+    val dim = seedRows.head.getAs[scala.collection.Seq[Any]](1).length
+    // mean elements must match the vector column's element type — the
+    // embedding column is float in the lake tables but double in
+    // synthetic/derived frames, and a Float in a double-typed Row slot
+    // is a runtime ClassCastException at codegen time
+    val toElem: Double => Any =
+      c.schema("cv").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => d => d.toFloat
+        case _ => d => d
+      }
     val scale = (1L << 24).toDouble
     // Lloyd pass(es): slim-assign to the current centroids, then per-list
     // fixed-point element sums as dim aggregate columns — partial
@@ -185,8 +195,8 @@ object AnnSearch {
         .collect()
       val refined = sums.map { r =>
         val n = r.getAs[Long]("__n").toDouble
-        val mean = Array.tabulate(dim)(i =>
-          (r.getAs[Long](s"__s$i") / scale / n).toFloat)
+        val mean = Array.tabulate[Any](dim)(i =>
+          toElem(r.getAs[Long](s"__s$i") / scale / n))
         org.apache.spark.sql.Row(r.get(0), mean.toSeq)
       }
       centFrame(refined)

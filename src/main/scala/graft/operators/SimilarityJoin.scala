@@ -87,6 +87,42 @@ object SimilarityJoin {
   val KEY_L = "key_l"
   val KEY_R = "key_r"
 
+  /** Whether an executed-plan string shows the scored-pairs frame (the
+    * side keyed [[KEY_L]]/[[KEY_R]]) being BUILT by a BroadcastHashJoin.
+    * A BuildLeft of the small LEFT TABLE that streams the pairs is the
+    * correct non-broadcast shape and returns false. Shared by the scale
+    * smoke and the asserted canary suite so the >cap join-back contract
+    * is checked with one definition. */
+  private[graft] def pairsSideBroadcastBuilt(plan: String): Boolean = {
+    val bhj =
+      """BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], \w+, (BuildLeft|BuildRight)""".r
+    bhj.findAllMatchIn(plan).exists { m =>
+      def hasPairKeys(s: String) = s.contains(KEY_L) || s.contains(KEY_R)
+      (hasPairKeys(m.group(1)) && m.group(3) == "BuildLeft") ||
+        (hasPairKeys(m.group(2)) && m.group(3) == "BuildRight")
+    }
+  }
+
+  /** Width of the explicit scoring exchanges (VERDICT r5 task 8: derived
+    * from the deployment, never a constant). Priority:
+    *
+    *  1. `spark.graft.scoringParallelism` session conf — the explicit
+    *     valve for a cluster whose scoring stage should be wider than its
+    *     core count (the stage is CPU-bound at ~10 µs/pair, so over-
+    *     partitioning costs little and smooths stragglers);
+    *  2. max(`sparkContext.defaultParallelism`, session shuffle
+    *     partitions). `defaultParallelism` tracks REGISTERED executor
+    *     cores — on a dynamic-allocation cluster it reads low right after
+    *     submit, so the shuffle-partition setting (sized by the
+    *     deployment: SPARK_GRAFT_CPUS through [[graft.Sessions]] locally,
+    *     `spark.sql.shuffle.partitions` on a cluster) is the floor.
+    */
+  private[graft] def scoringWidth(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.scoringParallelism").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.numShufflePartitions))
+
   /** Scored distinct key pairs: (leftKeyValue, rightKeyValue, score).
     * Exposed for reuse by dedup operators.
     */
@@ -117,9 +153,8 @@ object SimilarityJoin {
     // an explicit-width exchange — AQE would otherwise coalesce the
     // byte-small candidate shuffle onto a handful of cores (measured
     // 24 s → 4 s at 2.5M pairs on local[32]). Token scores inside the
-    // 32-way token join stage itself.
-    val scoringParallelism =
-      left.sparkSession.sparkContext.defaultParallelism
+    // explicit-width token join stage itself.
+    val scoringParallelism = scoringWidth(left.sparkSession)
     // Token blocking scores candidates WITHOUT a prior pair-dedup: a pair
     // sharing k tokens is scored k times (k ≈ 1.15 on title data), which
     // is far cheaper than shuffling every candidate through a distinct;

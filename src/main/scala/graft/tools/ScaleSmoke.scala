@@ -38,37 +38,10 @@ object ScaleSmoke {
     }
     val nDocs = mode.map(_.toInt).getOrElse(100000)
 
-    // seeded corpus: 40-80 words from a 50k vocab; every 100th doc is a
-    // near-dup of its predecessor with one word changed
-    val rnd = new scala.util.Random(42)
-    val vocab = Array.tabulate(50000)(i => s"w${i}x${i % 97}")
-    val rows = new Array[(Long, String)](nDocs)
-    var i = 0
-    while (i < nDocs) {
-      if (i % 100 == 99 && i > 0) {
-        val words = rows(i - 1)._2.split(" ")
-        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
-        rows(i) = (i.toLong, words.mkString(" "))
-      } else {
-        val len = 40 + rnd.nextInt(41)
-        rows(i) = (i.toLong,
-          Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
-      }
-      i += 1
-    }
-    val s = spark
-    import s.implicits._
-    val docs = spark.createDataset(rows.toSeq).toDF("doc_id", "text")
-      .repartition(64).cache()
-    docs.count()
-
-    // deterministic synthetic embeddings, 64-dim, built executor-side
-    val emb = spark.range(nDocs.toLong).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => (pmod(xxhash64(col("id"), j), lit(2000L)).cast("double") - 1000.0) / 1000.0)
-        .as("embedding"))
-      .repartition(64).cache()
-    emb.count()
+    // seeded corpus + embeddings shared with the asserted canary suite
+    // (ScaleCanarySpec) — see SyntheticScale
+    val docs = SyntheticScale.docs(spark, nDocs)
+    val emb = SyntheticScale.embeddings(spark, nDocs.toLong)
 
     def time(name: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -104,32 +77,7 @@ object ScaleSmoke {
     // similarity join: 100k payroll rows over a ~2.5k-title vocabulary vs
     // 5k postings with injected typos — the reference's workload shape at
     // 20× its distinct-title cardinality, Token (shuffle) blocking
-    val adjs = Array("senior", "junior", "lead", "principal", "staff",
-      "associate", "assistant", "deputy")
-    val nouns = Array("software", "data", "systems", "network", "security",
-      "budget", "policy", "program", "project", "operations")
-    val roles = Array("engineer", "analyst", "manager", "director",
-      "specialist", "coordinator", "administrator", "architect")
-    val grades = Array("i", "ii", "iii")
-    def mkTitle(): String =
-      s"${adjs(rnd.nextInt(adjs.length))} ${nouns(rnd.nextInt(nouns.length))} " +
-        roles(rnd.nextInt(roles.length)) +
-        (if (rnd.nextInt(4) == 0) " " + grades(rnd.nextInt(3)) else "")
-    def typo(s: String): String = {
-      val i = 1 + rnd.nextInt(s.length - 2)
-      if (rnd.nextBoolean()) s.substring(0, i) + s.substring(i + 1) // drop
-      else s.substring(0, i) + s.charAt(i - 1) + s.substring(i) // double
-    }
-    val payroll = spark.createDataset(
-      (0 until nDocs).map(i => (i.toLong, mkTitle(), 40000.0 + rnd.nextInt(120000)))
-    ).toDF("pay_id", "pay_title", "base_salary").repartition(64).cache()
-    payroll.count()
-    val jobs = spark.createDataset(
-      (0 until nDocs / 20).map { i =>
-        val base = mkTitle()
-        (i.toLong, if (i % 3 == 0) typo(base) else base)
-      }).toDF("job_id", "job_title").repartition(16).cache()
-    jobs.count()
+    val (payroll, jobs) = SyntheticScale.titleTables(spark, nDocs, nDocs / 20)
     time("similarity_join(token)")(SimilarityJoin(jobs, payroll,
       SimilarityJoinConfig(leftKey = "job_title", rightKey = "pay_title",
         preThreshold = 85, scoreThreshold = 85, blocking = Blocking.Token,
@@ -222,16 +170,7 @@ object ScaleSmoke {
       println(s"[scale]   join rows: ${joined.count()}")
     }
     val plan = joined.queryExecution.executedPlan.toString
-    // the pairs frame is the side keyed key_l/key_r: it was broadcast only
-    // if a BroadcastHashJoin BUILT that side (a BuildLeft of the small
-    // LEFT TABLE streaming the pairs is the correct non-broadcast shape)
-    val bhj =
-      """BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], \w+, (BuildLeft|BuildRight)""".r
-    val pairsBuilt = bhj.findAllMatchIn(plan).exists { m =>
-      def hasPairKeys(s: String) = s.contains("key_l") || s.contains("key_r")
-      (hasPairKeys(m.group(1)) && m.group(3) == "BuildLeft") ||
-        (hasPairKeys(m.group(2)) && m.group(3) == "BuildRight")
-    }
+    val pairsBuilt = SimilarityJoin.pairsSideBroadcastBuilt(plan)
     println(s"[scale]   pairs side broadcast-built: $pairsBuilt " +
       "(false = ordinary shuffle join-back, the >cap contract)")
     println("[scale]   executed plan (join nodes):")
@@ -239,30 +178,14 @@ object ScaleSmoke {
       .foreach(l => println(s"[scale-plan] ${l.trim.take(160)}"))
 
     // ---- stage 2: planted hot token, unsalted vs tokenSalt = 8
+    // (shape shared with ScaleCanarySpec via SyntheticScale.skewTables:
+    // the last 1000 right keys are EXACT copies of left keys 0..999 —
+    // planted true matches, so result identity is checked on a non-empty
+    // pair set, 200 of them inside the hot bucket)
     val hot = "metropolitan"
-    // shared left-key formula (ids 0..2999); right reuses it for the
-    // planted exact matches
-    def leftKeyExpr(id: Column): Column =
-      when(id < 200, concat(lit(s"$hot area"), id,
-        lit(" post"), (id * 11 + 5).cast("string")))
-        .otherwise(concat(lit("area"), id, lit(" post"),
-          (id * 11 + 5).cast("string"), lit(" beat"),
-          (id * 13 + 7).cast("string")))
-    val rightSkew = spark.range(1000000).select(
-      when(col("id") < 100000, concat(lit(s"$hot zone"), col("id"),
-        lit(" sec"), (col("id") * 7 + 3).cast("string")))
-        // the last 1000 right keys are EXACT copies of left keys 0..999 —
-        // planted true matches, so result identity is checked on a
-        // non-empty pair set (and 200 of them live in the hot bucket)
-        .when(col("id") >= 999000, leftKeyExpr(col("id") - 999000))
-        .otherwise(concat(lit("zone"), col("id"), lit(" sec"),
-          (col("id") * 7 + 3).cast("string"), lit(" ward"),
-          (col("id") * 3 + 1).cast("string")))
-        .as("pay_title"))
-      .repartition(64).cache()
-    val leftSkew = spark.range(3000)
-      .select(leftKeyExpr(col("id")).as("job_title"))
-      .repartition(8).cache()
+    val (leftSkew, rightSkew) = SyntheticScale.skewTables(spark,
+      nLeft = 3000, nRight = 1000000, hotLeft = 200, hotRight = 100000,
+      planted = 1000)
     println(s"[scale] stage 2: hot token '$hot' in " +
       s"${leftSkew.where(col("job_title").contains(hot)).count()} of " +
       s"${leftSkew.count()} left and " +

@@ -189,6 +189,42 @@ class SimilarityJoinSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("scoring-stage width follows the deployment, not a constant") {
+    // VERDICT r5 task 8: the explicit scoring exchange must be sized from
+    // the env (SPARK_GRAFT_CPUS → shuffle partitions via graft.Sessions,
+    // or spark.sql.shuffle.partitions on a cluster), with
+    // spark.graft.scoringParallelism as the explicit valve.
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+    def scoringWidths(blocking: Blocking): Seq[Int] =
+      SimilarityJoin.scoredKeyPairs(jobs, payroll, cfg(blocking))
+        .queryExecution.optimizedPlan
+        .collect { case r: RepartitionOperation => r.numPartitions }
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    try {
+      // a non-32 env-derived setting: every explicit scoring repartition
+      // (Exact's round-robin, Token's two hash exchanges) follows it when
+      // it exceeds the local core count
+      spark.conf.set(shufKey, "48")
+      assert(SimilarityJoin.scoringWidth(spark) == 48)
+      assert(scoringWidths(Blocking.Exact).nonEmpty)
+      assert(scoringWidths(Blocking.Exact).forall(_ == 48))
+      assert(scoringWidths(Blocking.Token).forall(_ == 48))
+      // the explicit valve overrides the derived width
+      spark.conf.set("spark.graft.scoringParallelism", "7")
+      assert(SimilarityJoin.scoringWidth(spark) == 7)
+      assert(scoringWidths(Blocking.Exact).forall(_ == 7))
+    } finally {
+      spark.conf.unset("spark.graft.scoringParallelism")
+      spark.conf.set(shufKey, prevShuf)
+    }
+    // with nothing set, the width is the max of registered cores and the
+    // session's shuffle partitions — never below either
+    assert(SimilarityJoin.scoringWidth(spark) ==
+      math.max(spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+  }
+
   test("lightcast-style flow at 75/75 without extra predicate") {
     val c = SimilarityJoinConfig(
       leftKey = "business_title", rightKey = "title_description",

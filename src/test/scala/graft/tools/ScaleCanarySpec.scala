@@ -1,0 +1,177 @@
+package graft.tools
+
+import graft.{Slow, SparkTestBase}
+import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJoinConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The scale-path canaries, ASSERTED (VERDICT r5 task 2) — previously
+  * these contracts lived as prose in tools/scalesmoke_*.txt logs a human
+  * had to re-read; a regression in a scale-path branch (Token join-back,
+  * salt identity, banding recall) failed no automated gate. This suite
+  * runs the 100k-doc smoke shapes from [[SyntheticScale]] (the exact
+  * generators ScaleSmoke measures) and goes red on any of:
+  *
+  *  - planted near-dup recall < 100% for MinHash LSH (banding bug),
+  *  - Token blocking not engaging when Auto crosses the key threshold,
+  *  - salted vs unsalted scored pairs differing (salt identity bug),
+  *  - the scored-pairs side being broadcast-BUILT past the row cap
+  *    (join-back memory contract),
+  *  - an ANN recall collapse at smoke scale.
+  *
+  * Excluded from plain `sbt test` (runtime ~2–4 min); run with
+  * `sbt -Dgraft.slow=1 slowTest`.
+  */
+class ScaleCanarySpec extends SparkTestBase {
+
+  // this suite normally runs alone in its fork (slowTest alias), so it
+  // gets to size the JVM-wide session for the 100k-doc shapes; when run
+  // alongside other suites the existing context wins, which only costs
+  // time
+  override lazy val spark = graft.Sessions.local("graft-scale-canary", 16)
+
+  private val nDocs = 100000
+  private lazy val docs = SyntheticScale.docs(spark, nDocs)
+  private lazy val emb = SyntheticScale.embeddings(spark, nDocs.toLong)
+
+  test("minhash LSH recovers 100% of eligible planted near-dup pairs", Slow) {
+    val planted = SyntheticScale.plantedPairs(nDocs)
+    // ground truth per planted pair: exact bigram Jaccard computed
+    // directly on the two texts — pairs at j >= theta are ELIGIBLE and
+    // banding must recover every one of them
+    val s = spark
+    import s.implicits._
+    val pl = planted.toDF("doc_a", "doc_b")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
+      .select(col("doc"), sort_array(col("sh")).as("sh"))
+    val truth = pl
+      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("j", size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        (size(col("sha")) + size(col("shb")) -
+          size(array_intersect(col("sha"), col("shb")))))
+      .where(col("j") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size > nDocs / 200,
+      s"planted-pair ground truth implausibly small: ${truth.size}")
+
+    val found = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- found
+    assert(missed.isEmpty,
+      s"planted recall ${1.0 - missed.size.toDouble / truth.size}: " +
+        s"missed ${missed.size}/${truth.size}, e.g. ${missed.take(5)}")
+  }
+
+  test("Auto engages Token past the key threshold; recall boundary exact", Slow) {
+    val (payroll, jobs) = SyntheticScale.titleTables(spark, nDocs, nDocs / 20)
+    // distinct pay titles ~2.5k: drop the Auto threshold below that so
+    // the probe must pick Token — same decision the 1.5M-key smoke
+    // triggers at the default 200k threshold
+    def cfg(blocking: Blocking, autoMax: Long = 200000L) =
+      SimilarityJoinConfig(leftKey = "job_title", rightKey = "pay_title",
+        preThreshold = 85, scoreThreshold = 85, blocking = blocking,
+        autoExactMaxKeys = autoMax)
+    val auto = SimilarityJoin.scoredKeyPairs(jobs, payroll,
+      cfg(Blocking.Auto, autoMax = 500L))
+    // behavior-level proof Token ran: the token path explodes the split
+    // key into token rows; the Exact path is a broadcast cross join with
+    // no Generate node
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      s"Auto did not take the Token path — no token explode in:\n" +
+        plan.linesIterator.take(25).mkString("\n"))
+    def pairSet(df: DataFrame): Set[(String, String, Double)] =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val tokenSet = pairSet(auto)
+    val exactSet = pairSet(SimilarityJoin.scoredKeyPairs(jobs, payroll,
+      cfg(Blocking.Exact)))
+    assert(tokenSet.nonEmpty)
+    // Token blocking's EXACT contract (SimilarityJoin.scala Blocking
+    // scaladoc): candidates must share a whitespace token of the
+    // normalized key. So Token ⊆ Exact always, and a pair Exact scores
+    // that Token missed is legitimate ONLY if its keys share zero
+    // normalized tokens (space-dropping typos that fuse two words —
+    // "senior dataengineer" vs "junior data engineer"). Any missed pair
+    // WITH a shared token is a blocking bug, and a missed fraction past
+    // ~1% means the corpus outgrew the strategy.
+    assert((tokenSet -- exactSet).isEmpty,
+      s"Token found ${(tokenSet -- exactSet).size} pairs Exact did not")
+    val missed = exactSet -- tokenSet
+    val s = spark
+    import s.implicits._
+    val toks: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array_remove(array_distinct(
+        split(graft.functions.normalizeTitleCol(c), " ")), "")
+    val sharing = missed.toSeq.map(p => (p._1, p._2)).toDF("key_l", "key_r")
+      .where(size(array_intersect(toks(col("key_l")), toks(col("key_r")))) > 0)
+      .collect()
+    assert(sharing.isEmpty,
+      s"Token missed ${sharing.length} pairs that DO share a normalized " +
+        s"token — blocking bug, e.g. ${sharing.take(3).mkString("; ")}")
+    assert(missed.size <= exactSet.size / 100,
+      s"Token missed ${missed.size}/${exactSet.size} pairs (>1%): the " +
+        "zero-shared-token population outgrew Token blocking")
+  }
+
+  test("token salt is result-identical on a hot-token skew corpus", Slow) {
+    // 2M-candidate hot bucket (200 x 10k), planted exact matches so the
+    // identity check runs on a non-empty pair set
+    val (left, right) = SyntheticScale.skewTables(spark,
+      nLeft = 3000, nRight = 100000, hotLeft = 200, hotRight = 10000,
+      planted = 1000)
+    def cfg(salt: Int) = SimilarityJoinConfig(leftKey = "job_title",
+      rightKey = "pay_title", preThreshold = 85, scoreThreshold = 85,
+      blocking = Blocking.Token, tokenSalt = salt)
+    val unsalted = rowSet(SimilarityJoin.scoredKeyPairs(left, right, cfg(1)))
+    val salted = rowSet(SimilarityJoin.scoredKeyPairs(left, right, cfg(4)))
+    assert(unsalted.nonEmpty, "identity check must run on a non-empty set")
+    assert(salted == unsalted,
+      s"salting changed results: ${salted.size} vs ${unsalted.size} pairs")
+  }
+
+  test("scored pairs past the cap are never broadcast-built at the join-back", Slow) {
+    val (payroll, jobs) = SyntheticScale.titleTables(spark, nDocs / 10, 500)
+    def cfg(cap: Long) = SimilarityJoinConfig(leftKey = "job_title",
+      rightKey = "pay_title", preThreshold = 85, scoreThreshold = 85,
+      blocking = Blocking.Token, broadcastPairsMaxRows = cap)
+    // force the >cap branch the way 1.74M pairs do at the default cap
+    val overCap = SimilarityJoin(jobs, payroll, cfg(cap = 1L))
+    val overPlan = overCap.queryExecution.executedPlan.toString
+    assert(!SimilarityJoin.pairsSideBroadcastBuilt(overPlan),
+      "pairs side must not be broadcast-BUILT past broadcastPairsMaxRows " +
+        "(AQE may still convert on measured size — that check is the " +
+        "force-hint, which this plan must not carry)")
+    // and the two join-back shapes agree on the result
+    val underCap = SimilarityJoin(jobs, payroll, cfg(cap = 500000L))
+    assert(rowSet(overCap) == rowSet(underCap),
+      "join-back shape (broadcast vs shuffle) changed the result")
+  }
+
+  test("ANN recall holds at smoke scale", Slow) {
+    val q = emb.where(col("vec_id") % 1000 === 0)
+    val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnSearch.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 64, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = (exact intersect ivf).size.toDouble / exact.size
+    info(s"smoke-scale IVF recall@5 = $rIvf over ${exact.size / 5} queries")
+    assert(rIvf >= 0.5, s"IVF recall collapsed at smoke scale: $rIvf")
+    val lsh = AnnSearch.lshTopK(q, emb, "vec_id", "embedding", k = 5,
+      bits = 12, tables = 8, probeHamming = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rLsh = (exact intersect lsh).size.toDouble / exact.size
+    info(s"smoke-scale LSH recall@5 = $rLsh")
+    assert(rLsh >= 0.3, s"LSH recall collapsed at smoke scale: $rLsh")
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+}
