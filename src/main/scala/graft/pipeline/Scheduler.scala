@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * whole chain and the 1-hour guard gaps disappear.
   *
   *   sbt "runMain graft.pipeline.Scheduler --every 7d --lake /data/lake"
+  *   sbt "runMain graft.pipeline.Scheduler --cron \"0 0 * * 0\" --lake /data/lake"
+  *
+  * `--every` is a fixed-rate grid anchored at launch; `--cron` (with
+  * optional `--tz Area/City`, default UTC) anchors ticks to wall-clock
+  * slots exactly like the reference's Prefect schedules — see [[Cron]].
+  * The two are mutually exclusive.
   *
   * Source URLs come from the reference's own env pair
   * (`NYC_PAYROLL_DATA_API`, `NYC_JOB_POSTINGS_API`, data_ingestion.py:77-78).
@@ -77,15 +83,38 @@ object Scheduler {
     n
   }
 
-  /** Drive the full chain on a schedule. `afterTick` is an observability /
-    * test hook invoked after each completed run. Returns ticks run. */
-  def run(spark: SparkSession, sources: Seq[IngestFlow.RestDataset],
-      lakeDir: String, intervalMs: Long, maxTicks: Int,
-      refresh: Boolean = true,
+  /** Wall-clock grid loop: run `tick` at each [[Cron]] slot (in `zone`) for
+    * up to `maxTicks` firings (≤ 0 = forever) — the reference's Prefect
+    * `cron="0 0 * * 0"` anchor, vs [[loop]]'s launch-anchored grid. The
+    * first tick WAITS for the first slot (cron never fires at submit
+    * time). Overrun collapse falls out of [[Cron.nextFire]]'s
+    * strictly-after contract: a run that blows through its slot asks for
+    * the next slot after NOW, so missed slots are skipped, never stacked.
+    * Returns ticks run. */
+  def loopCron(cron: Cron, maxTicks: Int,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
       sleep: Long => Unit = Thread.sleep,
-      afterTick: Int => Unit = _ => ()): Int = {
+      now: () => Long = () => System.currentTimeMillis())(
+      tick: Int => Unit): Int = {
+    var n = 0
+    while (maxTicks <= 0 || n < maxTicks) {
+      val next = cron.nextFire(now(), zone)
+      // re-check after waking: Thread.sleep may undershoot, and an
+      // injected test clock advances exactly — either way fire only once
+      // the slot is reached
+      var wait = next - now()
+      while (wait > 0) { sleep(wait); wait = next - now() }
+      tick(n + 1)
+      n += 1
+    }
+    n
+  }
+
+  private def tickBody(spark: SparkSession,
+      sources: Seq[IngestFlow.RestDataset], lakeDir: String,
+      refresh: Boolean, afterTick: Int => Unit): Int => Unit = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    loop(intervalMs, maxTicks, sleep) { n =>
+    n => {
       log.info(s"Scheduler tick $n: runAll(refresh=$refresh) → $lakeDir")
       try {
         IngestFlow.runAll(spark, sources, lakeDir, refresh)
@@ -97,6 +126,29 @@ object Scheduler {
       }
     }
   }
+
+  /** Drive the full chain on a fixed-rate schedule. `afterTick` is an
+    * observability / test hook invoked after each completed run. Returns
+    * ticks run. */
+  def run(spark: SparkSession, sources: Seq[IngestFlow.RestDataset],
+      lakeDir: String, intervalMs: Long, maxTicks: Int,
+      refresh: Boolean = true,
+      sleep: Long => Unit = Thread.sleep,
+      afterTick: Int => Unit = _ => ()): Int =
+    loop(intervalMs, maxTicks, sleep)(
+      tickBody(spark, sources, lakeDir, refresh, afterTick))
+
+  /** Drive the full chain on a wall-clock cron grid — the reference's
+    * literal deployment shape (`0 0 * * 0`). Returns ticks run. */
+  def runCron(spark: SparkSession, sources: Seq[IngestFlow.RestDataset],
+      lakeDir: String, cron: Cron, maxTicks: Int,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+      refresh: Boolean = true,
+      sleep: Long => Unit = Thread.sleep,
+      now: () => Long = () => System.currentTimeMillis(),
+      afterTick: Int => Unit = _ => ()): Int =
+    loopCron(cron, maxTicks, zone, sleep, now)(
+      tickBody(spark, sources, lakeDir, refresh, afterTick))
 
   private def opt(args: Array[String], key: String): Option[String] = {
     if (args.lastOption.contains(key)) throw new IllegalArgumentException(
@@ -112,7 +164,13 @@ object Scheduler {
   }
 
   def main(args: Array[String]): Unit = {
-    val intervalMs = parseInterval(opt(args, "--every").getOrElse("7d"))
+    val cronSpec = opt(args, "--cron").map(Cron.parse)
+    val every = opt(args, "--every")
+    require(cronSpec.isEmpty || every.isEmpty,
+      "--cron and --every are mutually exclusive schedules")
+    val zone = opt(args, "--tz").map(java.time.ZoneId.of)
+      .getOrElse(java.time.ZoneOffset.UTC)
+    val intervalMs = parseInterval(every.getOrElse("7d"))
     val lakeDir = opt(args, "--lake")
       .orElse(sys.env.get("GRAFT_LAKE_DIR"))
       .getOrElse(throw new IllegalArgumentException(
@@ -150,7 +208,12 @@ object Scheduler {
         fetcherClass = jobsFetcher))
     val spark = graft.Sessions.local("graft-scheduler")
     try {
-      val n = run(spark, sources, lakeDir, intervalMs, maxTicks, refresh)
+      val n = cronSpec match {
+        case Some(c) =>
+          runCron(spark, sources, lakeDir, c, maxTicks, zone, refresh)
+        case None =>
+          run(spark, sources, lakeDir, intervalMs, maxTicks, refresh)
+      }
       println(s"Scheduler finished after $n tick(s)")
     } finally spark.stop()
   }

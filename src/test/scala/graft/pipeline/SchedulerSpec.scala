@@ -37,6 +37,101 @@ class SchedulerSpec extends SparkTestBase {
     assert(firedAt.toSeq == Seq(1000L, 1100L, 1400L, 1500L))
   }
 
+  // ---- wall-clock cron grid (VERDICT r5 task 5: the reference anchors at
+  // wall-clock slots — data_ingestion.py:98-106 cron "0 0 * * 0" — not
+  // "every 7d from launch")
+
+  private val utc = java.time.ZoneOffset.UTC
+  private def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("cron parse + nextFire: the reference's Sunday-midnight schedule") {
+    val c = Cron.parse("0 0 * * 0")
+    // 2026-08-12 is a Wednesday; next Sunday 00:00 UTC is 08-16
+    assert(c.nextFire(ms("2026-08-12T10:30:00Z"), utc) ==
+      ms("2026-08-16T00:00:00Z"))
+    // strictly after: asking from exactly ON the slot yields NEXT week
+    assert(c.nextFire(ms("2026-08-16T00:00:00Z"), utc) ==
+      ms("2026-08-23T00:00:00Z"))
+    // mid-minute of the slot also advances a full week (minute granularity)
+    assert(c.nextFire(ms("2026-08-16T00:00:30Z"), utc) ==
+      ms("2026-08-23T00:00:00Z"))
+    // dow 7 is Sunday too
+    assert(Cron.parse("0 0 * * 7").nextFire(ms("2026-08-12T10:30:00Z"), utc) ==
+      ms("2026-08-16T00:00:00Z"))
+    // and the staggered siblings land an hour apart, same day
+    assert(Cron.parse("0 1 * * 0").nextFire(ms("2026-08-16T00:00:00Z"), utc) ==
+      ms("2026-08-16T01:00:00Z"))
+  }
+
+  test("cron steps, lists, ranges, and the dom/dow OR rule") {
+    val q = Cron.parse("*/15 * * * *")
+    assert(q.nextFire(ms("2026-08-12T10:07:00Z"), utc) ==
+      ms("2026-08-12T10:15:00Z"))
+    assert(q.nextFire(ms("2026-08-12T10:45:00Z"), utc) ==
+      ms("2026-08-12T11:00:00Z"))
+    val lunch = Cron.parse("30 12 1-5 * *")
+    assert(lunch.nextFire(ms("2026-08-12T10:00:00Z"), utc) ==
+      ms("2026-09-01T12:30:00Z"))
+    // vixie OR rule: dom 13 OR Friday — Thu 08-13 matches by dom, then
+    // Fri 08-14 matches by dow
+    val or = Cron.parse("0 0 13 * 5")
+    assert(or.nextFire(ms("2026-08-12T10:00:00Z"), utc) ==
+      ms("2026-08-13T00:00:00Z"))
+    assert(or.nextFire(ms("2026-08-13T00:00:00Z"), utc) ==
+      ms("2026-08-14T00:00:00Z"))
+    // a restricted dom with a star dow is AND (dow star matches all)
+    val dom = Cron.parse("0 0 13 * *")
+    assert(dom.nextFire(ms("2026-08-13T00:00:00Z"), utc) ==
+      ms("2026-09-13T00:00:00Z"))
+    // comma list
+    val lst = Cron.parse("0 6,18 * * *")
+    assert(lst.nextFire(ms("2026-08-12T07:00:00Z"), utc) ==
+      ms("2026-08-12T18:00:00Z"))
+    // explicit zone: 00:00 in UTC+2 is 22:00 UTC the previous day
+    assert(Cron.parse("0 0 * * 0").nextFire(ms("2026-08-12T10:00:00Z"),
+      java.time.ZoneOffset.ofHours(2)) == ms("2026-08-15T22:00:00Z"))
+  }
+
+  test("cron garbage rejected") {
+    intercept[IllegalArgumentException](Cron.parse("0 0 * *")) // 4 fields
+    intercept[IllegalArgumentException](Cron.parse("60 * * * *"))
+    intercept[IllegalArgumentException](Cron.parse("* 24 * * *"))
+    intercept[IllegalArgumentException](Cron.parse("* * 0 * *"))
+    intercept[IllegalArgumentException](Cron.parse("* * * 13 *"))
+    intercept[IllegalArgumentException](Cron.parse("* * * * 8"))
+    intercept[IllegalArgumentException](Cron.parse("5-1 * * * *"))
+    intercept[IllegalArgumentException](Cron.parse("*/0 * * * *"))
+    intercept[IllegalArgumentException](Cron.parse("x * * * *"))
+  }
+
+  test("loopCron fires on wall-clock slots; overruns skip, never stack") {
+    val c = Cron.parse("0 * * * *") // hourly, on the hour
+    var t = ms("2026-08-12T10:30:00Z") // launch mid-slot
+    val firedAt = ArrayBuffer[Long]()
+    val n = Scheduler.loopCron(c, 4, utc,
+      sleep = d => t += d, now = () => t) { i =>
+      firedAt += t
+      if (i == 2) t += 90 * 60 * 1000L // 90-min overrun blows through 13:00
+    }
+    assert(n == 4)
+    // first tick WAITS for the first slot (11:00); tick 2 at 12:00 ends
+    // 13:30 so the 13:00 slot is skipped and tick 3 fires at 14:00
+    assert(firedAt.toSeq == Seq(ms("2026-08-12T11:00:00Z"),
+      ms("2026-08-12T12:00:00Z"), ms("2026-08-12T14:00:00Z"),
+      ms("2026-08-12T15:00:00Z")))
+  }
+
+  test("runCron drives ticks on the grid and tolerates failures") {
+    val broken = Seq(IngestFlow.RestDataset("nope", "synthetic://x",
+      Seq("f"), fetcherClass = "does.not.Exist"))
+    var t = ms("2026-08-12T10:30:00Z")
+    val n = Scheduler.runCron(spark, broken, "/tmp/graft-sched-void",
+      Cron.parse("0 0 * * 0"), maxTicks = 2,
+      sleep = d => t += d, now = () => t)
+    assert(n == 2)
+    assert(t == ms("2026-08-23T00:00:00Z")) // two Sunday slots consumed
+  }
+
   test("a failing tick logs and the schedule keeps firing (cron semantics)") {
     val broken = Seq(IngestFlow.RestDataset("nope", "synthetic://x",
       Seq("f"), fetcherClass = "does.not.Exist"))
