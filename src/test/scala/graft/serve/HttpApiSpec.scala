@@ -243,6 +243,45 @@ class HttpApiSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("concurrent requests on the shared SparkSession: isolated, correct bodies") {
+    // VERDICT r5 task 7: the 4-thread server pool shares one SparkSession
+    // with zero concurrent coverage. 12 simultaneous requests over the
+    // 4 worker threads keep all four slots busy with mixed report pages
+    // (streamed chunked bodies) and dashboard aggregates; every response
+    // must be byte-identical to its serial ground truth — no cross-request
+    // bleed through the shared session, no mid-stream interleaving.
+    withGold()
+    withDashboardGold()
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      val paths = Seq(
+        "/reports/0",
+        "/reports/0?offset=0&limit=5",
+        "/dashboard/data?id=2&score_col=match_score",
+        "/dashboard/data?id=2&score_col=match_score&lo=86&hi=88")
+      val expected = paths.map(p => p -> get(api.port, p)).toMap
+      expected.values.foreach { case (code, _) => assert(code == 200) }
+
+      val nReqs = 12
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nReqs)
+      try {
+        val futs = (0 until nReqs).map { i =>
+          val p = paths(i % paths.size)
+          pool.submit(new java.util.concurrent.Callable[(String, (Int, String))] {
+            def call(): (String, (Int, String)) = { gate.await(); p -> get(api.port, p) }
+          })
+        }
+        gate.countDown() // release all 12 at once
+        futs.foreach { f =>
+          val (p, got) = f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+          assert(got == expected(p),
+            s"concurrent response for $p diverged from its serial body")
+        }
+      } finally pool.shutdown()
+    } finally api.stop()
+  }
+
   test("fetchJson clamps the page to maxPageRows") {
     withGold()
     val rows = Serve.fetchJson(spark, 0, 0, Int.MaxValue, maxPageRows = 3)
