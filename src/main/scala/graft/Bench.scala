@@ -32,6 +32,73 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  private val pairRx = """"([^"]+)":(-?[0-9.]+(?:E-?[0-9]+)?)""".r
+
+  /** Latest committed per-round bench (`BENCH_r{N}.json` in cwd, written
+    * by the driver each round): (file name, query → median sec). The
+    * driver wraps the bench line ESCAPED inside a `"tail"` string field,
+    * so un-escape before locating the flat `"queries":{…}` object. */
+  private[graft] def previousBench(
+      dir: java.io.File = new java.io.File(".")): Option[(String, Map[String, Double])] = {
+    val fileRx = """BENCH_r(\d+)\.json""".r
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName match {
+        case fileRx(n) => Some((n.toInt, f))
+        case _ => None
+      }).sortBy(-_._1).headOption.flatMap { case (_, f) =>
+        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val body = if (raw.contains("\"queries\":{")) raw
+          else raw.replace("\\\"", "\"")
+        val at = body.indexOf("\"queries\":{")
+        if (at < 0) None else {
+          val end = body.indexOf('}', at)
+          val qs = pairRx.findAllMatchIn(body.substring(at + 11, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (qs.isEmpty) None else Some(f.getName -> qs)
+        }
+      }
+  }
+
+  /** The co-tenancy verdict (README "Bench methodology"), automated: box
+    * co-tenancy shows up as a UNIFORM per-query offset vs the previous
+    * round (measured: two r5 runs 30 min apart, +0.21 s median delta
+    * across all 57 queries under load-average-7 vs idle), while a real
+    * regression is CONCENTRATED in the queries whose plan changed. So:
+    * delta_median estimates the uniform machine offset; each query's
+    * EXCESS over that offset is its individually attributable shift; the
+    * verdict is "concentrated" when one query's excess is both material
+    * in absolute terms (> 0.5 s, past fork-to-fork swing) and a dominant
+    * share (> 0.5) of all positive excess. Emitted into the bench JSON so
+    * the round-over-round reading is a recorded computation, not a manual
+    * rule. Fields: delta_prev, delta_median, delta_max, delta_max_query,
+    * delta_concentration, delta_verdict. */
+  private[graft] def deltaJson(results: Seq[(String, Double)],
+      prev: Option[(String, Map[String, Double])]): String = prev match {
+    case None => """"delta_prev":null,"delta_verdict":"no-previous-bench""""
+    case Some((fname, prevQ)) =>
+      val deltas = results.collect {
+        case (n, v) if v >= 0 && prevQ.get(n).exists(_ >= 0) => n -> (v - prevQ(n))
+      }
+      if (deltas.isEmpty)
+        s""""delta_prev":"$fname","delta_verdict":"no-common-queries""""
+      else {
+        val dm = median(deltas.map(_._2))
+        val (maxName, maxD) = deltas.maxBy(_._2)
+        val excess = deltas.map { case (n, d) => n -> (d - dm) }
+        val exMax = excess.map(_._2).max
+        val posSum = excess.map(_._2).filter(_ > 0).sum
+        val conc = if (posSum <= 0) 0.0 else exMax / posSum
+        val verdict =
+          if (exMax > 0.5 && conc > 0.5) "concentrated" else "flat"
+        // locale-proof decimal rendering (the f-interpolator follows the
+        // default locale, and a comma decimal would corrupt the JSON line)
+        def r4(x: Double): Double = math.rint(x * 10000) / 10000
+        s""""delta_prev":"$fname","delta_median":${r4(dm)},""" +
+          s""""delta_max":${r4(maxD)},"delta_max_query":"$maxName",""" +
+          s""""delta_concentration":${r4(conc)},"delta_verdict":"$verdict""""
+      }
+  }
+
   /** One whole-suite pass in THIS JVM; returns name → seconds (-1 failed). */
   private def runPass(): Seq[(String, Double)] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,6 +211,7 @@ object Bench {
     // a failed query must not read as a speedup: surface the count
     // explicitly next to the successful-query total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val delta = deltaJson(results, previousBench())
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs":$runs,$delta,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automated co-tenancy verdict (VERDICT r5 task 6): Bench emits the
+  * per-query delta distribution vs the previous committed BENCH_r{N}.json
+  * and classifies it flat-vs-concentrated, so the README's manual reading
+  * rule ("co-tenancy is a uniform offset, a real regression is
+  * concentrated") is a recorded computation in the bench JSON. */
+class BenchDeltaSpec extends AnyFunSuite {
+
+  private def write(dir: java.io.File, name: String, body: String): Unit = {
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+    ()
+  }
+
+  private def tmpDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("bench-delta").toFile
+
+  test("previousBench picks the highest round and parses its queries") {
+    val d = tmpDir()
+    write(d, "BENCH_r02.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":2.0,"q2":7.0},"sf":"x"}""")
+    write(d, "BENCH_r10.json",
+      """{"metric":"total","value":3.5,"unit":"sec","failed":0,"queries":{"q1":1.5,"q2":2.0},"sf":"x"}""")
+    write(d, "BENCH_notes.txt", "not a bench")
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r10.json") // r10 > r2 numerically, not lexically
+    assert(qs == Map("q1" -> 1.5, "q2" -> 2.0))
+    // top-level fields (value/failed) must NOT leak into the query map
+    assert(!qs.contains("value") && !qs.contains("failed"))
+    assert(Bench.previousBench(tmpDir()).isEmpty)
+  }
+
+  test("previousBench parses the driver's escaped-tail wrapper format") {
+    val d = tmpDir()
+    // the real shape: the bench line lives ESCAPED inside "tail"
+    write(d, "BENCH_r05.json",
+      """{
+        |  "n": 5,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": "noise\n[info] {\"metric\":\"total\",\"value\":49.7,\"unit\":\"sec\",\"failed\":0,\"runs\":3,\"queries\":{\"q1_agg\":0.78,\"q2_filter\":0.3},\"sf\":\"/x\"}\n"
+        |}""".stripMargin)
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r05.json")
+    assert(qs == Map("q1_agg" -> 0.78, "q2_filter" -> 0.3))
+  }
+
+  test("uniform offset classifies flat; single-query spike concentrated") {
+    val prev = Some("BENCH_r05.json" ->
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
+    // all queries +0.21 s — the measured co-tenancy shape
+    val flat = Bench.deltaJson(
+      Seq("a" -> 1.21, "b" -> 2.21, "c" -> 3.21, "d" -> 4.21), prev)
+    assert(flat.contains(""""delta_verdict":"flat""""))
+    assert(flat.contains(""""delta_median":0.21"""))
+    assert(flat.contains(""""delta_prev":"BENCH_r05.json""""))
+    // one query +2 s, the rest flat — a real regression's shape
+    val conc = Bench.deltaJson(
+      Seq("a" -> 1.0, "b" -> 2.0, "c" -> 5.0, "d" -> 4.0), prev)
+    assert(conc.contains(""""delta_verdict":"concentrated""""))
+    assert(conc.contains(""""delta_max_query":"c""""))
+    assert(conc.contains(""""delta_max":2.0"""))
+    // a uniform IMPROVEMENT is also flat (negative median, no spike)
+    val faster = Bench.deltaJson(
+      Seq("a" -> 0.8, "b" -> 1.8, "c" -> 2.8, "d" -> 3.8), prev)
+    assert(faster.contains(""""delta_verdict":"flat""""))
+    // sub-threshold spike (< 0.5 s absolute) stays flat: fork-to-fork
+    // swing is documented at <=0.6 s, so small spikes are noise
+    val noise = Bench.deltaJson(
+      Seq("a" -> 1.3, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0), prev)
+    assert(noise.contains(""""delta_verdict":"flat""""))
+  }
+
+  test("failed and novel queries are excluded; missing prev is explicit") {
+    val prev = Some("BENCH_r05.json" -> Map("a" -> 1.0, "b" -> 2.0))
+    // 'a' failed this round (-1), 'new' has no previous sample — deltas
+    // must come from 'b' alone
+    val j = Bench.deltaJson(
+      Seq("a" -> -1.0, "b" -> 2.5, "new" -> 9.9), prev)
+    assert(j.contains(""""delta_median":0.5"""))
+    assert(j.contains(""""delta_max_query":"b""""))
+    assert(Bench.deltaJson(Seq("a" -> 1.0), None)
+      .contains(""""delta_verdict":"no-previous-bench""""))
+    assert(Bench.deltaJson(Seq("x" -> 1.0), prev)
+      .contains(""""delta_verdict":"no-common-queries""""))
+  }
+}
