@@ -36,6 +36,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode.contains("bucketed")) {
+      bucketedLayout(spark, args.lift(1).map(_.toLong).getOrElse(5000000L))
+      spark.stop()
+      return
+    }
     val nDocs = mode.map(_.toInt).getOrElse(100000)
 
     // seeded corpus + embeddings shared with the asserted canary suite
@@ -101,6 +106,91 @@ object ScaleSmoke {
       payroll.withColumn("grade", pmod(xxhash64(col("pay_id")), lit(8L))),
       Seq("grade"), "base_salary", Seq(0.25, 0.5, 0.75, 0.99)))
     spark.stop()
+  }
+
+  /** Bucketed bronze layout for REPEAT similarity joins (VERDICT r5 task
+    * 3): the weekly-cron model re-runs the match over mostly-unchanged
+    * inputs, so paying one bucketed write makes every later run's
+    * distinct-key stage exchange-free — `scoredKeyPairs` opens with
+    * `select(title).distinct()` per side, and on a plain layout that
+    * shuffles every per-partition-distinct raw title (at 100 TB: billions
+    * of strings over the network, weekly). `n` mostly-unique titles make
+    * the distinct stage the dominant cost on purpose; the smoke times the
+    * stage on a plain parquet table vs the same data bucketed by the
+    * title column (64 buckets), prints both executed plans' exchange
+    * lines, and then times the full Token-blocking scoredKeyPairs against
+    * a 10k-posting side on both layouts. BucketedMatchInputsSpec pins the
+    * plan contract (zero single-key hash exchanges) in `sbt test`.
+    *
+    * Run: `sbt "runMain graft.tools.ScaleSmoke bucketed [nRows]"`.
+    */
+  private def bucketedLayout(spark: SparkSession, n: Long): Unit = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // mostly-unique three-token titles: distinct cardinality ≈ n
+    val payroll = spark.range(n).select(
+      concat(lit("dept"), col("id"), lit(" unit"),
+        (col("id") * 7 + 3).cast("string"), lit(" role"),
+        (col("id") * 13 + 5).cast("string")).as("title_description"),
+      (col("id") % 100000).cast("double").as("base_salary"))
+    Seq("smoke_pay_plain", "smoke_pay_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a leftover location from a previous run's JVM is invisible to
+      // this in-memory catalog and would fail the managed-table create
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$t"))
+    }
+    timed("write_plain")(payroll.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable("smoke_pay_plain"))
+    timed("write_bucketed(64)")(graft.sources.Bucketing.writeBucketed(
+      payroll, "smoke_pay_bucketed", Seq("title_description"), 64))
+
+    def distinctKeys(t: String) =
+      spark.table(t).select("title_description").distinct()
+    // warm both scans once so the timing pair compares plans, not cold IO
+    distinctKeys("smoke_pay_plain").count()
+    distinctKeys("smoke_pay_bucketed").count()
+    timed(s"distinct_keys(plain, $n)") {
+      println(s"[scale]   rows=${distinctKeys("smoke_pay_plain").count()}")
+    }
+    timed(s"distinct_keys(bucketed, $n)") {
+      println(s"[scale]   rows=${distinctKeys("smoke_pay_bucketed").count()}")
+    }
+    for (t <- Seq("smoke_pay_plain", "smoke_pay_bucketed")) {
+      val df = distinctKeys(t)
+      df.count()
+      val ex = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Bucketed: true"))
+        .map(_.trim.take(140)).toSeq
+      println(s"[scale]   $t plan: " +
+        (if (ex.isEmpty) "(no exchange)" else ex.mkString(" | ")))
+    }
+
+    // end-to-end: Token-blocking scored pairs vs a 10k-posting side (every
+    // 2nd an exact copy of a payroll title, every 2nd a one-char drop)
+    val jobs = spark.range(10000).select(col("id"),
+      concat(lit("dept"), col("id") * (n / 10000), lit(" unit"),
+        (col("id") * (n / 10000) * 7 + 3).cast("string"), lit(" role"),
+        (col("id") * (n / 10000) * 13 + 5).cast("string")).as("base_title"))
+      .select(
+        when(col("id") % 2 === 0, col("base_title")).otherwise(
+          expr("concat(substring(base_title, 1, 3), substring(base_title, 5))"))
+          .as("job_title"))
+      .cache()
+    jobs.count()
+    def cfg = SimilarityJoinConfig(leftKey = "job_title",
+      rightKey = "title_description", preThreshold = 85, scoreThreshold = 85,
+      blocking = Blocking.Token)
+    for (t <- Seq("smoke_pay_plain", "smoke_pay_bucketed"))
+      timed(s"scored_pairs(token, $t)") {
+        println(s"[scale]   pairs=" +
+          SimilarityJoin.scoredKeyPairs(jobs, spark.table(t), cfg).count())
+      }
   }
 
   /** The J1-shaped Token-blocking scale proof (VERDICT r4 task 3), two
