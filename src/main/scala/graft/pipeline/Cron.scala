@@ -90,8 +90,11 @@ object Cron {
         s"got ${parts.length} in '$spec'")
     val sets = fields.zip(parts).map { case (f, p) => parseField(f, p) }
     val dows = sets(4).map(_ % 7) // 7 -> 0, both mean Sunday
+    // vixie marks a day field "star" by its FIRST char — "*/2" is a star
+    // field and does not arm the dom/dow OR rule
     Cron(sets(0), sets(1), sets(2), sets(3), dows,
-      domRestricted = parts(2) != "*", dowRestricted = parts(4) != "*")
+      domRestricted = !parts(2).startsWith("*"),
+      dowRestricted = !parts(4).startsWith("*"))
   }
 
   private def parseField(f: Field, part: String): Set[Int] = {
@@ -115,7 +118,9 @@ object Cron {
             val v = try a.toInt catch {
               case _: NumberFormatException => bad(item, "non-numeric value")
             }
-            (v, v)
+            // bare value with a step means "from v to max" (cronie
+            // semantics: "30/10 * * * *" fires at :30, :40, :50)
+            (v, if (step > 1) f.max else v)
           case Array(a, b) =>
             val (va, vb) = try (a.toInt, b.toInt) catch {
               case _: NumberFormatException => bad(item, "non-numeric range")

@@ -87,6 +87,20 @@ class SchedulerSpec extends SparkTestBase {
     val lst = Cron.parse("0 6,18 * * *")
     assert(lst.nextFire(ms("2026-08-12T07:00:00Z"), utc) ==
       ms("2026-08-12T18:00:00Z"))
+    // vixie star-by-first-char: "*/2" in dow is a STAR field — it filters
+    // (AND) but does not arm the dom/dow OR rule. From Nov 1 2026
+    // (a Sunday, dow 0 ∈ {0,2,4,6}): the OR rule would fire Nov 3, and
+    // plain dom-13 would fire Nov 13 (a Friday, dow 5 ∉ set) — the
+    // correct AND of both waits for Dec 13 (a Sunday).
+    val step = Cron.parse("0 0 13 * */2")
+    assert(step.nextFire(ms("2026-11-01T10:00:00Z"), utc) ==
+      ms("2026-12-13T00:00:00Z"))
+    // cronie bare-value step: "30/10" = from 30 to max by 10
+    val fromStep = Cron.parse("30/10 * * * *")
+    assert(fromStep.nextFire(ms("2026-08-12T10:31:00Z"), utc) ==
+      ms("2026-08-12T10:40:00Z"))
+    assert(fromStep.nextFire(ms("2026-08-12T10:51:00Z"), utc) ==
+      ms("2026-08-12T11:30:00Z"))
     // explicit zone: 00:00 in UTC+2 is 22:00 UTC the previous day
     assert(Cron.parse("0 0 * * 0").nextFire(ms("2026-08-12T10:00:00Z"),
       java.time.ZoneOffset.ofHours(2)) == ms("2026-08-15T22:00:00Z"))
