@@ -125,6 +125,146 @@ object VectorKernel {
   }
 }
 
+object VectorKernelNearest {
+  import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+
+  /** Index (0-based, centroid-matrix order) of the nearest centroid by
+    * cosine — the codegen'd kernel behind [[NearestCentroid]]. Replicates
+    * the window formulation it replaced BIT-EXACTLY
+    * (`cosine(cv, centv)` per broadcast centroid row, then
+    * `row_number over (partition by id order by sim desc, list_id asc)`),
+    * including its edges:
+    *
+    *  - cosine is `when(na = 0 or nb = 0, 0.0) otherwise dot/(na*nb)`
+    *    under SQL three-valued logic: a null dot (null vector / null
+    *    element in the overlap) makes the sim null UNLESS the other
+    *    operand's norm is zero, in which case the guard short-circuits
+    *    to 0.0;
+    *  - doubles compare like Spark's own ordering
+    *    ([[SQLOrderingUtil.compareDoubles]]: NaN greatest, -0 < 0);
+    *  - sim ties keep the FIRST index (matrix rows are list_id-ascending
+    *    → smallest list_id, the window's tie-break);
+    *  - null sims lose to any non-null (DESC NULLS LAST), and the
+    *    all-null row still picks index 0 (the window emitted rn=1 by the
+    *    list_id tie-break alone).
+    *
+    * Caller-side contract: `cents` rows are the centroid elements widened
+    * to double (float→double widening is exact, so float-corpus products
+    * are bit-identical to [[VectorKernel.dotOrNull]]'s per-element
+    * `toDouble`); `centFirstNull(t)` is the first null-element index in
+    * centroid t (Int.MaxValue if none); `nb2s(t)`/`nb2Null(t)` carry
+    * dot(cent, cent) computed with the same left-to-right accumulation.
+    */
+  def nearestCentroid(v: ArrayData, vIsFloat: Boolean,
+      cents: Array[Array[Double]], centFirstNull: Array[Int],
+      nb2s: Array[Double], nb2Null: Array[Boolean]): Int = {
+    val vLen = if (v == null) 0 else v.numElements()
+    // one pass over v: first null element, and dot(v, v) (null if any
+    // null element — the overlap is the whole vector)
+    var vFirstNull = Int.MaxValue
+    var na2 = 0.0
+    var i = 0
+    while (i < vLen && vFirstNull == Int.MaxValue) {
+      if (v.isNullAt(i)) vFirstNull = i
+      else {
+        val x = if (vIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        na2 += x * x
+        i += 1
+      }
+    }
+    val naNull = v == null || vFirstNull != Int.MaxValue
+    val na = if (naNull) 0.0 else math.sqrt(na2)
+    var best = -1
+    var bestSim = 0.0
+    var t = 0
+    while (t < cents.length) {
+      val cent = cents(t)
+      val nbNull = nb2Null(t)
+      val nb = if (nbNull) 0.0 else math.sqrt(nb2s(t))
+      // when(na === 0 || nb === 0, 0.0) under 3VL: TRUE wins over UNKNOWN
+      val condTrue = (!naNull && na == 0.0) || (!nbNull && nb == 0.0)
+      val condUnknown = !condTrue && (naNull || nbNull)
+      var simNull = false
+      var sim = 0.0
+      if (condTrue) sim = 0.0
+      else if (condUnknown) simNull = true
+      else {
+        // na/nb non-null ⇒ neither array has null elements ⇒ dot non-null
+        val n = math.min(vLen, cent.length)
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          val x = if (vIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          dot += x * cent(j)
+          j += 1
+        }
+        sim = dot / (na * nb)
+      }
+      if (!simNull &&
+          (best == -1 || SQLOrderingUtil.compareDoubles(sim, bestSim) > 0)) {
+        best = t
+        bestSim = sim
+      }
+      t += 1
+    }
+    if (best == -1) 0 else best
+  }
+}
+
+/** `nearest_centroid(vec)` against a driver-frozen centroid matrix —
+  * the IVF assignment as a codegen'd NARROW MAP (see
+  * [[VectorKernelNearest.nearestCentroid]] for the bit-compatibility
+  * contract with the broadcast-join + argmax-window shape it replaced).
+  * Never null: the all-null-sims row resolves to index 0, as the window's
+  * list_id tie-break did. */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+    centFirstNull: Array[Int], nb2s: Array[Double], nb2Null: Array[Boolean])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.nonEmpty, "nearest_centroid needs at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // a NULL input vector must reach the kernel (it resolves to index 0,
+  // the window-shape edge), so bypass UnaryExpression's null short-circuit
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    VectorKernelNearest.nearestCentroid(
+      child.eval(input).asInstanceOf[ArrayData], isFloat,
+      cents, centFirstNull, nb2s, nb2Null)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val fnRef = ctx.addReferenceObj("centFirstNull", centFirstNull, "int[]")
+    val nb2Ref = ctx.addReferenceObj("nb2s", nb2s, "double[]")
+    val nbnRef = ctx.addReferenceObj("nb2Null", nb2Null, "boolean[]")
+    val childGen = child.genCode(ctx)
+    val isF = isFloat.toString
+    val resultCode =
+      code"""
+        |int ${ev.value} = graft.functions.VectorKernelNearest.nearestCentroid(
+        |  ${childGen.isNull} ? null : ${childGen.value}, $isF,
+        |  $centsRef, $fnRef, $nb2Ref, $nbnRef);
+      """.stripMargin
+    ev.copy(code = childGen.code + resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `hyperplane_sig(vec, offset, bits)` — random-hyperplane LSH signature
   * as one codegen'd pass (see [[VectorKernel.hyperplaneSig]]). */
 case class HyperplaneSig(child: Expression, offset: Int, bits: Int)

@@ -121,13 +121,13 @@ object AnnSearch {
   }
 
   /** Corpus normalized for the IVF machinery: (neighbor_id, cv), spread
-    * across cores, ONE ROW PER ID. Id uniqueness is load-bearing for the
-    * slim assignment exchange: `ivfAssign` carries one row per DISTINCT
-    * id through its argmax window, and the vector rejoin would fan that
-    * back out to every duplicate corpus row — changing candidate sets vs
-    * the pre-slim argmax plan (which collapsed duplicates). dropDuplicates
-    * lands on the hash(neighbor_id) partitioning Par.spread just
-    * installed, so it costs a map-side aggregate, not another exchange. */
+    * across cores, ONE ROW PER ID. Id uniqueness defines the operator's
+    * semantics — one list assignment and one candidate row per distinct
+    * id (duplicate ids would duplicate candidates and shift top-k ranks,
+    * and `ivfTopKFromAssigned` relies on disjoint lists to skip a pair
+    * dedup). dropDuplicates lands on the hash(neighbor_id) partitioning
+    * Par.spread just installed, so it costs a map-side aggregate, not
+    * another exchange. */
   private[graft] def ivfCorpus(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -204,22 +204,75 @@ object AnnSearch {
   }
 
   /** Assign every corpus vector to its single nearest centroid →
-    * (neighbor_id, cv, list_id). The argmax window shuffles
-    * |corpus|×nlist rows — projected down to (id, list_id, sim) FIRST so
-    * that exchange carries ~24 B/row, not both embedding vectors
-    * (~0.5 KB/row: 34 GB vs 1.5 GB at 1M docs × 64 lists), then the
-    * vector rejoins by id (a slim join AQE can broadcast-convert). */
+    * (neighbor_id, cv, list_id), as a codegen'd NARROW MAP: the quantizer
+    * is at most `nlist` driver rows by construction, so the centroid
+    * matrix freezes into a [[graft.functions.NearestCentroid]] expression
+    * (a whole-stage-codegen argmax kernel, the VecDot pattern) and the
+    * assignment is one projection — zero exchange, zero window,
+    * trivially parallel at any corpus size. Earlier shapes paid a
+    * |corpus|×nlist argmax shuffle (r5 slimmed it to (id, list_id, sim),
+    * ~1.5 GB at 1M docs × 64 lists; this removes it entirely), and
+    * ivfTopK runs three assignment rounds per call — two Lloyd passes
+    * plus the final one — so the saving triples. An intermediate HOF
+    * formulation (`aggregate` over an array of cosine structs) was
+    * measured 2× SLOWER than the r5 join at 1M docs: higher-order
+    * functions are CodegenFallback, so the whole projection dropped to
+    * interpreted eval — the same lesson VecDot's scaladoc records.
+    *
+    * Bit-compatibility contract with the broadcast-join + window shape
+    * (which the a2–a6 golden hashes pin): see
+    * [[graft.functions.VectorKernelNearest.nearestCentroid]]. */
   private[graft] def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("__sim").desc, col("list_id").asc)
-    val assignedIds = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"), col("list_id"),
-        VectorFunctions.cosine(col("cv"), col("centv")).as("__sim"))
-      .withColumn("__rn", row_number().over(wAssign))
-      .where(col("__rn") === 1)
-      .select(col("neighbor_id"), col("list_id"))
-    c.join(assignedIds, "neighbor_id")
-      .select(col("neighbor_id"), col("cv"), col("list_id"))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnBridge
+    val idType = cents.schema("list_id").dataType
+    def litOf(v: Any, dt: org.apache.spark.sql.types.DataType) =
+      ColumnBridge.column(Literal.create(v, dt))
+    // list_id-ascending (Spark's own ordering for the id type): the
+    // kernel's strict-greater fold then keeps the smallest list_id among
+    // sim ties, matching the old window's (sim desc, list_id asc)
+    val centRows = cents.select(col("list_id"), col("centv"))
+      .orderBy(col("list_id")).collect()
+    if (centRows.isEmpty)
+      return c.withColumn("list_id", litOf(null, idType)).where(lit(false))
+        .select(col("neighbor_id"), col("cv"), col("list_id"))
+    // freeze the matrix driver-side: elements widened to double (exact
+    // for float corpora), null elements masked with their first index,
+    // centroid self-dots precomputed with the same left-to-right
+    // accumulation as VecDot — see VectorKernelNearest's contract
+    val mats = new Array[Array[Double]](centRows.length)
+    val firstNull = new Array[Int](centRows.length)
+    val nb2s = new Array[Double](centRows.length)
+    val nb2Null = new Array[Boolean](centRows.length)
+    centRows.zipWithIndex.foreach { case (r, t) =>
+      val seq = r.getAs[scala.collection.Seq[Any]](1)
+      val m = new Array[Double](if (seq == null) 0 else seq.length)
+      var fn = Int.MaxValue
+      var acc = 0.0
+      var i = 0
+      if (seq == null) fn = 0
+      else seq.foreach { e =>
+        if (e == null) { if (fn == Int.MaxValue) fn = i }
+        else {
+          val d = e match {
+            case f: Float => f.toDouble
+            case d0: Double => d0
+          }
+          m(i) = d
+          if (fn == Int.MaxValue) acc += d * d
+        }
+        i += 1
+      }
+      mats(t) = m
+      firstNull(t) = fn
+      nb2s(t) = acc
+      nb2Null(t) = fn != Int.MaxValue
+    }
+    val idx = ColumnBridge.column(graft.functions.NearestCentroid(
+      ColumnBridge.expression(col("cv")), mats, firstNull, nb2s, nb2Null))
+    val listIds = array(centRows.toIndexedSeq.map(r => litOf(r.get(0), idType)): _*)
+    c.select(col("neighbor_id"), col("cv"),
+      element_at(listIds, idx + 1).as("list_id"))
   }
 
   /** Probe-and-score half of [[ivfTopK]], runnable from a LIVE
