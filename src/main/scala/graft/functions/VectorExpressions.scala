@@ -211,6 +211,143 @@ object VectorKernelNearest {
   }
 }
 
+object VectorKernelNearestK {
+  import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+
+  /** Indices of the `k` nearest centroids in rank order — the multi-probe
+    * generalization of [[VectorKernelNearest.nearestCentroid]], replacing
+    * `row_number over (partition by query order by sim desc, list_id asc)
+    * <= nprobe` over a query×centroid cross join. Same sim semantics and
+    * double ordering as the top-1 kernel; rows whose sim is null rank
+    * LAST (DESC NULLS LAST) ordered among themselves by index — exactly
+    * the windowed row set, so the probed-list SET per query is identical
+    * to the pre-rewrite plan. Returns min(k, nCentroids) indices. */
+  def nearestCentroids(v: ArrayData, vIsFloat: Boolean,
+      cents: Array[Array[Double]], centFirstNull: Array[Int],
+      nb2s: Array[Double], nb2Null: Array[Boolean], k: Int): Array[Int] = {
+    val n = cents.length
+    val vLen = if (v == null) 0 else v.numElements()
+    var vFirstNull = Int.MaxValue
+    var na2 = 0.0
+    var i = 0
+    while (i < vLen && vFirstNull == Int.MaxValue) {
+      if (v.isNullAt(i)) vFirstNull = i
+      else {
+        val x = if (vIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        na2 += x * x
+        i += 1
+      }
+    }
+    val naNull = v == null || vFirstNull != Int.MaxValue
+    val na = if (naNull) 0.0 else math.sqrt(na2)
+    val sims = new Array[Double](n)
+    val simNull = new Array[Boolean](n)
+    var t = 0
+    while (t < n) {
+      val cent = cents(t)
+      val nbNull = nb2Null(t)
+      val nb = if (nbNull) 0.0 else math.sqrt(nb2s(t))
+      val condTrue = (!naNull && na == 0.0) || (!nbNull && nb == 0.0)
+      val condUnknown = !condTrue && (naNull || nbNull)
+      if (condTrue) sims(t) = 0.0
+      else if (condUnknown) simNull(t) = true
+      else {
+        val m = math.min(vLen, cent.length)
+        var dot = 0.0
+        var j = 0
+        while (j < m) {
+          val x = if (vIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          dot += x * cent(j)
+          j += 1
+        }
+        sims(t) = dot / (na * nb)
+      }
+      t += 1
+    }
+    // rank = (non-null sims by compareDoubles desc, index asc), then
+    // null-sim indices ascending — partial selection, k and n both small
+    val out = new Array[Int](math.min(k, n))
+    val taken = new Array[Boolean](n)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var u = 0
+      while (u < n) {
+        if (!taken(u)) {
+          if (best == -1) best = u
+          else {
+            val better =
+              if (simNull(u) != simNull(best)) simNull(best) // non-null wins
+              else if (simNull(u)) false // both null: keep smaller index
+              else SQLOrderingUtil.compareDoubles(sims(u), sims(best)) > 0
+            if (better) best = u
+          }
+        }
+        u += 1
+      }
+      taken(best) = true
+      out(o) = best
+      o += 1
+    }
+    out
+  }
+}
+
+/** `nearest_centroids(vec, k)` — rank-ordered indices of the k nearest
+  * centroids in a driver-frozen matrix (see [[VectorKernelNearestK]]);
+  * the multi-probe selection as one codegen'd pass. Never null. */
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]],
+    centFirstNull: Array[Int], nb2s: Array[Double], nb2Null: Array[Boolean],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.nonEmpty, "nearest_centroids needs at least one centroid")
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernelNearestK.nearestCentroids(
+        child.eval(input).asInstanceOf[ArrayData], isFloat,
+        cents, centFirstNull, nb2s, nb2Null, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val fnRef = ctx.addReferenceObj("centFirstNull", centFirstNull, "int[]")
+    val nb2Ref = ctx.addReferenceObj("nb2s", nb2s, "double[]")
+    val nbnRef = ctx.addReferenceObj("nb2Null", nb2Null, "boolean[]")
+    val childGen = child.genCode(ctx)
+    val isF = isFloat.toString
+    val kStr = k.toString
+    val resultCode =
+      code"""
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |    graft.functions.VectorKernelNearestK.nearestCentroids(
+        |      ${childGen.isNull} ? null : ${childGen.value}, $isF,
+        |      $centsRef, $fnRef, $nb2Ref, $nbnRef, $kStr));
+      """.stripMargin
+    ev.copy(code = childGen.code + resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `nearest_centroid(vec)` against a driver-frozen centroid matrix —
   * the IVF assignment as a codegen'd NARROW MAP (see
   * [[VectorKernelNearest.nearestCentroid]] for the bit-compatibility

@@ -222,24 +222,30 @@ object AnnSearch {
     * Bit-compatibility contract with the broadcast-join + window shape
     * (which the a2–a6 golden hashes pin): see
     * [[graft.functions.VectorKernelNearest.nearestCentroid]]. */
-  private[graft] def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.graft.ColumnBridge
+  private def litOf(v: Any, dt: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
+
+  /** The quantizer frozen driver-side for the narrow-map kernels:
+    * list_id-ASCENDING rows (Spark's own ordering for the id type, so the
+    * kernels' first-index tie-break equals the old window's
+    * `list_id asc`), elements widened to double (exact for float
+    * corpora), null elements masked with their first index, centroid
+    * self-dots precomputed with the same left-to-right accumulation as
+    * VecDot — see [[graft.functions.VectorKernelNearest]]'s contract.
+    * `listIds` maps kernel indices back to list ids (codegen'd
+    * element_at). */
+  private final case class CentMatrix(rows: Array[org.apache.spark.sql.Row],
+      mats: Array[Array[Double]], firstNull: Array[Int], nb2s: Array[Double],
+      nb2Null: Array[Boolean], idType: org.apache.spark.sql.types.DataType) {
+    def listIds: Column =
+      array(rows.toIndexedSeq.map(r => litOf(r.get(0), idType)): _*)
+  }
+
+  private def centMatrix(cents: DataFrame): CentMatrix = {
     val idType = cents.schema("list_id").dataType
-    def litOf(v: Any, dt: org.apache.spark.sql.types.DataType) =
-      ColumnBridge.column(Literal.create(v, dt))
-    // list_id-ascending (Spark's own ordering for the id type): the
-    // kernel's strict-greater fold then keeps the smallest list_id among
-    // sim ties, matching the old window's (sim desc, list_id asc)
     val centRows = cents.select(col("list_id"), col("centv"))
       .orderBy(col("list_id")).collect()
-    if (centRows.isEmpty)
-      return c.withColumn("list_id", litOf(null, idType)).where(lit(false))
-        .select(col("neighbor_id"), col("cv"), col("list_id"))
-    // freeze the matrix driver-side: elements widened to double (exact
-    // for float corpora), null elements masked with their first index,
-    // centroid self-dots precomputed with the same left-to-right
-    // accumulation as VecDot — see VectorKernelNearest's contract
     val mats = new Array[Array[Double]](centRows.length)
     val firstNull = new Array[Int](centRows.length)
     val nb2s = new Array[Double](centRows.length)
@@ -268,29 +274,66 @@ object AnnSearch {
       nb2s(t) = acc
       nb2Null(t) = fn != Int.MaxValue
     }
-    val idx = ColumnBridge.column(graft.functions.NearestCentroid(
-      ColumnBridge.expression(col("cv")), mats, firstNull, nb2s, nb2Null))
-    val listIds = array(centRows.toIndexedSeq.map(r => litOf(r.get(0), idType)): _*)
+    CentMatrix(centRows, mats, firstNull, nb2s, nb2Null, idType)
+  }
+
+  private[graft] def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame = {
+    val cm = centMatrix(cents)
+    if (cm.rows.isEmpty)
+      return c.withColumn("list_id", litOf(null, cm.idType)).where(lit(false))
+        .select(col("neighbor_id"), col("cv"), col("list_id"))
+    val idx = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("cv")),
+        cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null))
     c.select(col("neighbor_id"), col("cv"),
-      element_at(listIds, idx + 1).as("list_id"))
+      element_at(cm.listIds, idx + 1).as("list_id"))
   }
 
   /** Probe-and-score half of [[ivfTopK]], runnable from a LIVE
     * assignment or a persisted one ([[graft.pipeline.SilverIndex]]):
     * each query exact-scores the members of its `nprobe` nearest lists.
     * `q0` is (query_id, qv); `assigned` is (neighbor_id, cv, list_id);
-    * `cents` is (list_id, centv). */
+    * `cents` is (list_id, centv).
+    *
+    * Probe selection is the same frozen-matrix NARROW MAP as
+    * [[ivfAssign]] ([[graft.functions.NearestCentroids]], top-nprobe):
+    * the pre-rewrite shape cross-joined |Q|×nlist rows and shuffled them
+    * through a per-query row_number window just to pick nprobe list ids —
+    * at batch-inference query counts that exchange scales with |Q|×nlist.
+    * The kernel's probe SET per query is contractually identical to the
+    * windowed one (NearestCentroidSpec pins the multi-probe parity). */
+  /** The nprobe nearest list ids per query as a narrow map:
+    * (query_id, qv, list_id), ≤ nprobe rows per query. Empty quantizer →
+    * empty probes (typed by `idTypeFallback` so the downstream join still
+    * resolves). */
+  private[graft] def probeLists(q0: DataFrame, cents: DataFrame, nprobe: Int,
+      idTypeFallback: Option[org.apache.spark.sql.types.DataType] = None)
+      : DataFrame = {
+    val cm = centMatrix(cents)
+    if (cm.rows.isEmpty)
+      q0.withColumn("list_id",
+        litOf(null, idTypeFallback.getOrElse(cm.idType))).where(lit(false))
+        .select(col("query_id"), col("qv"), col("list_id"))
+    else {
+      val idx = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.NearestCentroids(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("qv")),
+          cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null, nprobe))
+      q0.select(col("query_id"), col("qv"), explode(idx).as("__t"))
+        .select(col("query_id"), col("qv"),
+          element_at(cm.listIds, col("__t") + 1).as("list_id"))
+    }
+  }
+
   private[graft] def ivfTopKFromAssigned(q0: DataFrame, assigned: DataFrame,
       cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("list_id").asc)
-    val probes = broadcast(q0).crossJoin(broadcast(cents))
-      .withColumn("__sim", VectorFunctions.cosine(col("qv"), col("centv")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .where(col("__rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("list_id"))
-    // exact-score only candidates inside probed lists (disjoint lists — no dedup)
-    val scored = probes.join(assigned, "list_id")
+    val probes = probeLists(q0, cents, nprobe,
+      idTypeFallback = Some(assigned.schema("list_id").dataType))
+    // exact-score only candidates inside probed lists (disjoint lists — no
+    // dedup); probes stay ≤ |Q|×nprobe rows and carry the broadcast hint
+    // the old broadcast(q0)-derived lineage gave the join
+    val scored = broadcast(probes).join(assigned, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

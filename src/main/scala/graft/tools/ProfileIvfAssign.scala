@@ -49,6 +49,33 @@ object ProfileIvfAssign {
       time("window(r5)")(windowAssign(c, cents))
       time("kernel(r6)")(AnnSearch.ivfAssign(c, cents))
     }
+
+    // probe-selection A/B at batch-inference query counts: |Q| = n/10
+    // queries picking nprobe of 64 lists — the old shape shuffled
+    // |Q|×nlist rows through a per-query row_number window
+    val q0 = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def windowProbes(): DataFrame = {
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("list_id").asc)
+      broadcast(q0).crossJoin(broadcast(cents))
+        .withColumn("__sim", VectorFunctions.cosine(col("qv"), col("centv")))
+        .withColumn("__rn", row_number().over(wProbe))
+        .where(col("__rn") <= 8)
+        .select(col("query_id"), col("list_id"))
+    }
+    def timeP(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"[ab] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (rows=$rows)")
+    }
+    for (round <- 1 to 3) {
+      println(s"[ab] probes round $round (|Q|=${n / 10})")
+      timeP("probes:window(r5)")(windowProbes())
+      timeP("probes:kernel(r6)")(
+        AnnSearch.probeLists(q0, cents, nprobe = 8)
+          .select(col("query_id"), col("list_id")))
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,51 @@ class NearestCentroidSpec extends SparkTestBase {
     parity(corpus, cents)
   }
 
+  test("multi-probe selection matches the windowed top-nprobe set") {
+    // the pre-rewrite probe shape from ivfTopKFromAssigned, verbatim
+    def windowProbes(q0: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("list_id").asc)
+      broadcast(q0).crossJoin(broadcast(cents))
+        .withColumn("__sim", VectorFunctions.cosine(col("qv"), col("centv")))
+        .withColumn("__rn", row_number().over(wProbe))
+        .where(col("__rn") <= nprobe)
+        .select(col("query_id"), col("list_id"))
+    }
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec(d: Int) = Seq.fill(d)(rnd.nextDouble() * 2 - 1)
+    val q0 = ((0L until 50L).map(id => (id, vec(12))) ++
+      Seq((800L, Seq.fill(12)(0.0)))) // zero query: all sims 0.0, ties everywhere
+      .toDF("query_id", "qv")
+    val dup = vec(12)
+    val cents = (Seq((30L, dup), (31L, dup)) ++ // exact ties across list ids
+      (0L until 8L).map(i => (i, vec(12)))).toDF("list_id", "centv")
+    val assigned = (0L until 20L).map(i => (1000L + i, vec(12), i % 10))
+      .toDF("neighbor_id", "cv", "list_id")
+    for (nprobe <- Seq(1, 3, 10, 20)) { // incl. nprobe > nlist
+      val got = AnnSearch.ivfTopKFromAssigned(q0, assigned, cents,
+        k = 5, nprobe = nprobe)
+      // probe-set parity is what the kernel must preserve; compare the
+      // whole scored result (same probes ⇒ same candidates ⇒ same ranks)
+      val oracleProbes = windowProbes(q0, cents, nprobe)
+      val oracleScored = oracleProbes
+        .join(q0, "query_id")
+        .join(assigned, "list_id")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val oracle = oracleScored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+      assert(got.collect().map(_.toString).toSet ==
+        oracle.collect().map(_.toString).toSet, s"diverged at nprobe=$nprobe")
+      assert(got.count() > 0)
+    }
+  }
+
   test("single centroid and NaN elements") {
     val s = spark
     import s.implicits._
