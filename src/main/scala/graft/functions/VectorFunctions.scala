@@ -36,6 +36,18 @@ object VectorFunctions {
   def hyperplaneSignature(v: Column, bits: Int): Column =
     hyperplaneSignatureRange(v, 0, bits)
 
+  /** Per-position fixed-point sums `sum(round(element * scale))` over a
+    * vector column as ONE aggregate ([[VecSumFixed]]) — the
+    * bit-deterministic vector-mean building block. Element arithmetic is
+    * bit-identical to `transform(v, x -> round(x.cast("double") * scale)
+    * .cast("long"))` + per-position `sum(element_at(...))` (parity-
+    * tested), without the interpreted HOF or the `dim` aggregate
+    * columns. */
+  def sumFixed(v: Column, scale: Double, dim: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(VecSumFixed(
+      org.apache.spark.sql.graft.ColumnBridge.expression(v), scale, dim)
+      .toAggregateExpression())
+
   /** Signature over hyperplanes [offset, offset+bits) of the shared
     * pseudo-random family — lets callers build independent LSH tables.
     * Single codegen'd pass ([[HyperplaneSig]]); bit-identical to the

@@ -178,25 +178,27 @@ object AnnSearch {
       }
     val scale = (1L << 24).toDouble
     // Lloyd pass(es): slim-assign to the current centroids, then per-list
-    // fixed-point element sums as dim aggregate columns — partial
-    // aggregation keeps the shuffle at nlist×dim longs per task, never a
-    // vector exchange. Sums run over longs (element × 2²⁴) so the means
-    // are bit-deterministic across partitionings — a floating-point sum
-    // would make centroid bits, and every downstream golden hash, an
-    // artifact of reduction order.
+    // fixed-point element sums as ONE VecSumFixed aggregate buffer —
+    // map-side partial aggregation keeps the shuffle at one 16×dim-byte
+    // buffer per (partition, list), never a vector exchange. Sums run
+    // over longs (element × 2²⁴) so the means are bit-deterministic
+    // across partitionings — a floating-point sum would make centroid
+    // bits, and every downstream golden hash, an artifact of reduction
+    // order. (The earlier `transform` + dim × sum(element_at) columns
+    // were bit-identical but ~5× the cost of the assignment itself: the
+    // HOF is CodegenFallback and each of the dim sums re-walked the
+    // array — tools/lloydprofile_r6.txt.)
     (1 to iterations).foldLeft(seeds) { (cents, _) =>
       val sums = ivfAssign(c, cents)
-        .withColumn("__sv", transform(col("cv"),
-          x => round(x.cast("double") * scale).cast("long")))
         .groupBy(col("list_id"))
         .agg(count(lit(1)).as("__n"),
-          (0 until dim).map(i =>
-            sum(element_at(col("__sv"), i + 1)).as(s"__s$i")): _*)
+          graft.functions.VectorFunctions.sumFixed(col("cv"), scale, dim)
+            .as("__s"))
         .collect()
       val refined = sums.map { r =>
         val n = r.getAs[Long]("__n").toDouble
-        val mean = Array.tabulate[Any](dim)(i =>
-          toElem(r.getAs[Long](s"__s$i") / scale / n))
+        val s = r.getAs[scala.collection.Seq[Long]]("__s")
+        val mean = Array.tabulate[Any](dim)(i => toElem(s(i) / scale / n))
         org.apache.spark.sql.Row(r.get(0), mean.toSeq)
       }
       centFrame(refined)
