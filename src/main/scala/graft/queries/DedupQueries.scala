@@ -39,6 +39,22 @@ object DedupQueries {
     // 20% — SilverIndexSpec pins the append counts), then band the STORED
     // signatures. Output must be row-identical to d3's from-scratch run,
     // so the same exact-Jaccard oracle applies verbatim.
+    // Transitive near-dup clustering: exact-Jaccard pairs (d2's
+    // generator) → large-star/small-star connected components → every
+    // document with its component root and a one-survivor-per-cluster
+    // flag. The DuckDB oracle recomputes the closure with a recursive
+    // CTE — a genuinely independent formulation of the same fixpoint.
+    "d8_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.5)
+      graft.operators.Components.nearDupComponents(docs, "doc_id", pairs)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("component"),
+          (org.apache.spark.sql.functions.col("doc_id") ===
+            org.apache.spark.sql.functions.col("component"))
+            .cast("long").as("survivor"))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files
@@ -78,6 +94,31 @@ object DedupQueries {
     // d7 = d3 through the persisted-signature path; identical output by
     // construction (SilverIndexSpec), so the same oracle applies.
     "d7_incr_minhash" -> exactJaccardSql,
+    // d8: the exact-Jaccard pair CTEs verbatim, then an independent
+    // transitive closure — reachability as a recursive CTE, component =
+    // min reachable node (UNION dedups, so the recursion terminates at
+    // the closure fixpoint).
+    "d8_components" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+        |      FROM d),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u)
+        |SELECT node AS doc_id, min(r) AS component,
+        |       CAST(min(r) = node AS BIGINT) AS survivor
+        |FROM reach GROUP BY node""".stripMargin,
+
     // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
 
     "d6_char_jaccard" ->
