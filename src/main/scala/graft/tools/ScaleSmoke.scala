@@ -46,6 +46,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode.contains("components")) {
+      components(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
     val nDocs = mode.map(_.toInt).getOrElse(100000)
 
     // seeded corpus + embeddings shared with the asserted canary suite
@@ -126,6 +131,43 @@ object ScaleSmoke {
     *
     * Run: `sbt -J-Xmx10g "runMain graft.tools.ScaleSmoke incremental [nDocs]"`.
     */
+  /** Connected components at scale: n nodes in components of 1000
+    * (random recursive trees) plus one 1000-node CHAIN component — the
+    * worst-case diameter shape that makes O(diameter) label propagation
+    * infeasible and O(log n)-round star contraction necessary. Verifies
+    * every root distributively (no collect) against the generator's
+    * ground truth, then times a tiny-component variant (k=4: edge count
+    * ~= component count, the dominant near-dup shape in practice).
+    *
+    * Run: `sbt -J-Xmx10g "runMain graft.tools.ScaleSmoke components [n]"`.
+    */
+  private def components(spark: SparkSession, n: Long): Unit = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    for (k <- Seq(1000, 4)) {
+      val edges = SyntheticScale.componentEdges(spark, n, k)
+        .repartition(32).cache()
+      println(s"[scale] components k=$k: ${edges.count()} edges, $n nodes")
+      val comp = timed(s"connectedComponents k=$k") {
+        val c = graft.operators.Components.connectedComponents(edges)
+          .cache()
+        c.count()
+        c
+      }
+      val bad = comp.where(col("component") =!=
+        col("node") - pmod(col("node"), lit(k.toLong))).count()
+      val rows = comp.count()
+      println(s"[scale]   roots: $rows nodes, $bad wrong (expect 0)")
+      assert(bad == 0 && rows == n,
+        s"component verification failed: rows=$rows bad=$bad")
+      comp.unpersist(); edges.unpersist()
+    }
+  }
+
   private def incrementalIndex(spark: SparkSession, nDocs: Int): Unit = {
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()

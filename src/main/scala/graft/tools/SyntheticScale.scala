@@ -94,6 +94,24 @@ object SyntheticScale {
     (payroll, jobs)
   }
 
+  /** Component-structured edge frame, generated EXECUTOR-SIDE: nodes
+    * 0..n-1 in components of `k` consecutive ids (ground-truth root of
+    * id = (id/k)*k). Within each component every non-base node links to
+    * a deterministic pseudo-random EARLIER node — a random recursive
+    * tree, the low-diameter shape of real near-dup clusters — except
+    * the LAST component, which links sequentially: one chain of length
+    * k-1, the worst-case diameter for propagation-style algorithms.
+    * Edge count = n - n/k. */
+  def componentEdges(spark: SparkSession, n: Long, k: Int): DataFrame = {
+    val base = col("id") - pmod(col("id"), lit(k.toLong)) // exact int math
+    val off = col("id") - base
+    val lastBase = ((n - 1) / k) * k
+    spark.range(n).where(col("id") % k =!= 0)
+      .select(col("id").as("doc_a"),
+        when(lit(lastBase) === base, col("id") - 1) // the planted chain
+          .otherwise(base + pmod(xxhash64(col("id")), off)).as("doc_b"))
+  }
+
   /** Planted-hot-token skew tables at a parameterizable scale — the
     * simjoin skew stage's shape: `hotLeft` of `nLeft` left keys and
     * `hotRight` of `nRight` right keys share the hot token (the hot

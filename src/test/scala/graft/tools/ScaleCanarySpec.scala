@@ -151,6 +151,21 @@ class ScaleCanarySpec extends SparkTestBase {
       "join-back shape (broadcast vs shuffle) changed the result")
   }
 
+  test("connected components: exact roots at 100k nodes incl. a 5k chain", Slow) {
+    val n = 100000L
+    // k=5000: 20 components, the last a 5000-link CHAIN (worst-case
+    // diameter — converges only because star contraction is O(log n)
+    // rounds); k=10: 10k tiny components (the dominant practical shape)
+    for (k <- Seq(10, 5000)) {
+      val comp = graft.operators.Components.connectedComponents(
+        SyntheticScale.componentEdges(spark, n, k))
+      val bad = comp.where(col("component") =!=
+        (col("node") - pmod(col("node"), lit(k.toLong)))).count()
+      assert(bad == 0, s"k=$k: $bad wrong component roots")
+      assert(comp.count() == n, s"k=$k: not every node got a root")
+    }
+  }
+
   test("ANN recall holds at smoke scale", Slow) {
     val q = emb.where(col("vec_id") % 1000 === 0)
     val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
