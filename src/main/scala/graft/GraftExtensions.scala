@@ -68,6 +68,8 @@ object GraftFunctions {
     "vec_sum_fixed" -> checked("vec_sum_fixed", 3) { args =>
       VecSumFixed(args(0), litDouble(args(1), "vec_sum_fixed", "scale"),
         litInt(args(2), "vec_sum_fixed", "dim")) },
+    "vec_norm_quant_i8" -> checked("vec_norm_quant_i8", 2) { args =>
+      VecNormQuantI8(args(0), litInt(args(1), "vec_norm_quant_i8", "levels")) },
   )
 
   private def litInt(e: Expression, fn: String, param: String): Int = e match {

@@ -94,6 +94,42 @@ object VectorKernel {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Unit-normalize then symmetric int8-style scalar quantization in ONE
+    * pass — `q_i = clamp(floor(x_i / ||v|| * levels), -levels, levels)`
+    * with the norm accumulated left-to-right in double (the [[dotOrNull]]
+    * convention, so float corpora widen exactly and the result is
+    * engine-portable: floor and IEEE division agree bit-for-bit with
+    * DuckDB's `list_transform` on the same parquet floats).
+    *
+    * Null contract (mirrors the `when`/`transform` SQL composition):
+    * null vector or any null element → null result (the norm is null);
+    * zero norm → all zeros (the `when(nrm = 0, zeros)` guard).
+    */
+  def normQuantI8(v: ArrayData, isFloat: Boolean,
+      levels: Int): ArrayData = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    val out = new Array[Int](n)
+    if (norm != 0.0) {
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val q = Math.floor(x / norm * levels)
+        out(j) = Math.max(-levels, Math.min(levels, q)).toInt
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def hyperplaneSig(v: ArrayData, offset: Int, bits: Int,
       isFloat: Boolean): Long = {
     val n = v.numElements()
@@ -397,6 +433,53 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
       """.stripMargin
     ev.copy(code = childGen.code + resultCode, isNull = FalseLiteral)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_norm_quant_i8(vec, levels)` — unit-normalize + symmetric scalar
+  * quantization to `[-levels, levels]` ints in one codegen'd pass (see
+  * [[VectorKernel.normQuantI8]]) — the standard compression step before
+  * storing/shuffling an ANN corpus (int8 is 4× narrower than float32 on
+  * the wire and in the page cache). */
+case class VecNormQuantI8(child: Expression, levels: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(levels >= 1 && levels <= 127,
+    "vec_norm_quant_i8: levels must be in [1, 127]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_norm_quant_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm_quant_i8 requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // a null ELEMENT also nulls the result (the norm is null) — handled
+  // inside the kernel, which returns null past nullSafeEval
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernel.normQuantI8(v.asInstanceOf[ArrayData], isFloat, levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.VectorKernel.normQuantI8($v, $isFloat, $levels);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

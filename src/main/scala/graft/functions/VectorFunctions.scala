@@ -36,6 +36,15 @@ object VectorFunctions {
   def hyperplaneSignature(v: Column, bits: Int): Column =
     hyperplaneSignatureRange(v, 0, bits)
 
+  /** Unit-normalize + symmetric scalar quantization to `[-levels,
+    * levels]` ints, one codegen pass ([[VecNormQuantI8]]): the ANN-corpus
+    * compression step (int8 is 4× narrower than float32 for storage and
+    * shuffle). Engine-portable arithmetic: left-to-right double norm,
+    * IEEE division, floor. */
+  def normQuantI8(v: Column, levels: Int = 127): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(VecNormQuantI8(
+      org.apache.spark.sql.graft.ColumnBridge.expression(v), levels))
+
   /** Per-position fixed-point sums `sum(round(element * scale))` over a
     * vector column as ONE aggregate ([[VecSumFixed]]) — the
     * bit-deterministic vector-mean building block. Element arithmetic is

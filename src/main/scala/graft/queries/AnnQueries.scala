@@ -54,6 +54,17 @@ object AnnQueries {
         path, k = 5, nprobe = 6)
     }),
 
+    // Int8 scalar quantization of the embedding corpus (normalize →
+    // floor(x/||v||·127), one codegen pass) — the 4×-narrower ANN
+    // storage/shuffle representation. posexplode to scalar rows (the
+    // gate compare can't hash arrays, the m3 pattern); the oracle
+    // recomputes per-element on DuckDB's own list machinery.
+    "a7_vec_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions
+            .normQuantI8(col("embedding"), 127)).as(Seq("pos", "q")))),
+
     "d5_cosine_neardup" -> ((s, dir) =>
       AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45)),
@@ -118,6 +129,22 @@ object AnnQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // norm via list_inner_product on DOUBLE[] (same left-to-right
+    // accumulation convention the a1/d5 oracles rely on); per-element
+    // floor/clamp/div are IEEE-identical across engines on the same
+    // parquet floats
+    "a7_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id,
+        |        CASE WHEN nrm = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(greatest(least(
+        |                    floor(x / nrm * 127), 127), -127) AS INT)) END AS ql
+        |      FROM n),
+        |x AS (SELECT vec_id, ql, unnest(range(0, len(ql))) AS fi FROM q)
+        |SELECT vec_id, CAST(fi AS INT) AS pos, CAST(ql[CAST(fi AS INT) + 1] AS INT) AS q
+        |FROM x""".stripMargin,
 
     "d5_cosine_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
