@@ -70,6 +70,8 @@ object GraftFunctions {
         litInt(args(2), "vec_sum_fixed", "dim")) },
     "vec_norm_quant_i8" -> checked("vec_norm_quant_i8", 2) { args =>
       VecNormQuantI8(args(0), litInt(args(1), "vec_norm_quant_i8", "levels")) },
+    "vec_dot_int" -> checked("vec_dot_int", 2) { args =>
+      VecDotInt(args(0), args(1)) },
   )
 
   private def litInt(e: Expression, fn: String, param: String): Int = e match {

@@ -94,6 +94,22 @@ object VectorKernel {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Integer dot product over min(len) elements, accumulated in long —
+    * exact (no rounding) for quantized codes: |levels|² · dim ≤ 127² ·
+    * dim stays far below 2⁶³. Null contract mirrors [[dotOrNull]]: a
+    * null element in the overlap nulls the result. */
+  def dotIntOrNull(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Unit-normalize then symmetric int8-style scalar quantization in ONE
     * pass — `q_i = clamp(floor(x_i / ||v|| * levels), -levels, levels)`
     * with the norm accumulated left-to-right in double (the [[dotOrNull]]
@@ -436,6 +452,50 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `vec_dot_int(a, b)` — integer dot product over two `array<int>`
+  * columns, long accumulation (see [[VectorKernel.dotIntOrNull]]): the
+  * candidate-scoring kernel for scalar-quantized ANN codes, where the
+  * arithmetic is exact and engine-portable by construction (integer
+  * products and sums have no reduction-order sensitivity). */
+case class VecDotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_int"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_int requires array<int> arguments, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  // null element in the overlap → null result, the vec_dot convention
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotIntOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.functions.VectorKernel.dotIntOrNull($x, $y);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `vec_norm_quant_i8(vec, levels)` — unit-normalize + symmetric scalar

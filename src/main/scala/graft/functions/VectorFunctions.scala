@@ -36,6 +36,14 @@ object VectorFunctions {
   def hyperplaneSignature(v: Column, bits: Int): Column =
     hyperplaneSignatureRange(v, 0, bits)
 
+  /** Integer dot product over two `array<int>` columns (long
+    * accumulation, [[VecDotInt]]) — exact candidate scoring for
+    * scalar-quantized ANN codes. */
+  def dotInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(VecDotInt(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Unit-normalize + symmetric scalar quantization to `[-levels,
     * levels]` ints, one codegen pass ([[VecNormQuantI8]]): the ANN-corpus
     * compression step (int8 is 4× narrower than float32 for storage and

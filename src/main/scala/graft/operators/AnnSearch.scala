@@ -345,6 +345,56 @@ object AnnSearch {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Scalar-quantized (SQ8) top-k: candidates are scored on the int8-code
+    * representation ([[graft.functions.VecNormQuantI8]], `floor(x/‖v‖ ·
+    * levels)`), then the top `k × rescoreMult` per query are re-scored
+    * with exact float cosine. The standard compression step before a
+    * 100 TB ANN corpus: codes are 4× narrower than float32, so the
+    * candidate scan reads a quarter of the bytes and the (query_id,
+    * neighbor_id, qscore:long) ranking shuffle never carries a vector;
+    * the exact-rescore pass touches only `|Q| · k · rescoreMult`
+    * candidate rows, joined back to the float corpus as one broadcast
+    * hash join (no corpus shuffle). The code column is what you would
+    * PERSIST alongside the corpus (the [[graft.pipeline.SilverIndex]]
+    * pattern); quantization itself is a narrow map.
+    *
+    * Fully deterministic — integer products/sums have no
+    * reduction-order sensitivity and the quantizer is IEEE-exact — so
+    * unlike LSH/IVF this approximate path gets a true DuckDB oracle
+    * (`a8_ann_quantized`). Output: query_id, neighbor_id, cosine, rank. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, levels: Int = 127,
+      rescoreMult: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
+    val c8 = c.select(col("neighbor_id"),
+      VectorFunctions.normQuantI8(col("cv"), levels).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q8 = q.select(col("query_id"),
+      VectorFunctions.normQuantI8(col("qv"), levels).as("qq"))
+    val cand = broadcast(q8).crossJoin(c8)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore", VectorFunctions.dotInt(col("qq"), col("cq")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val top = cand
+      .select(col("query_id"), col("neighbor_id"), col("qscore"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= k * rescoreMult)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rescore: candidates are ≤ |Q|·k·rescoreMult rows — broadcast
+    // them INTO the float corpus scan (corpus side never shuffles), then
+    // attach the float query vectors the same way
+    val rescored = c.join(broadcast(top), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the scale path for
     * [[cosineNearDupPairs]]: candidates are corpus vectors colliding in
     * any of `tables` hyperplane-signature tables, verified by exact

@@ -65,6 +65,17 @@ object AnnQueries {
           posexplode(graft.functions.VectorFunctions
             .normQuantI8(col("embedding"), 127)).as(Seq("pos", "q")))),
 
+    // SQ8 ANN: int8-code candidate scoring + exact-cosine rescore of the
+    // top 4k. Deterministic end-to-end (integer dots have no reduction-
+    // order sensitivity), so unlike a2/a3 this approximate path gets a
+    // REAL DuckDB oracle.
+    "a8_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.quantizedTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 5, levels = 127, rescoreMult = 4)
+    }),
+
     "d5_cosine_neardup" -> ((s, dir) =>
       AnnSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45)),
@@ -145,6 +156,33 @@ object AnnQueries {
         |x AS (SELECT vec_id, ql, unnest(range(0, len(ql))) AS fi FROM q)
         |SELECT vec_id, CAST(fi AS INT) AS pos, CAST(ql[CAST(fi AS INT) + 1] AS INT) AS q
         |FROM x""".stripMargin,
+
+    // quantization replicated per-element as in a7; candidate scoring on
+    // BIGINT codes via list_inner_product (exact in doubles — products
+    // ≤ 127²·dim ≪ 2⁵³), rescore on the same DOUBLE[] cosine as a1
+    "a8_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q8 AS (SELECT vec_id,
+        |         CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(greatest(least(
+        |                     floor(x / nrm * 127), 127), -127) AS BIGINT)) END AS qv
+        |       FROM n),
+        |qq AS (SELECT vec_id AS query_id, qv AS qcodes FROM q8 WHERE vec_id % 50 = 0),
+        |cand AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |           CAST(list_inner_product(qcodes, c.qv) AS BIGINT) AS qscore
+        |         FROM qq, q8 c WHERE c.vec_id <> query_id),
+        |topc AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qscore DESC, neighbor_id ASC) AS crank FROM cand),
+        |resc AS (SELECT t.query_id, t.neighbor_id,
+        |           list_cosine_similarity(q.v, c.v) AS cosine
+        |         FROM topc t
+        |         JOIN e q ON q.vec_id = t.query_id
+        |         JOIN e c ON c.vec_id = t.neighbor_id
+        |         WHERE t.crank <= 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM resc)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "d5_cosine_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -51,6 +51,33 @@ class AnnSpec extends SparkTestBase {
     assert(recall > 0.25, s"recall $recall too low to be useful")
   }
 
+  test("SQ8 quantized top-k: near-exact recall, exact-cosine output") {
+    val bf = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect()
+    val bfPairs = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = AnnSearch.quantizedTopK(queries, emb, "vec_id", "embedding", 5,
+      levels = 127, rescoreMult = 4).collect()
+    sq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.forall(_.getLong(1) != q))
+      assert(rows.sortBy(_.getInt(3)).map(_.getInt(3)).toSeq == (1 to 5))
+    }
+    // int8 codes at 127 levels keep ≫ the top-5 inside the top-20
+    // candidate set on 64-dim embeddings — recall should be near-exact
+    val sqPairs = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bfPairs intersect sqPairs).size.toDouble / bfPairs.size
+    info(s"SQ8 recall@5 = $recall (rescore top-20)")
+    assert(recall >= 0.9, s"recall $recall — quantized candidate set broke")
+    // where the pair agrees with brute force, the rescored cosine is the
+    // EXACT float cosine, bit-identical (rescore reads original vectors)
+    val bfCos = bf.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sq.foreach { r =>
+      bfCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2), "rescore must be the exact cosine")
+      }
+    }
+  }
+
   test("cosine near-dup pairs ordered and thresholded") {
     val out = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .collect()
