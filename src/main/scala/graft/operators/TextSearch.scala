@@ -41,13 +41,20 @@ object TextSearch {
       .groupBy("term")
       .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("coll_freq"))
 
-  /** Okapi BM25 top-k: standard idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
-    * saturation `tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen))`.
-    * Output: doc, score (double), rank — deterministic tie-break on doc.
-    * EAGER: N and avg doc length are computed at construction (two tiny
-    * aggregates over the postings). */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Okapi BM25 scores for every matching document — the pre-top-k
+    * frame behind [[bm25TopK]]: standard idf `ln((N − df + 0.5)/
+    * (df + 0.5) + 1)`, saturation `tf·(k1+1)/(tf + k1·(1 − b +
+    * b·len/avglen))`. Output: doc, score (double). EAGER: N and avg doc
+    * length are computed at construction (two tiny aggregates over the
+    * postings).
+    *
+    * The score is a float SUM over the doc's matched query terms, so
+    * its last bits depend on reduction order: rank orderings built on it
+    * should round first (e.g. `round(score, 6)`) if two docs can share
+    * a (tf-profile, length) — mathematically equal scores are otherwise
+    * ordered by accumulated noise, not the tie-break column. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
     val post = postings(df, idCol, textCol)
       .transform(Par.spread(_, col("doc")))
@@ -63,9 +70,8 @@ object TextSearch {
     // a corpus with no non-empty documents scores nothing — return the
     // empty result instead of NPE-ing on avg(len) = null
     if (nDocs == 0)
-      return Seq.empty[(Long, Double, Int)].toDF("doc", "score", "rank")
-        .select(col("doc").cast(df.schema(idCol).dataType),
-          col("score"), col("rank"))
+      return Seq.empty[(Long, Double)].toDF("doc", "score")
+        .select(col("doc").cast(df.schema(idCol).dataType), col("score"))
     val avgLen = global.getDouble(1)
     val qDf = qTerms.toDF("term")
 
@@ -74,7 +80,7 @@ object TextSearch {
     // corpus-wide by-term shuffle at query time
     val qPost = cached.join(broadcast(qDf), "term")
     val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = qPost
+    qPost
       .join(broadcast(dfPerTerm), "term")
       .join(docLen, "doc")
       .withColumn("idf", log(
@@ -82,6 +88,13 @@ object TextSearch {
       .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen)))
       .groupBy("doc").agg(sum(col("w")).as("score"))
+  }
+
+  /** Okapi BM25 top-k over [[bm25Scores]].
+    * Output: doc, score (double), rank — deterministic tie-break on doc. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(df, idCol, textCol, query, k1, b)
     // distributed top-k (TakeOrdered) FIRST; the rank window then runs
     // over ≤ k rows, so its single partition is not a scale hazard
     val top = scored.orderBy(col("score").desc, col("doc").asc).limit(k)

@@ -37,6 +37,33 @@ object TextQueries {
       t(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Hybrid retrieval: BM25 lexical leg fused with an exact-cosine
+    // semantic leg (the embedding of doc 0) by reciprocal-rank fusion.
+    // RRF uses only RANKS, so the fused score is bit-deterministic for
+    // two legs (IEEE addition is commutative) and the whole query gets a
+    // real DuckDB oracle. The lexical leg ranks on round(score, 6): the
+    // corpus contains docs with identical (tf-profile, length) whose
+    // mathematically-equal BM25 sums would otherwise be ordered by
+    // reduction-order noise instead of the doc_id tie-break.
+    "h1_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexScored = graft.operators.TextSearch
+        .bm25Scores(docs, "doc_id", "text", "spark vector stream join")
+        .withColumn("rscore", round(col("score"), 6))
+      val wl = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rscore").desc, col("doc").asc)
+      val lex = lexScored.orderBy(col("rscore").desc, col("doc").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(wl))
+        .select(col("doc").as("doc_id"), col("rank"))
+      val sem = graft.operators.AnnSearch.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.HybridSearch.rrf(Seq(lex, sem), "doc_id", "rank",
+        k = 10)
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -162,6 +189,55 @@ object TextQueries {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    // BM25 replicated on the t6 tokenizer (k1=1.2, b=0.75, expression
+    // structure mirroring TextSearch.bm25Scores), ranks on
+    // round(score, 6); semantic leg is the a1 cosine machinery; RRF
+    // contributions mirror HybridSearch.rrf term-for-term
+    "h1_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
+        |qp AS (SELECT * FROM post
+        |       WHERE term IN ('spark', 'vector', 'stream', 'join')),
+        |dft AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+        |w AS (SELECT qp.doc_id,
+        |        (ln(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0)))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len) / avglen)) AS w
+        |      FROM qp JOIN dft USING (term) JOIN dlen USING (doc_id)
+        |        CROSS JOIN gstats),
+        |ls AS (SELECT doc_id, round(sum(w), 6) AS rscore FROM w GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER
+        |          (ORDER BY rscore DESC, doc_id ASC) AS rank
+        |        FROM ls ORDER BY rscore DESC, doc_id ASC LIMIT 20),
+        |sem AS (SELECT e.vec_id AS doc_id, row_number() OVER
+        |          (ORDER BY list_cosine_similarity(q.v,
+        |             CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rank
+        |        FROM embeddings e,
+        |          (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE vec_id = 0) q
+        |        WHERE e.vec_id <> 0
+        |        ORDER BY list_cosine_similarity(q.v,
+        |          CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC LIMIT 20),
+        |u AS (SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib
+        |        FROM lex
+        |      UNION ALL
+        |      SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM sem),
+        |f AS (SELECT doc_id, sum(contrib) AS rrf_score, count(*) AS legs_hit
+        |      FROM u GROUP BY doc_id),
+        |r AS (SELECT doc_id, rrf_score, legs_hit, row_number() OVER
+        |        (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |      FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)
+        |SELECT doc_id, rrf_score, legs_hit, rank FROM r""".stripMargin,
 
     "t6_term_stats" ->
       """WITH toks AS (
