@@ -119,6 +119,16 @@ object TextQueries {
           count(lit(1)).as("n_urls"))
     }),
 
+    // Gopher-rule structural repetition (Rae et al. 2021 §A1.1):
+    // duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    // the most-frequent word-2-gram's share — whole-line boilerplate
+    // signals t5's distinct-2-gram ratio can't see. Lines are the token
+    // stream regrouped 7 wide (the corpus carries no newlines — derived
+    // structure, like t7's embedded PII). operators/QualitySignals.
+    "t9_line_repetition" -> ((s, dir) =>
+      graft.operators.QualitySignals.lineRepetition(
+        t(s, dir, "documents"), "doc_id", "text", lineWidth = 7)),
+
     "t7_pii_scrub" -> ((s, dir) => {
       val id = col("doc_id").cast("string")
       val embedded = concat(
@@ -271,6 +281,51 @@ object TextQueries {
         |       ELSE 1.0 - CAST(distinct_2grams AS DOUBLE)
         |            / CAST(total_2grams AS DOUBLE) END AS repetition_ratio
         |FROM g""".stripMargin,
+
+    // lines = 7-token slices; DuckDB list slices are 1-based inclusive
+    // (ws[a:b]), range() stop-exclusive; formulas stay term-for-term
+    // with QualitySignals.lineRepetition so the double divisions agree
+    // bitwise
+    "t9_line_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           range(0, CAST(ceil(len(ws) / 7.0) AS BIGINT)),
+        |           i -> array_to_string(ws[i*7+1 : i*7+7], ' '))) AS line
+        |  FROM b),
+        |lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+        |       FROM l GROUP BY doc_id, line),
+        |la AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |         count(*) AS n_distinct,
+        |         sum((cnt - 1) * len) AS dup_chars,
+        |         sum(cnt * len) AS tot_chars
+        |       FROM lc GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM b),
+        |gc AS (SELECT doc_id, gram, count(*) AS cnt
+        |       FROM g GROUP BY doc_id, gram),
+        |ga AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS tot_grams
+        |       FROM gc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  CASE WHEN coalesce(n_lines, 0) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(n_distinct AS DOUBLE)
+        |            / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+        |  CASE WHEN coalesce(tot_chars, 0) = 0 THEN 0.0
+        |       ELSE CAST(dup_chars AS DOUBLE)
+        |            / CAST(tot_chars AS DOUBLE) END AS dup_line_char_frac,
+        |  CASE WHEN coalesce(tot_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(top_cnt AS DOUBLE)
+        |            / CAST(tot_grams AS DOUBLE) END AS top_2gram_frac
+        |FROM documents d
+        |LEFT JOIN la ON d.doc_id = la.doc_id
+        |LEFT JOIN ga ON d.doc_id = ga.doc_id""".stripMargin,
 
     // the patterns here must stay in lockstep with TextFunctions.piiPatterns
     "t7_pii_scrub" ->
