@@ -67,6 +67,84 @@ object Packing {
       .drop("__graft_pid", "__graft_local", "__graft_off")
   }
 
+  /** [[cumSumBefore]] with stratum partitioning: the exclusive prefix
+    * sum restarts at 0 for every distinct `byCols` value, ordered by
+    * `orderCols` WITHIN the stratum. Same distributed shape — one range
+    * repartition on (byCols ++ orderCols) establishes a global order in
+    * which each stratum is contiguous, local windows compute
+    * per-(partition, stratum) running sums, and a driver-side exclusive
+    * scan per stratum lifts them to global values. Driver state is one
+    * row per (partition, stratum-on-that-partition): range partitioning
+    * keeps a stratum on ~(its share of rows / partition size) partitions,
+    * so the collect is O(width + strata) rows, not width × strata — fine
+    * for the language/domain/source strata this serves, and never
+    * proportional to the data. */
+  def cumSumBeforeBy(df: DataFrame, byCols: Seq[String],
+      orderCols: Seq[String], valCol: String,
+      outCol: String = "cum_before", width: Int = 0): DataFrame = {
+    require(byCols.nonEmpty,
+      "cumSumBeforeBy needs stratum columns — use cumSumBefore otherwise")
+    require(orderCols.nonEmpty, "cumSumBeforeBy needs ordering columns")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input — pick another")
+    graft.Reserved.requireNone(df, "Packing.cumSumBeforeBy")
+    val spark = df.sparkSession
+    val w = if (width > 0) width else spark.sparkContext.defaultParallelism
+    val keyCols = (byCols ++ orderCols).map(col)
+    val ranged = df
+      .repartitionByRange(w, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__graft_pid",
+        shiftright(monotonically_increasing_id(), 33).cast("int"))
+    val cached = graft.ManagedCache.swap("Packing.cumSumBeforeBy", ranged)
+
+    val wLocal = Window
+      .partitionBy((col("__graft_pid") +: byCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = cached.withColumn("__graft_local",
+      coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+
+    // driver prefix per stratum over pid order → per-(pid, stratum)
+    // global offsets
+    val totals = cached
+      .groupBy((col("__graft_pid") +: byCols.map(col)): _*)
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("__graft_t"))
+      .collect()
+    val byWidth = byCols.size
+    val offsets = totals
+      .map(r => (r.getInt(0), Seq.tabulate(byWidth)(i => r.get(i + 1)),
+        r.getLong(byWidth + 1)))
+      .groupBy(_._2)
+      .flatMap { case (_, rows) =>
+        rows.sortBy(_._1).foldLeft((0L, Vector.empty[(Int, Seq[Any], Long)])) {
+          case ((acc, out), (pid, key, t)) =>
+            (acc + t, out :+ ((pid, key, acc)))
+        }._2
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__graft_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+      byCols.map(c => df.schema(c)) :+
+      org.apache.spark.sql.types.StructField("__graft_off",
+        org.apache.spark.sql.types.LongType))
+    val offRows = offsets.map { case (pid, key, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: key :+ off) }
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+      .withColumnsRenamed(
+        (byCols.map(c => c -> s"__graft_by_$c") :+
+          ("__graft_pid" -> "__graft_opid")).toMap))
+    // null-safe equality on the stratum keys — a using-columns equi-join
+    // would silently DROP rows of a null stratum
+    val cond = (col("__graft_pid") === col("__graft_opid")) +:
+      byCols.map(c => col(c) <=> col(s"__graft_by_$c"))
+    local.join(offDf, cond.reduce(_ && _))
+      .withColumn(outCol, col("__graft_off") + col("__graft_local"))
+      .drop(byCols.map(c => s"__graft_by_$c"): _*)
+      .drop("__graft_pid", "__graft_opid", "__graft_local", "__graft_off")
+  }
+
   /** Sliding-window token chunking — split each document into
     * `chunkSize`-token windows advancing by `chunkSize − overlap`
     * tokens (context-window preparation; the intra-document sibling of

@@ -66,6 +66,41 @@ object Splits {
     df.where(cond)
   }
 
+  /** Deterministic per-stratum selection under a TOKEN BUDGET — the
+    * "take N tokens per language/domain" mixing primitive ([[sampleByHash]]
+    * is its rate-based sibling; this one targets absolute token counts,
+    * which is how pretraining mixes are actually specified). Docs are
+    * ordered within their stratum by the same (salt, id) md5 key as
+    * [[assignSplit]] — a deterministic uniform shuffle — and kept while
+    * the stratum's running token total BEFORE the doc stays under its
+    * budget (the boundary-straddling doc is kept, [[Packing]]'s
+    * pack-where-the-run-starts discipline — so a stratum may overrun by
+    * one doc's tail, never fall short). Raising a budget strictly grows
+    * the selection; reruns and engine migrations reproduce it bit-for-bit.
+    *
+    * Strata absent from `budgets` are dropped. The running totals are
+    * [[Packing.cumSumBeforeBy]]'s distributed prefix sum — no
+    * single-task stratum window at any scale. Output: input columns ++
+    * `cum_before` (stratum tokens before this doc in hash order). */
+  def sampleByTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, salt: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      s"budgets must be positive: $budgets")
+    require(!df.columns.contains("__hk"),
+      "input already has a __hk column — rename it first")
+    val inBudget = df.where(
+      col(stratumCol).isin(budgets.keys.toSeq.map(k => k: Any): _*))
+    val keyed = inBudget.withColumn("__hk", hashKey(col(idCol), salt))
+    val summed = Packing.cumSumBeforeBy(keyed, Seq(stratumCol),
+      Seq("__hk", idCol), tokensCol)
+    val budgetOf = budgets.toSeq.sortBy(_._1).map { case (s, b) =>
+      (col(stratumCol) === s, lit(b)) }
+      .foldLeft(Option.empty[Column]) { case (acc, (cond, b)) =>
+        Some(acc.fold(when(cond, b))(_.when(cond, b)))
+      }.get
+    summed.where(col("cum_before") < budgetOf).drop("__hk")
+  }
+
   /** Adds `outCol` naming each row's split. `splits` are
     * (name, fraction) pairs summing to 1.0; assignment follows their
     * order over the hash space. */

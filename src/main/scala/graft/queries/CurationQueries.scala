@@ -130,6 +130,20 @@ object CurationQueries {
         graft.functions.word_shingles(col("text"), 2), theta = 0.5)
     }),
 
+    // token-BUDGET mixing: take ~4000 en / 1500 es / 800 de tokens,
+    // selecting docs in deterministic (salt, doc_id)-hash order per
+    // language until each budget fills (boundary doc kept) — the
+    // absolute-count sibling of c5's rate mixing; the running totals
+    // are the distributed per-stratum prefix sum (no single-task
+    // stratum window)
+    "c8_budget_sample" -> ((s, dir) =>
+      graft.operators.Splits.sampleByTokenBudget(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "lang", "n_tokens", "budget-r6",
+        Map("en" -> 4000L, "es" -> 1500L, "de" -> 800L))),
+
     // Data card: the per-stratum corpus summary a dataset release ships
     // (docs, token totals/extremes, median length per language) —
     // integer aggregates plus the DISTRIBUTED exact median
@@ -269,6 +283,27 @@ object CurationQueries {
         |            < '333333333333' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    // the window states what cumSumBeforeBy distributes; hash order and
+    // thresholds mirror Splits (md5 'salt:id', 12 hex digits)
+    "c8_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    substring(md5('budget-r6:' || CAST(doc_id AS VARCHAR)), 1, 12) AS hk
+        |  FROM documents WHERE lang IN ('en', 'es', 'de')),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 4000
+        |                             WHEN 'es' THEN 1500
+        |                             ELSE 800 END""".stripMargin,
 
     "c7_data_card" ->
       """WITH d AS (
