@@ -424,6 +424,64 @@ object AnnSearch {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
+    * removal with CLUSTER blocking — the k-means sibling of
+    * [[lshNearDupPairs]]'s hyperplane blocking. The corpus is coarsely
+    * clustered by the deterministic IVF quantizer (hash-sampled seeds +
+    * fixed-point Lloyd, [[ivfCentroids]] — one narrow-map assignment
+    * pass), and candidate pairs are generated ONLY within a cluster:
+    * cost Σ|cluster|² instead of |corpus|², and by SemDeDup's design
+    * near-dups in different clusters are (deliberately) not candidates.
+    * At 10¹¹ docs `nlist` scales with the corpus (10⁵–10⁶ lists) so
+    * per-cluster membership stays bounded; the self-join shuffles on
+    * `list_id`, and a skewed giant cluster is the signal to raise
+    * `nlist`, not to salt — SemDeDup's quality degrades with cluster
+    * size anyway. Fully deterministic → golden-pinned (`d9_semdedup`).
+    *
+    * Returns survivors `(idCol, list_id)`: the smaller id of every
+    * within-cluster pair with cosine ≥ θ wins ([[Dedup.dropNearDups]]'s
+    * min-id discipline). [[clusterNearDupPairs]] exposes the pairs. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      theta: Double, nlist: Int = 16): DataFrame = {
+    val assigned = assignedClusters(df, idCol, vecCol, nlist)
+    val pairs = pairsWithinClusters(assigned, theta)
+    assigned
+      .join(pairs.select(col("vec_b").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_anti")
+      .select(col("neighbor_id").as(idCol), col("list_id"))
+  }
+
+  /** The within-cluster pair half of [[semanticDedup]]:
+    * (vec_a < vec_b, cosine ≥ θ, list_id). */
+  def clusterNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      theta: Double, nlist: Int = 16): DataFrame =
+    pairsWithinClusters(assignedClusters(df, idCol, vecCol, nlist), theta)
+
+  private def assignedClusters(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    val c = ivfCorpus(df, idCol, vecCol)
+    val cents = ivfCentroids(c, nlist)
+    // the assignment feeds three consumers (both self-join sides + the
+    // survivor anti-join) — materialize it once
+    graft.ManagedCache.swap("AnnSearch.semanticDedup.assigned",
+      ivfAssign(c, cents))
+  }
+
+  private def pairsWithinClusters(assigned: DataFrame, theta: Double)
+      : DataFrame = {
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    // cosine once per candidate pair, as a projection ABOVE the join
+    // (Catalyst does not CSE across join condition and projection)
+    a.join(b, col("a.list_id") === col("b.list_id") &&
+        col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.neighbor_id").as("vec_a"),
+        col("b.neighbor_id").as("vec_b"),
+        col("a.list_id").as("list_id"),
+        VectorFunctions.cosine(col("a.cv"), col("b.cv")).as("cosine"))
+      .where(col("cosine") >= theta)
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ).
     * Exact quadratic version — the oracle-checkable baseline;
     * [[lshNearDupPairs]] is the scale path. */

@@ -84,6 +84,17 @@ object AnnQueries {
       AnnSearch.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45, bits = 6, tables = 16)),
 
+    // SemDeDup: semantic near-dup removal with k-means cluster blocking
+    // (Abbas et al. 2023) — candidates only within a cluster of the
+    // deterministic Lloyd quantizer, survivors keep the min id. No
+    // SQL-expressible oracle (the quantizer is the operator), so golden-
+    // pinned at both scales; AnnSpec asserts planted-dup recovery and
+    // the pairs ⊆ exact-pairs containment.
+    "d9_semdedup" -> ((s, dir) =>
+      graft.operators.AnnSearch.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        theta = 0.45, nlist = 16)),
+
     // Recall CONTRACT query: the driver-visible guard against an LSH/IVF
     // recall collapse that ScalaTest alone would catch only at build time.
     // Emits one row per approximate method with its measured recall@5 vs

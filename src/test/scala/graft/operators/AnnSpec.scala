@@ -103,6 +103,48 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("SemDeDup pairs are within-cluster exact pairs; survivors drop the max id") {
+    val exact = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = AnnSearch.clusterNearDupPairs(emb, "vec_id", "embedding",
+        theta = 0.45, nlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), s"false positives: ${pairs -- exact}")
+
+    val survivors = AnnSearch.semanticDedup(emb, "vec_id", "embedding",
+        theta = 0.45, nlist = 16)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = pairs.map(_._2)
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- dropped)
+  }
+
+  test("SemDeDup recovers planted semantic dups that share a cluster") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    // 200 base vectors; ids 1000+ are near-copies (tiny perturbation,
+    // cosine ≈ 1) of ids 0..19 — SemDeDup must drop every planted copy
+    // (a copy lands in its original's cluster: their centroid distances
+    // are nearly identical)
+    val base = (0 until 200).map { i =>
+      i.toLong -> Array.fill(16)(rng.nextGaussian())
+    }
+    val planted = (0 until 20).map { i =>
+      (1000L + i) -> base(i)._2.map(_ * 1.001 + 1e-4)
+    }
+    val df = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val survivors = AnnSearch.semanticDedup(df, "vec_id", "embedding",
+        theta = 0.99, nlist = 8)
+      .collect().map(_.getLong(0)).toSet
+    (0 until 20).foreach { i =>
+      assert(!survivors.contains(1000L + i), s"planted dup $i survived")
+      assert(survivors.contains(i.toLong), s"original $i was dropped")
+    }
+    assert(survivors.size == 200)
+  }
+
   test("a5_ann_recall contract query reports both methods above the floor") {
     val rows = graft.SparkEntry.queries("a5_ann_recall")(spark, sf())
       .collect()

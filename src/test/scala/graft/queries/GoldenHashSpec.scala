@@ -24,6 +24,7 @@ class GoldenHashSpec extends SparkTestBase {
     "a5_ann_recall" -> (2L, "53a52499814a2b46"),
     "a6_incr_ivf" -> (50L, "fb1f0e7b543084a7"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
+    "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
 
   test("digest is partitioning/order independent; pair boundaries don't collide") {
@@ -60,6 +61,7 @@ class GoldenHashSpec extends SparkTestBase {
     "a5_ann_recall" -> "3ba15df77338632d",
     "a6_incr_ivf" -> "635a548f0b12b371",
     "d4_simhash_pairs" -> "c015e8e4ac029638",
+    "d9_semdedup" -> "f023a2b1aec517f2",
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
 
   test("sf0.01 content hashes match GOLDENS.json (the driver-gate scale)") {
