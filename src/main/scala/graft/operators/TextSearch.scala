@@ -55,10 +55,19 @@ object TextSearch {
     * ordered by accumulated noise, not the tie-break column. */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
       query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = df.sparkSession
     val post = postings(df, idCol, textCol)
       .transform(Par.spread(_, col("doc")))
-    val cached = graft.ManagedCache.swap("TextSearch.bm25TopK", post)
+    bm25ScoresFromPostings(
+      graft.ManagedCache.swap("TextSearch.bm25TopK", post), query, k1, b)
+  }
+
+  /** [[bm25Scores]] from an ALREADY-BUILT postings table (doc, term, tf)
+    * — the recurring-query shape against a persisted index
+    * ([[graft.pipeline.SilverIndex.refreshPostings]]): zero tokenize/
+    * explode work at query time. */
+  def bm25ScoresFromPostings(cached: DataFrame, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = cached.sparkSession
     val docLen = cached.groupBy("doc").agg(sum(col("tf")).as("len"))
     val global = docLen.agg(count(lit(1)), avg(col("len"))).head()
     val nDocs = global.getLong(0)
@@ -71,7 +80,7 @@ object TextSearch {
     // empty result instead of NPE-ing on avg(len) = null
     if (nDocs == 0)
       return Seq.empty[(Long, Double)].toDF("doc", "score")
-        .select(col("doc").cast(df.schema(idCol).dataType), col("score"))
+        .select(col("doc").cast(cached.schema("doc").dataType), col("score"))
     val avgLen = global.getDouble(1)
     val qDf = qTerms.toDF("term")
 
@@ -93,8 +102,15 @@ object TextSearch {
   /** Okapi BM25 top-k over [[bm25Scores]].
     * Output: doc, score (double), rank — deterministic tie-break on doc. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val scored = bm25Scores(df, idCol, textCol, query, k1, b)
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25Scores(df, idCol, textCol, query, k1, b), k)
+
+  /** [[bm25TopK]] against a prebuilt postings table. */
+  def bm25TopKFromPostings(post: DataFrame, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25ScoresFromPostings(post, query, k1, b), k)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     // distributed top-k (TakeOrdered) FIRST; the rank window then runs
     // over ≤ k rows, so its single partition is not a scale hazard
     val top = scored.orderBy(col("score").desc, col("doc").asc).limit(k)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnSearch, Dedup}
+import graft.operators.{AnnSearch, Dedup, TextSearch}
 
 /** Append-maintained silver tables for the expensive per-document index
   * artifacts — MinHash signatures and IVF list assignments.
@@ -86,6 +86,46 @@ object SilverIndex {
   def minhashPairs(spark: SparkSession, path: String, rowsPerBand: Int,
       theta: Double): DataFrame =
     Dedup.minhashPairsFromSets(minhashIndex(spark, path), rowsPerBand, theta)
+
+  // ----------------------------------------------------------- BM25 postings
+
+  /** Bring the inverted-index postings table (doc, term, tf) at `path`
+    * up to date with `docs`: postings compute ONLY for doc ids not yet
+    * indexed, and append. Per-document deterministic (tokenize + per-doc
+    * term counts), so incremental == from-scratch exactly — and the BM25
+    * *statistics* (N, avg length, per-term df) are derived from the
+    * postings at query time, so they stay consistent with the appended
+    * corpus for free; nothing global needs recomputing on refresh.
+    * Append-only like the others: a deleted or edited document means
+    * rebuild (or version the path). */
+  def refreshPostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Refresh = {
+    val spark = docs.sparkSession
+    val newDocs =
+      if (!fsExists(spark, path)) docs
+      else docs.join(
+        spark.read.parquet(path).select(col("doc").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val before =
+      if (fsExists(spark, path)) spark.read.parquet(path).count() else 0L
+    TextSearch.postings(newDocs, idCol, textCol)
+      .write.mode("append").parquet(path)
+    val total = spark.read.parquet(path).count()
+    Refresh(total - before, total)
+  }
+
+  /** The persisted postings as [[TextSearch.bm25TopKFromPostings]]
+    * consumes them. */
+  def postingsIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** BM25 top-k against the PERSISTED postings — the recurring-query
+    * shape: no tokenize/explode over the corpus, one broadcast of the
+    * query terms into the postings scan. */
+  def bm25TopKFromIndex(spark: SparkSession, path: String, query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    TextSearch.bm25TopKFromPostings(postingsIndex(spark, path), query, k,
+      k1, b)
 
   // -------------------------------------------------------------------- IVF
 

@@ -99,6 +99,39 @@ class SilverIndexSpec extends SparkTestBase {
     assert(fromIndex.count() > 0)
   }
 
+  test("bm25 postings: base+delta refresh == from-scratch; index queries match live") {
+    val path = tmp("silver-post")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+
+    val r1 = SilverIndex.refreshPostings(base, "doc_id", "text", path)
+    assert(r1.appended == r1.total && r1.total > 0)
+    val r2 = SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+    // delta appends exactly the new docs' postings rows
+    val deltaRows = graft.operators.TextSearch
+      .postings(docs.where(col("doc_id") % 4 === 0), "doc_id", "text").count()
+    assert(r2.appended == deltaRows,
+      s"delta refresh appended ${r2.appended}, expected $deltaRows")
+    val r3 = SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+
+    // the incrementally-built postings ARE the from-scratch table
+    val scratch = graft.operators.TextSearch.postings(docs, "doc_id", "text")
+    assert(rowSet(SilverIndex.postingsIndex(spark, path)) == rowSet(scratch))
+
+    // and BM25 from the index matches the live operator (scores rounded:
+    // the per-doc sum's last bits are reduction-order, the h1 lesson)
+    def normalized(df: DataFrame): Set[(Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6, r.getInt(2)))
+        .toSet
+    val fromIndex = SilverIndex.bm25TopKFromIndex(spark, path,
+      "spark vector stream join", k = 10)
+    val live = graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text",
+      "spark vector stream join", k = 10)
+    assert(normalized(fromIndex) == normalized(live))
+    assert(fromIndex.count() == 10)
+  }
+
   test("ivf: probe read prunes to the probed list partitions") {
     val path = tmp("silver-ivf-prune")
     SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16, path = path)
