@@ -46,8 +46,8 @@ object SparkEntry {
     * read as a phantom regression on exactly the queries the hash is
     * meant to keep honest). */
   val noOracleHashed: Set[String] = Set("a2_ann_lsh", "a3_ann_ivf",
-    "a4_neardup_lsh", "a5_ann_recall", "a6_incr_ivf", "d4_simhash_pairs",
-    "d9_semdedup", "j2_simjoin_fuzzy")
+    "a4_neardup_lsh", "a5_ann_recall", "a6_incr_ivf", "a9_ann_pq",
+    "a10_ann_ivfpq", "d4_simhash_pairs", "d9_semdedup", "j2_simjoin_fuzzy")
 
   /** The query as the correctness gate runs it: no-oracle queries carry
     * the whole-result `content_hash` column, oracle queries unchanged. */

@@ -237,14 +237,14 @@ object AnnSearch {
     * VecDot — see [[graft.functions.VectorKernelNearest]]'s contract.
     * `listIds` maps kernel indices back to list ids (codegen'd
     * element_at). */
-  private final case class CentMatrix(rows: Array[org.apache.spark.sql.Row],
+  private[graft] final case class CentMatrix(rows: Array[org.apache.spark.sql.Row],
       mats: Array[Array[Double]], firstNull: Array[Int], nb2s: Array[Double],
       nb2Null: Array[Boolean], idType: org.apache.spark.sql.types.DataType) {
     def listIds: Column =
       array(rows.toIndexedSeq.map(r => litOf(r.get(0), idType)): _*)
   }
 
-  private def centMatrix(cents: DataFrame): CentMatrix = {
+  private[graft] def centMatrix(cents: DataFrame): CentMatrix = {
     val idType = cents.schema("list_id").dataType
     val centRows = cents.select(col("list_id"), col("centv"))
       .orderBy(col("list_id")).collect()
@@ -422,6 +422,171 @@ object AnnSearch {
         VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
       .where(col("cosine") >= theta)
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Product-quantized (PQ) top-k (Jégou et al. 2011, public): the
+    * vector splits into `m` subvectors, each coded as its nearest
+    * centroid in a per-subspace `ksub`-entry codebook (the same
+    * deterministic hash-sample + fixed-point-Lloyd quantizer as IVF,
+    * run once per subspace) — `m·log₂(ksub)` BITS per vector instead of
+    * `4·dim` bytes (64-dim float32 at m=4, ksub=16: 256 bytes → 2, a
+    * 128× compression, vs SQ8's 4×). Candidates score asymmetrically
+    * (ADC): the exact query vector against the CODE-RECONSTRUCTED
+    * corpus vector — reconstruction is per-subspace codebook lookups
+    * (`element_at` on literal arrays) concatenated, so the scoring
+    * projection is all codegen built-ins over a corpus side that
+    * carries only (id, m codes); the float corpus is touched again only
+    * by the exact rescore of the top `k·rescoreMult`, as one broadcast
+    * join (the [[quantizedTopK]] discipline). Codebooks freeze
+    * driver-side (m·ksub·(dim/m) doubles — KBs); at 100 TB the code
+    * column is what you persist ([[graft.pipeline.SilverIndex]]
+    * pattern) and the reconstruction LUT rides the closure.
+    *
+    * Fully deterministic (frozen codebooks, per-row argmin encode,
+    * left-to-right double cosine) → golden-pinned (`a9_ann_pq`);
+    * AnnSpec holds the recall floor vs brute force. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+      rescoreMult: Int = 4): DataFrame = {
+    require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
+    val sub = pqSubDim(c, m)
+    val cms = pqCodebooks(c, m, ksub, sub)
+    val c8 = c.select(col("neighbor_id"),
+      pqEncode(col("cv"), cms, sub).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+
+    // ADC candidate stage: reconstruct from codes, score, keep top k·mult
+    val cand = broadcast(q).crossJoin(c8)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore",
+        VectorFunctions.cosine(col("qv"), pqReconstruct(col("codes"), cms)))
+    exactRescore(pqCandTop(cand, k * rescoreMult), c, q, k)
+  }
+
+  /** dim/m, with the divisibility check (dim read from one corpus row). */
+  private[graft] def pqSubDim(c: DataFrame, m: Int): Int = {
+    val dim = c.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    dim / m
+  }
+
+  /** Per-subspace PQ codebooks: the IVF quantizer ([[ivfCentroids]] —
+    * hash-sampled seeds + fixed-point Lloyd) run on each width-`sub`
+    * slice of an [[ivfCorpus]]-shaped frame. centMatrix's
+    * list_id-ascending ordering makes code j a stable index into mats. */
+  private[graft] def pqCodebooks(c: DataFrame, m: Int, ksub: Int,
+      sub: Int): IndexedSeq[CentMatrix] =
+    pqCodebookFrames(c, m, ksub, sub).map(centMatrix)
+
+  /** The codebooks as (list_id, centv) frames — the persistable form
+    * ([[graft.pipeline.SilverIndex.refreshIvfPq]] freezes these);
+    * [[centMatrix]]'s list_id-ascending ordering reproduces the code →
+    * mats-index mapping exactly on reload. */
+  private[graft] def pqCodebookFrames(c: DataFrame, m: Int, ksub: Int,
+      sub: Int): IndexedSeq[DataFrame] =
+    (0 until m).map { j =>
+      val cj = c.select(col("neighbor_id"),
+        slice(col("cv"), j * sub + 1, sub).as("cv"))
+      ivfCentroids(cj, ksub)
+    }
+
+  /** m-code PQ encoding of `vec`: one [[graft.functions.NearestCentroid]]
+    * argmin per subspace — a narrow codegen map, no exchange. */
+  private[graft] def pqEncode(vec: Column, cms: Seq[CentMatrix], sub: Int): Column =
+    array(cms.zipWithIndex.map { case (cm, j) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            slice(vec, j * sub + 1, sub)),
+          cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null))
+    }: _*)
+
+  /** Code-reconstructed corpus vector: per-subspace codebook lookups
+    * (`element_at` on literal arrays) concatenated — all codegen
+    * built-ins; the codebooks ride the plan as literals (m·ksub·sub
+    * doubles, KBs). */
+  private[graft] def pqReconstruct(codes: Column, cms: Seq[CentMatrix]): Column = {
+    val books = cms.map(cm => typedLit(cm.mats.map(_.toSeq).toSeq))
+    concat(cms.indices.map(j =>
+      element_at(books(j), element_at(codes, j + 1) + 1)): _*)
+  }
+
+  /** Top `n` candidates per query by quantized score → (query_id,
+    * neighbor_id); the ranking shuffle carries (ids, qscore), never a
+    * vector or code column. */
+  private[graft] def pqCandTop(cand: DataFrame, n: Int): DataFrame = {
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"), col("qscore"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= n)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact-cosine rescore of a small (query_id, neighbor_id) candidate
+    * set — the [[quantizedTopK]] discipline: candidates broadcast INTO
+    * the float corpus scan (corpus side never shuffles), query vectors
+    * attach the same way, per-query top-k window on exact cosine. */
+  private[graft] def exactRescore(top: DataFrame, c: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    val rescored = c.join(broadcast(top), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-PQ composite top-k — the production ANN shape at corpus sizes
+    * where even one linear ADC scan per query batch is too much (FAISS's
+    * IndexIVFPQ, Jégou et al. 2011): the coarse IVF quantizer prunes the
+    * candidate scan to the `nprobe` nearest of `nlist` inverted lists,
+    * and candidates inside probed lists score against their PQ codes
+    * (asymmetric distance), so the scan reads nprobe/nlist of the corpus
+    * at m·log₂(ksub) bits per vector; the float corpus is touched only
+    * by the exact rescore of k·rescoreMult candidates per query.
+    * Composes [[ivfTopK]]'s pruning machinery (frozen-centroid narrow-map
+    * assignment + probe selection; disjoint lists, so no pair dedup) with
+    * [[pqTopK]]'s code scoring — every stage is a narrow codegen map or a
+    * broadcast join; the only shuffle is the (ids, qscore) candidate
+    * ranking.
+    *
+    * Codes here are raw-vector PQ against corpus-trained shared
+    * codebooks. FAISS's default refinement — encoding the RESIDUAL
+    * v − centroid(list) — buys tighter codes but would force element-wise
+    * vector subtraction into the encode and ADC projections, and Spark's
+    * only built-in for that is a higher-order function (CodegenFallback —
+    * the measured 2× interpreted-eval cliff this file's assignment kernel
+    * exists to avoid); the exact rescore recovers most of the residual
+    * gap at a rescoreMult that costs |Q|·k·mult broadcast rows. Fully
+    * deterministic (frozen quantizers, per-row argmins, left-to-right
+    * double cosine) → golden-pinned (`a10_ann_ivfpq`); AnnSpec holds the
+    * recall floor vs brute force. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 32, rescoreMult: Int = 10): DataFrame = {
+    require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
+    val c = ivfCorpus(corpus, idCol, vecCol)
+    val sub = pqSubDim(c, m)
+    val cents = ivfCentroids(c, nlist)
+    val assigned = ivfAssign(c, cents)
+    val cms = pqCodebooks(c, m, ksub, sub)
+    // the persisted-index shape: (neighbor_id, list_id, codes) — at scale
+    // this is the SilverIndex table, partitioned by list_id for pruning
+    val c8 = assigned.select(col("neighbor_id"), col("list_id"),
+      pqEncode(col("cv"), cms, sub).as("codes"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeLists(q0, cents, nprobe,
+      idTypeFallback = Some(assigned.schema("list_id").dataType))
+    val cand = broadcast(probes).join(c8, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore",
+        VectorFunctions.cosine(col("qv"), pqReconstruct(col("codes"), cms)))
+    exactRescore(pqCandTop(cand, k * rescoreMult), c, q0, k)
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate

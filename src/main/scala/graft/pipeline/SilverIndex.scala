@@ -187,4 +187,116 @@ object SilverIndex {
     AnnSearch.ivfTopKFromAssigned(q0, ivfAssigned(spark, path), cents,
       k, nprobe)
   }
+
+  // ----------------------------------------------------------------- IVF-PQ
+
+  private def bookPath(path: String) = s"$path/codebooks"
+  private def codesPath(path: String) = s"$path/codes"
+
+  /** Bring the IVF-PQ index at `path` up to date with `corpus` — the
+    * [[AnnSearch.ivfPqTopK]] composite with BOTH quantizers persisted
+    * and frozen. First call trains the coarse quantizer and the m
+    * per-subspace codebooks from the corpus and persists them
+    * (`centroids`, `codebooks` keyed by (subspace, list_id)); later
+    * calls reload the frozen quantizers and encode ONLY vectors whose
+    * ids are not yet in the code table, appending (neighbor_id, codes,
+    * list_id) partitioned by `list_id`. Encoding is per-row
+    * deterministic against frozen codebooks, so incremental ==
+    * from-scratch with the same quantizers, exactly (SilverIndexSpec
+    * proves table-level identity). At 10¹¹ vectors this table IS the
+    * ANN index: 40 bits of codes + a partition key per vector, probes
+    * partition-prune to nprobe/nlist of the files, and the weekly
+    * refresh costs ∝ |new docs|. Re-train by deleting the index dir
+    * (the FAISS-style rebuild cadence decision, as [[refreshIvf]]). */
+  def refreshIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int, path: String): Refresh = {
+    val spark = corpus.sparkSession
+    val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
+    val sub = AnnSearch.pqSubDim(c, m)
+    val cents =
+      if (fsExists(spark, centPath(path))) spark.read.parquet(centPath(path))
+      else {
+        val built = AnnSearch.ivfCentroids(c, nlist)
+        built.write.parquet(centPath(path))
+        built
+      }
+    val books =
+      if (fsExists(spark, bookPath(path))) loadCodebooks(spark, path, m, sub)
+      else {
+        val frames = AnnSearch.pqCodebookFrames(c, m, ksub, sub)
+        frames.zipWithIndex.map { case (f, j) =>
+            f.select(lit(j).as("subspace"), col("list_id"), col("centv"))
+          }.reduce(_ unionAll _)
+          .write.parquet(bookPath(path))
+        frames.map(AnnSearch.centMatrix)
+      }
+    val newC =
+      if (!fsExists(spark, codesPath(path))) c
+      else {
+        val ids = spark.read.parquet(codesPath(path)).select(col("neighbor_id"))
+        c.join(ids, Seq("neighbor_id"), "left_anti")
+      }
+    val before =
+      if (fsExists(spark, codesPath(path)))
+        spark.read.parquet(codesPath(path)).count()
+      else 0L
+    AnnSearch.ivfAssign(newC, cents)
+      .select(col("neighbor_id"),
+        AnnSearch.pqEncode(col("cv"), books, sub).as("codes"), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(codesPath(path))
+    val total = spark.read.parquet(codesPath(path)).count()
+    Refresh(total - before, total)
+  }
+
+  /** The frozen per-subspace codebooks reloaded as the kernel matrices:
+    * filtering each subspace and re-running [[AnnSearch.centMatrix]]
+    * reproduces the code → matrix-row mapping exactly (list_id-ascending
+    * ordering, same driver-side widening). Widths are validated against
+    * the refresh parameters so a mismatched re-run fails loudly. */
+  private def loadCodebooks(spark: SparkSession, path: String, m: Int,
+      sub: Int): IndexedSeq[AnnSearch.CentMatrix] = {
+    val all = spark.read.parquet(bookPath(path))
+    val nSub = all.select(countDistinct(col("subspace"))).head().getLong(0)
+    require(nSub == m,
+      s"index at $path has $nSub subspaces, refresh requested $m — " +
+        "rebuild, don't mix")
+    val width = all.select(max(size(col("centv")))).head().getInt(0)
+    require(width == sub,
+      s"index at $path has subvector width $width, refresh derived $sub — " +
+        "rebuild, don't mix")
+    (0 until m).map(j => AnnSearch.centMatrix(
+      all.where(col("subspace") === j).select(col("list_id"), col("centv"))))
+  }
+
+  /** ANN top-k against the PERSISTED IVF-PQ index: no quantizer build,
+    * no corpus-wide encode — probes select lists via the frozen coarse
+    * quantizer (partition-pruned read of the code table), candidates
+    * score on their codes (ADC), and the float `corpus` is touched only
+    * by the exact rescore of the top k·rescoreMult (broadcast join into
+    * the corpus scan — never a corpus shuffle). */
+  def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, path: String, k: Int, nprobe: Int,
+      rescoreMult: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(centPath(path))
+    val shape = spark.read.parquet(bookPath(path))
+      .select(countDistinct(col("subspace")), max(size(col("centv")))).head()
+    val (m, sub) = (shape.getLong(0).toInt, shape.getInt(1))
+    val books = loadCodebooks(spark, path, m, sub)
+    val codes = spark.read.parquet(codesPath(path))
+      .withColumn("list_id",
+        col("list_id").cast(cents.schema("list_id").dataType))
+      .select(col("neighbor_id"), col("codes"), col("list_id"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = AnnSearch.probeLists(q0, cents, nprobe,
+      idTypeFallback = Some(codes.schema("list_id").dataType))
+    val cand = org.apache.spark.sql.functions.broadcast(probes)
+      .join(codes, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore", graft.functions.VectorFunctions.cosine(
+        col("qv"), AnnSearch.pqReconstruct(col("codes"), books)))
+    val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
+    AnnSearch.exactRescore(
+      AnnSearch.pqCandTop(cand, k * rescoreMult), c, q0, k)
+  }
 }

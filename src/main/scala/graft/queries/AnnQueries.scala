@@ -84,6 +84,32 @@ object AnnQueries {
       AnnSearch.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         theta = 0.45, bits = 6, tables = 16)),
 
+    // PQ ANN: 8 subspaces × 32-entry codebooks (m·log2(ksub) = 40 BITS
+    // per 64-dim vector, ~51× narrower than float32; SQ8 is 4×),
+    // asymmetric-distance candidate scoring + exact rescore of the top
+    // 10k. Parameterization from tools/pqprobe_r6.txt (recall@5 0.84 at
+    // this setting; coarser m=4 codebooks bottom out at 0.5). The
+    // quantizer IS the operator (per-subspace Lloyd), so like a2/a3 it
+    // is golden-pinned, with the recall floor held in AnnSpec.
+    "a9_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.AnnSearch.pqTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 32, rescoreMult = 10)
+    }),
+
+    // IVF-PQ composite (FAISS IndexIVFPQ shape): coarse quantizer prunes
+    // the ADC scan to nprobe/nlist of the corpus, candidates score on
+    // 40-bit PQ codes, exact rescore of the top 10k. Same golden-pin
+    // discipline as a3/a9 (the quantizers ARE the operator); AnnSpec
+    // holds the recall floor and the probed-lists containment.
+    "a10_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.AnnSearch.ivfPqTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10)
+    }),
+
     // SemDeDup: semantic near-dup removal with k-means cluster blocking
     // (Abbas et al. 2023) — candidates only within a cluster of the
     // deterministic Lloyd quantizer, survivors keep the min id. No

@@ -103,6 +103,76 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("PQ top-k: useful recall vs brute force, exact-cosine output, deterministic") {
+    val exact = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqDf = AnnSearch.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 32, rescoreMult = 10)
+    val pq = pqDf.collect()
+    // per-query bound + local rank ordering
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // rescored cosines are the EXACT cosines (same pair → same value as
+    // brute force)
+    val exactCos = AnnSearch.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(c == r.getDouble(2), s"$key"))
+    }
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall")
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // deterministic under corpus repartitioning
+    val again = AnnSearch.pqTopK(queries, emb.repartition(7), "vec_id",
+        "embedding", k = 5, m = 8, ksub = 32, rescoreMult = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again == pq.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+  }
+
+  test("IVF-PQ top-k: candidates respect IVF pruning, exact-cosine output, useful recall") {
+    val exact = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = AnnSearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10)
+      .collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.forall(_.getLong(1) != q))
+    }
+    // every emitted neighbor sits inside the query's probed lists: the
+    // same-parameter IVF-FLAT run at corpus-size k enumerates the FULL
+    // probed membership, so a10's pairs must be a subset — a violation
+    // means the PQ leg leaked candidates past the coarse quantizer
+    val probedAll = AnnSearch.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = Int.MaxValue, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(probedAll), s"leaked: ${got -- probedAll}")
+    // rescored cosines are the exact float cosines
+    val exactCos = AnnSearch.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(c == r.getDouble(2), s"$key"))
+    }
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 = $recall (nprobe 6/16, m=8, ksub=32)")
+    assert(recall >= 0.4, s"IVF-PQ recall $recall")
+    // deterministic under corpus repartitioning
+    val again = AnnSearch.ivfPqTopK(queries, emb.repartition(7), "vec_id",
+        "embedding", k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
+        rescoreMult = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+  }
+
   test("SemDeDup pairs are within-cluster exact pairs; survivors drop the max id") {
     val exact = AnnSearch.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -99,6 +99,80 @@ class SilverIndexSpec extends SparkTestBase {
     assert(fromIndex.count() > 0)
   }
 
+  test("ivf-pq: frozen-quantizer delta refresh == from-scratch; index-served == live composite") {
+    val path = tmp("silver-ivfpq")
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+
+    val r1 = SilverIndex.refreshIvfPq(base, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 32, path = path)
+    assert(r1.appended == base.count())
+    val r2 = SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 32, path = path)
+    assert(r2.appended == emb.where(col("vec_id") % 4 === 0).count(),
+      s"delta refresh appended ${r2.appended}, expected only the new docs")
+    assert(r2.total == emb.count())
+    val r3 = SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 32, path = path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+
+    // the incrementally-built code table == one-shot encode of the FULL
+    // corpus against the SAME frozen quantizers (copy them to a fresh
+    // index dir, refresh once): encoding is per-row deterministic, so
+    // delta-vs-scratch identity is exact table equality
+    val scratchPath = tmp("silver-ivfpq-scratch")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/centroids"), fs,
+      new org.apache.hadoop.fs.Path(s"$scratchPath/centroids"),
+      false, spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/codebooks"), fs,
+      new org.apache.hadoop.fs.Path(s"$scratchPath/codebooks"),
+      false, spark.sessionState.newHadoopConf())
+    SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 32, path = scratchPath)
+    def codeSet(p: String): Set[String] =
+      rowSet(spark.read.parquet(s"$p/codes")
+        .select(col("neighbor_id"), col("codes"),
+          col("list_id").cast("string")))
+    assert(codeSet(path) == codeSet(scratchPath))
+
+    // served top-k is identical across the two index builds
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val fromIndex = SilverIndex.ivfPqTopKFromIndex(q, emb, "vec_id",
+      "embedding", path, k = 5, nprobe = 6, rescoreMult = 10)
+    val again = SilverIndex.ivfPqTopKFromIndex(q, emb, "vec_id",
+      "embedding", scratchPath, k = 5, nprobe = 6, rescoreMult = 10)
+    assert(rowSet(fromIndex) == rowSet(again))
+    assert(fromIndex.count() > 0)
+
+    // and an index trained in ONE refresh on the full corpus serves
+    // results identical to the live ivfPqTopK composite: both train the
+    // same deterministic quantizers on the same input, so persisted-vs-
+    // in-plan is exact row equality — the round-trip proof that nothing
+    // is lost (or gained) by going through parquet
+    val onePath = tmp("silver-ivfpq-oneshot")
+    SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 32, path = onePath)
+    val servedOne = SilverIndex.ivfPqTopKFromIndex(q, emb, "vec_id",
+      "embedding", onePath, k = 5, nprobe = 6, rescoreMult = 10)
+    val live = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10)
+    assert(rowSet(servedOne) == rowSet(live))
+  }
+
+  test("ivf-pq: subspace-count mismatch is rejected, not silently mixed") {
+    val path = tmp("silver-ivfpq-m")
+    SilverIndex.refreshIvfPq(emb.limit(100), "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path = path)
+    val e = intercept[IllegalArgumentException] {
+      SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+        nlist = 8, m = 4, ksub = 16, path = path)
+    }
+    assert(e.getMessage.contains("subspaces"))
+  }
+
   test("bm25 postings: base+delta refresh == from-scratch; index queries match live") {
     val path = tmp("silver-post")
     val base = docs.where(col("doc_id") % 4 =!= 0)

@@ -18,11 +18,13 @@ import graft.{SparkEntry, SparkTestBase}
 class GoldenHashSpec extends SparkTestBase {
 
   private val pinnedSf0001 = Map(
+    "a10_ann_ivfpq" -> (50L, "77bdf7b702bc48a0"),
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
     "a3_ann_ivf" -> (50L, "1af51358e9ee08ab"),
     "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
     "a5_ann_recall" -> (2L, "53a52499814a2b46"),
     "a6_incr_ivf" -> (50L, "fb1f0e7b543084a7"),
+    "a9_ann_pq" -> (50L, "9b30196313781817"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
@@ -55,11 +57,13 @@ class GoldenHashSpec extends SparkTestBase {
   // the driver's CORRECTNESS gate runs at sf0.01 — pin that scale too so
   // a drift visible only at the gate's scale still fails sbt test
   private val pinnedSf01 = Map(
+    "a10_ann_ivfpq" -> "f113e394d57073fe",
     "a2_ann_lsh" -> "221d7e490852c370",
     "a3_ann_ivf" -> "b604970f3c6f060e",
     "a4_neardup_lsh" -> "33464f57b6c9d31e",
     "a5_ann_recall" -> "3ba15df77338632d",
     "a6_incr_ivf" -> "635a548f0b12b371",
+    "a9_ann_pq" -> "1ba543ab527ee29a",
     "d4_simhash_pairs" -> "c015e8e4ac029638",
     "d9_semdedup" -> "f023a2b1aec517f2",
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
