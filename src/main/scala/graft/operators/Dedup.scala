@@ -355,6 +355,62 @@ object Dedup {
       .select(col("corpus_id"), col("ref_id"), col("jaccard"))
   }
 
+  /** Exact anti-join via BLOOM SEMI-JOIN REDUCTION — dedup/decontaminate
+    * a corpus against a reference KEY SET in the regime between
+    * "broadcast the exact set" (up to ~10⁷ keys) and "full shuffle join"
+    * (the fallback beyond ~10⁹): the reference keys aggregate
+    * distributively into one Bloom filter (`fpp` at `expectedItems` —
+    * ~1.2 GB bits at 10⁹ keys / 1% fpp, still plan-shippable where the
+    * exact set long since isn't), every corpus row probes the bits as a
+    * codegen predicate (Spark's own `BloomFilterMightContain`, the
+    * runtime-filter machinery's expression), and ONLY the might-contain
+    * rows — true hits + ~fpp of the rest — reach the verifying anti-join.
+    * No false negatives by Bloom's contract, and the verify join removes
+    * the false positives, so the output is EXACTLY the plain anti-join
+    * (the `c9` oracle asserts that): the Bloom changes cost, never
+    * semantics. At 100 TB the corpus-side shuffle shrinks from |corpus|
+    * rows to |hits| + fpp·|corpus| — the dominant cost of re-crawl
+    * dedup, where hit rates are a few percent.
+    *
+    * Keys probe as `xxhash64(key)` longs on both sides (the filter's
+    * domain); the verify join compares the KEY ITSELF, so an xxhash64
+    * collision can cost a verification probe, never a wrong drop.
+    * Returns corpus rows whose `key` appears in no ref row. */
+  def bloomAntiJoin(corpus: DataFrame, ref: DataFrame, key: Column,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val mightContain = bloomMightContain(ref, key, expectedItems, fpp)
+    // definitely-clean rows never see a join; suspects verify on the key
+    val clean = corpus.where(!mightContain)
+    val verified = corpus.where(mightContain)
+      .join(ref.select(key.as("__refk")).distinct(),
+        key === col("__refk"), "left_anti")
+    clean.unionAll(verified)
+  }
+
+  /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates
+    * `ref`'s `xxhash64(key)`s into a Bloom filter (distributive
+    * partition-merge, `sketch.BloomFilter`) and returns a codegen
+    * might-contain predicate over the same hash (Spark's own
+    * `BloomFilterMightContain` — the runtime-filter expression — with
+    * the frozen bits as a binary literal). False → key DEFINITELY not in
+    * ref; true → verify. Usable alone as a pre-shuffle row filter (the
+    * runtime-filter pattern, but against a persisted/cross-job set). */
+  def bloomMightContain(ref: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Column = {
+    val bloom = ref.select(xxhash64(key).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(key))))
+  }
+
   /** MinHash signature column: array of `numHashes` min-hashes of the
     * shingle set, using xxhash64(seed_i, shingle). Empty sets get
     * Long.MaxValue sentinels (never collide with real buckets).

@@ -290,11 +290,13 @@ object SilverIndex {
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = AnnSearch.probeLists(q0, cents, nprobe,
       idTypeFallback = Some(codes.schema("list_id").dataType))
+      .withColumn("__lut", AnnSearch.pqQueryLut(col("qv"), books, sub))
+      .withColumn("__qn", graft.functions.VectorFunctions.norm(col("qv")))
     val cand = org.apache.spark.sql.functions.broadcast(probes)
       .join(codes, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qscore", graft.functions.VectorFunctions.cosine(
-        col("qv"), AnnSearch.pqReconstruct(col("codes"), books)))
+      .withColumn("qscore",
+        AnnSearch.pqAdcCosine(col("__lut"), col("__qn"), col("codes"), books))
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
     AnnSearch.exactRescore(
       AnnSearch.pqCandTop(cand, k * rescoreMult), c, q0, k)

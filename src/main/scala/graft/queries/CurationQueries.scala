@@ -144,6 +144,21 @@ object CurationQueries {
         "doc_id", "lang", "n_tokens", "budget-r6",
         Map("en" -> 4000L, "es" -> 1500L, "de" -> 800L))),
 
+    // Bloom semi-join reduction decontamination: exact anti-join of the
+    // corpus against a "seen" reference key set (every 7th doc's text),
+    // with the corpus-side join input pruned by a distributively-built
+    // Bloom filter — definitely-clean rows (no false negatives) skip the
+    // join entirely; ~fpp of the rest verify on the key itself. The
+    // Bloom changes cost, never semantics, so this approximate-machinery
+    // query carries a REAL oracle (plain NOT EXISTS).
+    "c9_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.bloomAntiJoin(
+        docs, docs.where(col("doc_id") % 7 === 0), col("text"),
+        expectedItems = 1000L, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // Data card: the per-stratum corpus summary a dataset release ships
     // (docs, token totals/extremes, median length per language) —
     // integer aggregates plus the DISTRIBUTED exact median
@@ -262,6 +277,13 @@ object CurationQueries {
         |WHERE CAST(len(list_intersect(c.s, r.s)) AS DOUBLE) /
         |      CAST(len(c.s) + len(r.s) - len(list_intersect(c.s, r.s)) AS DOUBLE)
         |      >= 0.5""".stripMargin,
+
+    // the Bloom is pure cost-shaping: the exact semantics ARE the plain
+    // anti-join, so the oracle is a NOT EXISTS on the key itself
+    "c9_bloom_decontam" ->
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 7 = 0 AND r.text = d.text)""".stripMargin,
 
     // rate thresholds: Splits.thresholdHex(0.5) = 800000000000,
     // thresholdHex(0.25) = 400000000000

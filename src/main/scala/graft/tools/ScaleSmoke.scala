@@ -51,6 +51,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode.contains("pq")) {
+      pqAtScale(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
     val nDocs = mode.map(_.toInt).getOrElse(100000)
 
     // seeded corpus + embeddings shared with the asserted canary suite
@@ -166,6 +171,79 @@ object ScaleSmoke {
         s"component verification failed: rows=$rows bad=$bad")
       comp.unpersist(); edges.unpersist()
     }
+  }
+
+  /** PQ/IVF-PQ at 1M vectors — the measured leg of the a9/a10 scale
+    * story. Times, on the same 100-query batch:
+    *
+    *  1. `pq_flat_topk` (a9 shape): one full-corpus ADC scan per batch —
+    *     compression without pruning, the baseline the composite must
+    *     beat once |corpus| makes even a narrow linear scan the cost.
+    *  2. `ivfpq_build`: [[graft.pipeline.SilverIndex.refreshIvfPq]] full
+    *     build — BOTH quantizers trained (nlist coarse + m×ksub books,
+    *     3 + 3m corpus passes, all narrow maps + nlist-row aggs) and the
+    *     whole corpus encoded/persisted. Paid once.
+    *  3. `ivfpq_from_index` (a10 serving shape): probes prune the code
+    *     scan to nprobe/nlist of the partitioned code table; no build
+    *     cost on the query path at all.
+    *  4. `ivfpq_delta(+10k)`: the weekly-refresh contract — frozen
+    *     quantizers, encode only the 10k new ids, append.
+    *  5. recall@5 of both paths vs the exact brute-force baseline on the
+    *     same batch (the a5 contract, measured at 1000× the gate scale).
+    *
+    * Run: `sbt -J-Xmx10g "runMain graft.tools.ScaleSmoke pq [n]"`. */
+  private def pqAtScale(spark: SparkSession, n: Long): Unit = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-smoke").toString
+    val emb = SyntheticScale.embeddings(spark, n)
+    val q = emb.where(col("vec_id") % (n / 100) === 0)
+    println(s"[scale] pq: $n vectors x 64 dims, ${q.count()} queries, " +
+      "m=8 ksub=32 (40-bit codes), nlist=64 nprobe=8")
+
+    val exact = timed("brute_force(baseline)") {
+      val e = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[scale]   exact pairs=${e.size}")
+      e
+    }
+    def recallOf(name: String, got: Set[(Long, Long)]): Unit = {
+      val recall = (exact intersect got).size.toDouble / exact.size
+      println(f"[scale]   $name recall@5=$recall%.3f (${got.size} rows)")
+    }
+
+    val flat = timed("pq_flat_topk(full ADC scan)") {
+      AnnSearch.pqTopK(q, emb, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 32, rescoreMult = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    recallOf("pq_flat", flat)
+
+    val built = timed("ivfpq_build(train+encode+persist)") {
+      graft.pipeline.SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+        nlist = 64, m = 8, ksub = 32, path = s"$root/ivfpq")
+    }
+    println(s"[scale]   appended=${built.appended} total=${built.total}")
+    val served = timed("ivfpq_from_index(nprobe=8)") {
+      graft.pipeline.SilverIndex.ivfPqTopKFromIndex(q, emb, "vec_id",
+        "embedding", s"$root/ivfpq", k = 5, nprobe = 8, rescoreMult = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    recallOf("ivfpq", served)
+
+    val embPlus = SyntheticScale.embeddings(spark, n + 10000)
+    val delta = timed("ivfpq_delta(+10k)") {
+      graft.pipeline.SilverIndex.refreshIvfPq(embPlus, "vec_id", "embedding",
+        nlist = 64, m = 8, ksub = 32, path = s"$root/ivfpq")
+    }
+    println(s"[scale]   appended=${delta.appended} total=${delta.total} " +
+      s"(delta cost ∝ new docs: ${built.appended} vs ${delta.appended} encoded)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   private def incrementalIndex(spark: SparkSession, nDocs: Int): Unit = {

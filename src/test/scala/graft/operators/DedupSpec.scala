@@ -232,6 +232,42 @@ class DedupSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("bloomAntiJoin == plain anti-join exactly; the bloom prunes the verify input") {
+    val ref = docs.where(col("doc_id") % 7 === 0)
+    val got = Dedup.bloomAntiJoin(docs, ref, col("text"),
+        expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = docs.join(ref.select(col("text")).distinct(), Seq("text"),
+        "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == plain)
+    assert(got.nonEmpty && got.size < docs.count(),
+      "fixture must drop some rows and keep some")
+    // the pruning claim: rows that reach the verify join (bloom
+    // might-contain) are ≈ true hits + fpp of the rest, nowhere near the
+    // full corpus — i.e. the bloom actually prunes the join input
+    val total = docs.count()
+    val hits = total - got.size
+    val suspects = docs.where(Dedup.bloomMightContain(ref, col("text"),
+      expectedItems = 1000L, fpp = 0.01)).count()
+    assert(suspects >= hits, "bloom must have no false negatives")
+    assert(suspects < total * 0.5,
+      s"bloom pruned nothing: $suspects suspects of $total rows")
+  }
+
+  test("bloomAntiJoin at high fpp still returns the exact result") {
+    // fpp 0.5 floods the verify join with false positives — semantics
+    // must not move (the bloom is cost-shaping only)
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val got = Dedup.bloomAntiJoin(docs, ref, col("text"),
+        expectedItems = 10L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = docs.join(ref.select(col("text")).distinct(), Seq("text"),
+        "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == plain)
+  }
+
   test("sorted_long_jaccard_ge rejects non-finite / out-of-range theta at analysis") {
     // theta is interpolated into generated Java — NaN must fail cleanly,
     // not produce uncompilable codegen. SQL literals can't spell NaN, so

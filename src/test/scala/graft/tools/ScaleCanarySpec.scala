@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *  - salted vs unsalted scored pairs differing (salt identity bug),
   *  - the scored-pairs side being broadcast-BUILT past the row cap
   *    (join-back memory contract),
-  *  - an ANN recall collapse at smoke scale.
+  *  - an ANN recall collapse at smoke scale (IVF/LSH, and the IVF-PQ
+  *    composite with its persisted-index serving identity).
   *
   * Excluded from plain `sbt test` (runtime ~2–4 min); run with
   * `sbt -Dgraft.slow=1 slowTest`.
@@ -185,6 +186,32 @@ class ScaleCanarySpec extends SparkTestBase {
     val rLsh = (exact intersect lsh).size.toDouble / exact.size
     info(s"smoke-scale LSH recall@5 = $rLsh")
     assert(rLsh >= 0.3, s"LSH recall collapsed at smoke scale: $rLsh")
+  }
+
+  test("IVF-PQ recall holds at smoke scale; incremental index identical", Slow) {
+    val q = emb.where(col("vec_id") % 1000 === 0)
+    val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 64, nprobe = 8, m = 8, ksub = 32, rescoreMult = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = (exact intersect live).size.toDouble / exact.size
+    info(s"smoke-scale IVF-PQ recall@5 = $r over ${exact.size / 5} queries")
+    assert(r >= 0.35, s"IVF-PQ recall collapsed at smoke scale: $r")
+    // the persisted-index serving path returns the SAME pairs as the
+    // live composite when the index is trained on the same corpus (the
+    // SilverIndexSpec identity, held at smoke scale)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-canary-ivfpq").toString + "/ix"
+    graft.pipeline.SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 64, m = 8, ksub = 32, path = path)
+    val served = graft.pipeline.SilverIndex.ivfPqTopKFromIndex(q, emb,
+      "vec_id", "embedding", path, k = 5, nprobe = 8, rescoreMult = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == live, "index-served IVF-PQ diverged from the live composite")
   }
 
   private def rowSet(df: DataFrame): Set[String] =
