@@ -26,6 +26,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // filter-less count()/min/max over parquet answer from footer
+      // metadata instead of scanning row groups — the incremental-index
+      // refreshes (SilverIndex) count their tables before and after every
+      // append, and at 10¹¹ indexed rows a footer read is the difference
+      // between a metadata op and a table scan. Exact (falls back to a
+      // scan wherever pushdown doesn't apply).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
     master.fold(b)(m => b.master(m))
   }
 

@@ -574,3 +574,109 @@ case class HyperplaneSig(child: Expression, offset: Int, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Kernel behind [[PqLut]]: the whole flat ADC lookup table in one
+  * compiled pass. Parity contract with the per-entry composition it
+  * replaced (`array(m·ksub VecDot(slice(qv, j·sub+1, sub), litEntry)
+  * columns)`): same overlap rule per entry (min of the slice's and the
+  * codebook entry's lengths — a query shorter than j·sub contributes an
+  * empty slice and a 0.0 dot, exactly as `slice` + VecDot did), same
+  * null propagation (null query vector or a null element inside the
+  * overlap nulls THAT entry, never the whole table), same left-to-right
+  * double accumulation per entry. The per-entry column formulation was
+  * correct but m·ksub = 256 expressions at the a9 parameterization —
+  * Janino compile time of the query-side projection dominated the whole
+  * query below corpus sizes that saturate a task. */
+object VectorKernelPq {
+  def lut(v: ArrayData, vIsFloat: Boolean,
+      books: Array[Array[Array[Double]]], sub: Int): ArrayData = {
+    var total = 0
+    var j = 0
+    while (j < books.length) { total += books(j).length; j += 1 }
+    val out = new Array[Any](total)
+    val vLen = if (v == null) 0 else v.numElements()
+    var o = 0
+    j = 0
+    while (j < books.length) {
+      val start = j * sub
+      val sliceLen = math.max(0, math.min(vLen - start, sub))
+      val book = books(j)
+      var k = 0
+      while (k < book.length) {
+        if (v == null) out(o) = null
+        else {
+          val mat = book(k)
+          val n = math.min(sliceLen, mat.length)
+          var acc = 0.0
+          var i = 0
+          var isNull = false
+          while (i < n && !isNull) {
+            if (v.isNullAt(start + i)) isNull = true
+            else {
+              val x = if (vIsFloat) v.getFloat(start + i).toDouble
+                      else v.getDouble(start + i)
+              acc += x * mat(i)
+              i += 1
+            }
+          }
+          out(o) = if (isNull) null else java.lang.Double.valueOf(acc)
+        }
+        o += 1
+        k += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `pq_lut(qv)` against driver-frozen per-subspace codebooks — the flat
+  * asymmetric-distance lookup table (lut[offⱼ + k] = dot(q_j,
+  * codebook_j[k])) as ONE codegen'd expression (see
+  * [[VectorKernelPq.lut]] for the parity contract). Never null itself;
+  * entries are null exactly where the per-entry VecDot columns were. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]],
+    sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(books.nonEmpty, "pq_lut needs at least one codebook")
+  require(sub >= 1, "subvector width must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // a NULL query vector must reach the kernel (it yields the all-null
+  // table, as the per-entry columns did), so bypass the null short-circuit
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    VectorKernelPq.lut(child.eval(input).asInstanceOf[ArrayData], isFloat,
+      books, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val childGen = child.genCode(ctx)
+    val isF = isFloat.toString
+    val resultCode =
+      code"""
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.functions.VectorKernelPq.lut(
+        |    ${childGen.isNull} ? null : ${childGen.value}, $isF,
+        |    $booksRef, $sub);
+      """.stripMargin
+    ev.copy(code = childGen.code + resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -244,10 +244,63 @@ object AnnSearch {
       array(rows.toIndexedSeq.map(r => litOf(r.get(0), idType)): _*)
   }
 
+  /** Spark-identical EXTERNAL ordering for a list_id column type, where
+    * one exists: ascending nulls-first, strings by UTF8String binary
+    * order (Scala's String ordering is UTF-16 code-unit order — differs
+    * on supplementary characters), doubles/floats by SQLOrderingUtil
+    * (NaN ranks greatest). Types without a verified match (timestamps,
+    * intervals, nested) return None and keep the distributed sort. */
+  private def listIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val base: Option[(Any, Any) => Int] = dt match {
+      case LongType => Some((a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+      case IntegerType => Some((a, b) =>
+        java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case ShortType => Some((a, b) =>
+        java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short]))
+      case ByteType => Some((a, b) =>
+        java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+      case BooleanType => Some((a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      case DoubleType => Some((a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
+          a.asInstanceOf[Double], b.asInstanceOf[Double]))
+      case FloatType => Some((a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
+          a.asInstanceOf[Float], b.asInstanceOf[Float]))
+      case StringType => Some((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])))
+      case _: DecimalType => Some((a, b) =>
+        a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal]))
+      case _ => None
+    }
+    base.map(cmp => (x: Any, y: Any) =>
+      if (x == null && y == null) 0
+      else if (x == null) -1 // ascending = nulls first, Spark's default
+      else if (y == null) 1
+      else cmp(x, y))
+  }
+
   private[graft] def centMatrix(cents: DataFrame): CentMatrix = {
     val idType = cents.schema("list_id").dataType
-    val centRows = cents.select(col("list_id"), col("centv"))
-      .orderBy(col("list_id")).collect()
+    // ≤ nlist driver rows by construction — sort driver-side when the id
+    // type has a Spark-identical external ordering: a distributed
+    // orderBy().collect() on a 16-row frame costs a range-partition
+    // sample job plus a sort job, and the PQ path builds m·(iterations+1)
+    // matrices per query (24 sort jobs at a9's m=8 were most of the
+    // quantizer-training wall).
+    val centRows = listIdOrdering(idType) match {
+      case Some(ord) => cents.select(col("list_id"), col("centv"))
+        .collect().sortWith((a, b) => ord.compare(a.get(0), b.get(0)) < 0)
+      case None => cents.select(col("list_id"), col("centv"))
+        .orderBy(col("list_id")).collect()
+    }
     val mats = new Array[Array[Double]](centRows.length)
     val firstNull = new Array[Int](centRows.length)
     val nb2s = new Array[Double](centRows.length)
@@ -495,14 +548,83 @@ object AnnSearch {
   /** The codebooks as (list_id, centv) frames — the persistable form
     * ([[graft.pipeline.SilverIndex.refreshIvfPq]] freezes these);
     * [[centMatrix]]'s list_id-ascending ordering reproduces the code →
-    * mats-index mapping exactly on reload. */
+    * mats-index mapping exactly on reload.
+    *
+    * All m subspaces train in ONE shared pass, not m independent
+    * [[ivfCentroids]] runs: the hash sample keys on `neighbor_id`, not
+    * the subvector, so every subspace draws the SAME seed ids — one
+    * corpus TakeOrdered yields all m seed sets as driver-side slices —
+    * and each Lloyd iteration assigns + aggregates all subspaces in one
+    * job (per-row: m argmin kernels exploded to (subspace, list_id,
+    * subvector) rows; one map-side-combined shuffle of fixed-point sum
+    * buffers). Bit-identical to the per-subspace loop — same seeds, same
+    * argmin kernel per slice, and the 2²⁴ fixed-point integer sums are
+    * reduction-order-free — but 3 driver actions instead of 3·m (the
+    * per-subspace loop was 24 actions at m=8, and action latency is the
+    * whole cost of quantizer training below corpus sizes that saturate a
+    * task). */
   private[graft] def pqCodebookFrames(c: DataFrame, m: Int, ksub: Int,
-      sub: Int): IndexedSeq[DataFrame] =
-    (0 until m).map { j =>
-      val cj = c.select(col("neighbor_id"),
-        slice(col("cv"), j * sub + 1, sub).as("cv"))
-      ivfCentroids(cj, ksub)
+      sub: Int): IndexedSeq[DataFrame] = {
+    val spark = c.sparkSession
+    val elemType = c.schema("cv").dataType
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("list_id",
+        c.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("centv", elemType)))
+    def centFrame(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), centSchema)
+    val seedRows = c
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id"))
+      .limit(ksub)
+      .select(col("neighbor_id"), col("cv"))
+      .collect()
+    def sliceSeq(v: scala.collection.Seq[Any], j: Int): Any =
+      if (v == null) null else v.slice(j * sub, (j + 1) * sub)
+    var cents: IndexedSeq[IndexedSeq[org.apache.spark.sql.Row]] =
+      (0 until m).map { j =>
+        seedRows.toIndexedSeq.map(r => org.apache.spark.sql.Row(
+          r.get(0), sliceSeq(r.getAs[scala.collection.Seq[Any]](1), j)))
+      }
+    if (seedRows.isEmpty) return cents.map(centFrame)
+    val toElem: Double => Any = elemType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => d => d.toFloat
+      case _ => d => d
     }
+    val scale = (1L << 24).toDouble
+    (1 to 2).foreach { _ =>
+      val cms = cents.map(rows => centMatrix(centFrame(rows)))
+      val structs = array((0 until m).map { j =>
+        val cm = cms(j)
+        val sv = slice(col("cv"), j * sub + 1, sub)
+        val idx = org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.graft.ColumnBridge.expression(sv),
+            cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null))
+        struct(lit(j).as("sub"),
+          element_at(cm.listIds, idx + 1).as("list_id"), sv.as("sv"))
+      }: _*)
+      val sums = c.select(explode(structs).as("e"))
+        .select(col("e.sub").as("sub"), col("e.list_id").as("list_id"),
+          col("e.sv").as("sv"))
+        .groupBy(col("sub"), col("list_id"))
+        .agg(count(lit(1)).as("__n"),
+          graft.functions.VectorFunctions.sumFixed(col("sv"), scale, sub)
+            .as("__s"))
+        .collect()
+      cents = (0 until m).map { j =>
+        sums.iterator.filter(_.getAs[Int]("sub") == j).map { r =>
+          val n = r.getAs[Long]("__n").toDouble
+          val s = r.getAs[scala.collection.Seq[Long]]("__s")
+          org.apache.spark.sql.Row(r.get(1),
+            Array.tabulate[Any](sub)(i => toElem(s(i) / scale / n)).toSeq)
+        }.toIndexedSeq
+      }
+    }
+    cents.map(centFrame)
+  }
 
   /** m-code PQ encoding of `vec`: one [[graft.functions.NearestCentroid]]
     * argmin per subspace — a narrow codegen map, no exchange. */
@@ -528,11 +650,10 @@ object AnnSearch {
     * nested-LUT scoring was SLOWER than reconstruct-and-cosine). */
   private[graft] def pqQueryLut(qv: Column, cms: Seq[CentMatrix],
       sub: Int): Column =
-    array(cms.zipWithIndex.flatMap { case (cm, j) =>
-      val qj = slice(qv, j * sub + 1, sub)
-      cm.mats.indices.map(k =>
-        VectorFunctions.dot(qj, typedLit(cm.mats(k).toSeq)))
-    }: _*)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PqLut(
+        org.apache.spark.sql.graft.ColumnBridge.expression(qv),
+        cms.map(_.mats).toArray, sub))
 
   /** Entry offset of subspace j in the flat LUT / flat nb2 layout. */
   private def pqOffsets(cms: Seq[CentMatrix]): IndexedSeq[Int] =

@@ -159,7 +159,15 @@ object SilverIndex {
       if (fsExists(spark, asgPath(path)))
         spark.read.parquet(asgPath(path)).count()
       else 0L
+    // co-locate each list's rows before the partitioned write: without
+    // it every input task emits a file into every list dir (tasks ×
+    // nlist tiny files), which the refresh's own counts, the anti-join
+    // listing, and every probe read then pay for. One narrow shuffle of
+    // (id, cv, list_id) rows buys one file per (task, list) with AQE
+    // coalescing — at cluster scale, add more write tasks, not more
+    // files per list.
     AnnSearch.ivfAssign(newC, cents)
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(asgPath(path))
     val total = spark.read.parquet(asgPath(path)).count()
     Refresh(total - before, total)
@@ -243,6 +251,7 @@ object SilverIndex {
     AnnSearch.ivfAssign(newC, cents)
       .select(col("neighbor_id"),
         AnnSearch.pqEncode(col("cv"), books, sub).as("codes"), col("list_id"))
+      .repartition(col("list_id")) // one file per (task, list) — see refreshIvf
       .write.mode("append").partitionBy("list_id").parquet(codesPath(path))
     val total = spark.read.parquet(codesPath(path)).count()
     Refresh(total - before, total)
