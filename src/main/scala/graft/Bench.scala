@@ -45,7 +45,11 @@ object Bench {
       .flatMap(f => f.getName match {
         case fileRx(n) => Some((n.toInt, f))
         case _ => None
-      }).sortBy(-_._1).headOption.flatMap { case (_, f) =>
+      }).sortBy(-_._1).iterator.map { case (_, f) =>
+        // newest PARSEABLE file wins: the driver captures only the tail
+        // of the bench output, which can truncate mid-object (r6's file
+        // starts inside "queries") — skip such files instead of
+        // reporting no-previous-bench while older complete ones exist
         val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val body = if (raw.contains("\"queries\":{")) raw
           else raw.replace("\\\"", "\"")
@@ -56,7 +60,7 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           if (qs.isEmpty) None else Some(f.getName -> qs)
         }
-      }
+      }.collectFirst { case Some(x) => x }
   }
 
   /** The co-tenancy verdict (README "Bench methodology"), automated: box

@@ -40,9 +40,29 @@ object SilverIndex {
   /** What a refresh did: rows appended this run / total index rows. */
   final case class Refresh(appended: Long, total: Long)
 
-  private def fsExists(spark: SparkSession, path: String): Boolean = {
+  /** The table at `path` if it holds at least one DATA file, else None.
+    * An append of an EMPTY frame (a quiet streaming micro-batch, a
+    * refresh with nothing new on a fresh path) creates the directory
+    * with only _SUCCESS in it — and `spark.read.parquet` on that dir
+    * fails schema inference, which would wedge every later refresh.
+    * "Directory without data files" must mean "no index yet", not an
+    * error. */
+  private def readIfData(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
     val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // manual recursion so HIDDEN SUBTREES are skipped whole — a flat
+    // recursive listing would see e.g. _checkpoint/offsets/0 (the
+    // streaming checkpoint under the index path) as a data file, because
+    // only its own name is visible, not its hidden parent's
+    def hasData(dir: Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) false
+        else if (st.isFile) true
+        else hasData(st.getPath)
+      }
+    if (fs.exists(p) && hasData(p)) Some(spark.read.parquet(path)) else None
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -56,23 +76,20 @@ object SilverIndex {
   def refreshMinhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, path: String): Refresh = {
     val spark = docs.sparkSession
-    val newDocs =
-      if (!fsExists(spark, path)) docs
-      else {
-        val ix = spark.read.parquet(path)
-        val width = ix.select(max(size(col("sig")))).head()
-        require(width.isNullAt(0) || width.getInt(0) == numHashes,
-          s"index at $path has signature width ${width.get(0)}, " +
-            s"refresh requested $numHashes — rebuild, don't mix")
-        docs.join(ix.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
-      }
-    val before =
-      if (fsExists(spark, path)) spark.read.parquet(path).count() else 0L
+    val existing = readIfData(spark, path)
+    val newDocs = existing.fold(docs) { ix =>
+      val width = ix.select(max(size(col("sig")))).head()
+      require(width.isNullAt(0) || width.getInt(0) == numHashes,
+        s"index at $path has signature width ${width.get(0)}, " +
+          s"refresh requested $numHashes — rebuild, don't mix")
+      docs.join(ix.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+    }
+    val before = existing.fold(0L)(_.count())
     Dedup.minhashSets(newDocs, idCol, textCol, n, numHashes)
       .write.mode("append").parquet(path)
     // appended measured from the files that actually landed (parquet
     // row-count is metadata-cheap), not by re-running the delta lineage
-    val total = spark.read.parquet(path).count()
+    val total = readIfData(spark, path).fold(0L)(_.count())
     Refresh(total - before, total)
   }
 
@@ -101,16 +118,13 @@ object SilverIndex {
   def refreshPostings(docs: DataFrame, idCol: String, textCol: String,
       path: String): Refresh = {
     val spark = docs.sparkSession
-    val newDocs =
-      if (!fsExists(spark, path)) docs
-      else docs.join(
-        spark.read.parquet(path).select(col("doc").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    val before =
-      if (fsExists(spark, path)) spark.read.parquet(path).count() else 0L
+    val existing = readIfData(spark, path)
+    val newDocs = existing.fold(docs)(ix => docs.join(
+      ix.select(col("doc").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+    val before = existing.fold(0L)(_.count())
     TextSearch.postings(newDocs, idCol, textCol)
       .write.mode("append").parquet(path)
-    val total = spark.read.parquet(path).count()
+    val total = readIfData(spark, path).fold(0L)(_.count())
     Refresh(total - before, total)
   }
 
@@ -142,23 +156,18 @@ object SilverIndex {
       nlist: Int, path: String): Refresh = {
     val spark = corpus.sparkSession
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
-    val cents =
-      if (fsExists(spark, centPath(path))) spark.read.parquet(centPath(path))
-      else {
-        val built = AnnSearch.ivfCentroids(c, nlist)
-        built.write.parquet(centPath(path))
-        built
-      }
-    val newC =
-      if (!fsExists(spark, asgPath(path))) c
-      else {
-        val ids = spark.read.parquet(asgPath(path)).select(col("neighbor_id"))
-        c.join(ids, Seq("neighbor_id"), "left_anti")
-      }
-    val before =
-      if (fsExists(spark, asgPath(path)))
-        spark.read.parquet(asgPath(path)).count()
-      else 0L
+    // a centroids dir without data files means the quantizer was "built"
+    // on an empty corpus (e.g. a quiet first streaming micro-batch) —
+    // train it for real on the first non-empty one
+    val cents = readIfData(spark, centPath(path)).getOrElse {
+      val built = AnnSearch.ivfCentroids(c, nlist)
+      built.write.mode("overwrite").parquet(centPath(path))
+      built
+    }
+    val existing = readIfData(spark, asgPath(path))
+    val newC = existing.fold(c)(ix =>
+      c.join(ix.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
+    val before = existing.fold(0L)(_.count())
     // co-locate each list's rows before the partitioned write: without
     // it every input task emits a file into every list dir (tasks ×
     // nlist tiny files), which the refresh's own counts, the anti-join
@@ -169,7 +178,7 @@ object SilverIndex {
     AnnSearch.ivfAssign(newC, cents)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(asgPath(path))
-    val total = spark.read.parquet(asgPath(path)).count()
+    val total = readIfData(spark, asgPath(path)).fold(0L)(_.count())
     Refresh(total - before, total)
   }
 
@@ -221,39 +230,32 @@ object SilverIndex {
     val spark = corpus.sparkSession
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
     val sub = AnnSearch.pqSubDim(c, m)
-    val cents =
-      if (fsExists(spark, centPath(path))) spark.read.parquet(centPath(path))
-      else {
-        val built = AnnSearch.ivfCentroids(c, nlist)
-        built.write.parquet(centPath(path))
-        built
-      }
+    val cents = readIfData(spark, centPath(path)).getOrElse {
+      val built = AnnSearch.ivfCentroids(c, nlist)
+      built.write.mode("overwrite").parquet(centPath(path))
+      built
+    }
     val books =
-      if (fsExists(spark, bookPath(path))) loadCodebooks(spark, path, m, sub)
+      if (readIfData(spark, bookPath(path)).isDefined)
+        loadCodebooks(spark, path, m, sub)
       else {
         val frames = AnnSearch.pqCodebookFrames(c, m, ksub, sub)
         frames.zipWithIndex.map { case (f, j) =>
             f.select(lit(j).as("subspace"), col("list_id"), col("centv"))
           }.reduce(_ unionAll _)
-          .write.parquet(bookPath(path))
+          .write.mode("overwrite").parquet(bookPath(path))
         frames.map(AnnSearch.centMatrix)
       }
-    val newC =
-      if (!fsExists(spark, codesPath(path))) c
-      else {
-        val ids = spark.read.parquet(codesPath(path)).select(col("neighbor_id"))
-        c.join(ids, Seq("neighbor_id"), "left_anti")
-      }
-    val before =
-      if (fsExists(spark, codesPath(path)))
-        spark.read.parquet(codesPath(path)).count()
-      else 0L
+    val existing = readIfData(spark, codesPath(path))
+    val newC = existing.fold(c)(ix =>
+      c.join(ix.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
+    val before = existing.fold(0L)(_.count())
     AnnSearch.ivfAssign(newC, cents)
       .select(col("neighbor_id"),
         AnnSearch.pqEncode(col("cv"), books, sub).as("codes"), col("list_id"))
       .repartition(col("list_id")) // one file per (task, list) — see refreshIvf
       .write.mode("append").partitionBy("list_id").parquet(codesPath(path))
-    val total = spark.read.parquet(codesPath(path)).count()
+    val total = readIfData(spark, codesPath(path)).fold(0L)(_.count())
     Refresh(total - before, total)
   }
 
@@ -309,5 +311,123 @@ object SilverIndex {
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
     AnnSearch.exactRescore(
       AnnSearch.pqCandTop(cand, k * rescoreMult), c, q0, k)
+  }
+
+  // ------------------------------------------------- continuous maintenance
+
+  /** Continuous index maintenance: fold every micro-batch of a STREAMING
+    * document frame into the index at `path` through `refresh` — the
+    * same exact batch refreshes above, driven by Structured Streaming's
+    * `foreachBatch`. The refreshes' id anti-join is what makes this
+    * safe under streaming semantics: foreachBatch is at-least-once (a
+    * batch can replay after a failure between the append and the
+    * checkpoint commit), and a replayed batch's doc ids are already
+    * indexed, so the anti-join drops them and the replay appends ZERO
+    * rows — at-least-once delivery, exactly-once index
+    * (StreamingIndexSpec proves replay idempotence with a forced
+    * re-run). The checkpoint lives under the index path so the two
+    * travel together.
+    *
+    * This is the "weekly cron → continuous" upgrade of the reference's
+    * batch cadence: the index is always as fresh as the last
+    * micro-batch, and each batch costs ∝ its own new docs, never a
+    * corpus recompute. */
+  def streamingRefresh(docs: DataFrame, path: String)(
+      refresh: DataFrame => Refresh)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        refresh(batch); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
+  /** [[streamingRefresh]] pre-wired to [[refreshPostings]]. */
+  def streamingRefreshPostings(docs: DataFrame, idCol: String,
+      textCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(docs, path)(refreshPostings(_, idCol, textCol, path))
+
+  /** [[streamingRefresh]] pre-wired to [[refreshMinhash]]. */
+  def streamingRefreshMinhash(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(docs, path)(
+      refreshMinhash(_, idCol, textCol, n, numHashes, path))
+
+  /** [[streamingRefresh]] pre-wired to [[refreshIvf]] (first batch
+    * trains and freezes the quantizer, later batches assign-and-append
+    * — the standard IVF append discipline under streaming arrival). */
+  def streamingRefreshIvf(docs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(docs, path)(refreshIvf(_, idCol, vecCol, nlist, path))
+
+  // ----------------------------------------------------- compaction / stats
+
+  /** Index-health report for an IVF assignment table: list/row/file
+    * fragmentation and list-size imbalance. `filesPerList` grows by one
+    * per delta refresh per touched list (appends never rewrite), so a
+    * long-lived streaming index fragments; `imbalance` (max list rows /
+    * mean list rows) drifts as the frozen quantizer ages away from the
+    * data distribution. `rebuildRecommended` flags imbalance past
+    * `imbalanceThreshold` — the FAISS-style re-train decision, surfaced
+    * as a measurement instead of folklore. */
+  final case class IvfStats(lists: Long, rows: Long, files: Long,
+      maxListRows: Long, meanListRows: Double, imbalance: Double,
+      filesPerList: Double, rebuildRecommended: Boolean)
+
+  def ivfStats(spark: SparkSession, path: String,
+      imbalanceThreshold: Double = 4.0): IvfStats = {
+    val byList = spark.read.parquet(asgPath(path))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("lists"), sum(col("n")).as("rows"),
+        max(col("n")).as("maxN"))
+      .head()
+    val (lists, rows, maxN) =
+      (byList.getLong(0), Option(byList.get(1)).fold(0L)(_ => byList.getLong(1)),
+        Option(byList.get(2)).fold(0L)(_ => byList.getLong(2)))
+    val p = new Path(asgPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // hidden subtrees skipped whole, as in readIfData
+    def dataFiles(dir: Path): Long =
+      fs.listStatus(dir).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isFile) 1L
+        else dataFiles(st.getPath)
+      }.sum
+    val files = dataFiles(p)
+    val mean = if (lists == 0) 0.0 else rows.toDouble / lists
+    val imb = if (mean == 0.0) 0.0 else maxN / mean
+    IvfStats(lists, rows, files, maxN, mean, imb,
+      if (lists == 0) 0.0 else files.toDouble / lists,
+      rebuildRecommended = imb > imbalanceThreshold)
+  }
+
+  /** Rewrite the IVF assignment table into one sized file per list,
+    * undoing append fragmentation (every delta refresh adds a file per
+    * touched list; probe-time read cost is file-count-bound long before
+    * it is byte-bound). Same rows, same layout contract
+    * (`list_id`-partitioned), one narrow shuffle; the rewrite lands in
+    * a staging dir and swaps in with two renames so a crash leaves
+    * either the old or the new table, never a half-deleted one.
+    * Compact when [[ivfStats]]'s `filesPerList` says probes pay more
+    * for file opens than for rows. */
+  def compactIvf(spark: SparkSession, path: String): Unit = {
+    val asg = new Path(asgPath(path))
+    val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(asgPath(path) + "__compacting")
+    val retired = new Path(asgPath(path) + "__retired")
+    fs.delete(staging, true); fs.delete(retired, true)
+    spark.read.parquet(asgPath(path))
+      .withColumn("list_id", col("list_id")) // partition col back into data
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(staging.toString)
+    require(fs.rename(asg, retired), s"compactIvf: could not retire $asg")
+    require(fs.rename(staging, asg),
+      s"compactIvf: could not activate $staging — old table at $retired")
+    fs.delete(retired, true)
   }
 }

@@ -49,6 +49,19 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(qs == Map("q1_agg" -> 0.78, "q2_filter" -> 0.3))
   }
 
+  test("previousBench skips an unparseable newest file for an older complete one") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":2.0},"sf":"x"}""")
+    // the r6 failure shape: the driver's tail capture truncated the line
+    // BEFORE "queries":{ — mid-object, no parseable query map
+    write(d, "BENCH_r06.json",
+      """{"n":6,"rc":0,"tail":"_bruteforce\":0.93,\"a2\":1.25},\"sf\":\"/x\"}\n"}""")
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r05.json")
+    assert(qs == Map("q1" -> 2.0))
+  }
+
   test("uniform offset classifies flat; single-query spike concentrated") {
     val prev = Some("BENCH_r05.json" ->
       Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.TextSearch
+
+/** Continuous index maintenance ([[SilverIndex.streamingRefresh]]):
+  * micro-batches fold into the index through the same exact batch
+  * refreshes, so (1) the streamed index equals the from-scratch build
+  * over everything that arrived, and (2) a REPLAYED batch (foreachBatch
+  * is at-least-once) appends zero rows — the id anti-join turns
+  * at-least-once delivery into an exactly-once index. */
+class StreamingIndexSpec extends SparkTestBase {
+
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ix"
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a ship sails to the harbor and the crew is glad"),
+    (3L, "the dog barks at the ship in the harbor"),
+    (4L, "completely different words entirely unrelated tokens"),
+    (5L, "the quick brown fox naps under the lazy tree"))
+
+  test("streamed postings == from-scratch; replayed batch appends zero") {
+    val path = tmp("stream-postings")
+    val input = MemoryStream[(Long, String)]
+    val q = SilverIndex.streamingRefreshPostings(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path)
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = SilverIndex.postingsIndex(spark, path)
+      .collect().map(_.toString).toSet
+    val scratch = TextSearch.postings(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toString).toSet
+    assert(streamed == scratch)
+
+    // replay: a fresh stream (new checkpoint) re-delivers everything —
+    // the worst-case at-least-once failure mode. The index must not grow.
+    val before = SilverIndex.postingsIndex(spark, path).count()
+    val replay = MemoryStream[(Long, String)]
+    val q2 = SilverIndex.streamingRefresh(
+      replay.toDF().toDF("doc_id", "text"),
+      tmp("stream-postings-replay-ckpt"))( // checkpoint elsewhere, same index
+      b => SilverIndex.refreshPostings(b, "doc_id", "text", path))
+    try {
+      replay.addData(docs: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(SilverIndex.postingsIndex(spark, path).count() == before,
+      "replayed batch must append zero rows")
+
+    // and the streamed index serves queries exactly like a live build
+    val fromIx = SilverIndex.bm25TopKFromIndex(spark, path, "harbor ship", 3)
+      .select("doc").as[Long].collect().toSet
+    val live = TextSearch.bm25TopK(docs.toDF("doc_id", "text"),
+      "doc_id", "text", "harbor ship", 3)
+      .select("doc").as[Long].collect().toSet
+    assert(fromIx == live)
+  }
+
+  test("streamed IVF == batch-incremental IVF; compaction defragments, same rows") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch1 = emb.where(col("vec_id") % 4 =!= 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val batch2 = emb.where(col("vec_id") % 4 === 0)
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val streamPath = tmp("stream-ivf")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = SilverIndex.streamingRefreshIvf(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = 8, path = streamPath)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable() // trains + freezes the quantizer
+      input.addData(batch2: _*)
+      q.processAllAvailable() // assign-and-append against frozen lists
+    } finally q.stop()
+
+    // same arrival order through the BATCH refresh: identical artifact
+    val batchPath = tmp("batch-ivf")
+    SilverIndex.refreshIvf(emb.where(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", nlist = 8, path = batchPath)
+    SilverIndex.refreshIvf(emb, "vec_id", "embedding",
+      nlist = 8, path = batchPath)
+    def assignedSet(p: String) = SilverIndex.ivfAssigned(spark, p)
+      .select(col("neighbor_id"), col("list_id"))
+      .collect().map(_.toString).toSet
+    assert(assignedSet(streamPath) == assignedSet(batchPath))
+
+    // two appends fragmented the table; compaction keeps rows, drops files
+    val statsBefore = SilverIndex.ivfStats(spark, streamPath)
+    assert(statsBefore.rows == emb.count())
+    val rowsBefore = assignedSet(streamPath)
+    SilverIndex.compactIvf(spark, streamPath)
+    val statsAfter = SilverIndex.ivfStats(spark, streamPath)
+    assert(assignedSet(streamPath) == rowsBefore, "compaction must not change rows")
+    assert(statsAfter.rows == statsBefore.rows &&
+      statsAfter.lists == statsBefore.lists)
+    assert(statsAfter.files < statsBefore.files,
+      s"expected fewer files after compaction, " +
+        s"got ${statsBefore.files} -> ${statsAfter.files}")
+
+    // the imbalance verdict is a computation, not folklore: a threshold
+    // below the measured imbalance flips the recommendation
+    assert(!SilverIndex.ivfStats(spark, streamPath, imbalanceThreshold = 1e9)
+      .rebuildRecommended)
+    assert(SilverIndex.ivfStats(spark, streamPath,
+      imbalanceThreshold = statsAfter.imbalance - 1e-9).rebuildRecommended)
+  }
+}
