@@ -110,6 +110,71 @@ object TextSearch {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     rankTopK(bm25ScoresFromPostings(post, query, k1, b), k)
 
+  /** Okapi BM25 scores for a whole TABLE of queries in ONE pass over the
+    * postings — the batch-retrieval shape (RAG corpus scoring, training-
+    * example mining, evaluation suites run thousands of queries, not
+    * one). `queries` is (idCol, textCol); output is (query_id, doc,
+    * score).
+    *
+    * Scale shape: the postings NEVER shuffle — the distinct term set of
+    * the whole batch broadcasts into the postings scan (one semi-join
+    * filters the corpus to matched postings), per-term df and per-(doc,
+    * term) weights compute ONCE regardless of how many queries share a
+    * term, and the (query_id, term) frame broadcasts onto the weighted
+    * postings to fan out per-query contributions. The only shuffle of
+    * non-broadcast data is the final (query_id, doc) sum — rows ∝
+    * matched postings × queries-sharing-term, the output's own size.
+    * Per-term/per-doc arithmetic is identical to [[bm25Scores]], so a
+    * batch row equals the single-query run up to the per-doc sum's
+    * reduction order (TextSearchSpec pins rank parity and 1e-9 score
+    * agreement). */
+  def bm25ScoresBatch(cached: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docLen = cached.groupBy("doc").agg(sum(col("tf")).as("len"))
+    val global = docLen.agg(count(lit(1)), avg(col("len"))).head()
+    val nDocs = global.getLong(0)
+    val qTerms = queries
+      .select(col(idCol).as("query_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "").distinct()
+    // a corpus with no non-empty documents scores nothing — typed empty
+    // result instead of NPE-ing on avg(len) = null
+    if (nDocs == 0)
+      return qTerms.select(col("query_id")).limit(0)
+        .withColumn("doc", lit(null).cast(cached.schema("doc").dataType))
+        .withColumn("score", lit(0.0))
+    val avgLen = global.getDouble(1)
+
+    val qPost = cached.join(broadcast(qTerms.select("term").distinct()), "term")
+    val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))
+    qPost
+      .join(broadcast(dfPerTerm), "term")
+      .join(docLen, "doc")
+      .withColumn("idf", log(
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen)))
+      .join(broadcast(qTerms), "term")
+      .groupBy("query_id", "doc").agg(sum(col("w")).as("score"))
+  }
+
+  /** Per-query BM25 top-k over [[bm25ScoresBatch]]: one windowed top-k
+    * partitioned by query — never a global sort, never a per-query
+    * driver loop. Output: query_id, doc, score, rank (tie-break on
+    * doc, as [[bm25TopK]]). A query whose every token misses the corpus
+    * (or is empty) contributes no rows. */
+  def bm25TopKBatch(post: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc").asc)
+    bm25ScoresBatch(post, queries, idCol, textCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc"), col("score"), col("rank"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     // distributed top-k (TakeOrdered) FIRST; the rank window then runs
     // over ≤ k rows, so its single partition is not a scale hazard

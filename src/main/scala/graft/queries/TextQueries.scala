@@ -64,6 +64,33 @@ object TextQueries {
         k = 10)
     }),
 
+    // Batched BM25 (TextSearch.bm25TopKBatch): a TABLE of queries scored
+    // in one pass over the postings — per-term stats compute once across
+    // the batch, the corpus never shuffles, per-query windowed top-k.
+    // Ranks on round(score, 6) with the doc tie-break (the h1
+    // discipline: mathematically-equal sums must not be ordered by
+    // reduction-order noise), and OUTPUTS the rounded score, which both
+    // engines agree on at 6 decimals.
+    "t10_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val post = graft.operators.TextSearch.postings(
+        t(s, dir, "documents"), "doc_id", "text")
+      val queries = Seq(
+        ("q1", "spark vector stream join"),
+        ("q2", "hash merge sort window"),
+        ("q3", "customer batch scan")).toDF("query_id", "qtext")
+      val scored = graft.operators.TextSearch
+        .bm25ScoresBatch(post, queries, "query_id", "qtext")
+        .withColumn("rscore", round(col("score"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rscore").desc, col("doc").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc").as("doc_id"),
+          col("rscore"), col("rank"))
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -248,6 +275,51 @@ object TextQueries {
         |        (ORDER BY rrf_score DESC, doc_id ASC) AS rank
         |      FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)
         |SELECT doc_id, rrf_score, legs_hit, rank FROM r""".stripMargin,
+
+    // batched BM25 on the h1 tokenizer/arithmetic CTEs, generalized to a
+    // VALUES query table: per-term df/weights once across the batch,
+    // per-query fan-out via the (query_id, term) join, windowed top-10
+    "t10_bm25_batch" ->
+      """WITH qs(query_id, qtext) AS (VALUES
+        |    ('q1', 'spark vector stream join'),
+        |    ('q2', 'hash merge sort window'),
+        |    ('q3', 'customer batch scan')),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
+        |qterm AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, unnest(string_split_regex(trim(
+        |             regexp_replace(regexp_replace(lower(qtext),
+        |               '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |               '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM qs) WHERE term <> ''),
+        |qp AS (SELECT * FROM post
+        |       WHERE term IN (SELECT DISTINCT term FROM qterm)),
+        |dft AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+        |w AS (SELECT qp.doc_id, qp.term,
+        |        (ln(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0)))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len) / avglen)) AS w
+        |      FROM qp JOIN dft USING (term) JOIN dlen USING (doc_id)
+        |        CROSS JOIN gstats),
+        |qw AS (SELECT qt.query_id, w.doc_id, w.w
+        |       FROM w JOIN qterm qt USING (term)),
+        |sc AS (SELECT query_id, doc_id, round(sum(w), 6) AS rscore
+        |       FROM qw GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, rscore, row_number() OVER
+        |        (PARTITION BY query_id
+        |         ORDER BY rscore DESC, doc_id ASC) AS rank
+        |      FROM sc)
+        |SELECT query_id, doc_id, rscore, rank FROM r WHERE rank <= 10""".stripMargin,
 
     "t6_term_stats" ->
       """WITH toks AS (

@@ -74,6 +74,37 @@ class TextSearchSpec extends SparkTestBase {
     }
   }
 
+  test("bm25TopKBatch: every query's slice equals its single-query run") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val post = TextSearch.postings(df, "doc_id", "text")
+    val queryTexts = Seq("quick fox", "the dog", "Query PLANNER!", "sailing",
+      "zzz-no-such-term")
+    val queries = queryTexts.zipWithIndex
+      .map { case (t, i) => (s"q$i", t) }.toDF("query_id", "qtext")
+    val batch = TextSearch.bm25TopKBatch(post, queries, "query_id", "qtext",
+      k = 10)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq).toMap
+    queryTexts.zipWithIndex.foreach { case (t, i) =>
+      val single =
+        if (t == "zzz-no-such-term") Seq.empty
+        else TextSearch.bm25TopKFromPostings(post, t, k = 10)
+          .collect().map(r =>
+            (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val got = batch.getOrElse(s"q$i", Seq.empty)
+      assert(got.map(r => (r._1, r._3)) == single.map(r => (r._1, r._3)),
+        s"query '$t': batch (doc, rank) diverged from single-query run")
+      got.zip(single).foreach { case (g, e) =>
+        assert(math.abs(g._2 - e._2) < 1e-9,
+          s"query '$t' doc ${g._1}: batch score ${g._2} vs single ${e._2}")
+      }
+    }
+  }
+
   test("termStats counts frequencies over the normalized tokens") {
     val s = spark
     import s.implicits._
