@@ -408,13 +408,20 @@ object SilverIndex {
 
   /** Rewrite the IVF assignment table into one sized file per list,
     * undoing append fragmentation (every delta refresh adds a file per
-    * touched list; probe-time read cost is file-count-bound long before
-    * it is byte-bound). Same rows, same layout contract
+    * touched list — a weekly-refreshed index accumulates refreshes ×
+    * nlist objects). Same rows, same layout contract
     * (`list_id`-partitioned), one narrow shuffle; the rewrite lands in
     * a staging dir and swaps in with two renames so a crash leaves
     * either the old or the new table, never a half-deleted one.
-    * Compact when [[ivfStats]]'s `filesPerList` says probes pay more
-    * for file opens than for rows. */
+    *
+    * What compaction buys is the METADATA path: listing/open cost per
+    * probe and per refresh (the before/after counts and the anti-join
+    * list every file, every run — and object stores bill and throttle
+    * per request). A compute-bound probe's wall time is unchanged:
+    * tools/compaction_smoke_r7.txt measures 640 → 64 files with
+    * identical probe results and parity wall at 1M vectors, where 125M
+    * cosine evals dwarf local file opens. Compact on `filesPerList`,
+    * not on probe latency. */
   def compactIvf(spark: SparkSession, path: String): Unit = {
     val asg = new Path(asgPath(path))
     val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())

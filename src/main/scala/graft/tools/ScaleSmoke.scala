@@ -46,6 +46,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode.contains("compaction")) {
+      compaction(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
     if (mode.contains("components")) {
       components(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       spark.stop()
@@ -297,6 +302,56 @@ object ScaleSmoke {
         s"$root/ivf", k = 5, nprobe = 8)
       println(s"[scale]   topk rows=${hits.count()}")
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** Append fragmentation vs compaction: a long-lived incremental IVF
+    * index accumulates one file per (refresh, touched list); this stage
+    * builds the index in 10 delta refreshes, measures ivfStats and probe
+    * latency fragmented, compacts, and re-measures — converting
+    * compactIvf's "probe reads are file-count-bound" claim into numbers.
+    * `sbt "runMain graft.tools.ScaleSmoke compaction [n]"`. */
+  private def compaction(spark: SparkSession, n: Long): Unit = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-compact-smoke").toString
+    val path = s"$root/ivf"
+    val steps = 10
+    val step = n / steps
+    timed(s"build in $steps delta refreshes") {
+      (1 to steps).foreach { i =>
+        val r = graft.pipeline.SilverIndex.refreshIvf(
+          SyntheticScale.embeddings(spark, step * i), "vec_id", "embedding",
+          nlist = 64, path)
+        if (i == 1 || i == steps)
+          println(s"[scale]   refresh $i: appended=${r.appended} total=${r.total}")
+      }
+    }
+    val emb = SyntheticScale.embeddings(spark, n)
+    def probe(): Long = graft.pipeline.SilverIndex.ivfTopKFromIndex(
+      emb.where(col("vec_id") % 1000 === 0), "vec_id", "embedding",
+      path, k = 5, nprobe = 8).count()
+    val s0 = graft.pipeline.SilverIndex.ivfStats(spark, path)
+    println(s"[scale] fragmented: files=${s0.files} " +
+      f"filesPerList=${s0.filesPerList}%.1f imbalance=${s0.imbalance}%.2f " +
+      s"rebuildRecommended=${s0.rebuildRecommended}")
+    val hits0 = timed("probe (fragmented, cold)")(probe())
+    timed("probe (fragmented, warm)")(probe())
+    timed("compactIvf")(graft.pipeline.SilverIndex.compactIvf(spark, path))
+    val s1 = graft.pipeline.SilverIndex.ivfStats(spark, path)
+    println(s"[scale] compacted:  files=${s1.files} " +
+      f"filesPerList=${s1.filesPerList}%.1f (rows ${s0.rows} -> ${s1.rows})")
+    require(s1.rows == s0.rows && s1.lists == s0.lists,
+      "compaction changed the table contents")
+    val hits1 = timed("probe (compacted, cold)")(probe())
+    timed("probe (compacted, warm)")(probe())
+    require(hits0 == hits1, s"probe results diverged: $hits0 vs $hits1")
+    println(s"[scale] probe rows=$hits0 (identical before/after)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
