@@ -46,11 +46,48 @@ object AnnSearch {
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
+  }
+
+  /** Per-key top-k in rank order — `row_number() OVER (PARTITION BY key
+    * ORDER BY score DESC, id ASC) <= k` re-expressed as the bounded
+    * [[graft.functions.TopKByKey]] aggregate wherever the (score, id)
+    * types support it. The window shape shuffles EVERY scored candidate
+    * row; the aggregate's map-side partial pass caps the exchange at
+    * tasks × |keys| × k entries (output-sized) — at the 1M-corpus smoke
+    * the candidate ranking exchange is the dominant ANN cost. Bit-
+    * identical ordering contract (TopKByKey scaladoc); falls back to the
+    * window plan for unsupported types, so operator semantics never
+    * depend on the fast path. */
+  private[graft] def rankedTopK(scored: DataFrame, keyCol: String,
+      idName: String, scoreName: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sOk = scored.schema(scoreName).dataType match {
+      case DoubleType | FloatType | LongType | IntegerType => true
+      case _ => false
+    }
+    val iOk = scored.schema(idName).dataType match {
+      case LongType | IntegerType | StringType => true
+      case _ => false
+    }
+    if (sOk && iOk) {
+      val agg = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TopKByKey(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(scoreName)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(idName)),
+          k).toAggregateExpression())
+      scored.groupBy(col(keyCol)).agg(agg.as("__top"))
+        .select(col(keyCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col(keyCol), col("__e.id").as(idName),
+          col("__e.score").as(scoreName),
+          (col("__pos") + 1).cast(IntegerType).as("rank"))
+    } else {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(scoreName).desc, col(idName).asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col(keyCol), col(idName), col(scoreName), col("rank"))
+    }
   }
 
   /** Multi-table LSH approximate top-k. `tables` independent hyperplane
@@ -85,11 +122,7 @@ object AnnSearch {
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** IVF-flat approximate top-k: a coarse quantizer partitions the corpus
@@ -391,11 +424,7 @@ object AnnSearch {
     val scored = broadcast(probes).join(assigned, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** Scalar-quantized (SQ8) top-k: candidates are scored on the int8-code
@@ -428,12 +457,9 @@ object AnnSearch {
     val cand = broadcast(q8).crossJoin(c8)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore", VectorFunctions.dotInt(col("qq"), col("cq")))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
-    val top = cand
-      .select(col("query_id"), col("neighbor_id"), col("qscore"))
-      .withColumn("crank", row_number().over(wc))
-      .where(col("crank") <= k * rescoreMult)
+    val top = rankedTopK(
+      cand.select(col("query_id"), col("neighbor_id"), col("qscore")),
+      "query_id", "neighbor_id", "qscore", k * rescoreMult)
       .select(col("query_id"), col("neighbor_id"))
     // exact rescore: candidates are ≤ |Q|·k·rescoreMult rows — broadcast
     // them INTO the float corpus scan (corpus side never shuffles), then
@@ -441,11 +467,7 @@ object AnnSearch {
     val rescored = c.join(broadcast(top), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(rescored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** LSH-bucketed embedding near-dup pairs — the scale path for
@@ -685,14 +707,10 @@ object AnnSearch {
   /** Top `n` candidates per query by quantized score → (query_id,
     * neighbor_id); the ranking shuffle carries (ids, qscore), never a
     * vector or code column. */
-  private[graft] def pqCandTop(cand: DataFrame, n: Int): DataFrame = {
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
-    cand.select(col("query_id"), col("neighbor_id"), col("qscore"))
-      .withColumn("crank", row_number().over(wc))
-      .where(col("crank") <= n)
+  private[graft] def pqCandTop(cand: DataFrame, n: Int): DataFrame =
+    rankedTopK(cand.select(col("query_id"), col("neighbor_id"),
+      col("qscore")), "query_id", "neighbor_id", "qscore", n)
       .select(col("query_id"), col("neighbor_id"))
-  }
 
   /** Exact-cosine rescore of a small (query_id, neighbor_id) candidate
     * set — the [[quantizedTopK]] discipline: candidates broadcast INTO
@@ -703,11 +721,7 @@ object AnnSearch {
     val rescored = c.join(broadcast(top), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(rescored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** IVF-PQ composite top-k — the production ANN shape at corpus sizes

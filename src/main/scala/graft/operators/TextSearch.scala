@@ -166,14 +166,9 @@ object TextSearch {
     * (or is empty) contributes no rows. */
   def bm25TopKBatch(post: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc").asc)
-    bm25ScoresBatch(post, queries, idCol, textCol, k1, b)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("doc"), col("score"), col("rank"))
-  }
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    AnnSearch.rankedTopK(bm25ScoresBatch(post, queries, idCol, textCol,
+      k1, b), "query_id", "doc", "score", k)
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     // distributed top-k (TakeOrdered) FIRST; the rank window then runs
