@@ -141,6 +141,16 @@ object SilverIndex {
     TextSearch.bm25TopKFromPostings(postingsIndex(spark, path), query, k,
       k1, b)
 
+  /** Batched BM25 against the persisted postings: a whole (id, text)
+    * query table in one pass over the index
+    * ([[TextSearch.bm25TopKBatch]]) — the retrieval-evaluation /
+    * training-example-mining shape. */
+  def bm25TopKBatchFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    TextSearch.bm25TopKBatch(postingsIndex(spark, path), queries,
+      idCol, textCol, k, k1, b)
+
   // -------------------------------------------------------------------- IVF
 
   private def centPath(path: String) = s"$path/centroids"

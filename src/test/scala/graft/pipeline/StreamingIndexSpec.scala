@@ -68,6 +68,13 @@ class StreamingIndexSpec extends SparkTestBase {
       "doc_id", "text", "harbor ship", 3)
       .select("doc").as[Long].collect().toSet
     assert(fromIx == live)
+
+    // and the batched entry point agrees with the single-query one
+    val batched = SilverIndex.bm25TopKBatchFromIndex(spark, path,
+      Seq(("only", "harbor ship")).toDF("qid", "qtext"), "qid", "qtext",
+      k = 3)
+      .select("doc").as[Long].collect().toSet
+    assert(batched == fromIx)
   }
 
   test("streamed IVF == batch-incremental IVF; compaction defragments, same rows") {
