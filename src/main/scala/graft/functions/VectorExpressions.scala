@@ -680,3 +680,76 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `vec_sub(a, b)` — element-wise difference over two float/double array
+  * columns, the residual step of residual-encoded IVF-PQ (v −
+  * centroid(list)). Output element type: float only when BOTH inputs are
+  * float (float subtraction is exact IEEE and keeps the corpus
+  * representation narrow); double otherwise. Length = min(len) — the
+  * VecDot overlap convention. Null contract: null array or null element
+  * → null result element? No — matching zip_with(a, b, (x, y) -> x - y):
+  * a null ARRAY nulls the result (null-safe eval), a null ELEMENT nulls
+  * that element only. */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = {
+    val f = isFloat(left) && isFloat(right)
+    ArrayType(if (f) FloatType else DoubleType, containsNull = true)
+  }
+  override def prettyName: String = "vec_sub"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub requires array<float|double> arguments, got $other")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelSub.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.VectorKernelSub.sub($x, $y, $lf, $rf)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorKernelSub {
+  /** Element-wise a − b over min(len); a null element in either input
+    * nulls that output element. Result element type follows [[VecSub]]:
+    * float iff both inputs are float. */
+  def sub(x: ArrayData, y: ArrayData, lf: Boolean,
+      rf: Boolean): ArrayData = {
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Any](n)
+    val bothFloat = lf && rf
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        if (bothFloat) out(i) = x.getFloat(i) - y.getFloat(i)
+        else {
+          val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+          val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+          out(i) = xv - yv
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
