@@ -11,8 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One (score, id) candidate held by a [[TopKByKey]] buffer. `score` and
   * `id` are CATALYST-internal values (UTF8String for strings), already
-  * copied out of any unsafe row they were read from. */
-private[graft] final class TopKEntry(val score: Any, val id: Any)
+  * copied out of any unsafe row they were read from. Fields are vars only
+  * so [[TopKBuffer.offer]] can reuse one probe instance for rejected
+  * candidates; entries stored in the heap are never mutated. */
+private[graft] final class TopKEntry(var score: Any, var id: Any)
 
 /** Bounded top-k buffer: a worst-at-top binary heap of ≤ k entries under
   * `better` ("a ranks strictly before b"). Insertion is O(log k) and the
@@ -34,6 +36,24 @@ private[graft] final class TopKBuffer(val k: Int,
   def insert(e: TopKEntry): Unit =
     if (heap.size < k) { heap.add(e); () }
     else if (better(e, heap.peek())) { heap.poll(); heap.add(e); () }
+
+  // reused for rejected-candidate tests in `offer` — never enters the heap
+  private[this] val probe = new TopKEntry(null, null)
+
+  /** Insert (score, id) only if it ranks: the accept test runs on the raw
+    * values and `copyId` materializes (e.g. clones an unsafe-row-backed
+    * UTF8String) ONLY when the candidate actually enters the heap. On the
+    * hot update path most candidates lose to a full buffer — the
+    * rejected-insert path must stay allocation-free. */
+  def offer(score: Any, id: Any)(copyId: => Any): Unit =
+    if (heap.size < k) { heap.add(new TopKEntry(score, copyId)); () }
+    else {
+      probe.score = score
+      probe.id = id
+      if (better(probe, heap.peek())) {
+        heap.poll(); heap.add(new TopKEntry(score, copyId)); ()
+      }
+    }
 
   def entries: Array[TopKEntry] = heap.toArray(new Array[TopKEntry](heap.size))
 
@@ -146,13 +166,16 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i0 = id.eval(input)
-    // UTF8String from an unsafe row is a VIEW into reusable memory —
-    // copy before holding it across rows
-    val i = i0 match {
-      case u: UTF8String => u.clone()
-      case other => other
+    // UTF8String from an unsafe row is a VIEW into reusable memory — it
+    // must be copied before being held across rows, but ONLY once the
+    // insert is accepted: `offer` evaluates the by-name clone after the
+    // rank test, so the (dominant) rejected-insert path allocates nothing
+    buf.offer(s, i0) {
+      i0 match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
     }
-    buf.insert(new TopKEntry(s, i))
     buf
   }
 

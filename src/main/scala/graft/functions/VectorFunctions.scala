@@ -21,6 +21,14 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Element-wise difference over min(len) — the residual step of
+    * residual-encoded IVF-PQ ([[VecSub]]; float result only when both
+    * inputs are float, zip_with null semantics). */
+  def sub(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(VecSub(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Cosine similarity; 0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

@@ -18,6 +18,8 @@ import graft.functions.VectorFunctions
   */
 object AnnSearch {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (tables × bits) hyperplane-signature structs for bucketing — table t
     * uses planes [t*bits, (t+1)*bits) of the shared family. */
   private def tableSigs(v: Column, bits: Int, tables: Int): Column =
@@ -82,6 +84,12 @@ object AnnSearch {
           col("__e.score").as(scoreName),
           (col("__pos") + 1).cast(IntegerType).as("rank"))
     } else {
+      // NOT silent: the window shuffles every candidate row where the
+      // aggregate's exchange is output-sized — a caller landing here at
+      // scale should widen TopKByKey's type support, not shrug
+      log.warn(s"rankedTopK: (score ${scored.schema(scoreName).dataType.simpleString}, " +
+        s"id ${scored.schema(idName).dataType.simpleString}) outside TopKByKey support — " +
+        "falling back to the candidate-sized row_number window")
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col(scoreName).desc, col(idName).asc)
       scored.withColumn("rank", row_number().over(w))
@@ -696,12 +704,60 @@ object AnnSearch {
     val dotSum = cms.indices.map(j =>
       element_at(lut, element_at(codes, j + 1) + (off(j) + 1)))
       .reduce(_ + _)
-    val nb2Flat = typedLit(cms.flatMap(_.nb2s).toSeq)
-    val rn2 = cms.indices.map(j =>
-      element_at(nb2Flat, element_at(codes, j + 1) + (off(j) + 1)))
-      .reduce(_ + _)
+    val rn2 = pqCodeNorm2(codes, cms)
     when(qn === 0.0 || rn2 === 0.0, lit(0.0))
       .otherwise(dotSum / (qn * sqrt(rn2)))
+  }
+
+  /** ‖reconstruction(codes)‖² = Σⱼ ‖eⱼ(codeⱼ)‖² from the flat codebook
+    * self-dot literal — fixed j-ascending adds, each entry the kernels'
+    * own left-to-right accumulation ([[CentMatrix.nb2s]]). */
+  private[graft] def pqCodeNorm2(codes: Column, cms: Seq[CentMatrix]): Column = {
+    val off = pqOffsets(cms)
+    val nb2Flat = typedLit(cms.flatMap(_.nb2s).toSeq)
+    cms.indices.map(j =>
+      element_at(nb2Flat, element_at(codes, j + 1) + (off(j) + 1)))
+      .reduce(_ + _)
+  }
+
+  /** ‖centroid + reconstruction(codes)‖², evaluated at ENCODE time — the
+    * per-vector scalar that makes residual ADC scoring scale-free at
+    * query time: expanded as ‖c‖² + 2·Σⱼ dot(c⟨j⟩, eⱼ(codeⱼ)) +
+    * Σⱼ ‖eⱼ(codeⱼ)‖² where c⟨j⟩ is the subspace-j slice of the coarse
+    * centroid. Every term is a per-row codegen VecDot or a flat-literal
+    * lookup over the m·ksub CODEBOOK entries (KBs, independent of nlist)
+    * — the FAISS-style nlist×m×ksub precomputed table is deliberately
+    * NOT materialized in the plan: at production nlist (10⁵–10⁶ lists)
+    * that literal is GBs, while storing the norm with the codes costs 8
+    * bytes per vector once. Deterministic: fixed j-ascending adds,
+    * left-to-right kernel accumulation. */
+  private[graft] def pqReconNorm2(centv: Column, codes: Column,
+      cms: Seq[CentMatrix], sub: Int): Column = {
+    val cross = cms.zipWithIndex.map { case (cm, j) =>
+      val entries = typedLit(cm.mats.map(_.toIndexedSeq).toIndexedSeq)
+      VectorFunctions.dot(slice(centv, j * sub + 1, sub),
+        element_at(entries, element_at(codes, j + 1) + 1))
+    }.reduce(_ + _)
+    VectorFunctions.dot(centv, centv) + lit(2.0) * cross +
+      pqCodeNorm2(codes, cms)
+  }
+
+  /** ADC cosine from the per-vector STORED reconstruction norm —
+    * [[pqAdcCosine]]'s residual-encoded sibling: dot(q, x̂) = dot(q, c_L)
+    * + Σⱼ lut[offⱼ + codeⱼ] (the lut is over RESIDUAL codebooks), cosine
+    * = dot/(‖q‖·√rnorm2). `qcdot` arrives from a per-probe broadcast
+    * join with the centroid table and `rnorm2` from the code table
+    * itself, so nothing nlist-sized rides the plan. A non-positive or
+    * null stored norm (degenerate all-zero reconstruction) scores 0, the
+    * [[VectorFunctions.cosine]] convention. */
+  private[graft] def pqAdcCosineStored(lut: Column, qn: Column, qcdot: Column,
+      codes: Column, rnorm2: Column, cms: Seq[CentMatrix]): Column = {
+    val off = pqOffsets(cms)
+    val dotSum = qcdot + cms.indices.map(j =>
+      element_at(lut, element_at(codes, j + 1) + (off(j) + 1)))
+      .reduce(_ + _)
+    when(qn === 0.0 || rnorm2.isNull || rnorm2 <= 0.0, lit(0.0))
+      .otherwise(dotSum / (qn * sqrt(rnorm2)))
   }
 
   /** Top `n` candidates per query by quantized score → (query_id,
@@ -738,42 +794,73 @@ object AnnSearch {
     * broadcast join; the only shuffle is the (ids, qscore) candidate
     * ranking.
     *
-    * Codes here are raw-vector PQ against corpus-trained shared
-    * codebooks. FAISS's default refinement — encoding the RESIDUAL
-    * v − centroid(list) — buys tighter codes but would force element-wise
-    * vector subtraction into the encode and ADC projections, and Spark's
-    * only built-in for that is a higher-order function (CodegenFallback —
-    * the measured 2× interpreted-eval cliff this file's assignment kernel
-    * exists to avoid); the exact rescore recovers most of the residual
-    * gap at a rescoreMult that costs |Q|·k·mult broadcast rows. Fully
-    * deterministic (frozen quantizers, per-row argmins, left-to-right
-    * double cosine) → golden-pinned (`a10_ann_ivfpq`); AnnSpec holds the
-    * recall floor vs brute force. */
+    * Codes are RESIDUAL-encoded (FAISS's IndexIVFPQ default): each
+    * vector's PQ codes quantize `v − centroid(list)` — residuals have
+    * far less energy than raw vectors, so the same m·log₂(ksub) bit
+    * budget spends its resolution on the part the coarse quantizer
+    * didn't already explain. The subtraction is one codegen'd
+    * [[graft.functions.VecSub]] under a broadcast join with the ≤ nlist
+    * centroid rows (a narrow map — NOT the CodegenFallback `zip_with`
+    * cliff that kept r7 on raw codes), and scoring decomposes as
+    * dot(q, x̂) = dot(q, c_L) + Σⱼ lut[codeⱼ] with the reconstruction
+    * norm ‖c_L + recon‖² computed once at ENCODE time and stored beside
+    * the codes ([[pqReconNorm2]] — 8 bytes/vector instead of an
+    * nlist×m×ksub query-time table that would be GBs at production
+    * nlist). tools/residual_probe_r8.txt measures the recall buy at the
+    * a10 parameterization. Fully deterministic (frozen quantizers,
+    * per-row argmins, fixed-order adds) → golden-pinned
+    * (`a10_ann_ivfpq`); AnnSpec holds the RAISED recall floor vs brute
+    * force and raw-vs-residual superiority. `residual = false` keeps the
+    * r7 raw-encoding shape (same machinery with a zero coarse term) for
+    * measurement. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 32, rescoreMult: Int = 10): DataFrame = {
+      m: Int = 8, ksub: Int = 32, rescoreMult: Int = 10,
+      residual: Boolean = true): DataFrame = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)
     val sub = pqSubDim(c, m)
     val cents = ivfCentroids(c, nlist)
     val assigned = ivfAssign(c, cents)
-    val cms = pqCodebooks(c, m, ksub, sub)
-    // the persisted-index shape: (neighbor_id, list_id, codes) — at scale
-    // this is the SilverIndex table, partitioned by list_id for pruning.
-    // Materialized for the same codegen-deferral reason as [[pqTopK]]:
-    // un-materialized, the 8-kernel encode re-runs per candidate pair.
+    // codebooks train on what they will encode: residuals against the
+    // assigned coarse centroid (or raw vectors in the measurement shape)
+    val train =
+      if (residual)
+        assigned.join(broadcast(cents), "list_id")
+          .select(col("neighbor_id"), col("list_id"), col("centv"),
+            VectorFunctions.sub(col("cv"), col("centv")).as("cv"))
+      else assigned.select(col("neighbor_id"), col("list_id"), col("cv"))
+    val cms = pqCodebooks(train.select("neighbor_id", "cv"), m, ksub, sub)
+    // the persisted-index shape: (neighbor_id, list_id, codes, rnorm2) —
+    // at scale this is the SilverIndex table, partitioned by list_id for
+    // pruning. Materialized for the same codegen-deferral reason as
+    // [[pqTopK]]: un-materialized, the 8-kernel encode re-runs per
+    // candidate pair.
+    val coded = train.withColumn("codes", pqEncode(col("cv"), cms, sub))
+    val rn2 =
+      if (residual) pqReconNorm2(col("centv"), col("codes"), cms, sub)
+      else pqCodeNorm2(col("codes"), cms)
     val c8 = graft.ManagedCache.swap("AnnSearch.ivfPqTopK.codes",
-      assigned.select(col("neighbor_id"), col("list_id"),
-        pqEncode(col("cv"), cms, sub).as("codes")))
+      coded.select(col("neighbor_id"), col("list_id"), col("codes"),
+        rn2.as("rnorm2")))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = probeLists(q0, cents, nprobe,
+    val probes0 = probeLists(q0, cents, nprobe,
       idTypeFallback = Some(assigned.schema("list_id").dataType))
+    // per-probe coarse term dot(q, c_L): ≤ |Q|·nprobe rows joined with
+    // the ≤ nlist centroid rows — never an nlist-sized literal
+    val probes1 =
+      if (residual)
+        probes0.join(broadcast(cents), "list_id")
+          .withColumn("__qcdot", VectorFunctions.dot(col("qv"), col("centv")))
+          .drop("centv")
+      else probes0.withColumn("__qcdot", lit(0.0))
+    val probes = probes1
       .withColumn("__lut", pqQueryLut(col("qv"), cms, sub))
       .withColumn("__qn", VectorFunctions.norm(col("qv")))
     val cand = broadcast(probes).join(c8, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qscore",
-        pqAdcCosine(col("__lut"), col("__qn"), col("codes"), cms))
+      .withColumn("qscore", pqAdcCosineStored(col("__lut"), col("__qn"),
+        col("__qcdot"), col("codes"), col("rnorm2"), cms))
     exactRescore(pqCandTop(cand, k * rescoreMult), c, q0, k)
   }
 

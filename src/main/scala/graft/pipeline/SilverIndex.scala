@@ -223,18 +223,23 @@ object SilverIndex {
   /** Bring the IVF-PQ index at `path` up to date with `corpus` — the
     * [[AnnSearch.ivfPqTopK]] composite with BOTH quantizers persisted
     * and frozen. First call trains the coarse quantizer and the m
-    * per-subspace codebooks from the corpus and persists them
-    * (`centroids`, `codebooks` keyed by (subspace, list_id)); later
+    * per-subspace RESIDUAL codebooks (over `v − centroid(list)`, the
+    * FAISS IndexIVFPQ shape — see [[AnnSearch.ivfPqTopK]]) and persists
+    * them (`centroids`, `codebooks` keyed by (subspace, list_id)); later
     * calls reload the frozen quantizers and encode ONLY vectors whose
     * ids are not yet in the code table, appending (neighbor_id, codes,
-    * list_id) partitioned by `list_id`. Encoding is per-row
-    * deterministic against frozen codebooks, so incremental ==
+    * rnorm2, list_id) partitioned by `list_id` — `rnorm2` is the stored
+    * reconstruction norm ([[AnnSearch.pqReconNorm2]]) that keeps
+    * query-time scoring free of any nlist-sized table. Encoding is
+    * per-row deterministic against frozen quantizers, so incremental ==
     * from-scratch with the same quantizers, exactly (SilverIndexSpec
     * proves table-level identity). At 10¹¹ vectors this table IS the
-    * ANN index: 40 bits of codes + a partition key per vector, probes
-    * partition-prune to nprobe/nlist of the files, and the weekly
-    * refresh costs ∝ |new docs|. Re-train by deleting the index dir
-    * (the FAISS-style rebuild cadence decision, as [[refreshIvf]]). */
+    * ANN index: 40 bits of codes + one float norm + a partition key per
+    * vector, probes partition-prune to nprobe/nlist of the files, and
+    * the weekly refresh costs ∝ |new docs|. Re-train by deleting the
+    * index dir (the FAISS-style rebuild cadence decision, as
+    * [[refreshIvf]]). Indexes written before residual encoding (no
+    * `rnorm2` column) fail loudly at query time — rebuild them. */
   def refreshIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, m: Int, ksub: Int, path: String): Refresh = {
     val spark = corpus.sparkSession
@@ -249,7 +254,13 @@ object SilverIndex {
       if (readIfData(spark, bookPath(path)).isDefined)
         loadCodebooks(spark, path, m, sub)
       else {
-        val frames = AnnSearch.pqCodebookFrames(c, m, ksub, sub)
+        // codebooks train on what they will encode: the residuals
+        val resid = AnnSearch.ivfAssign(c, cents)
+          .join(broadcast(cents), "list_id")
+          .select(col("neighbor_id"),
+            graft.functions.VectorFunctions.sub(col("cv"), col("centv"))
+              .as("cv"))
+        val frames = AnnSearch.pqCodebookFrames(resid, m, ksub, sub)
         frames.zipWithIndex.map { case (f, j) =>
             f.select(lit(j).as("subspace"), col("list_id"), col("centv"))
           }.reduce(_ unionAll _)
@@ -261,8 +272,14 @@ object SilverIndex {
       c.join(ix.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
     val before = existing.fold(0L)(_.count())
     AnnSearch.ivfAssign(newC, cents)
-      .select(col("neighbor_id"),
-        AnnSearch.pqEncode(col("cv"), books, sub).as("codes"), col("list_id"))
+      .join(broadcast(cents), "list_id")
+      .withColumn("codes", AnnSearch.pqEncode(
+        graft.functions.VectorFunctions.sub(col("cv"), col("centv")),
+        books, sub))
+      .select(col("neighbor_id"), col("codes"),
+        AnnSearch.pqReconNorm2(col("centv"), col("codes"), books, sub)
+          .as("rnorm2"),
+        col("list_id"))
       .repartition(col("list_id")) // one file per (task, list) — see refreshIvf
       .write.mode("append").partitionBy("list_id").parquet(codesPath(path))
     val total = readIfData(spark, codesPath(path)).fold(0L)(_.count())
@@ -307,17 +324,23 @@ object SilverIndex {
     val codes = spark.read.parquet(codesPath(path))
       .withColumn("list_id",
         col("list_id").cast(cents.schema("list_id").dataType))
-      .select(col("neighbor_id"), col("codes"), col("list_id"))
+      .select(col("neighbor_id"), col("codes"), col("rnorm2"), col("list_id"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // per-probe coarse term dot(q, c_L) via the ≤ nlist centroid rows —
+    // the residual-ADC decomposition (AnnSearch.ivfPqTopK)
     val probes = AnnSearch.probeLists(q0, cents, nprobe,
       idTypeFallback = Some(codes.schema("list_id").dataType))
+      .join(broadcast(cents), "list_id")
+      .withColumn("__qcdot",
+        graft.functions.VectorFunctions.dot(col("qv"), col("centv")))
+      .drop("centv")
       .withColumn("__lut", AnnSearch.pqQueryLut(col("qv"), books, sub))
       .withColumn("__qn", graft.functions.VectorFunctions.norm(col("qv")))
     val cand = org.apache.spark.sql.functions.broadcast(probes)
       .join(codes, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qscore",
-        AnnSearch.pqAdcCosine(col("__lut"), col("__qn"), col("codes"), books))
+      .withColumn("qscore", AnnSearch.pqAdcCosineStored(col("__lut"),
+        col("__qn"), col("__qcdot"), col("codes"), col("rnorm2"), books))
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
     AnnSearch.exactRescore(
       AnnSearch.pqCandTop(cand, k * rescoreMult), c, q0, k)
@@ -422,7 +445,9 @@ object SilverIndex {
     * nlist objects). Same rows, same layout contract
     * (`list_id`-partitioned), one narrow shuffle; the rewrite lands in
     * a staging dir and swaps in with two renames so a crash leaves
-    * either the old or the new table, never a half-deleted one.
+    * either the old or the new table, never a half-deleted one — and a
+    * RERUN after a crash between the renames restores the surviving
+    * copy before deleting anything (SilverIndexSpec pins the recovery).
     *
     * What compaction buys is the METADATA path: listing/open cost per
     * probe and per refresh (the before/after counts and the anti-join
@@ -437,6 +462,22 @@ object SilverIndex {
     val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(asgPath(path) + "__compacting")
     val retired = new Path(asgPath(path) + "__retired")
+    // crash recovery BEFORE any delete: a prior run that died between its
+    // two renames leaves the live path empty with the only surviving
+    // copies at __retired (the old table) and possibly __compacting (the
+    // completed rewrite — same rows). Deleting those while `asg` is
+    // missing would be permanent data loss; restore one of them first.
+    // Preference: __retired (the known-good pre-compaction table; the
+    // rerun below re-compacts it anyway), else a staging dir — which is
+    // only a valid recovery source when the live table is GONE, i.e. the
+    // first rename committed, which implies the staging write completed.
+    if (!fs.exists(asg)) {
+      val src = if (fs.exists(retired)) retired
+        else if (fs.exists(staging)) staging
+        else throw new IllegalStateException(
+          s"compactIvf: no assignment table at $asg and nothing to recover")
+      require(fs.rename(src, asg), s"compactIvf: could not restore $src to $asg")
+    }
     fs.delete(staging, true); fs.delete(retired, true)
     spark.read.parquet(asgPath(path))
       .withColumn("list_id", col("list_id")) // partition col back into data

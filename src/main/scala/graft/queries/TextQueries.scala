@@ -81,12 +81,13 @@ object TextQueries {
         ("q3", "customer batch scan")).toDF("query_id", "qtext")
       val scored = graft.operators.TextSearch
         .bm25ScoresBatch(post, queries, "query_id", "qtext")
-        .withColumn("rscore", round(col("score"), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("rscore").desc, col("doc").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc"),
+          round(col("score"), 6).as("rscore"))
+      // per-query ranking through the bounded TopKByKey aggregate (the
+      // rankedTopK path) — identical ordering contract to the window
+      // formulation (rscore DESC, doc ASC) with an output-sized exchange
+      graft.operators.AnnSearch
+        .rankedTopK(scored, "query_id", "doc", "rscore", 10)
         .select(col("query_id"), col("doc").as("doc_id"),
           col("rscore"), col("rank"))
     }),

@@ -164,7 +164,20 @@ class AnnSpec extends SparkTestBase {
     }
     val recall = (exact intersect got).size.toDouble / exact.size
     info(s"IVF-PQ recall@5 = $recall (nprobe 6/16, m=8, ksub=32)")
-    assert(recall >= 0.4, s"IVF-PQ recall $recall")
+    // raised 0.4 → 0.6 with residual encoding (measures 0.68 here; raw
+    // codes measured 0.64 at the a10 params — tools/residual_probe_r8.txt)
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    // residual codes must not rank WORSE than the r7 raw codes at the
+    // same 40-bit budget (the entire point of encoding residuals)
+    val rawGot = AnnSearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10,
+        residual = false)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (exact intersect rawGot).size.toDouble / exact.size
+    info(s"IVF-PQ raw-code recall@5 = $rawRecall (same budget)")
+    assert(recall >= rawRecall,
+      s"residual recall $recall fell below raw-code recall $rawRecall")
     // deterministic under corpus repartitioning
     val again = AnnSearch.ivfPqTopK(queries, emb.repartition(7), "vec_id",
         "embedding", k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,

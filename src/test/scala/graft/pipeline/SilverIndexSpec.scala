@@ -218,4 +218,43 @@ class SilverIndexSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(list_id"),
       s"expected a list_id partition filter in:\n$plan")
   }
+
+  test("ivf compaction: rerun after a crash between the renames recovers the table") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("silver-ivf-crash")
+    SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16, path = path)
+    val before = rowSet(SilverIndex.ivfAssigned(spark, path))
+    val asg = new Path(s"$path/assigned")
+    val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // simulate the crash window between compactIvf's two renames: the
+    // live table renamed away to __retired, a COMPLETED staging copy
+    // also present — the state where the old code deleted both surviving
+    // copies and then failed on the missing live path
+    val retired = new Path(s"$path/assigned__retired")
+    val staging = new Path(s"$path/assigned__compacting")
+    spark.read.parquet(asg.toString).write.parquet(staging.toString)
+    require(fs.rename(asg, retired))
+    assert(!fs.exists(asg))
+
+    SilverIndex.compactIvf(spark, path)
+    assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == before,
+      "recovered + recompacted table must hold exactly the original rows")
+    assert(!fs.exists(retired) && !fs.exists(staging),
+      "recovery must leave no stray staging/retired dirs")
+
+    // staging-only crash state (retired already promoted then lost? no —
+    // first rename committed, second didn't, retired later cleaned by an
+    // operator): the completed staging copy alone is also recoverable
+    spark.read.parquet(asg.toString).write.parquet(staging.toString)
+    fs.delete(asg, true)
+    SilverIndex.compactIvf(spark, path)
+    assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == before)
+
+    // nothing to compact and nothing to recover stays a loud failure
+    fs.delete(asg, true)
+    intercept[IllegalStateException] {
+      SilverIndex.compactIvf(spark, path)
+    }
+  }
 }

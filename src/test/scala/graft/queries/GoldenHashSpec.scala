@@ -18,7 +18,7 @@ import graft.{SparkEntry, SparkTestBase}
 class GoldenHashSpec extends SparkTestBase {
 
   private val pinnedSf0001 = Map(
-    "a10_ann_ivfpq" -> (50L, "77bdf7b702bc48a0"),
+    "a10_ann_ivfpq" -> (50L, "1857e446d58c72f1"),
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
     "a3_ann_ivf" -> (50L, "1af51358e9ee08ab"),
     "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
@@ -57,7 +57,7 @@ class GoldenHashSpec extends SparkTestBase {
   // the driver's CORRECTNESS gate runs at sf0.01 — pin that scale too so
   // a drift visible only at the gate's scale still fails sbt test
   private val pinnedSf01 = Map(
-    "a10_ann_ivfpq" -> "f113e394d57073fe",
+    "a10_ann_ivfpq" -> "b6d2022fe3a39b48",
     "a2_ann_lsh" -> "221d7e490852c370",
     "a3_ann_ivf" -> "b604970f3c6f060e",
     "a4_neardup_lsh" -> "33464f57b6c9d31e",
