@@ -176,74 +176,123 @@ object AnnSearch {
       .dropDuplicates("neighbor_id")
 
   /** Coarse quantizer over an [[ivfCorpus]]-shaped frame: `nlist`
-    * deterministic hash-sampled seeds, then (by default) one Lloyd
-    * refinement pass — assign every corpus vector to its nearest seed,
-    * recenter each list on the member MEAN. The mean is computed over
-    * fixed-point longs (element × 2²⁴, summed as integers) so the result
-    * is bit-deterministic across partitionings — a floating-point sum
-    * would make centroid bits, and therefore every downstream golden
-    * hash, an artifact of reduction order. Returns a driver-materialized
-    * (list_id, centv) frame of nlist rows (list ids = seed doc ids, a
-    * stable labeling). */
+    * deterministic hash-sampled seeds, then (by default) two Lloyd
+    * refinement passes — assign every training vector to its nearest
+    * seed, recenter each list on the member MEAN over fixed-point longs
+    * (element × 2²⁴, summed as integers) so the result is
+    * bit-deterministic across partitionings. Returns a
+    * driver-materialized (list_id, centv) frame of ≤ nlist rows (list
+    * ids = seed doc ids, a stable labeling).
+    *
+    * Training runs on a DETERMINISTIC HASH SAMPLE of at most `maxTrain`
+    * rows (the `maxTrain` smallest `xxhash64(id)` — the seed selection's
+    * own ordering, so seeds are always the sample's first nlist rows):
+    * one distributed TakeOrdered job collects the sample and the Lloyd
+    * iterations then run DRIVER-SIDE against the exact same kernel
+    * statics the distributed pass used ([[graft.functions
+    * .VectorKernelNearest.nearestCentroid]] for assignment,
+    * [[graft.functions.VecAggKernel.roundFixed]] for the fixed-point
+    * sums) — bit-identical means when the corpus fits the cap (every
+    * golden-pinned sf), one Spark job instead of 1 + 2·iterations.
+    * This is the FAISS training discipline: quantizers train on a
+    * bounded sample (64k rows at 64 dims ≈ 16 MB driver-side), because
+    * at 10¹¹ vectors a full-corpus Lloyd pass per iteration is a
+    * corpus scan that buys nothing a large sample doesn't. */
   private[graft] def ivfCentroids(c: DataFrame, nlist: Int,
-      refine: Boolean = true, iterations: Int = 2): DataFrame = {
+      refine: Boolean = true, iterations: Int = 2,
+      maxTrain: Int = 1 << 16): DataFrame = {
     val spark = c.sparkSession
+    val idType = c.schema("neighbor_id").dataType
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("list_id",
-        c.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("list_id", idType),
       org.apache.spark.sql.types.StructField("centv",
         c.schema("cv").dataType)))
     def centFrame(rows: Array[org.apache.spark.sql.Row]) =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
-    // materialize the nlist seeds once — the frame feeds two broadcast
-    // branches, and leaving it lazy would run the corpus-wide
-    // TakeOrdered twice
-    val seedRows = c
+    // ONE distributed job: the hash-ordered training sample; its first
+    // nlist rows are exactly the seed set the pre-sample code selected
+    // with limit(nlist)
+    val trainRows = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id"))
-      .limit(nlist)
+      .limit(math.max(nlist, maxTrain))
       .select(col("neighbor_id").as("list_id"), col("cv").as("centv"))
       .collect()
-    val seeds = centFrame(seedRows)
-    if (!refine || seedRows.isEmpty) return seeds
+    val seedRows = trainRows.take(nlist)
+    if (!refine || seedRows.isEmpty) return centFrame(seedRows)
     val dim = seedRows.head.getAs[scala.collection.Seq[Any]](1).length
     // mean elements must match the vector column's element type — the
     // embedding column is float in the lake tables but double in
     // synthetic/derived frames, and a Float in a double-typed Row slot
     // is a runtime ClassCastException at codegen time
-    val toElem: Double => Any =
-      c.schema("cv").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, _) => d => d.toFloat
-        case _ => d => d
-      }
-    val scale = (1L << 24).toDouble
-    // Lloyd pass(es): slim-assign to the current centroids, then per-list
-    // fixed-point element sums as ONE VecSumFixed aggregate buffer —
-    // map-side partial aggregation keeps the shuffle at one 16×dim-byte
-    // buffer per (partition, list), never a vector exchange. Sums run
-    // over longs (element × 2²⁴) so the means are bit-deterministic
-    // across partitionings — a floating-point sum would make centroid
-    // bits, and every downstream golden hash, an artifact of reduction
-    // order. (The earlier `transform` + dim × sum(element_at) columns
-    // were bit-identical but ~5× the cost of the assignment itself: the
-    // HOF is CodegenFallback and each of the dim sums re-walked the
-    // array — tools/lloydprofile_r6.txt.)
-    (1 to iterations).foldLeft(seeds) { (cents, _) =>
-      val sums = ivfAssign(c, cents)
-        .groupBy(col("list_id"))
-        .agg(count(lit(1)).as("__n"),
-          graft.functions.VectorFunctions.sumFixed(col("cv"), scale, dim)
-            .as("__s"))
-        .collect()
-      val refined = sums.map { r =>
-        val n = r.getAs[Long]("__n").toDouble
-        val s = r.getAs[scala.collection.Seq[Long]]("__s")
-        val mean = Array.tabulate[Any](dim)(i => toElem(s(i) / scale / n))
-        org.apache.spark.sql.Row(r.get(0), mean.toSeq)
-      }
-      centFrame(refined)
+    val isFloat = c.schema("cv").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
     }
+    val toElem: Double => Any =
+      if (isFloat) d => d.toFloat else d => d
+    val scale = (1L << 24).toDouble
+    // training vectors wrapped ONCE for the kernel calls
+    val vecs: Array[org.apache.spark.sql.catalyst.util.ArrayData] =
+      trainRows.map { r =>
+        val s = r.getAs[scala.collection.Seq[Any]](1)
+        if (s == null) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          s.toArray)
+      }
+    // driver-side Lloyd: per-iteration, assignment via the SAME argmax
+    // kernel the distributed narrow map compiles
+    // (VectorKernelNearest.nearestCentroid — identical tie-breaks, null
+    // handling, double ordering) and per-list means via the SAME
+    // fixed-point rounding (VecAggKernel.roundFixed) — so a corpus at or
+    // under maxTrain produces bit-identical centroids to the r7
+    // distributed passes (golden hashes a2–a6/a9/a10/d9 unchanged).
+    // Count semantics mirror the old groupBy: every assigned row counts
+    // (null vectors land on index 0 and dilute that list's mean via n),
+    // null ELEMENTS are skipped per position, and lists with zero
+    // members drop out of the refined set.
+    // Spark-identical list_id-ascending order — driver-side when the id
+    // type has a verified external ordering, via a tiny LocalRelation
+    // sort otherwise (exotic id types only; never silently unsorted,
+    // the matrix tie-break contract depends on it)
+    def sortCentRows(rows: Array[org.apache.spark.sql.Row])
+        : Array[org.apache.spark.sql.Row] = listIdOrdering(idType) match {
+      case Some(ord) =>
+        rows.sortWith((a, b) => ord.compare(a.get(0), b.get(0)) < 0)
+      case None => centFrame(rows).orderBy(col("list_id")).collect()
+    }
+    var cents = seedRows
+    (1 to iterations).foreach { _ =>
+      val cm = centMatrixFromSortedRows(sortCentRows(cents), idType)
+      val sums = Array.fill(cm.rows.length)(new Array[Long](dim))
+      val counts = new Array[Long](cm.rows.length)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        val t = graft.functions.VectorKernelNearest.nearestCentroid(
+          v, isFloat, cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null)
+        counts(t) += 1
+        if (v != null) {
+          val n = math.min(dim, v.numElements())
+          var e = 0
+          while (e < n) {
+            if (!v.isNullAt(e)) {
+              val x = if (isFloat) v.getFloat(e).toDouble else v.getDouble(e)
+              sums(t)(e) += graft.functions.VecAggKernel.roundFixed(x * scale)
+            }
+            e += 1
+          }
+        }
+        i += 1
+      }
+      cents = cm.rows.indices.iterator.filter(counts(_) > 0).map { t =>
+        val n = counts(t).toDouble
+        org.apache.spark.sql.Row(cm.rows(t).get(0),
+          Array.tabulate[Any](dim)(e => toElem(sums(t)(e) / scale / n)).toSeq)
+      }.toArray
+    }
+    centFrame(sortCentRows(cents))
   }
 
   /** Assign every corpus vector to its single nearest centroid →
@@ -342,6 +391,15 @@ object AnnSearch {
       case None => cents.select(col("list_id"), col("centv"))
         .orderBy(col("list_id")).collect()
     }
+    centMatrixFromSortedRows(centRows, idType)
+  }
+
+  /** [[centMatrix]] over ALREADY list_id-ascending driver rows — the
+    * zero-job path for quantizer training loops that hold the centroids
+    * driver-side anyway. */
+  private[graft] def centMatrixFromSortedRows(
+      centRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): CentMatrix = {
     val mats = new Array[Array[Double]](centRows.length)
     val firstNull = new Array[Int](centRows.length)
     val nb2s = new Array[Double](centRows.length)

@@ -47,8 +47,9 @@ object SilverIndex {
     * fails schema inference, which would wedge every later refresh.
     * "Directory without data files" must mean "no index yet", not an
     * error. */
-  private def readIfData(spark: SparkSession, path: String)
-      : Option[DataFrame] = {
+  /** True iff `path` holds at least one DATA file — the fs walk alone,
+    * no parquet footer read. */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // manual recursion so HIDDEN SUBTREES are skipped whole — a flat
@@ -62,7 +63,96 @@ object SilverIndex {
         else if (st.isFile) true
         else hasData(st.getPath)
       }
-    if (fs.exists(p) && hasData(p)) Some(spark.read.parquet(path)) else None
+    fs.exists(p) && hasData(p)
+  }
+
+  private def readIfData(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    if (hasDataFiles(spark, path)) Some(spark.read.parquet(path)) else None
+
+  // ------------------------------------------------------ row-count sidecar
+
+  /** (data files, total data bytes) under `dir` — the freshness
+    * fingerprint for the row-count sidecar. Hidden subtrees skipped
+    * whole, as [[readIfData]]. */
+  private def dataStats(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): (Long, Long) = {
+    def walk(d: Path): (Long, Long) =
+      fs.listStatus(d).foldLeft((0L, 0L)) { case ((n, b), st) =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) (n, b)
+        else if (st.isFile) (n + 1, b + st.getLen)
+        else { val (cn, cb) = walk(st.getPath); (n + cn, b + cb) }
+      }
+    if (fs.exists(dir)) walk(dir) else (0L, 0L)
+  }
+
+  private def metaFile(dir: String) = new Path(dir, "_rowmeta.json")
+
+  /** The sidecar's row count, IF its fingerprint matches the current
+    * data listing — a stale sidecar (crash between append and sidecar
+    * write, out-of-band writes, compaction) silently falls back to a
+    * real count. The sidecar is why a refresh is a metadata operation:
+    * without it every refresh pays two full-table count jobs, and at
+    * 10¹¹ indexed rows even a footer-statistics count is a distributed
+    * job over every file. */
+  private def readMetaRows(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Long] = {
+    val f = metaFile(dir)
+    if (!fs.exists(f)) None
+    else
+      try {
+        val in = fs.open(f)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = txt.stripPrefix("{").stripSuffix("}").split(",").map { p =>
+          val Array(k, v) = p.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim
+        }.toMap
+        val (files, bytes) = dataStats(fs, new Path(dir))
+        if (kv("files").toLong == files && kv("bytes").toLong == bytes)
+          Some(kv("rows").toLong)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeMetaRows(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, rows: Long): Unit = {
+    val (files, bytes) = dataStats(fs, new Path(dir))
+    val out = fs.create(metaFile(dir), true)
+    try out.write(
+      s"""{"rows":$rows,"files":$files,"bytes":$bytes}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Rows in the existing table: the validated sidecar when fresh, a
+    * count otherwise. */
+  private def existingRows(spark: SparkSession, dir: String,
+      existing: Option[DataFrame]): Long = existing.fold(0L) { df =>
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    readMetaRows(fs, dir).getOrElse(df.count())
+  }
+
+  /** Append `frame` to `dir` as parquet, counting the appended rows with
+    * an [[org.apache.spark.sql.Observation]] on the write job itself (no
+    * separate count job), then refresh the sidecar with before+appended.
+    * `partitionCols` adds `partitionBy`; `shape` lets callers inject the
+    * co-locating repartition between the observe point and the write. */
+  private def appendCounted(frame: DataFrame, dir: String,
+      partitionCols: Seq[String], before: Long,
+      shape: DataFrame => DataFrame = identity): Refresh = {
+    val spark = frame.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val observed = shape(frame.observe(obs, count(lit(1)).as("n")))
+    val w = observed.write.mode("append")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(dir)
+    val appended = obs.get("n").asInstanceOf[Long]
+    val total = before + appended
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    writeMetaRows(fs, dir, total)
+    Refresh(appended, total)
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -84,13 +174,12 @@ object SilverIndex {
           s"refresh requested $numHashes — rebuild, don't mix")
       docs.join(ix.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
     }
-    val before = existing.fold(0L)(_.count())
-    Dedup.minhashSets(newDocs, idCol, textCol, n, numHashes)
-      .write.mode("append").parquet(path)
-    // appended measured from the files that actually landed (parquet
-    // row-count is metadata-cheap), not by re-running the delta lineage
-    val total = readIfData(spark, path).fold(0L)(_.count())
-    Refresh(total - before, total)
+    val before = existingRows(spark, path, existing)
+    // appended measured by an Observation on the write job itself (and
+    // the sidecar carries the running total), so a refresh pays zero
+    // count jobs — see appendCounted
+    appendCounted(Dedup.minhashSets(newDocs, idCol, textCol, n, numHashes),
+      path, Nil, before)
   }
 
   /** The signature table as [[graft.operators.Dedup.minhashPairsFromSets]]
@@ -121,11 +210,9 @@ object SilverIndex {
     val existing = readIfData(spark, path)
     val newDocs = existing.fold(docs)(ix => docs.join(
       ix.select(col("doc").as(idCol)).distinct(), Seq(idCol), "left_anti"))
-    val before = existing.fold(0L)(_.count())
-    TextSearch.postings(newDocs, idCol, textCol)
-      .write.mode("append").parquet(path)
-    val total = readIfData(spark, path).fold(0L)(_.count())
-    Refresh(total - before, total)
+    val before = existingRows(spark, path, existing)
+    appendCounted(TextSearch.postings(newDocs, idCol, textCol),
+      path, Nil, before)
   }
 
   /** The persisted postings as [[TextSearch.bm25TopKFromPostings]]
@@ -156,6 +243,45 @@ object SilverIndex {
   private def centPath(path: String) = s"$path/centroids"
   private def asgPath(path: String) = s"$path/assigned"
 
+  /** Per-path cache of the FROZEN quantizer rows, keyed by the centroid
+    * dir's data-file fingerprint: the quantizer freezes at first build
+    * (the IVF append discipline), yet every delta refresh and every
+    * probe re-read + re-collected its ≤ nlist rows from parquet — two
+    * extra jobs per a6-shaped run. The fingerprint (files:bytes) makes a
+    * re-trained index (dir deleted + rebuilt) a cache miss, never a
+    * stale hit. Values are driver Rows (KBs at any realistic nlist·dim). */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+
+  private def loadCents(spark: SparkSession, path: String): DataFrame = {
+    val dir = centPath(path)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (files, bytes) = dataStats(fs, new Path(dir))
+    val fp = s"$files:$bytes"
+    val hit = centCache.get(dir)
+    val (rows, schema) =
+      if (hit != null && hit._1 == fp) (hit._2, hit._3)
+      else {
+        val df = spark.read.parquet(dir)
+        val r = df.collect()
+        centCache.put(dir, (fp, r, df.schema))
+        (r, df.schema)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Seed the cache from a just-written build — the builder already holds
+    * the rows driver-side. */
+  private def cacheCents(spark: SparkSession, path: String,
+      built: DataFrame): Unit = {
+    val dir = centPath(path)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (files, bytes) = dataStats(fs, new Path(dir))
+    centCache.put(dir, (s"$files:$bytes", built.collect(), built.schema))
+  }
+
   /** Bring the IVF index at `path` up to date with `corpus`. First call
     * builds + persists the quantizer (hash-sampled seeds + one Lloyd
     * pass, [[AnnSearch.ivfCentroids]]); later calls FREEZE it and only
@@ -169,27 +295,26 @@ object SilverIndex {
     // a centroids dir without data files means the quantizer was "built"
     // on an empty corpus (e.g. a quiet first streaming micro-batch) —
     // train it for real on the first non-empty one
-    val cents = readIfData(spark, centPath(path)).getOrElse {
-      val built = AnnSearch.ivfCentroids(c, nlist)
-      built.write.mode("overwrite").parquet(centPath(path))
-      built
-    }
+    val cents =
+      if (hasDataFiles(spark, centPath(path))) loadCents(spark, path)
+      else {
+        val built = AnnSearch.ivfCentroids(c, nlist)
+        built.write.mode("overwrite").parquet(centPath(path))
+        cacheCents(spark, path, built)
+        built
+      }
     val existing = readIfData(spark, asgPath(path))
     val newC = existing.fold(c)(ix =>
       c.join(ix.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
-    val before = existing.fold(0L)(_.count())
+    val before = existingRows(spark, asgPath(path), existing)
     // co-locate each list's rows before the partitioned write: without
     // it every input task emits a file into every list dir (tasks ×
-    // nlist tiny files), which the refresh's own counts, the anti-join
-    // listing, and every probe read then pay for. One narrow shuffle of
-    // (id, cv, list_id) rows buys one file per (task, list) with AQE
-    // coalescing — at cluster scale, add more write tasks, not more
-    // files per list.
-    AnnSearch.ivfAssign(newC, cents)
-      .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(asgPath(path))
-    val total = readIfData(spark, asgPath(path)).fold(0L)(_.count())
-    Refresh(total - before, total)
+    // nlist tiny files), which the anti-join listing and every probe
+    // read then pay for. One narrow shuffle of (id, cv, list_id) rows
+    // buys one file per (task, list) with AQE coalescing — at cluster
+    // scale, add more write tasks, not more files per list.
+    appendCounted(AnnSearch.ivfAssign(newC, cents), asgPath(path),
+      Seq("list_id"), before, shape = _.repartition(col("list_id")))
   }
 
   /** The persisted assignment, shaped for
@@ -197,7 +322,7 @@ object SilverIndex {
     * `list_id` cast back to the centroid table's id type (partition-
     * column inference narrows it on read). */
   def ivfAssigned(spark: SparkSession, path: String): DataFrame = {
-    val cents = spark.read.parquet(centPath(path))
+    val cents = loadCents(spark, path)
     spark.read.parquet(asgPath(path))
       .withColumn("list_id",
         col("list_id").cast(cents.schema("list_id").dataType))
@@ -205,11 +330,13 @@ object SilverIndex {
   }
 
   /** ANN top-k against the PERSISTED index: no quantizer build, no
-    * corpus-wide assignment — the recurring-query shape. */
+    * corpus-wide assignment — the recurring-query shape. The frozen
+    * quantizer serves from the per-path cache ([[loadCents]]), so a
+    * probe costs only the partition-pruned assignment scan. */
   def ivfTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(centPath(path))
+    val cents = loadCents(spark, path)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     AnnSearch.ivfTopKFromAssigned(q0, ivfAssigned(spark, path), cents,
       k, nprobe)
@@ -245,11 +372,14 @@ object SilverIndex {
     val spark = corpus.sparkSession
     val c = AnnSearch.ivfCorpus(corpus, idCol, vecCol)
     val sub = AnnSearch.pqSubDim(c, m)
-    val cents = readIfData(spark, centPath(path)).getOrElse {
-      val built = AnnSearch.ivfCentroids(c, nlist)
-      built.write.mode("overwrite").parquet(centPath(path))
-      built
-    }
+    val cents =
+      if (hasDataFiles(spark, centPath(path))) loadCents(spark, path)
+      else {
+        val built = AnnSearch.ivfCentroids(c, nlist)
+        built.write.mode("overwrite").parquet(centPath(path))
+        cacheCents(spark, path, built)
+        built
+      }
     val books =
       if (readIfData(spark, bookPath(path)).isDefined)
         loadCodebooks(spark, path, m, sub)
@@ -270,8 +400,8 @@ object SilverIndex {
     val existing = readIfData(spark, codesPath(path))
     val newC = existing.fold(c)(ix =>
       c.join(ix.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti"))
-    val before = existing.fold(0L)(_.count())
-    AnnSearch.ivfAssign(newC, cents)
+    val before = existingRows(spark, codesPath(path), existing)
+    val coded = AnnSearch.ivfAssign(newC, cents)
       .join(broadcast(cents), "list_id")
       .withColumn("codes", AnnSearch.pqEncode(
         graft.functions.VectorFunctions.sub(col("cv"), col("centv")),
@@ -280,10 +410,8 @@ object SilverIndex {
         AnnSearch.pqReconNorm2(col("centv"), col("codes"), books, sub)
           .as("rnorm2"),
         col("list_id"))
-      .repartition(col("list_id")) // one file per (task, list) — see refreshIvf
-      .write.mode("append").partitionBy("list_id").parquet(codesPath(path))
-    val total = readIfData(spark, codesPath(path)).fold(0L)(_.count())
-    Refresh(total - before, total)
+    appendCounted(coded, codesPath(path), Seq("list_id"), before,
+      shape = _.repartition(col("list_id"))) // one file per (task, list) — see refreshIvf
   }
 
   /** The frozen per-subspace codebooks reloaded as the kernel matrices:
@@ -316,7 +444,7 @@ object SilverIndex {
       idCol: String, vecCol: String, path: String, k: Int, nprobe: Int,
       rescoreMult: Int = 10): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(centPath(path))
+    val cents = loadCents(spark, path)
     val shape = spark.read.parquet(bookPath(path))
       .select(countDistinct(col("subspace")), max(size(col("centv")))).head()
     val (m, sub) = (shape.getLong(0).toInt, shape.getInt(1))
@@ -479,7 +607,9 @@ object SilverIndex {
       require(fs.rename(src, asg), s"compactIvf: could not restore $src to $asg")
     }
     fs.delete(staging, true); fs.delete(retired, true)
+    val obs = org.apache.spark.sql.Observation()
     spark.read.parquet(asgPath(path))
+      .observe(obs, count(lit(1)).as("n"))
       .withColumn("list_id", col("list_id")) // partition col back into data
       .repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(staging.toString)
@@ -487,5 +617,8 @@ object SilverIndex {
     require(fs.rename(staging, asg),
       s"compactIvf: could not activate $staging — old table at $retired")
     fs.delete(retired, true)
+    // the rewrite job counted the rows for free — refresh the sidecar so
+    // post-compaction refreshes stay metadata-only
+    writeMetaRows(fs, asgPath(path), obs.get("n").asInstanceOf[Long])
   }
 }
