@@ -252,16 +252,9 @@ object AnnSearch {
     // (null vectors land on index 0 and dilute that list's mean via n),
     // null ELEMENTS are skipped per position, and lists with zero
     // members drop out of the refined set.
-    // Spark-identical list_id-ascending order — driver-side when the id
-    // type has a verified external ordering, via a tiny LocalRelation
-    // sort otherwise (exotic id types only; never silently unsorted,
-    // the matrix tie-break contract depends on it)
     def sortCentRows(rows: Array[org.apache.spark.sql.Row])
-        : Array[org.apache.spark.sql.Row] = listIdOrdering(idType) match {
-      case Some(ord) =>
-        rows.sortWith((a, b) => ord.compare(a.get(0), b.get(0)) < 0)
-      case None => centFrame(rows).orderBy(col("list_id")).collect()
-    }
+        : Array[org.apache.spark.sql.Row] =
+      sortRowsById(rows, idType, centFrame)
     var cents = seedRows
     (1 to iterations).foreach { _ =>
       val cm = centMatrixFromSortedRows(sortCentRows(cents), idType)
@@ -392,6 +385,20 @@ object AnnSearch {
         .orderBy(col("list_id")).collect()
     }
     centMatrixFromSortedRows(centRows, idType)
+  }
+
+  /** Rows in Spark-identical list_id-ascending order — driver-side when
+    * the id type has a verified external ordering ([[listIdOrdering]]),
+    * via a tiny LocalRelation sort otherwise (exotic id types only;
+    * never silently unsorted — the matrix tie-break contract depends on
+    * it). */
+  private def sortRowsById(rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      frame: Array[org.apache.spark.sql.Row] => DataFrame)
+      : Array[org.apache.spark.sql.Row] = listIdOrdering(idType) match {
+    case Some(ord) =>
+      rows.sortWith((a, b) => ord.compare(a.get(0), b.get(0)) < 0)
+    case None => frame(rows).orderBy(col("list_id")).collect()
   }
 
   /** [[centMatrix]] over ALREADY list_id-ascending driver rows — the
@@ -638,36 +645,39 @@ object AnnSearch {
     * [[centMatrix]]'s list_id-ascending ordering reproduces the code →
     * mats-index mapping exactly on reload.
     *
-    * All m subspaces train in ONE shared pass, not m independent
-    * [[ivfCentroids]] runs: the hash sample keys on `neighbor_id`, not
-    * the subvector, so every subspace draws the SAME seed ids — one
-    * corpus TakeOrdered yields all m seed sets as driver-side slices —
-    * and each Lloyd iteration assigns + aggregates all subspaces in one
-    * job (per-row: m argmin kernels exploded to (subspace, list_id,
-    * subvector) rows; one map-side-combined shuffle of fixed-point sum
-    * buffers). Bit-identical to the per-subspace loop — same seeds, same
-    * argmin kernel per slice, and the 2²⁴ fixed-point integer sums are
-    * reduction-order-free — but 3 driver actions instead of 3·m (the
-    * per-subspace loop was 24 actions at m=8, and action latency is the
-    * whole cost of quantizer training below corpus sizes that saturate a
-    * task). */
+    * All m subspaces train in ONE pass over ONE sample: the hash sample
+    * keys on `neighbor_id`, not the subvector, so every subspace draws
+    * the SAME sampled ids — a single corpus TakeOrdered (capped at
+    * `maxTrain` rows, the [[ivfCentroids]] FAISS-style training
+    * discipline) collects the sample, and the Lloyd iterations run
+    * DRIVER-SIDE per subspace against the same kernel statics the
+    * distributed explode + VecSumFixed shape compiled. Bit-identical at
+    * or under the cap — same seeds, same argmin kernel per slice, same
+    * fixed-point rounding, reduction-order-free sums (golden a9/a10
+    * hashes pin it) — and ONE driver action instead of 3 (r7) or 3·m
+    * (r5); action latency is the whole cost of quantizer training below
+    * corpus sizes that saturate a task. */
   private[graft] def pqCodebookFrames(c: DataFrame, m: Int, ksub: Int,
-      sub: Int): IndexedSeq[DataFrame] = {
+      sub: Int, maxTrain: Int = 1 << 16): IndexedSeq[DataFrame] = {
     val spark = c.sparkSession
+    val idType = c.schema("neighbor_id").dataType
     val elemType = c.schema("cv").dataType
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("list_id",
-        c.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("list_id", idType),
       org.apache.spark.sql.types.StructField("centv", elemType)))
     def centFrame(rows: Seq[org.apache.spark.sql.Row]) =
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), centSchema)
-    val seedRows = c
+    // ONE distributed job: the hash-ordered training sample (the
+    // ivfCentroids discipline — seeds are its first ksub rows, and all
+    // m subspaces train on the same sampled ids as driver-side slices)
+    val trainRows = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id"))
-      .limit(ksub)
+      .limit(math.max(ksub, maxTrain))
       .select(col("neighbor_id"), col("cv"))
       .collect()
+    val seedRows = trainRows.take(ksub)
     def sliceSeq(v: scala.collection.Seq[Any], j: Int): Any =
       if (v == null) null else v.slice(j * sub, (j + 1) * sub)
     var cents: IndexedSeq[IndexedSeq[org.apache.spark.sql.Row]] =
@@ -676,38 +686,68 @@ object AnnSearch {
           r.get(0), sliceSeq(r.getAs[scala.collection.Seq[Any]](1), j)))
       }
     if (seedRows.isEmpty) return cents.map(centFrame)
-    val toElem: Double => Any = elemType match {
+    val isFloat = elemType match {
       case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, _) => d => d.toFloat
-      case _ => d => d
+          org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
     }
+    val toElem: Double => Any = if (isFloat) d => d.toFloat else d => d
     val scale = (1L << 24).toDouble
+    // per-row subspace slices wrapped ONCE for the kernel calls
+    val slices: Array[Array[org.apache.spark.sql.catalyst.util.ArrayData]] =
+      trainRows.map { r =>
+        val s = r.getAs[scala.collection.Seq[Any]](1)
+        Array.tabulate(m)(j =>
+          if (s == null) null
+          else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            s.slice(j * sub, (j + 1) * sub).toArray))
+      }
+    // driver-side Lloyd over the sample, all m subspaces per pass — the
+    // same kernel statics as the distributed explode + VecSumFixed shape
+    // it replaces (bit-identical at or under the cap; the golden a9/a10
+    // hashes pin it), with zero corpus re-scans per iteration
     (1 to 2).foreach { _ =>
-      val cms = cents.map(rows => centMatrix(centFrame(rows)))
-      val structs = array((0 until m).map { j =>
-        val cm = cms(j)
-        val sv = slice(col("cv"), j * sub + 1, sub)
-        val idx = org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.NearestCentroid(
-            org.apache.spark.sql.graft.ColumnBridge.expression(sv),
-            cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null))
-        struct(lit(j).as("sub"),
-          element_at(cm.listIds, idx + 1).as("list_id"), sv.as("sv"))
-      }: _*)
-      val sums = c.select(explode(structs).as("e"))
-        .select(col("e.sub").as("sub"), col("e.list_id").as("list_id"),
-          col("e.sv").as("sv"))
-        .groupBy(col("sub"), col("list_id"))
-        .agg(count(lit(1)).as("__n"),
-          graft.functions.VectorFunctions.sumFixed(col("sv"), scale, sub)
-            .as("__s"))
-        .collect()
+      val cms = cents.map { rows =>
+        centMatrixFromSortedRows(
+          sortRowsById(rows.toArray, idType, rs => centFrame(rs.toSeq)),
+          idType)
+      }
+      val sums = Array.tabulate(m)(j =>
+        Array.fill(cms(j).rows.length)(new Array[Long](sub)))
+      val counts = Array.tabulate(m)(j => new Array[Long](cms(j).rows.length))
+      var i = 0
+      while (i < slices.length) {
+        var j = 0
+        while (j < m) {
+          val sv = slices(i)(j)
+          val cm = cms(j)
+          val t = graft.functions.VectorKernelNearest.nearestCentroid(
+            sv, isFloat, cm.mats, cm.firstNull, cm.nb2s, cm.nb2Null)
+          counts(j)(t) += 1
+          if (sv != null) {
+            val n = math.min(sub, sv.numElements())
+            var e = 0
+            while (e < n) {
+              if (!sv.isNullAt(e)) {
+                val x = if (isFloat) sv.getFloat(e).toDouble
+                  else sv.getDouble(e)
+                sums(j)(t)(e) += graft.functions.VecAggKernel
+                  .roundFixed(x * scale)
+              }
+              e += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
       cents = (0 until m).map { j =>
-        sums.iterator.filter(_.getAs[Int]("sub") == j).map { r =>
-          val n = r.getAs[Long]("__n").toDouble
-          val s = r.getAs[scala.collection.Seq[Long]]("__s")
-          org.apache.spark.sql.Row(r.get(1),
-            Array.tabulate[Any](sub)(i => toElem(s(i) / scale / n)).toSeq)
+        val cm = cms(j)
+        cm.rows.indices.iterator.filter(counts(j)(_) > 0).map { t =>
+          val n = counts(j)(t).toDouble
+          org.apache.spark.sql.Row(cm.rows(t).get(0),
+            Array.tabulate[Any](sub)(e =>
+              toElem(sums(j)(t)(e) / scale / n)).toSeq)
         }.toIndexedSeq
       }
     }
