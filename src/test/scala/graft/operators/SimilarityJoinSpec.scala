@@ -95,6 +95,44 @@ class SimilarityJoinSpec extends SparkTestBase {
     }
   }
 
+  test("auto token salt: engages from the histogram on a hot token, result-identical, no flag set") {
+    def c(salt: Int, budget: Long) = SimilarityJoinConfig(
+      leftKey = "business_title", rightKey = "title_description",
+      preThreshold = 85.0, scoreThreshold = 85.0,
+      blocking = Blocking.Token, tokenSalt = salt,
+      tokenSaltPairBudget = budget)
+    def pairs(salt: Int, budget: Long) =
+      SimilarityJoin.scoredKeyPairs(jobs, payroll, c(salt, budget))
+    val manual = pairs(salt = 1, budget = 250000L)
+    // budget of 1 pair/task: the fixture's hottest shared token exceeds
+    // it, so the DEFAULT auto config (tokenSalt = 0) must salt with no
+    // flag set — visible as the __salt join key in the plan
+    val auto = pairs(salt = 0, budget = 1L)
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+      "auto salt did not engage on a hot token over budget")
+    assert(auto.collect().map(_.toString).toSet ==
+      manual.collect().map(_.toString).toSet,
+      "auto-salted results must be identical to unsalted")
+    // a corpus under budget must NOT pay the replication
+    val calm = pairs(salt = 0, budget = 250000L)
+    assert(!calm.queryExecution.analyzed.toString.contains("__salt"),
+      "auto salt engaged on a corpus under the pair budget")
+    // and the derived factor is clamped to the cap
+    import org.apache.spark.sql.functions._
+    val lt0 = jobs.select(graft.functions.normalizeTitleCol(
+        col("business_title")).as("__n"))
+      .withColumn("__tok", explode(split(col("__n"), " ")))
+    val rt0 = payroll.select(graft.functions.normalizeTitleCol(
+        col("title_description")).as("__n"))
+      .withColumn("__tok", explode(split(col("__n"), " ")))
+    // hottest shared token here is "officer": 1 left key × 3 right keys
+    assert(SimilarityJoin.deriveTokenSalt(lt0, rt0, budget = 1L, cap = 16) == 3)
+    assert(SimilarityJoin.deriveTokenSalt(lt0, rt0, budget = 1L, cap = 2) == 2,
+      "derived factor must clamp to the cap")
+    assert(SimilarityJoin.deriveTokenSalt(lt0, rt0,
+      budget = 1000000L, cap = 16) == 1)
+  }
+
   test("output schema is left ++ right ++ score with right winning collisions") {
     val out = SimilarityJoin(jobs, payroll, cfg(Blocking.Exact))
     assert(out.columns.toSeq ==

@@ -132,6 +132,14 @@ class ScaleCanarySpec extends SparkTestBase {
     assert(unsalted.nonEmpty, "identity check must run on a non-empty set")
     assert(salted == unsalted,
       s"salting changed results: ${salted.size} vs ${unsalted.size} pairs")
+    // AUTO (tokenSalt = 0, the default — no flag set): the hot bucket's
+    // 200 × 10k = 2M candidate product exceeds the 250k default budget,
+    // so the histogram must engage salting on its own, result-identical
+    val auto = SimilarityJoin.scoredKeyPairs(left, right, cfg(0))
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+      "auto token salt did not engage on the planted hot token")
+    assert(rowSet(auto) == unsalted,
+      "auto-salted results must be identical to unsalted")
   }
 
   test("scored pairs past the cap are never broadcast-built at the join-back", Slow) {
