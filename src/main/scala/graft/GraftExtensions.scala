@@ -65,6 +65,7 @@ object GraftFunctions {
       SortedLongJaccardGE(args(0), args(1),
         litDouble(args(2), "sorted_long_jaccard_ge", "theta")) },
     "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
+    "vec_sub" -> checked("vec_sub", 2) { args => VecSub(args(0), args(1)) },
     "vec_sum_fixed" -> checked("vec_sum_fixed", 3) { args =>
       VecSumFixed(args(0), litDouble(args(1), "vec_sum_fixed", "scale"),
         litInt(args(2), "vec_sum_fixed", "dim")) },

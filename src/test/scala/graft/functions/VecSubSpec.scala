@@ -53,6 +53,13 @@ class VecSubSpec extends SparkTestBase {
     assert(r(1) == 2.2f.toDouble - 0.2f.toDouble)
   }
 
+  test("vec_sub is SQL-registered") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT vec_sub(array(3.0D, 2.0D), array(1.0D, 0.5D))")
+      .head().getAs[scala.collection.Seq[Double]](0)
+    assert(r == Seq(2.0, 1.5))
+  }
+
   test("whole-stage codegen and interpreted eval agree") {
     val d = df(Seq((Seq[java.lang.Float](3.0f, null), Seq[java.lang.Float](1.0f, 1.0f))))
     val expr = VectorFunctions.sub(col("a"), col("b"))
