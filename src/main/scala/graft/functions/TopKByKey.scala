@@ -37,22 +37,22 @@ private[graft] final class TopKBuffer(val k: Int,
     if (heap.size < k) { heap.add(e); () }
     else if (better(e, heap.peek())) { heap.poll(); heap.add(e); () }
 
-  // reused for rejected-candidate tests in `offer` — never enters the heap
+  // reused for rejected-candidate tests in `wouldAccept` — never enters
+  // the heap (PriorityQueue only consults the comparator on add/poll)
   private[this] val probe = new TopKEntry(null, null)
 
-  /** Insert (score, id) only if it ranks: the accept test runs on the raw
-    * values and `copyId` materializes (e.g. clones an unsafe-row-backed
-    * UTF8String) ONLY when the candidate actually enters the heap. On the
-    * hot update path most candidates lose to a full buffer — the
-    * rejected-insert path must stay allocation-free. */
-  def offer(score: Any, id: Any)(copyId: => Any): Unit =
-    if (heap.size < k) { heap.add(new TopKEntry(score, copyId)); () }
-    else {
+  /** Would (score, id) enter the heap right now? Allocation-free — the
+    * hot update path tests with a reused probe entry and materializes
+    * NOTHING for the (dominant) rejected candidates; the caller clones
+    * unsafe-backed values and allocates the entry only on accept. (A
+    * by-name `copyId` variant was measured ~2× slower on the 1M-doc
+    * probe smoke: the thunk is a per-row Function0 allocation whether or
+    * not the candidate ranks.) */
+  def wouldAccept(score: Any, id: Any): Boolean =
+    heap.size < k || {
       probe.score = score
       probe.id = id
-      if (better(probe, heap.peek())) {
-        heap.poll(); heap.add(new TopKEntry(score, copyId)); ()
-      }
+      better(probe, heap.peek())
     }
 
   def entries: Array[TopKEntry] = heap.toArray(new Array[TopKEntry](heap.size))
@@ -168,13 +168,14 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
     val i0 = id.eval(input)
     // UTF8String from an unsafe row is a VIEW into reusable memory — it
     // must be copied before being held across rows, but ONLY once the
-    // insert is accepted: `offer` evaluates the by-name clone after the
-    // rank test, so the (dominant) rejected-insert path allocates nothing
-    buf.offer(s, i0) {
-      i0 match {
+    // insert is accepted: test first (allocation-free), clone + allocate
+    // the entry only for the candidates that actually rank
+    if (buf.wouldAccept(s, i0)) {
+      val i = i0 match {
         case u: UTF8String => u.clone()
         case other => other
       }
+      buf.insert(new TopKEntry(s, i))
     }
     buf
   }
