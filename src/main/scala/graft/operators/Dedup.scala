@@ -51,9 +51,14 @@ object Dedup {
     * file count and materializes the arrays once at the exchange, so
     * downstream self-join branches reuse them (ReuseExchange). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        graft.functions.word_shingles(col(textCol), n).as("sh"))
+    // spread the RAW text, shingle after the exchange: computing the
+    // shingle arrays below the repartition runs the whole kernel as one
+    // task on a one-file corpus AND shuffles the (larger) arrays
+    // instead of the text
+    df.select(col(idCol).as("doc"), col(textCol).as("__text"))
       .transform(Par.spread(_, col("doc")))
+      .select(col("doc"),
+        graft.functions.word_shingles(col("__text"), n).as("sh"))
 
   /** inter/(|A|+|B|−inter) over binary-SORTED distinct string arrays in
     * ONE codegen'd merge pass ([[graft.functions.SortedStringJaccard]]) —
@@ -207,8 +212,10 @@ object Dedup {
   def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
       theta: Double, cacheSets: Boolean = true,
       strategy: JaccardStrategy = JaccardStrategy.Auto): DataFrame = {
-    val setsPlan = df.select(col(idCol).as("doc"), shingles.as("sh"))
-      .transform(Par.spread(_, col("doc")))
+    // spread the input rows first so the shingle expression runs
+    // post-exchange across cores (shingleSets discipline)
+    val setsPlan = Par.spread(df, col(idCol))
+      .select(col(idCol).as("doc"), shingles.as("sh"))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
     val sets = if (cacheSets)
@@ -342,8 +349,9 @@ object Dedup {
           sort_array(transform(col("sh"), g => xxhash64(g)))
             .as(s"${side}_hs"),
           size(col("sh")).as(s"${side}_sz"))
-    val c = prep(corpus, corpusId, "corpus")
-      .transform(Par.spread(_, col("corpus_id")))
+    // spread the raw corpus BEFORE prep so the shingle/sort kernels run
+    // post-exchange across cores (shingleSets discipline)
+    val c = prep(Par.spread(corpus, col(corpusId)), corpusId, "corpus")
     val r = prep(ref, refId, "ref")
     c.crossJoin(broadcast(r))
       .where(col("corpus_sz") >= ceil(lit(theta) * col("ref_sz")) &&

@@ -45,8 +45,13 @@ object QualitySignals {
   def lineRepetition(df: DataFrame, idCol: String, textCol: String,
       lineWidth: Int = 7): DataFrame = {
     require(lineWidth > 0, s"lineWidth must be positive, got $lineWidth")
-    val ws = toks(col(textCol))
-    val base = df.select(col(idCol), ws.as("__ws"))
+    // spread the raw docs BEFORE the tokenize/explode/aggregate chain: a
+    // one-file corpus otherwise runs it all as a single task (measured
+    // 1.5 s of t9's wall at sf0.1), and both (id, …) aggregations then
+    // land on the hash(id) partitioning exchange-free
+    val base = df.select(col(idCol), col(textCol).as("__text"))
+      .transform(Par.spread(_, col(idCol)))
+      .select(col(idCol), toks(col("__text")).as("__ws"))
       .withColumn("__n", size(col("__ws")))
 
     // lines: ⌈n/width⌉ slices of the token array, space-joined —
