@@ -66,6 +66,11 @@ object GraftFunctions {
         litDouble(args(2), "sorted_long_jaccard_ge", "theta")) },
     "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
     "vec_sub" -> checked("vec_sub", 2) { args => VecSub(args(0), args(1)) },
+    // bounded per-group top-k (the rankedTopK aggregate) for SQL users:
+    // SELECT key, top_k_by_key(score, id, 3) FROM t GROUP BY key
+    "top_k_by_key" -> checked("top_k_by_key", 3) { args =>
+      TopKByKey(args(0), args(1),
+        litInt(args(2), "top_k_by_key", "k")).toAggregateExpression() },
     "vec_sum_fixed" -> checked("vec_sum_fixed", 3) { args =>
       VecSumFixed(args(0), litDouble(args(1), "vec_sum_fixed", "scale"),
         litInt(args(2), "vec_sum_fixed", "dim")) },

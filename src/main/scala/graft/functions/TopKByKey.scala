@@ -87,9 +87,11 @@ private[graft] final class TopKBuffer(val k: Int,
   * untouched (no arithmetic), so results are bit-identical to the
   * window (AnnTopKParitySpec + unchanged golden hashes).
   *
-  * Supported types — score: double/float/long/int; id: long/int/string
-  * (the ANN/retrieval shapes). Callers fall back to the window plan for
-  * anything else.
+  * Supported types — score: double/float/long/int/date/timestamp/
+  * decimal (timestamps and dates ride their Catalyst-internal
+  * long/int forms, so "latest-n per key" is a bounded aggregate too);
+  * id: long/int/string. Callers fall back to the window plan — with a
+  * warning — for anything else.
   */
 case class TopKByKey(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -107,7 +109,8 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val okScore = score.dataType match {
-      case DoubleType | FloatType | LongType | IntegerType => true
+      case DoubleType | FloatType | LongType | IntegerType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
       case _ => false
     }
     val okId = id.dataType match {
@@ -117,13 +120,18 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
     if (okScore && okId)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .TypeCheckFailure(s"top_k_by_key supports score double/float/long/int" +
-        s" and id long/int/string, got (${score.dataType.simpleString}, " +
-        s"${id.dataType.simpleString})")
+      .TypeCheckFailure("top_k_by_key supports score double/float/long/" +
+        "int/date/timestamp/decimal and id long/int/string, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
   }
 
   /** score DESC NULLS LAST (Spark double/float ordering), then id ASC
-    * NULLS FIRST — exactly `orderBy(score.desc, id.asc)`. */
+    * NULLS FIRST — exactly `orderBy(score.desc, id.asc)`. Timestamps
+    * (micros) ride the long comparator and dates (days) the int one —
+    * their Catalyst-internal forms; "latest-n per key" is therefore a
+    * bounded aggregate, not a window. Decimals compare through
+    * [[org.apache.spark.sql.types.Decimal]]'s own ordering, the
+    * comparator Spark's sort uses. */
   private def scoreCmp(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _) => -1 // null score loses (NULLS LAST under DESC)
@@ -135,8 +143,11 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
       case FloatType =>
         SQLOrderingUtil.compareFloats(x.asInstanceOf[Float],
           y.asInstanceOf[Float])
-      case LongType => java.lang.Long.compare(x.asInstanceOf[Long],
-        y.asInstanceOf[Long])
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+      case _: DecimalType =>
+        x.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .compare(y.asInstanceOf[org.apache.spark.sql.types.Decimal])
       case _ => java.lang.Integer.compare(x.asInstanceOf[Int],
         y.asInstanceOf[Int])
     }
@@ -199,8 +210,12 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
       if (e.score != null) score.dataType match {
         case DoubleType => out.writeDouble(e.score.asInstanceOf[Double])
         case FloatType => out.writeFloat(e.score.asInstanceOf[Float])
-        case LongType => out.writeLong(e.score.asInstanceOf[Long])
-        case _ => out.writeInt(e.score.asInstanceOf[Int])
+        case LongType | TimestampType | TimestampNTZType =>
+          out.writeLong(e.score.asInstanceOf[Long])
+        case _: DecimalType => out.writeUTF(e.score
+          .asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toString)
+        case _ => out.writeInt(e.score.asInstanceOf[Int]) // int / date
       }
       out.writeBoolean(e.id == null)
       if (e.id != null) id.dataType match {
@@ -224,8 +239,11 @@ case class TopKByKey(score: Expression, id: Expression, k: Int,
       val s = if (in.readBoolean()) null else score.dataType match {
         case DoubleType => java.lang.Double.valueOf(in.readDouble())
         case FloatType => java.lang.Float.valueOf(in.readFloat())
-        case LongType => java.lang.Long.valueOf(in.readLong())
-        case _ => java.lang.Integer.valueOf(in.readInt())
+        case LongType | TimestampType | TimestampNTZType =>
+          java.lang.Long.valueOf(in.readLong())
+        case dt: DecimalType => org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(in.readUTF()), dt.precision, dt.scale)
+        case _ => java.lang.Integer.valueOf(in.readInt()) // int / date
       }
       val i = if (in.readBoolean()) null else id.dataType match {
         case LongType => java.lang.Long.valueOf(in.readLong())

@@ -65,7 +65,8 @@ object AnnSearch {
       idName: String, scoreName: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val sOk = scored.schema(scoreName).dataType match {
-      case DoubleType | FloatType | LongType | IntegerType => true
+      case DoubleType | FloatType | LongType | IntegerType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
       case _ => false
     }
     val iOk = scored.schema(idName).dataType match {

@@ -66,6 +66,37 @@ class TopKByKeySpec extends SparkTestBase {
       assert(aggTopK(df, k) == windowTopK(df, k), s"k=$k diverged")
   }
 
+  test("parity with timestamp scores (latest-n per key as a bounded aggregate)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(500).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }.distinct
+    val df = rows.toDF("key", "id", "score").repartition(5)
+    // the aggregate (not the window) must carry this shape...
+    assert(AnnSearch.rankedTopK(df, "key", "id", "score", 3)
+      .queryExecution.analyzed.toString.contains("top_k_by_key"))
+    for (k <- Seq(1, 3, 40))
+      assert(aggTopK(df, k) == windowTopK(df, k), s"k=$k diverged")
+  }
+
+  test("parity with decimal scores across the serialize/merge path") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(400).toLong,
+        BigDecimal(rnd.nextInt(100000)) / 100)
+    }.distinct
+    val df = rows.toDF("key", "id", "score").repartition(7)
+    assert(AnnSearch.rankedTopK(df, "key", "id", "score", 3)
+      .queryExecution.analyzed.toString.contains("top_k_by_key"))
+    for (k <- Seq(2, 25))
+      assert(aggTopK(df, k) == windowTopK(df, k), s"k=$k diverged")
+  }
+
   test("map-side partial aggregation bounds the exchange (plan shape)") {
     val s = spark
     import s.implicits._
