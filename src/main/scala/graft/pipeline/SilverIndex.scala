@@ -168,10 +168,17 @@ object SilverIndex {
     val spark = docs.sparkSession
     val existing = readIfData(spark, path)
     val newDocs = existing.fold(docs) { ix =>
-      val width = ix.select(max(size(col("sig")))).head()
-      require(width.isNullAt(0) || width.getInt(0) == numHashes,
-        s"index at $path has signature width ${width.get(0)}, " +
-          s"refresh requested $numHashes — rebuild, don't mix")
+      // width sanity from ONE stored row (CollectLimit — reads a single
+      // row group): the append-only discipline writes uniform widths, so
+      // any row exposes a config mismatch, while the previous
+      // max(size(sig)) was an unpushable full scan of the signature
+      // column on EVERY refresh (~0.5 GB at 1M docs × 64 hashes)
+      ix.select(size(col("sig")).as("w")).limit(1).collect()
+        .headOption.foreach { width =>
+          require(width.isNullAt(0) || width.getInt(0) == numHashes,
+            s"index at $path has signature width ${width.get(0)}, " +
+              s"refresh requested $numHashes — rebuild, don't mix")
+        }
       docs.join(ix.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
     }
     val before = existingRows(spark, path, existing)
