@@ -532,6 +532,17 @@ object SilverIndex {
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamingRefresh(docs, path)(refreshIvf(_, idCol, vecCol, nlist, path))
 
+  /** [[streamingRefresh]] pre-wired to [[refreshIvfPq]] (first non-empty
+    * batch trains BOTH frozen quantizers — coarse centroids and residual
+    * codebooks — later batches residual-encode only unseen ids and
+    * append, the same discipline at 40 bits + a stored norm per
+    * vector). */
+  def streamingRefreshIvfPq(docs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(docs, path)(
+      refreshIvfPq(_, idCol, vecCol, nlist, m, ksub, path))
+
   // ----------------------------------------------------- compaction / stats
 
   /** Index-health report for an IVF assignment table: list/row/file

@@ -128,4 +128,36 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(SilverIndex.ivfStats(spark, streamPath,
       imbalanceThreshold = statsAfter.imbalance - 1e-9).rebuildRecommended)
   }
+
+  test("streamed IVF-PQ == batch-incremental IVF-PQ (frozen residual codebooks)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch1 = emb.where(col("vec_id") % 4 =!= 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val batch2 = emb.where(col("vec_id") % 4 === 0)
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val streamPath = tmp("stream-ivfpq")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = SilverIndex.streamingRefreshIvfPq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path = streamPath)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable() // trains + freezes BOTH quantizers
+      input.addData(batch2: _*)
+      q.processAllAvailable() // residual-encode only the new ids
+    } finally q.stop()
+
+    val batchPath = tmp("batch-ivfpq")
+    SilverIndex.refreshIvfPq(emb.where(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", nlist = 8, m = 8, ksub = 16, path = batchPath)
+    SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, path = batchPath)
+    def codesSet(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("neighbor_id"), col("codes"), col("rnorm2"), col("list_id"))
+      .collect().map(_.toString).toSet
+    assert(codesSet(streamPath) == codesSet(batchPath),
+      "streamed IVF-PQ codes diverged from the batch-incremental build")
+  }
 }
