@@ -334,7 +334,7 @@ object AnnSearch {
     * on supplementary characters), doubles/floats by SQLOrderingUtil
     * (NaN ranks greatest). Types without a verified match (timestamps,
     * intervals, nested) return None and keep the distributed sort. */
-  private def listIdOrdering(
+  private[graft] def listIdOrdering(
       dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     val base: Option[(Any, Any) => Int] = dt match {

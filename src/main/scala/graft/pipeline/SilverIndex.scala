@@ -40,15 +40,13 @@ object SilverIndex {
   /** What a refresh did: rows appended this run / total index rows. */
   final case class Refresh(appended: Long, total: Long)
 
-  /** The table at `path` if it holds at least one DATA file, else None.
-    * An append of an EMPTY frame (a quiet streaming micro-batch, a
-    * refresh with nothing new on a fresh path) creates the directory
-    * with only _SUCCESS in it — and `spark.read.parquet` on that dir
-    * fails schema inference, which would wedge every later refresh.
-    * "Directory without data files" must mean "no index yet", not an
-    * error. */
   /** True iff `path` holds at least one DATA file — the fs walk alone,
-    * no parquet footer read. */
+    * no parquet footer read. An append of an EMPTY frame (a quiet
+    * streaming micro-batch, a refresh with nothing new on a fresh path)
+    * creates the directory with only _SUCCESS in it — and
+    * `spark.read.parquet` on that dir fails schema inference, which
+    * would wedge every later refresh. "Directory without data files"
+    * must mean "no index yet", not an error. */
   private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -421,24 +419,63 @@ object SilverIndex {
       shape = _.repartition(col("list_id"))) // one file per (task, list) — see refreshIvf
   }
 
+  /** Per-path cache of the FROZEN codebook rows (the centCache pattern):
+    * reloading the codebooks cost countDistinct + width check + m
+    * filtered collects — m+2 driver actions on every recurring
+    * from-index query against a table that froze at first build. */
+  private val bookCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType)]()
+
   /** The frozen per-subspace codebooks reloaded as the kernel matrices:
     * filtering each subspace and re-running [[AnnSearch.centMatrix]]
     * reproduces the code → matrix-row mapping exactly (list_id-ascending
-    * ordering, same driver-side widening). Widths are validated against
-    * the refresh parameters so a mismatched re-run fails loudly. */
+    * ordering, same driver-side widening — here via the sorted-rows
+    * entry point on the cached driver rows). Widths are validated
+    * against the refresh parameters so a mismatched re-run fails
+    * loudly. */
   private def loadCodebooks(spark: SparkSession, path: String, m: Int,
       sub: Int): IndexedSeq[AnnSearch.CentMatrix] = {
-    val all = spark.read.parquet(bookPath(path))
-    val nSub = all.select(countDistinct(col("subspace"))).head().getLong(0)
-    require(nSub == m,
-      s"index at $path has $nSub subspaces, refresh requested $m — " +
+    val dir = bookPath(path)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (files, bytes) = dataStats(fs, new Path(dir))
+    val fp = s"$files:$bytes"
+    val hit = bookCache.get(dir)
+    val (rows, idType) =
+      if (hit != null && hit._1 == fp) (hit._2, hit._3)
+      else {
+        val df = spark.read.parquet(dir)
+          .select(col("subspace"), col("list_id"), col("centv"))
+        val r = df.collect()
+        val t = df.schema("list_id").dataType
+        bookCache.put(dir, (fp, r, t))
+        (r, t)
+      }
+    val bySub = rows.groupBy(_.getInt(0))
+    require(bySub.size == m,
+      s"index at $path has ${bySub.size} subspaces, refresh requested $m — " +
         "rebuild, don't mix")
-    val width = all.select(max(size(col("centv")))).head().getInt(0)
+    val width = rows.iterator
+      .map(r => Option(r.getAs[scala.collection.Seq[Any]](2))
+        .fold(0)(_.length)).max
     require(width == sub,
       s"index at $path has subvector width $width, refresh derived $sub — " +
         "rebuild, don't mix")
-    (0 until m).map(j => AnnSearch.centMatrix(
-      all.where(col("subspace") === j).select(col("list_id"), col("centv"))))
+    AnnSearch.listIdOrdering(idType) match {
+      case Some(ord) =>
+        (0 until m).map { j =>
+          val sorted = bySub(j)
+            .map(r => org.apache.spark.sql.Row(r.get(1), r.get(2)))
+            .sortWith((a, b) => ord.compare(a.get(0), b.get(0)) < 0)
+          AnnSearch.centMatrixFromSortedRows(sorted, idType)
+        }
+      case None => // exotic id types: the pre-cache distributed path
+        val all = spark.read.parquet(dir)
+        (0 until m).map(j => AnnSearch.centMatrix(
+          all.where(col("subspace") === j)
+            .select(col("list_id"), col("centv"))))
+    }
   }
 
   /** ANN top-k against the PERSISTED IVF-PQ index: no quantizer build,
