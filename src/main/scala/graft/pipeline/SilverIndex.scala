@@ -640,6 +640,48 @@ object SilverIndex {
     * identical probe results and parity wall at 1M vectors, where 125M
     * cosine evals dwarf local file opens. Compact on `filesPerList`,
     * not on probe latency. */
+  /** What a maintenance sweep decided and did. `stats` is the pre-sweep
+    * measurement the decisions were made on. */
+  final case class Maintenance(stats: IvfStats, compacted: Boolean,
+      rebuilt: Boolean)
+
+  /** The index-lifecycle decisions as ONE cron-able measured sweep — the
+    * last manual step ([[IvfStats.rebuildRecommended]], compact-on-
+    * fragmentation) turned into code, in the priority order that
+    * matters:
+    *
+    *  1. imbalance past `imbalanceThreshold` → REBUILD: the frozen
+    *     quantizer has drifted from the data distribution, so compacting
+    *     its lists would just defragment a bad layout. The index dirs
+    *     drop and [[refreshIvf]] re-trains from the CURRENT corpus (the
+    *     FAISS re-train decision, now fired by the measurement that
+    *     motivates it); the per-path quantizer cache misses by
+    *     fingerprint construction.
+    *  2. fragmentation past `filesPerListThreshold` → [[compactIvf]]
+    *     (crash-safe staged swap; sidecar re-derived from the rewrite).
+    *  3. healthy → measure only.
+    *
+    * Wire it to a [[Scheduler]]/[[Cron]] cadence for the reference's
+    * weekly rhythm; each sweep costs one stats aggregation unless it
+    * acts. */
+  def maintainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String, imbalanceThreshold: Double = 4.0,
+      filesPerListThreshold: Double = 10.0): Maintenance = {
+    val spark = corpus.sparkSession
+    val stats = ivfStats(spark, path, imbalanceThreshold)
+    if (stats.rebuildRecommended) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(asgPath(path)), true)
+      fs.delete(new Path(centPath(path)), true)
+      refreshIvf(corpus, idCol, vecCol, nlist, path)
+      Maintenance(stats, compacted = false, rebuilt = true)
+    } else if (stats.filesPerList > filesPerListThreshold) {
+      compactIvf(spark, path)
+      Maintenance(stats, compacted = true, rebuilt = false)
+    } else Maintenance(stats, compacted = false, rebuilt = false)
+  }
+
   def compactIvf(spark: SparkSession, path: String): Unit = {
     val asg = new Path(asgPath(path))
     val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())

@@ -219,6 +219,59 @@ class SilverIndexSpec extends SparkTestBase {
       s"expected a list_id partition filter in:\n$plan")
   }
 
+  test("maintainIvf: drift rebuilds, fragmentation compacts, health measures only") {
+    import org.apache.spark.sql.functions.{array, lit, col => c}
+    val path = tmp("silver-ivf-maint")
+    // build frozen quantizer on a 2-cluster corpus...
+    val s = spark
+    import s.implicits._
+    def vecs(ids: Range, center: Float) =
+      ids.map(i => (i.toLong, Seq.fill(8)(center + (i % 3) * 0.01f)))
+    val base = (vecs(0 until 40, 1.0f) ++ vecs(40 until 80, -1.0f))
+      .toDF("vec_id", "embedding")
+    SilverIndex.refreshIvf(base, "vec_id", "embedding", nlist = 2,
+      path = path)
+
+    // ...healthy: no action
+    val healthy = SilverIndex.maintainIvf(base, "vec_id", "embedding",
+      nlist = 2, path = path)
+    assert(!healthy.compacted && !healthy.rebuilt)
+
+    // fragmentation: many delta refreshes → files/list climbs → compact
+    (1 to 12).foreach { k =>
+      val delta = vecs(80 + k * 2 until 82 + k * 2, 1.0f)
+        .toDF("vec_id", "embedding")
+      SilverIndex.refreshIvf(base.unionAll(delta), "vec_id", "embedding",
+        nlist = 2, path = path)
+    }
+    val preCompact = SilverIndex.ivfStats(spark, path)
+    val rows = SilverIndex.ivfAssigned(spark, path)
+      .collect().map(_.toString).toSet
+    val swept = SilverIndex.maintainIvf(base, "vec_id", "embedding",
+      nlist = 2, path = path, filesPerListThreshold = 2.0)
+    assert(swept.compacted && !swept.rebuilt)
+    assert(SilverIndex.ivfStats(spark, path).files < preCompact.files)
+    assert(SilverIndex.ivfAssigned(spark, path)
+      .collect().map(_.toString).toSet == rows,
+      "compaction sweep must not change rows")
+
+    // drift: append a pile of vectors all landing in ONE frozen list →
+    // imbalance crosses the threshold → rebuild retrains the quantizer
+    // on the drifted corpus and reassigns everything
+    val drifted = base.unionAll(
+      vecs(1000 until 1400, 1.0f).toDF("vec_id", "embedding"))
+    SilverIndex.refreshIvf(drifted, "vec_id", "embedding", nlist = 2,
+      path = path)
+    val rebuilt = SilverIndex.maintainIvf(drifted, "vec_id", "embedding",
+      nlist = 2, path = path, imbalanceThreshold = 1.5)
+    assert(rebuilt.rebuilt && !rebuilt.compacted)
+    val after = SilverIndex.ivfAssigned(spark, path)
+    assert(after.count() == drifted.count(),
+      "rebuild must reassign the whole corpus")
+    // the retrained quantizer rebalances: both lists populated
+    assert(after.select("list_id").distinct().count() == 2)
+  }
+
   test("ivf compaction: rerun after a crash between the renames recovers the table") {
     import org.apache.hadoop.fs.Path
     val path = tmp("silver-ivf-crash")
