@@ -135,6 +135,67 @@ class AnnSpec extends SparkTestBase {
     assert(again == pq.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
   }
 
+  test("residual ADC decomposition equals naive cosine(q, centroid + reconstruction)") {
+    // independent reimplementation of the r8 scoring math: for every
+    // (probe, candidate) pair, the plan's qscore — dot(q, c_L) +
+    // Σⱼ lut[codeⱼ] over ‖q‖·√(stored rnorm2) — must equal a from-first-
+    // principles cosine of the query against centv + concat(codebook
+    // entries), allowing only FP-regrouping noise (the decomposition
+    // sums per-subspace partials; the naive form is one left-to-right
+    // pass)
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val c = AnnSearch.ivfCorpus(emb, "vec_id", "embedding")
+    val sub = AnnSearch.pqSubDim(c, 8)
+    val cents = AnnSearch.ivfCentroids(c, nlist = 8)
+    val assigned = AnnSearch.ivfAssign(c, cents)
+    val train = assigned.join(broadcast(cents), "list_id")
+      .select(col("neighbor_id"), col("list_id"), col("centv"),
+        graft.functions.VectorFunctions.sub(col("cv"), col("centv")).as("cv"))
+    val cms = AnnSearch.pqCodebooks(train.select("neighbor_id", "cv"),
+      8, 16, sub)
+    val coded = train
+      .withColumn("codes", AnnSearch.pqEncode(col("cv"), cms, sub))
+      .select(col("neighbor_id"), col("list_id"), col("centv"), col("codes"),
+        AnnSearch.pqReconNorm2(col("centv"), col("codes"), cms, sub)
+          .as("rnorm2"))
+    val q0 = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val probes = AnnSearch.probeLists(q0, cents, nprobe = 3)
+      .join(broadcast(cents), "list_id")
+      .withColumn("__qcdot",
+        graft.functions.VectorFunctions.dot(col("qv"), col("centv")))
+      .drop("centv")
+      .withColumn("__lut", AnnSearch.pqQueryLut(col("qv"), cms, sub))
+      .withColumn("__qn", graft.functions.VectorFunctions.norm(col("qv")))
+    val scored = broadcast(probes).join(coded, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore", AnnSearch.pqAdcCosineStored(col("__lut"),
+        col("__qn"), col("__qcdot"), col("codes"), col("rnorm2"), cms))
+      .select(col("query_id"), col("qv"), col("centv"), col("codes"),
+        col("qscore"))
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("qv").map(_.toDouble)
+      val centv = r.getAs[scala.collection.Seq[Float]]("centv").map(_.toDouble)
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      // naive reconstruction: centroid + per-subspace codebook entries
+      val recon = centv.toArray
+      codes.zipWithIndex.foreach { case (code, j) =>
+        val entry = cms(j).mats(code)
+        (0 until sub).foreach(i => recon(j * sub + i) += entry(i))
+      }
+      val dot = qv.zip(recon).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x * x))
+      val rn = math.sqrt(recon.foldLeft(0.0)((a, x) => a + x * x))
+      val naive = if (qn == 0 || rn == 0) 0.0 else dot / (qn * rn)
+      val got = r.getDouble(4)
+      assert(math.abs(got - naive) <= 1e-9 * math.max(1.0, math.abs(naive)),
+        s"ADC decomposition diverged from naive reconstruction: " +
+          s"$got vs $naive (query ${r.getLong(0)})")
+    }
+  }
+
   test("IVF-PQ top-k: candidates respect IVF pruning, exact-cosine output, useful recall") {
     val exact = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
