@@ -70,19 +70,36 @@ object SilverIndex {
 
   // ------------------------------------------------------ row-count sidecar
 
-  /** (data files, total data bytes) under `dir` — the freshness
-    * fingerprint for the row-count sidecar. Hidden subtrees skipped
-    * whole, as [[readIfData]]. */
+  /** (data files, total data bytes, max modification time) under `dir`
+    * — the freshness fingerprint for the row-count sidecar and the
+    * frozen-quantizer caches. The mtime component matters for
+    * DELETE-AND-REBUILD: a retrained quantizer over the same nlist/ksub
+    * easily reproduces the same file count AND byte count (tiny tables,
+    * identical schema and row count), which made a (files, bytes)
+    * fingerprint serve STALE centroids after a rebuild
+    * (SilverIndexSpec's maintainIvfPq case caught it). Hidden subtrees
+    * skipped whole, as [[readIfData]]. */
   private def dataStats(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): (Long, Long) = {
-    def walk(d: Path): (Long, Long) =
-      fs.listStatus(d).foldLeft((0L, 0L)) { case ((n, b), st) =>
+      dir: Path): (Long, Long, Long) = {
+    def walk(d: Path): (Long, Long, Long) =
+      fs.listStatus(d).foldLeft((0L, 0L, 0L)) { case ((n, b, t), st) =>
         val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) (n, b)
-        else if (st.isFile) (n + 1, b + st.getLen)
-        else { val (cn, cb) = walk(st.getPath); (n + cn, b + cb) }
+        if (name.startsWith("_") || name.startsWith(".")) (n, b, t)
+        else if (st.isFile)
+          (n + 1, b + st.getLen, math.max(t, st.getModificationTime))
+        else {
+          val (cn, cb, ct) = walk(st.getPath)
+          (n + cn, b + cb, math.max(t, ct))
+        }
       }
-    if (fs.exists(dir)) walk(dir) else (0L, 0L)
+    if (fs.exists(dir)) walk(dir) else (0L, 0L, 0L)
+  }
+
+  /** The fingerprint string shared by sidecar and caches. */
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String = {
+    val (files, bytes, mtime) = dataStats(fs, new Path(dir))
+    s"$files:$bytes:$mtime"
   }
 
   private def metaFile(dir: String) = new Path(dir, "_rowmeta.json")
@@ -107,8 +124,8 @@ object SilverIndex {
           val Array(k, v) = p.split(":", 2)
           k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim
         }.toMap
-        val (files, bytes) = dataStats(fs, new Path(dir))
-        if (kv("files").toLong == files && kv("bytes").toLong == bytes)
+        if (kv("fp").stripPrefix("\"").stripSuffix("\"") ==
+            fingerprint(fs, dir))
           Some(kv("rows").toLong)
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -116,11 +133,10 @@ object SilverIndex {
 
   private def writeMetaRows(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, rows: Long): Unit = {
-    val (files, bytes) = dataStats(fs, new Path(dir))
+    val fp = fingerprint(fs, dir)
     val out = fs.create(metaFile(dir), true)
     try out.write(
-      s"""{"rows":$rows,"files":$files,"bytes":$bytes}"""
-        .getBytes("UTF-8"))
+      s"""{"rows":$rows,"fp":"$fp"}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -263,8 +279,7 @@ object SilverIndex {
   private def loadCents(spark: SparkSession, path: String): DataFrame = {
     val dir = centPath(path)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val (files, bytes) = dataStats(fs, new Path(dir))
-    val fp = s"$files:$bytes"
+    val fp = fingerprint(fs, dir)
     val hit = centCache.get(dir)
     val (rows, schema) =
       if (hit != null && hit._1 == fp) (hit._2, hit._3)
@@ -283,8 +298,7 @@ object SilverIndex {
       built: DataFrame): Unit = {
     val dir = centPath(path)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val (files, bytes) = dataStats(fs, new Path(dir))
-    centCache.put(dir, (s"$files:$bytes", built.collect(), built.schema))
+    centCache.put(dir, (fingerprint(fs, dir), built.collect(), built.schema))
   }
 
   /** Bring the IVF index at `path` up to date with `corpus`. First call
@@ -439,8 +453,7 @@ object SilverIndex {
       sub: Int): IndexedSeq[AnnSearch.CentMatrix] = {
     val dir = bookPath(path)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val (files, bytes) = dataStats(fs, new Path(dir))
-    val fp = s"$files:$bytes"
+    val fp = fingerprint(fs, dir)
     val hit = bookCache.get(dir)
     val (rows, idType) =
       if (hit != null && hit._1 == fp) (hit._2, hit._3)
@@ -595,8 +608,19 @@ object SilverIndex {
       filesPerList: Double, rebuildRecommended: Boolean)
 
   def ivfStats(spark: SparkSession, path: String,
-      imbalanceThreshold: Double = 4.0): IvfStats = {
-    val byList = spark.read.parquet(asgPath(path))
+      imbalanceThreshold: Double = 4.0): IvfStats =
+    listTableStats(spark, asgPath(path), imbalanceThreshold)
+
+  /** [[ivfStats]] for the IVF-PQ code table — same layout contract
+    * (`list_id`-partitioned appends), same fragmentation/imbalance
+    * failure modes. */
+  def ivfPqStats(spark: SparkSession, path: String,
+      imbalanceThreshold: Double = 4.0): IvfStats =
+    listTableStats(spark, codesPath(path), imbalanceThreshold)
+
+  private def listTableStats(spark: SparkSession, dir: String,
+      imbalanceThreshold: Double): IvfStats = {
+    val byList = spark.read.parquet(dir)
       .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("lists"), sum(col("n")).as("rows"),
         max(col("n")).as("maxN"))
@@ -604,17 +628,9 @@ object SilverIndex {
     val (lists, rows, maxN) =
       (byList.getLong(0), Option(byList.get(1)).fold(0L)(_ => byList.getLong(1)),
         Option(byList.get(2)).fold(0L)(_ => byList.getLong(2)))
-    val p = new Path(asgPath(path))
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // hidden subtrees skipped whole, as in readIfData
-    def dataFiles(dir: Path): Long =
-      fs.listStatus(dir).map { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) 0L
-        else if (st.isFile) 1L
-        else dataFiles(st.getPath)
-      }.sum
-    val files = dataFiles(p)
+    val files = dataStats(fs, p)._1
     val mean = if (lists == 0) 0.0 else rows.toDouble / lists
     val imb = if (mean == 0.0) 0.0 else maxN / mean
     IvfStats(lists, rows, files, maxN, mean, imb,
@@ -682,40 +698,71 @@ object SilverIndex {
     } else Maintenance(stats, compacted = false, rebuilt = false)
   }
 
-  def compactIvf(spark: SparkSession, path: String): Unit = {
-    val asg = new Path(asgPath(path))
-    val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new Path(asgPath(path) + "__compacting")
-    val retired = new Path(asgPath(path) + "__retired")
+  def compactIvf(spark: SparkSession, path: String): Unit =
+    compactListTable(spark, asgPath(path))
+
+  /** [[compactIvf]] for the IVF-PQ code table. */
+  def compactIvfPq(spark: SparkSession, path: String): Unit =
+    compactListTable(spark, codesPath(path))
+
+  private def compactListTable(spark: SparkSession, dirStr: String): Unit = {
+    val live = new Path(dirStr)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(dirStr + "__compacting")
+    val retired = new Path(dirStr + "__retired")
     // crash recovery BEFORE any delete: a prior run that died between its
     // two renames leaves the live path empty with the only surviving
     // copies at __retired (the old table) and possibly __compacting (the
-    // completed rewrite — same rows). Deleting those while `asg` is
-    // missing would be permanent data loss; restore one of them first.
+    // completed rewrite — same rows). Deleting those while the live dir
+    // is missing would be permanent data loss; restore one of them first.
     // Preference: __retired (the known-good pre-compaction table; the
     // rerun below re-compacts it anyway), else a staging dir — which is
     // only a valid recovery source when the live table is GONE, i.e. the
     // first rename committed, which implies the staging write completed.
-    if (!fs.exists(asg)) {
+    if (!fs.exists(live)) {
       val src = if (fs.exists(retired)) retired
         else if (fs.exists(staging)) staging
         else throw new IllegalStateException(
-          s"compactIvf: no assignment table at $asg and nothing to recover")
-      require(fs.rename(src, asg), s"compactIvf: could not restore $src to $asg")
+          s"compact: no table at $live and nothing to recover")
+      require(fs.rename(src, live), s"compact: could not restore $src to $live")
     }
     fs.delete(staging, true); fs.delete(retired, true)
     val obs = org.apache.spark.sql.Observation()
-    spark.read.parquet(asgPath(path))
+    spark.read.parquet(dirStr)
       .observe(obs, count(lit(1)).as("n"))
       .withColumn("list_id", col("list_id")) // partition col back into data
       .repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(staging.toString)
-    require(fs.rename(asg, retired), s"compactIvf: could not retire $asg")
-    require(fs.rename(staging, asg),
-      s"compactIvf: could not activate $staging — old table at $retired")
+    require(fs.rename(live, retired), s"compact: could not retire $live")
+    require(fs.rename(staging, live),
+      s"compact: could not activate $staging — old table at $retired")
     fs.delete(retired, true)
     // the rewrite job counted the rows for free — refresh the sidecar so
     // post-compaction refreshes stay metadata-only
-    writeMetaRows(fs, asgPath(path), obs.get("n").asInstanceOf[Long])
+    writeMetaRows(fs, dirStr, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** [[maintainIvf]] for the IVF-PQ index: rebuild on measured drift
+    * drops BOTH frozen quantizers (coarse centroids and residual
+    * codebooks) with the code table and retrains from the current
+    * corpus; fragmentation compacts the code table in place. */
+  def maintainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int, path: String,
+      imbalanceThreshold: Double = 4.0,
+      filesPerListThreshold: Double = 10.0): Maintenance = {
+    val spark = corpus.sparkSession
+    val stats = ivfPqStats(spark, path, imbalanceThreshold)
+    if (stats.rebuildRecommended) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(codesPath(path)), true)
+      fs.delete(new Path(bookPath(path)), true)
+      fs.delete(new Path(centPath(path)), true)
+      refreshIvfPq(corpus, idCol, vecCol, nlist, m, ksub, path)
+      Maintenance(stats, compacted = false, rebuilt = true)
+    } else if (stats.filesPerList > filesPerListThreshold) {
+      compactIvfPq(spark, path)
+      Maintenance(stats, compacted = true, rebuilt = false)
+    } else Maintenance(stats, compacted = false, rebuilt = false)
   }
 }

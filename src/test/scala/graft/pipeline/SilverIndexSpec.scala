@@ -272,6 +272,58 @@ class SilverIndexSpec extends SparkTestBase {
     assert(after.select("list_id").distinct().count() == 2)
   }
 
+  test("maintainIvfPq: drift rebuilds both quantizers; fragmentation compacts the codes") {
+    val s = spark
+    import s.implicits._
+    def vecs(ids: Range, center: Float) =
+      ids.map(i => (i.toLong, Seq.fill(8)(center + (i % 3) * 0.01f)))
+    val base = (vecs(0 until 40, 1.0f) ++ vecs(40 until 80, -1.0f))
+      .toDF("vec_id", "embedding")
+    val path = tmp("silver-ivfpq-maint")
+    SilverIndex.refreshIvfPq(base, "vec_id", "embedding", nlist = 2,
+      m = 4, ksub = 8, path = path)
+    assert(!SilverIndex.maintainIvfPq(base, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 8, path = path).rebuilt)
+
+    // fragmentation path: several deltas, then a low threshold compacts
+    (1 to 6).foreach { k =>
+      SilverIndex.refreshIvfPq(base.unionAll(
+          vecs(80 + k * 2 until 82 + k * 2, 1.0f).toDF("vec_id", "embedding")),
+        "vec_id", "embedding", nlist = 2, m = 4, ksub = 8, path = path)
+    }
+    val rows = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).toSet
+    val preFiles = SilverIndex.ivfPqStats(spark, path).files
+    val swept = SilverIndex.maintainIvfPq(base, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 8, path = path, filesPerListThreshold = 2.0)
+    assert(swept.compacted && !swept.rebuilt)
+    assert(SilverIndex.ivfPqStats(spark, path).files < preFiles)
+    assert(spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).toSet == rows,
+      "code-table compaction must not change rows")
+
+    // drift path: one list floods → rebuild retrains and reassigns all
+    val drifted = base.unionAll(
+      vecs(1000 until 1400, 1.0f).toDF("vec_id", "embedding"))
+    SilverIndex.refreshIvfPq(drifted, "vec_id", "embedding", nlist = 2,
+      m = 4, ksub = 8, path = path)
+    val rebuilt = SilverIndex.maintainIvfPq(drifted, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 8, path = path, imbalanceThreshold = 1.5)
+    assert(rebuilt.rebuilt)
+    assert(spark.read.parquet(s"$path/codes").count() == drifted.count())
+    // and the rebuilt index still serves identically to the live composite
+    val q = drifted.where(col("vec_id") % 100 === 0)
+    val served = SilverIndex.ivfPqTopKFromIndex(q, drifted, "vec_id",
+        "embedding", path, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = graft.operators.AnnSearch.ivfPqTopK(q, drifted, "vec_id",
+        "embedding", k = 3, nlist = 2, nprobe = 2, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == live)
+  }
+
   test("ivf compaction: rerun after a crash between the renames recovers the table") {
     import org.apache.hadoop.fs.Path
     val path = tmp("silver-ivf-crash")
