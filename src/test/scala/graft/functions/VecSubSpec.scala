@@ -53,6 +53,29 @@ class VecSubSpec extends SparkTestBase {
     assert(r(1) == 2.2f.toDouble - 0.2f.toDouble)
   }
 
+  test("randomized parity with zip_with over mixed lengths, nulls, extremes") {
+    val rnd = new scala.util.Random(29)
+    def arr(): Seq[java.lang.Float] =
+      Seq.fill(rnd.nextInt(6))(rnd.nextInt(10) match {
+        case 0 => null
+        case 1 => java.lang.Float.valueOf(Float.MaxValue)
+        case 2 => java.lang.Float.valueOf(Float.MinPositiveValue)
+        case 3 => java.lang.Float.valueOf(Float.NaN)
+        case _ => java.lang.Float.valueOf(rnd.nextFloat() * 2e3f - 1e3f)
+      })
+    val rows: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])] =
+      (1 to 200).map(_ => (if (rnd.nextInt(20) == 0) null else arr(),
+        if (rnd.nextInt(20) == 0) null else arr()))
+    val d = df(rows)
+    val minLen = least(size(col("a")), size(col("b")))
+    val got = d.select(VectorFunctions.sub(col("a"), col("b")).as("r"))
+      .collect().map(_.toString).toSeq
+    val want = d.select(zip_with(
+      slice(col("a"), lit(1), minLen), slice(col("b"), lit(1), minLen),
+      (x, y) => x - y).as("r")).collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("vec_sub is SQL-registered") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql("SELECT vec_sub(array(3.0D, 2.0D), array(1.0D, 0.5D))")
