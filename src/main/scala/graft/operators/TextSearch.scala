@@ -61,10 +61,80 @@ object TextSearch {
     * a (tf-profile, length) — mathematically equal scores are otherwise
     * ordered by accumulated noise, not the tie-break column. */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
-      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25ScoresFromPostings(
-      graft.ManagedCache.swap("TextSearch.bm25TopK",
-        postings(df, idCol, textCol)), query, k1, b)
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase.replaceAll("[\\p{Punct}]", " ")
+      .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "empty query")
+    if (qTerms.size <= fewTermsMax)
+      bm25ScoresFewTerms(df, idCol, textCol, qTerms, k1, b)
+    else
+      bm25ScoresFromPostings(
+        graft.ManagedCache.swap("TextSearch.bm25TopK",
+          postings(df, idCol, textCol)), query, k1, b)
+  }
+
+  /** Term-count ceiling for the narrow single-query path. Past this the
+    * per-term tf columns stop being "a few extra expressions" and the
+    * postings formulation's one explode wins. */
+  private val fewTermsMax = 16
+
+  /** BM25 for a FEW-term query without ever building the postings
+    * table: per-term tf is a narrow `size(filter(tokens, _ = term))`
+    * expression, doc length is `size(tokens)`, and the corpus-global
+    * statistics (N, avg length, per-term document frequency) collapse
+    * into ONE single-row aggregate. The only exchanges in the whole
+    * plan are that 1-row aggregate and whatever the caller ranks with —
+    * no (doc, term) shuffle, no postings materialization, nothing
+    * proportional to the vocabulary. This is the right 100 TB shape for
+    * ad-hoc queries: a 4-term query against a petabyte corpus is two
+    * narrow scans (stats, then score), not an index build. Recurring
+    * query streams should use [[bm25ScoresFromPostings]] /
+    * [[bm25ScoresBatch]] against a persisted index
+    * ([[graft.pipeline.SilverIndex.refreshPostings]]) instead.
+    *
+    * Arithmetic is term-for-term identical to [[bm25ScoresFromPostings]]
+    * (same idf/saturation expressions, driver-computed idf since df is
+    * known after the stats row); only the per-doc sum's reduction order
+    * differs (fixed term order here vs aggregation order there), an
+    * ulp-level effect TextSearchSpec pins at 1e-9. */
+  private def bm25ScoresFewTerms(df: DataFrame, idCol: String,
+      textCol: String, qTerms: Seq[String], k1: Double, b: Double)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tfCols = qTerms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("__toks"), t => t === lit(term))).cast("long").as(s"__tf$i")
+    }
+    val perDoc = graft.ManagedCache.swap("TextSearch.bm25FewTerms",
+      df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+        .transform(Par.spread(_, col("doc")))
+        .select(col("doc"),
+          filter(tokens(col("__text")), t => t =!= "").as("__toks"))
+        .select(col("doc") +: size(col("__toks")).cast("long").as("len") +:
+          tfCols: _*)
+        .where(col("len") > 0))
+    val statCols = count(lit(1)).as("n") +: avg(col("len")).as("avg") +:
+      qTerms.indices.map(i =>
+        sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*).head()
+    val nDocs = stats.getLong(0)
+    if (nDocs == 0)
+      return Seq.empty[(Long, Double)].toDF("doc", "score")
+        .select(col("doc").cast(df.schema(idCol).dataType), col("score"))
+    val avgLen = stats.getDouble(1)
+    val w = qTerms.indices.map { i =>
+      val dfT = stats.getLong(2 + i).toDouble
+      val idf = math.log((nDocs.toDouble - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = col(s"__tf$i").cast("double")
+      when(col(s"__tf$i") > 0,
+        lit(idf) * (tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc
+      .where(qTerms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col("doc"), w.as("score"))
+  }
 
   /** [[bm25Scores]] from an ALREADY-BUILT postings table (doc, term, tf)
     * — the recurring-query shape against a persisted index

@@ -105,6 +105,53 @@ class TextSearchSpec extends SparkTestBase {
     }
   }
 
+  test("few-term narrow path ≡ postings path (ranks exact, scores 1e-9)") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val post = TextSearch.postings(df, "doc_id", "text")
+    for (q <- Seq("quick fox", "the dog", "QUICK quick Quick", "sailing",
+        "dogs foxes guide field")) {
+      // bm25Scores dispatches ≤16-term queries to the narrow path
+      val narrow = TextSearch.bm25Scores(df, "doc_id", "text", q)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaPost = TextSearch.bm25ScoresFromPostings(post, q)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(narrow.keySet == viaPost.keySet, s"query '$q' doc set")
+      narrow.foreach { case (id, sc) =>
+        assert(math.abs(sc - viaPost(id)) < 1e-9,
+          s"query '$q' doc $id: narrow $sc vs postings ${viaPost(id)}")
+      }
+    }
+  }
+
+  test("few-term plan never explodes the corpus (no Generate node)") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val plan = TextSearch.bm25Scores(df, "doc_id", "text", "quick fox")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "narrow path must not build postings via explode:\n" + plan)
+  }
+
+  test("a >16-term query takes the postings path and matches the reference") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    // 17 distinct terms → past fewTermsMax; most miss the corpus
+    val q = ("quick fox dog sailing planner engine data tour field guide " +
+      "lazy brown jumps over results page ships").ensuring(
+      _.split(" ").distinct.length == 17)
+    val got = TextSearch.bm25Scores(df, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = referenceBm25(q)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, sc) =>
+      assert(math.abs(sc - expected(id)) < 1e-9, s"doc $id")
+    }
+  }
+
   test("termStats counts frequencies over the normalized tokens") {
     val s = spark
     import s.implicits._
