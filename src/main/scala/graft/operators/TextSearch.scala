@@ -157,12 +157,22 @@ object TextSearch {
       return Seq.empty[(Long, Double)].toDF("doc", "score")
         .select(col("doc").cast(cached.schema("doc").dataType), col("score"))
     val avgLen = global.getDouble(1)
-    val qDf = qTerms.toDF("term")
+    scoreFromPostings(cached, docLen, nDocs, avgLen, qTerms, k1, b)
+  }
 
-    // filter the postings by the broadcast query terms FIRST; document
-    // frequency then aggregates only the matching postings — no
-    // corpus-wide by-term shuffle at query time
-    val qPost = cached.join(broadcast(qDf), "term")
+  /** The postings-side scoring core with the corpus statistics ALREADY
+    * known (a real index stores doc lengths and (N, Σlen) at build time
+    * — [[graft.pipeline.SilverIndex.refreshPostings]]; deriving doc
+    * lengths per query re-aggregates the entire postings table, measured
+    * 27 s of the 27 s query-from-postings wall at 1M docs). Query terms
+    * are driver-known, so the term filter is an `isin` PREDICATE — it
+    * pushes into the parquet scan and, with term-sorted postings files,
+    * prunes row groups by min/max term statistics; a broadcast join
+    * could never push past the scan. */
+  private[graft] def scoreFromPostings(cached: DataFrame, docLen: DataFrame,
+      nDocs: Long, avgLen: Double, qTerms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val qPost = cached.where(col("term").isin(qTerms: _*))
     val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))
     qPost
       .join(broadcast(dfPerTerm), "term")
@@ -184,6 +194,33 @@ object TextSearch {
   def bm25TopKFromPostings(post: DataFrame, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     rankTopK(bm25ScoresFromPostings(post, query, k1, b), k)
+
+  /** [[bm25TopK]] against a FULL index — postings plus stored per-doc
+    * lengths and corpus stats ([[graft.pipeline.SilverIndex]] maintains
+    * them with the postings): zero corpus-wide aggregation at query
+    * time; the pushed term predicate and the docLen join are the whole
+    * plan. An empty index (nDocs = 0) scores nothing — no row ever
+    * evaluates the NaN avgLen. */
+  def bm25TopKFromIndexParts(post: DataFrame, docLen: DataFrame,
+      nDocs: Long, avgLen: Double, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase.replaceAll("[\\p{Punct}]", " ")
+      .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "empty query")
+    rankTopK(scoreFromPostings(post, docLen, nDocs, avgLen, qTerms, k1, b), k)
+  }
+
+  /** [[bm25TopKBatch]] against a FULL index — see
+    * [[bm25TopKFromIndexParts]]. */
+  def bm25TopKBatchFromIndexParts(post: DataFrame, docLen: DataFrame,
+      nDocs: Long, avgLen: Double, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame =
+    AnnSearch.rankedTopK(
+      if (nDocs == 0) emptyBatch(post, queries, idCol, textCol)
+      else scoreBatchFromPostings(post, docLen, nDocs, avgLen, queries,
+        idCol, textCol, k1, b),
+      "query_id", "doc", "score", k)
 
   /** Okapi BM25 scores for a whole TABLE of queries in ONE pass over the
     * postings — the batch-retrieval shape (RAG corpus scoring, training-
@@ -209,17 +246,32 @@ object TextSearch {
     val docLen = cached.groupBy("doc").agg(sum(col("tf")).as("len"))
     val global = docLen.agg(count(lit(1)), avg(col("len"))).head()
     val nDocs = global.getLong(0)
+    if (nDocs == 0) return emptyBatch(cached, queries, idCol, textCol)
+    scoreBatchFromPostings(cached, docLen, nDocs, global.getDouble(1),
+      queries, idCol, textCol, k1, b)
+  }
+
+  // a corpus with no non-empty documents scores nothing — typed empty
+  // result instead of NPE-ing on avg(len) = null
+  private def emptyBatch(cached: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id")).limit(0)
+      .withColumn("doc", lit(null).cast(cached.schema("doc").dataType))
+      .withColumn("score", lit(0.0))
+
+  /** [[bm25ScoresBatch]]'s scoring core with corpus statistics already
+    * known — see [[scoreFromPostings]]; the index-backed batch path
+    * ([[graft.pipeline.SilverIndex.bm25TopKBatchFromIndex]]) lands here
+    * without ever re-aggregating doc lengths. The batch's term set lives
+    * in a DataFrame (not driver-known), so term filtering stays a
+    * broadcast semi-join rather than a pushed predicate. */
+  private[graft] def scoreBatchFromPostings(cached: DataFrame,
+      docLen: DataFrame, nDocs: Long, avgLen: Double, queries: DataFrame,
+      idCol: String, textCol: String, k1: Double, b: Double): DataFrame = {
     val qTerms = queries
       .select(col(idCol).as("query_id"),
         explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "").distinct()
-    // a corpus with no non-empty documents scores nothing — typed empty
-    // result instead of NPE-ing on avg(len) = null
-    if (nDocs == 0)
-      return qTerms.select(col("query_id")).limit(0)
-        .withColumn("doc", lit(null).cast(cached.schema("doc").dataType))
-        .withColumn("score", lit(0.0))
-    val avgLen = global.getDouble(1)
 
     val qPost = cached.join(broadcast(qTerms.select("term").distinct()), "term")
     val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))

@@ -232,8 +232,115 @@ object SilverIndex {
     val newDocs = existing.fold(docs)(ix => docs.join(
       ix.select(col("doc").as(idCol)).distinct(), Seq(idCol), "left_anti"))
     val before = existingRows(spark, path, existing)
-    appendCounted(TextSearch.postings(newDocs, idCol, textCol),
-      path, Nil, before)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // was the doclen companion in sync BEFORE this append? (valid meta =
+    // fast incremental path; anything else → one idempotent rebuild)
+    val auxBefore = readBm25Meta(fs, path)
+    // one tokenize/explode pass feeds both the doc-length companion
+    // append and the postings append. ORDER MATTERS: `newPost` anti-joins
+    // against the postings dir's listing, so every action that evaluates
+    // it must run BEFORE the postings append mutates that dir — a cached
+    // frame is a best-effort optimization, not a correctness guarantee
+    // (evict + re-list after the append would silently empty the delta).
+    // The doclen append therefore goes FIRST; a crash between the two
+    // leaves the companion ahead of the postings, which the next
+    // [[readBm25Meta]] fingerprint check detects (meta not yet written →
+    // stale) and [[ensureBm25Aux]] rebuilds wholesale.
+    val newPost = graft.ManagedCache.swap("SilverIndex.refreshPostings",
+      TextSearch.postings(newDocs, idCol, textCol))
+    val r = auxBefore match {
+      case Some(st) =>
+        val obs = org.apache.spark.sql.Observation()
+        newPost.groupBy("doc").agg(sum(col("tf")).as("len"))
+          .observe(obs, count(lit(1)).as("n"),
+            coalesce(sum(col("len")), lit(0L)).as("s"))
+          .write.mode("append").parquet(doclenPath(path))
+        // term-sorted within each file: a driver-known query's pushed
+        // In(term, …) predicate then skips row groups by min/max stats
+        val r0 = appendCounted(newPost, path, Nil, before,
+          shape = _.sortWithinPartitions(col("term")))
+        writeBm25Meta(fs, path, Bm25Stats(
+          st.docs + obs.get("n").asInstanceOf[Long],
+          st.totalLen + obs.get("s").asInstanceOf[Long]))
+        r0
+      case None =>
+        val r0 = appendCounted(newPost, path, Nil, before,
+          shape = _.sortWithinPartitions(col("term")))
+        ensureBm25Aux(spark, path)
+        r0
+    }
+    graft.ManagedCache.release("SilverIndex.refreshPostings")
+    r
+  }
+
+  // BM25 companion state: per-doc lengths as a SIBLING table
+  // (`<path>__doclen` — a `_`-prefixed subdir inside the postings dir
+  // would be hidden from the flat postings read as intended, but
+  // Spark's hidden-path filter also refuses to read such a dir as a
+  // parquet ROOT), plus a stats sidecar carrying (docs, Σlen) with BOTH
+  // directory fingerprints — so deleting/rebuilding the postings dir
+  // out-of-band makes the companion provably stale, never silently
+  // wrong. Deriving doc lengths at query time re-aggregates the whole
+  // postings table — measured 27 s of the 27 s query-from-postings wall
+  // at 1M docs; an index stores them once.
+  private def doclenPath(path: String) = s"${path.stripSuffix("/")}__doclen"
+  private def bm25MetaFile(path: String) =
+    new Path(doclenPath(path), "_bm25meta.json")
+
+  private[pipeline] case class Bm25Stats(docs: Long, totalLen: Long) {
+    def avgLen: Double = totalLen.toDouble / docs
+  }
+
+  /** The stats IF both fingerprints are current (doclen untouched since
+    * the sidecar write AND postings unchanged since the doclen sync) —
+    * a crash between the postings append and the doclen append, a
+    * legacy index, or out-of-band writes all invalidate it. */
+  private def readBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Bm25Stats] = {
+    val f = bm25MetaFile(path)
+    if (!fs.exists(f)) return None
+    try {
+      val in = fs.open(f)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = txt.stripPrefix("{").stripSuffix("}").split(",").map { p =>
+        val Array(k, v) = p.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") ->
+          v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+      if (kv("doclen_fp") == fingerprint(fs, doclenPath(path)) &&
+          kv("post_fp") == fingerprint(fs, path))
+        Some(Bm25Stats(kv("docs").toLong, kv("total_len").toLong))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeBm25Meta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, st: Bm25Stats): Unit = {
+    val dlFp = fingerprint(fs, doclenPath(path))
+    val pFp = fingerprint(fs, path)
+    val out = fs.create(bm25MetaFile(path), true)
+    try out.write((s"""{"docs":${st.docs},"total_len":${st.totalLen},""" +
+      s""""doclen_fp":"$dlFp","post_fp":"$pFp"}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Doc-length companion + stats, rebuilt wholesale from the postings
+    * whenever the sidecar can't prove freshness — ONE idempotent
+    * recovery path covers legacy indexes, crashes between the two
+    * appends, and out-of-band writes. */
+  private def ensureBm25Aux(spark: SparkSession, path: String): Bm25Stats = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    readBm25Meta(fs, path).getOrElse {
+      spark.read.parquet(path)
+        .groupBy("doc").agg(sum(col("tf")).as("len"))
+        .write.mode("overwrite").parquet(doclenPath(path))
+      val row = spark.read.parquet(doclenPath(path))
+        .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
+      val st = Bm25Stats(row.getLong(0), row.getLong(1))
+      writeBm25Meta(fs, path, st)
+      st
+    }
   }
 
   /** The persisted postings as [[TextSearch.bm25TopKFromPostings]]
@@ -241,23 +348,37 @@ object SilverIndex {
   def postingsIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** BM25 top-k against the PERSISTED postings — the recurring-query
-    * shape: no tokenize/explode over the corpus, one broadcast of the
-    * query terms into the postings scan. */
-  def bm25TopKFromIndex(spark: SparkSession, path: String, query: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    TextSearch.bm25TopKFromPostings(postingsIndex(spark, path), query, k,
-      k1, b)
+  /** The full BM25 index for query paths: flat postings, the doc-length
+    * companion, and (N, avgLen) from the sidecar — the companion is
+    * rebuilt first if anything about it is stale. */
+  def bm25Index(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, Long, Double) = {
+    val st = ensureBm25Aux(spark, path)
+    (spark.read.parquet(path), spark.read.parquet(doclenPath(path)),
+      st.docs, st.avgLen)
+  }
 
-  /** Batched BM25 against the persisted postings: a whole (id, text)
-    * query table in one pass over the index
-    * ([[TextSearch.bm25TopKBatch]]) — the retrieval-evaluation /
-    * training-example-mining shape. */
+  /** BM25 top-k against the PERSISTED index — the recurring-query
+    * shape: no tokenize/explode over the corpus, no corpus-wide
+    * aggregation (lengths and stats are stored), the query terms a
+    * PUSHED parquet predicate over the term-sorted postings files. */
+  def bm25TopKFromIndex(spark: SparkSession, path: String, query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, docLen, nDocs, avgLen) = bm25Index(spark, path)
+    TextSearch.bm25TopKFromIndexParts(post, docLen, nDocs, avgLen,
+      query, k, k1, b)
+  }
+
+  /** Batched BM25 against the persisted index: a whole (id, text)
+    * query table in one pass over the postings, stored lengths/stats —
+    * the retrieval-evaluation / training-example-mining shape. */
   def bm25TopKBatchFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    TextSearch.bm25TopKBatch(postingsIndex(spark, path), queries,
-      idCol, textCol, k, k1, b)
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, docLen, nDocs, avgLen) = bm25Index(spark, path)
+    TextSearch.bm25TopKBatchFromIndexParts(post, docLen, nDocs, avgLen,
+      queries, idCol, textCol, k, k1, b)
+  }
 
   // -------------------------------------------------------------------- IVF
 

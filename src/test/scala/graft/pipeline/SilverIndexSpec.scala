@@ -206,6 +206,59 @@ class SilverIndexSpec extends SparkTestBase {
     assert(fromIndex.count() == 10)
   }
 
+  test("bm25 doclen companion: incremental == scratch; recovery rebuilds; pushed term predicate") {
+    val path = tmp("silver-post-aux")
+    SilverIndex.refreshPostings(docs.where(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", path)
+    SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+
+    // companion table == lengths derived from the full postings
+    def doclenSet(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratchLens = SilverIndex.postingsIndex(spark, path)
+      .groupBy("doc").agg(sum(col("tf")).as("len"))
+    val (post, docLen, nDocs, avgLen) = SilverIndex.bm25Index(spark, path)
+    assert(doclenSet(docLen) == doclenSet(scratchLens))
+    val expect = scratchLens.agg(count(lit(1)), sum(col("len"))).head()
+    assert(nDocs == expect.getLong(0))
+    assert(math.abs(avgLen - expect.getLong(1).toDouble / nDocs) < 1e-12)
+
+    val q = "spark vector stream join"
+    val live = graft.operators.TextSearch
+      .bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+
+    // single-query plan pushes the term predicate into the parquet scan
+    val fromIx = SilverIndex.bm25TopKFromIndex(spark, path, q, k = 10)
+    val scans = fromIx.queryExecution.executedPlan.toString
+    assert(scans.contains("In(term"),
+      s"expected a pushed In(term, …) filter in:\n$scans")
+    assert(fromIx.collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      == live)
+
+    // batch-from-index slice == single-query run
+    val s = spark
+    import s.implicits._
+    val batch = SilverIndex.bm25TopKBatchFromIndex(spark, path,
+      Seq(("q0", q)).toDF("query_id", "qtext"), "query_id", "qtext", k = 10)
+    assert(batch.collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+      == live)
+
+    // kill the companion (legacy index / crash between the two appends):
+    // the next query path rebuilds it and still matches
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}__doclen"), true)
+    assert(SilverIndex.bm25TopKFromIndex(spark, path, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq == live)
+
+    // stale meta only (doclen rows intact): fingerprints catch it too
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}__doclen/_bm25meta.json"),
+      false)
+    assert(SilverIndex.bm25TopKFromIndex(spark, path, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq == live)
+  }
+
   test("ivf: probe read prunes to the probed list partitions") {
     val path = tmp("silver-ivf-prune")
     SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16, path = path)
