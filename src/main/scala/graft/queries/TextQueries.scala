@@ -92,6 +92,32 @@ object TextQueries {
           col("rscore"), col("rank"))
     }),
 
+    // BM25 against the PERSISTED index (SilverIndex.refreshPostings ×2:
+    // 75% build + 25% incremental refresh, then a query served from the
+    // stored doc-length companion + stats sidecar with the term set a
+    // pushed parquet predicate — zero corpus-wide aggregation at query
+    // time). Semantically identical to scoring the live corpus, which
+    // is exactly what the oracle computes; ranks on round(score, 6)
+    // with the doc tie-break (the h1 discipline).
+    "t11_bm25_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-ix").toString + "/ix"
+      graft.pipeline.SilverIndex.refreshPostings(
+        docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text", path)
+      graft.pipeline.SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+      val (post, dlen, n, avg) = graft.pipeline.SilverIndex.bm25Index(s, path)
+      val scored = graft.operators.TextSearch
+        .scoreFromPostings(post, dlen, n, avg,
+          Seq("spark", "vector", "stream", "join"), k1 = 1.2, b = 0.75)
+        .select(col("doc"), round(col("score"), 6).as("rscore"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rscore").desc, col("doc").asc)
+      scored.orderBy(col("rscore").desc, col("doc").asc).limit(10)
+        .withColumn("rank", row_number().over(wl))
+        .select(col("doc").as("doc_id"), col("rscore"), col("rank"))
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -321,6 +347,35 @@ object TextQueries {
         |         ORDER BY rscore DESC, doc_id ASC) AS rank
         |      FROM sc)
         |SELECT query_id, doc_id, rscore, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // the h1 lexical CTEs (the index path is semantically the live
+    // corpus score; the oracle neither knows nor cares about the
+    // persisted plumbing), top-10 on the rounded score
+    "t11_bm25_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
+        |qp AS (SELECT * FROM post
+        |       WHERE term IN ('spark', 'vector', 'stream', 'join')),
+        |dft AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+        |w AS (SELECT qp.doc_id,
+        |        (ln(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0)))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len) / avglen)) AS w
+        |      FROM qp JOIN dft USING (term) JOIN dlen USING (doc_id)
+        |        CROSS JOIN gstats),
+        |ls AS (SELECT doc_id, round(sum(w), 6) AS rscore FROM w GROUP BY doc_id)
+        |SELECT doc_id, rscore, row_number() OVER
+        |    (ORDER BY rscore DESC, doc_id ASC) AS rank
+        |  FROM ls ORDER BY rscore DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "t6_term_stats" ->
       """WITH toks AS (
