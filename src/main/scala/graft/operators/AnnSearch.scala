@@ -501,6 +501,45 @@ object AnnSearch {
     rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** k-nearest-neighbor SELF-join: every corpus vector → its k nearest
+    * neighbors — the kNN-graph build behind near-dup graphing,
+    * SemDeDup-style curation, and hard-negative mining. The query set
+    * IS the corpus, so the [[ivfTopK]] probe shape (queries broadcast
+    * into the assignment scan) cannot run at scale — a corpus-sized
+    * probe side has no broadcastable form. Both sides instead carry
+    * their IVF assignment and meet in a PARTITIONED equi-join on
+    * `list_id`: members sit in their single nearest list, probers
+    * explode to their `nprobe` nearest lists (both narrow maps over the
+    * frozen centroid matrix — no exchange until the join itself),
+    * candidates are per-list blocks (never all-pairs; AQE splits skewed
+    * lists), and ranking is the output-sized [[graft.functions
+    * .TopKByKey]] aggregate. At gate scale AQE may still CHOOSE to
+    * broadcast the small side — the contract is that nothing REQUIRES
+    * it (AnnSpec pins result identity under
+    * autoBroadcastJoinThreshold=-1).
+    *
+    * Candidate sets are identical to `ivfTopK(corpus, corpus, …)` at
+    * the same (nlist, nprobe) — same quantizer, same probe kernel; only
+    * the join strategy differs — so the a11 contract battery checks
+    * EQUALITY against the broadcast shape on a query sample, not a
+    * recall floor. Deterministic end-to-end (deterministic Lloyd
+    * quantizer, exact cosine, bit-stable ranking).
+    * Output: query_id, neighbor_id, cosine, rank. */
+  def knnJoinIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = ivfCorpus(corpus, idCol, vecCol)
+    val cents = ivfCentroids(c, nlist)
+    val members = ivfAssign(c, cents)
+    val probers = probeLists(
+      c.select(col("neighbor_id").as("query_id"), col("cv").as("qv")),
+      cents, nprobe,
+      idTypeFallback = Some(members.schema("list_id").dataType))
+    val scored = probers.join(members, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
+  }
+
   /** Scalar-quantized (SQ8) top-k: candidates are scored on the int8-code
     * representation ([[graft.functions.VecNormQuantI8]], `floor(x/‖v‖ ·
     * levels)`), then the top `k × rescoreMult` per query are re-scored

@@ -33,6 +33,16 @@ object AnnQueries {
         k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // kNN SELF-join: the whole corpus is the query set (kNN-graph
+    // build), served by the partitioned list_id join — no broadcastable
+    // side required. Deterministic (frozen Lloyd quantizer, exact
+    // cosine, bit-stable ranking) → golden-pinned at both sfs; the a11
+    // battery additionally pins EQUALITY vs the broadcast ivfTopK shape
+    // on a query sample.
+    "a12_knn_join" -> ((s, dir) =>
+      AnnSearch.knnJoinIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 6)),
+
     // Incremental IVF through the driver gate (no-oracle, golden-pinned):
     // quantizer built and FROZEN on 75% of the corpus, delta refresh
     // folds in the rest (assignments compute only for new ids —
@@ -227,7 +237,31 @@ object AnnQueries {
           col("p").as("value"),
           lit(1.0).as("contract_floor"), (col("p") >= 1.0).as("meets_contract"))
 
-      recallRow.unionAll(verified).unionAll(partitionRow).orderBy("method")
+      // knn_join_equiv: the a12 self-join restricted to the sampled
+      // queries must equal the BROADCAST ivfTopK shape row-for-row
+      // ((query_id, neighbor_id, rank) triples; same quantizer, same
+      // probe kernel, same ranking — only the join strategy differs),
+      // so this is an equality contract, not a recall floor. Guards the
+      // partitioned-join path against silently diverging candidates.
+      val knnSample = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .where(col("query_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val bcast = AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      // symmetric difference empty AND same cardinality ⇒ identical
+      val equivRow = knnSample.unionAll(bcast)
+        .groupBy("query_id", "neighbor_id", "rank")
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(
+          (sum(when(col("__n") === 2, 1).otherwise(0)) === count(lit(1)))
+            .cast("int").cast("double"), lit(1.0)).as("e"))
+        .select(lit("knn_join_equiv").as("method"), col("e").as("value"),
+          lit(1.0).as("contract_floor"), (col("e") >= 1.0).as("meets_contract"))
+
+      recallRow.unionAll(verified).unionAll(partitionRow)
+        .unionAll(equivRow).orderBy("method")
     })
   )
 

@@ -289,6 +289,63 @@ class AnnSpec extends SparkTestBase {
     assert(survivors.size == 200)
   }
 
+  test("knnJoinIvf == ivfTopK(corpus, corpus): identical rows, every id covered") {
+    val viaJoin = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaBcast = AnnSearch.ivfTopK(emb, emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaJoin == viaBcast,
+      "partitioned self-join diverged from the broadcast shape")
+    // every corpus id gets neighbors (nprobe lists always hold >k others
+    // at this corpus/nlist ratio)
+    val n = emb.count()
+    assert(viaJoin.map(_._1).size == n)
+  }
+
+  test("knnJoinIvf is broadcast-independent: identical under autoBroadcastJoinThreshold=-1") {
+    val default = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noBcast = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 6)
+      val got = noBcast.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      // inspect AFTER execution so AQE's FINAL join choices are visible
+      val plan = noBcast.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"candidate join demanded a broadcast at threshold=-1:\n$plan")
+      assert(got == default)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("knnJoinIvf recovers planted mutual nearest neighbors at rank 1") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 60 random vectors + 5 planted tight pairs (partner = tiny nudge)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val planted = (0 until 5).flatMap { p =>
+      val v = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+      val w = v.updated(0, v.head + 0.001f)
+      Seq((100L + p, v), (200L + p, w))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val knn = AnnSearch.knnJoinIvf(corpus, "vec_id", "embedding",
+      k = 1, nlist = 4, nprobe = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { p =>
+      assert(knn.get(100L + p).contains(200L + p),
+        s"planted pair $p not mutual-nearest (got ${knn.get(100L + p)})")
+      assert(knn.get(200L + p).contains(100L + p))
+    }
+  }
+
   test("a5_ann_recall contract query reports both methods above the floor") {
     val rows = graft.SparkEntry.queries("a5_ann_recall")(spark, sf())
       .collect()
