@@ -259,12 +259,22 @@ object TextSearch {
       .withColumn("doc", lit(null).cast(cached.schema("doc").dataType))
       .withColumn("score", lit(0.0))
 
+  /** Distinct-term ceiling under which a batch's term set is pulled to
+    * the driver and becomes a pushed `In(term, …)` predicate. One tiny
+    * probe job (≤ cap+1 rows) buys parquet row-group skipping on a
+    * term-sorted index — the broadcast semi-join can never reach the
+    * scan. Bigger batches keep the join (an In-list of 10⁵ terms would
+    * bloat the plan and the scan filter for no skipping value). */
+  private val batchPushTermsMax = 1024
+
   /** [[bm25ScoresBatch]]'s scoring core with corpus statistics already
     * known — see [[scoreFromPostings]]; the index-backed batch path
     * ([[graft.pipeline.SilverIndex.bm25TopKBatchFromIndex]]) lands here
     * without ever re-aggregating doc lengths. The batch's term set lives
-    * in a DataFrame (not driver-known), so term filtering stays a
-    * broadcast semi-join rather than a pushed predicate. */
+    * in a DataFrame, so term filtering is a broadcast semi-join — unless
+    * the distinct term set fits [[batchPushTermsMax]], in which case it
+    * collapses to a driver-known pushed predicate (same rows either
+    * way; TextSearchSpec pins batch ≡ single-query regardless). */
   private[graft] def scoreBatchFromPostings(cached: DataFrame,
       docLen: DataFrame, nDocs: Long, avgLen: Double, queries: DataFrame,
       idCol: String, textCol: String, k1: Double, b: Double): DataFrame = {
@@ -273,7 +283,12 @@ object TextSearch {
         explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "").distinct()
 
-    val qPost = cached.join(broadcast(qTerms.select("term").distinct()), "term")
+    val probe = qTerms.select("term").distinct()
+      .limit(batchPushTermsMax + 1).collect().map(_.getString(0))
+    val qPost =
+      if (probe.length <= batchPushTermsMax)
+        cached.where(col("term").isin(probe.toIndexedSeq: _*))
+      else cached.join(broadcast(qTerms.select("term").distinct()), "term")
     val dfPerTerm = qPost.groupBy("term").agg(count(lit(1)).as("df"))
     qPost
       .join(broadcast(dfPerTerm), "term")
