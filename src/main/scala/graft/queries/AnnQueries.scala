@@ -19,6 +19,16 @@ object AnnQueries {
         emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
     }),
 
+    // EXACT kNN self-join — a12's declared oracle baseline (the same
+    // role a1 plays for a2/a3): every corpus vector's true k nearest
+    // neighbors by broadcast brute force. Deterministic doubles (the a1
+    // cosine convention both engines agree on bit-exactly) → full
+    // DuckDB oracle.
+    "a13_knn_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+    }),
+
     "a2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       AnnSearch.lshTopK(
@@ -266,6 +276,17 @@ object AnnQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // a1's CTEs over the WHOLE corpus as the query set, k=3
+    "a13_knn_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |      FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
     "a1_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
