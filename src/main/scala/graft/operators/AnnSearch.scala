@@ -918,6 +918,19 @@ object AnnSearch {
     rankedTopK(rescored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** [[exactRescore]] for corpus-sized query sets ([[knnJoinIvfPq]]):
+    * neither the candidate pair set (|corpus|·k·rescoreMult rows) nor
+    * the query vectors are broadcastable, so both attachment joins run
+    * partitioned — the pair set is the largest frame touched and it is
+    * output-proportional, never candidate-proportional. Same arithmetic
+    * and ranking as the broadcast shape. */
+  private[graft] def exactRescoreShuffled(top: DataFrame, c: DataFrame,
+      q: DataFrame, k: Int): DataFrame = {
+    val rescored = top.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    rankedTopK(rescored, "query_id", "neighbor_id", "cosine", k)
+  }
+
   /** IVF-PQ composite top-k — the production ANN shape at corpus sizes
     * where even one linear ADC scan per query batch is too much (FAISS's
     * IndexIVFPQ, Jégou et al. 2011): the coarse IVF quantizer prunes the
@@ -957,6 +970,42 @@ object AnnSearch {
       residual: Boolean = true): DataFrame = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)
+    val ix = ivfPqCoded(c, nlist, m, ksub, residual,
+      "AnnSearch.ivfPqTopK.codes")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes0 = probeLists(q0, ix.cents, nprobe,
+      idTypeFallback = Some(ix.listIdType))
+    // per-probe coarse term dot(q, c_L): ≤ |Q|·nprobe rows joined with
+    // the ≤ nlist centroid rows — never an nlist-sized literal
+    val probes1 =
+      if (residual)
+        probes0.join(broadcast(ix.cents), "list_id")
+          .withColumn("__qcdot", VectorFunctions.dot(col("qv"), col("centv")))
+          .drop("centv")
+      else probes0.withColumn("__qcdot", lit(0.0))
+    val probes = probes1
+      .withColumn("__lut", pqQueryLut(col("qv"), ix.cms, ix.sub))
+      .withColumn("__qn", VectorFunctions.norm(col("qv")))
+    val cand = broadcast(probes).join(ix.codes, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore", pqAdcCosineStored(col("__lut"), col("__qn"),
+        col("__qcdot"), col("codes"), col("rnorm2"), ix.cms))
+    exactRescore(pqCandTop(cand, k * rescoreMult), c, q0, k)
+  }
+
+  /** The trained-and-encoded IVF-PQ state shared by [[ivfPqTopK]] and
+    * [[knnJoinIvfPq]]: frozen coarse quantizer, per-subspace codebooks,
+    * and the materialized (neighbor_id, list_id, codes, rnorm2) code
+    * table — the persisted-index shape ([[graft.pipeline.SilverIndex]]
+    * at scale). Materialized for the same codegen-deferral reason as
+    * [[pqTopK]]: un-materialized, the m-kernel encode re-runs per
+    * candidate pair. */
+  private case class IvfPqIndex(cents: DataFrame, cms: Seq[CentMatrix],
+      sub: Int, codes: DataFrame,
+      listIdType: org.apache.spark.sql.types.DataType)
+
+  private def ivfPqCoded(c: DataFrame, nlist: Int, m: Int, ksub: Int,
+      residual: Boolean, cacheSlot: String): IvfPqIndex = {
     val sub = pqSubDim(c, m)
     val cents = ivfCentroids(c, nlist)
     val assigned = ivfAssign(c, cents)
@@ -969,37 +1018,64 @@ object AnnSearch {
             VectorFunctions.sub(col("cv"), col("centv")).as("cv"))
       else assigned.select(col("neighbor_id"), col("list_id"), col("cv"))
     val cms = pqCodebooks(train.select("neighbor_id", "cv"), m, ksub, sub)
-    // the persisted-index shape: (neighbor_id, list_id, codes, rnorm2) —
-    // at scale this is the SilverIndex table, partitioned by list_id for
-    // pruning. Materialized for the same codegen-deferral reason as
-    // [[pqTopK]]: un-materialized, the 8-kernel encode re-runs per
-    // candidate pair.
     val coded = train.withColumn("codes", pqEncode(col("cv"), cms, sub))
     val rn2 =
       if (residual) pqReconNorm2(col("centv"), col("codes"), cms, sub)
       else pqCodeNorm2(col("codes"), cms)
-    val c8 = graft.ManagedCache.swap("AnnSearch.ivfPqTopK.codes",
+    val c8 = graft.ManagedCache.swap(cacheSlot,
       coded.select(col("neighbor_id"), col("list_id"), col("codes"),
         rn2.as("rnorm2")))
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes0 = probeLists(q0, cents, nprobe,
-      idTypeFallback = Some(assigned.schema("list_id").dataType))
-    // per-probe coarse term dot(q, c_L): ≤ |Q|·nprobe rows joined with
-    // the ≤ nlist centroid rows — never an nlist-sized literal
-    val probes1 =
-      if (residual)
-        probes0.join(broadcast(cents), "list_id")
-          .withColumn("__qcdot", VectorFunctions.dot(col("qv"), col("centv")))
-          .drop("centv")
-      else probes0.withColumn("__qcdot", lit(0.0))
-    val probes = probes1
-      .withColumn("__lut", pqQueryLut(col("qv"), cms, sub))
+    IvfPqIndex(cents, cms, sub, c8, assigned.schema("list_id").dataType)
+  }
+
+  /** [[knnJoinIvf]] at PQ-code candidate resolution — the kNN-graph
+    * build for corpora where even per-list float scoring is too much
+    * CPU: candidates score against residual-encoded 40-bit codes (ADC,
+    * [[ivfPqTopK]]'s machinery) and only the surviving k·rescoreMult
+    * per query touch float vectors again. All broadcast shapes are
+    * replaced by partitioned joins, since BOTH sides are corpus-sized:
+    *  - probers shuffle on `list_id` BEFORE the per-query LUT is
+    *    derived (projections don't collapse across an Exchange, so the
+    *    wire carries the vector + two doubles, not the m·ksub-double
+    *    LUT), then meet the code table in a partitioned equi-join;
+    *  - the exact rescore is [[exactRescoreShuffled]] — candidate pairs
+    *    join the float corpus on each side key instead of broadcasting
+    *    a |corpus|·k·rescoreMult pair set through the driver.
+    * Same quantizers, codes, and scoring expressions as
+    * `ivfPqTopK(corpus, corpus, …)` — AnnSpec pins row equality.
+    * Output: query_id, neighbor_id, cosine (exact), rank. */
+  def knnJoinIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 32, rescoreMult: Int = 10): DataFrame = {
+    require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
+    val c = ivfCorpus(corpus, idCol, vecCol)
+    val ix = ivfPqCoded(c, nlist, m, ksub, residual = true,
+      "AnnSearch.knnJoinIvfPq.codes")
+    val q0 = c.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
+    val probes0 = probeLists(q0, ix.cents, nprobe,
+      idTypeFallback = Some(ix.listIdType))
+    val probes1 = probes0.join(broadcast(ix.cents), "list_id")
+      .withColumn("__qcdot", VectorFunctions.dot(col("qv"), col("centv")))
+      .drop("centv")
       .withColumn("__qn", VectorFunctions.norm(col("qv")))
-    val cand = broadcast(probes).join(c8, "list_id")
+    // LUT BEFORE the exchange, deliberately: physical planning folds a
+    // Project adjacent to a join into the join's OUTPUT projection, so
+    // a lut computed "just under" the candidate join would re-run its
+    // m·ksub·sub-mult kernel per CANDIDATE, not per probe row —
+    // measured as 25/30 executor threads parked in VectorKernelPq.lut
+    // and a 7× candidate-stage slowdown at 100k docs. The exchange is a
+    // materialization barrier: each probe row's table is computed once,
+    // shipped once (m·ksub doubles/row — the byte price of the barrier),
+    // and only read per candidate.
+    val probes = probes1
+      .withColumn("__lut", pqQueryLut(col("qv"), ix.cms, ix.sub))
+      .drop("qv")
+      .repartition(col("list_id"))
+    val cand = probes.join(ix.codes, "list_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore", pqAdcCosineStored(col("__lut"), col("__qn"),
-        col("__qcdot"), col("codes"), col("rnorm2"), cms))
-    exactRescore(pqCandTop(cand, k * rescoreMult), c, q0, k)
+        col("__qcdot"), col("codes"), col("rnorm2"), ix.cms))
+    exactRescoreShuffled(pqCandTop(cand, k * rescoreMult), c, q0, k)
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate

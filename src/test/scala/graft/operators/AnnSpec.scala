@@ -346,6 +346,22 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("knnJoinIvfPq == ivfPqTopK(corpus, corpus): identical rows incl. exact cosines") {
+    val viaJoin = AnnSearch.knnJoinIvfPq(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 32, rescoreMult = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val viaBcast = AnnSearch.ivfPqTopK(emb, emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 32, rescoreMult = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaJoin == viaBcast,
+      "PQ self-join diverged from the broadcast IVF-PQ shape")
+    assert(viaJoin.map(_._1).size == emb.count())
+  }
+
   test("a5_ann_recall contract query reports both methods above the floor") {
     val rows = graft.SparkEntry.queries("a5_ann_recall")(spark, sf())
       .collect()
