@@ -562,8 +562,16 @@ object AnnSearch {
       rescoreMult: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .transform((d: DataFrame) => Par.spread(d, col("neighbor_id")))
-    val c8 = c.select(col("neighbor_id"),
-      VectorFunctions.normQuantI8(col("cv"), levels).as("cq"))
+    // MATERIALIZED, not just projected: a quant projection left adjacent
+    // to the cross join gets folded into the join's output projection by
+    // physical planning and re-runs the normalize+quantize kernel per
+    // candidate PAIR — jstack showed 25/30 executor threads inside
+    // normQuantI8 at 500q × 100k docs (the knnpq_fold_r8.txt hazard;
+    // pqTopK's code table always had this guard). The cache is the same
+    // persisted-codes discipline SilverIndex uses at scale.
+    val c8 = graft.ManagedCache.swap("AnnSearch.quantizedTopK.codes",
+      c.select(col("neighbor_id"),
+        VectorFunctions.normQuantI8(col("cv"), levels).as("cq")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val q8 = q.select(col("query_id"),
       VectorFunctions.normQuantI8(col("qv"), levels).as("qq"))

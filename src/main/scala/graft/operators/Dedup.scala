@@ -350,8 +350,14 @@ object Dedup {
             .as(s"${side}_hs"),
           size(col("sh")).as(s"${side}_sz"))
     // spread the raw corpus BEFORE prep so the shingle/sort kernels run
-    // post-exchange across cores (shingleSets discipline)
-    val c = prep(Par.spread(corpus, col(corpusId)), corpusId, "corpus")
+    // post-exchange across cores (shingleSets discipline) — and
+    // MATERIALIZE the prepped corpus: a stream-side projection adjacent
+    // to a nested-loop join defers to the per-build-row loop (the
+    // pqTopK/knnpq_fold_r8.txt hazard), re-running shingle+sort+hash
+    // once per (corpus × ref) PAIR instead of once per corpus row. The
+    // broadcast materializes the ref side the same way.
+    val c = graft.ManagedCache.swap("Dedup.crossJaccardPairs.corpus",
+      prep(Par.spread(corpus, col(corpusId)), corpusId, "corpus"))
     val r = prep(ref, refId, "ref")
     c.crossJoin(broadcast(r))
       .where(col("corpus_sz") >= ceil(lit(theta) * col("ref_sz")) &&
