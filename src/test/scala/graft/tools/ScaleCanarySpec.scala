@@ -196,6 +196,25 @@ class ScaleCanarySpec extends SparkTestBase {
     assert(rLsh >= 0.3, s"LSH recall collapsed at smoke scale: $rLsh")
   }
 
+  test("kNN self-join equals the broadcast shape on a 1/500 sample at smoke scale", Slow) {
+    // the a11 knn_join_equiv contract at gate scale, asserted here at
+    // 100k: the partitioned list_id join and the broadcast-probes shape
+    // must produce IDENTICAL rows (same quantizer, same probe kernel,
+    // same ranking — only the join strategy differs)
+    val sample = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 8)
+      .where(col("query_id") % 500 === 0)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bcast = AnnSearch.ivfTopK(
+        emb.where(col("vec_id") % 500 === 0), emb, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sample.nonEmpty && sample == bcast,
+      s"kNN self-join diverged from the broadcast shape on ${sample.size} sampled rows")
+  }
+
   test("IVF-PQ recall holds at smoke scale; incremental index identical", Slow) {
     val q = emb.where(col("vec_id") % 1000 === 0)
     val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
