@@ -49,6 +49,22 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(qs == Map("q1_agg" -> 0.78, "q2_filter" -> 0.3))
   }
 
+  test("previousBench salvages a tail cut past the queries marker (r7 shape)") {
+    val d = tmpDir()
+    write(d, "BENCH_r06.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1_agg":2.0},"sf":"x"}""")
+    // r7's failure shape: the tail starts MID-OBJECT — the "queries":{
+    // prefix is gone but the per-query pairs themselves survive; their
+    // key shape (x9_name: number) is unmistakable vs wrapper scalars
+    val pairs = (1 to 12).map(i => s"""\\"q${i}_name$i\\":0.$i""").mkString(",")
+    write(d, "BENCH_r07.json",
+      s"""{"n":7,"rc":0,"tail":"461,$pairs,\\"delta_median\\":0.5},\\"sf\\":\\"/x\\"}\\n"}""")
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r07.json", "salvageable newest file must win")
+    assert(qs.size == 12 && qs("q1_name1") == 0.1 && qs("q12_name12") == 0.12)
+    assert(!qs.contains("delta_median"))
+  }
+
   test("previousBench skips an unparseable newest file for an older complete one") {
     val d = tmpDir()
     write(d, "BENCH_r05.json",
