@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 
-class TextSearchSpec extends SparkTestBase {
+class TextSearchSpec extends SparkTestBase with graft.PropHelper {
 
   private val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -149,6 +149,67 @@ class TextSearchSpec extends SparkTestBase {
     assert(got.keySet == expected.keySet)
     got.foreach { case (id, sc) =>
       assert(math.abs(sc - expected(id)) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("randomized corpora: both dispatch paths match the reference (narrow and postings)") {
+    import org.scalacheck.Gen
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("fox", "dog", "DOG!", "ship's", "a", "Quick,",
+      "engine", "zz9", "the", "  ", "")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, docGen))
+    // queries: 1..20 distinct-ish terms → exercises the ≤16-term narrow
+    // dispatch AND the >16-term postings dispatch
+    val qWord = Gen.oneOf("fox", "dog", "ships", "quick", "engine", "zz9",
+      "the", "a", "missing1", "missing2", "w1", "w2", "w3", "w4", "w5",
+      "w6", "w7", "w8", "w9", "w10", "w11", "w12")
+    val queryGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, qWord).map(_.distinct.mkString(" ")))
+
+    def reference(corpus: Seq[(Long, String)], query: String)
+        : Map[Long, Double] = {
+      def toks(t: String) = t.toLowerCase.replaceAll("[\\p{Punct}]", " ")
+        .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val docToks = corpus.map { case (id, t) => id -> toks(t) }
+        .filter(_._2.nonEmpty).toMap
+      if (docToks.isEmpty) return Map.empty
+      val n = docToks.size
+      val avgLen = docToks.values.map(_.size).sum.toDouble / n
+      val qTerms = toks(query).distinct
+      docToks.flatMap { case (id, ts) =>
+        val sc = qTerms.map { term =>
+          val tf = ts.count(_ == term).toDouble
+          if (tf == 0) 0.0
+          else {
+            val df = docToks.values.count(_.contains(term)).toDouble
+            val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.size / avgLen))
+          }
+        }.sum
+        if (sc > 0) Some(id -> sc) else None
+      }
+    }
+
+    forAllGen2(corpusGen, queryGen, trials = 25) { (docsList, query) =>
+      val corpus = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val qTerms = query.toLowerCase.replaceAll("[\\p{Punct}]", " ")
+        .trim.split("\\s+").filter(_.nonEmpty).distinct
+      if (qTerms.nonEmpty) {
+        val expected = reference(corpus, query)
+        val got = TextSearch.bm25Scores(df, "doc_id", "text", query)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == expected.keySet,
+          s"doc set for query '$query' over ${corpus.size} docs " +
+            s"(${qTerms.length} terms)")
+        got.foreach { case (id, sc) =>
+          assert(math.abs(sc - expected(id)) < 1e-9,
+            s"query '$query' doc $id: $sc vs ${expected(id)}")
+        }
+      }
     }
   }
 
