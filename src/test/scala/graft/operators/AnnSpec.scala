@@ -346,6 +346,30 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("randomized corpora/configs: knnJoinIvf == ivfTopK(corpus, corpus) everywhere") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val n = 30 + rnd.nextInt(120)
+      val dim = Seq(4, 8, 16)(rnd.nextInt(3))
+      val nlist = Seq(2, 4, 8)(rnd.nextInt(3))
+      val nprobe = 1 + rnd.nextInt(nlist)
+      val k = 1 + rnd.nextInt(4)
+      val corpus = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val a = rows(AnnSearch.knnJoinIvf(corpus, "vec_id", "embedding",
+        k, nlist, nprobe))
+      val b = rows(AnnSearch.ivfTopK(corpus, corpus, "vec_id", "embedding",
+        k, nlist, nprobe))
+      assert(a == b,
+        s"trial $trial (n=$n dim=$dim nlist=$nlist nprobe=$nprobe k=$k)")
+    }
+  }
+
   test("knnJoinIvfPq == ivfPqTopK(corpus, corpus): identical rows incl. exact cosines") {
     val viaJoin = AnnSearch.knnJoinIvfPq(emb, "vec_id", "embedding",
       k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 32, rescoreMult = 10)
