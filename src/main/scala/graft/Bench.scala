@@ -26,6 +26,20 @@ package graft
   */
 object Bench {
 
+  /** Millisecond-precision locale-proof rendering for the final bench
+    * line: `%.3f` with trailing zeros stripped ("1.330"→"1.33",
+    * "0.800"→"0.8", "2.000"→"2.0"); a failed query's -1 sentinel stays
+    * "-1". Three decimals is the precision the medians actually carry
+    * (fork-to-fork swing is ~0.1 s) and keeps the line inside the
+    * driver's tail window. */
+  private[graft] def ms(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -49,31 +63,37 @@ object Bench {
         // newest PARSEABLE file wins: the driver captures only the tail
         // of the bench output, which can truncate mid-object (r6's file
         // starts inside "queries") — skip such files instead of
-        // reporting no-previous-bench while older complete ones exist
-        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val body = if (raw.contains("\"queries\":{")) raw
-          else raw.replace("\\\"", "\"")
-        val at = body.indexOf("\"queries\":{")
-        if (at >= 0) {
-          val end = body.indexOf('}', at)
-          val qs = pairRx.findAllMatchIn(body.substring(at + 11, end))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          if (qs.isEmpty) None else Some(f.getName -> qs)
-        } else {
-          // SALVAGE a tail cut past the `"queries":{` marker (the
-          // driver captures a fixed-size tail; r7's starts mid-object):
-          // per-query keys are unmistakable (`x9_name` shape, numeric
-          // value), wrapper scalars (n/rc/value/cpus) and the bench's
-          // own delta_* fields are not — so harvest pairs by key shape.
-          // Demand a real population so garbage never becomes a
-          // baseline.
-          val qs = pairRx.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2))
-            .filter { case (k, _) =>
-              k.matches("[a-z]+\\d*_[a-z0-9_]+") && !k.startsWith("delta") }
-            .map { case (k, v) => k -> v.toDouble }.toMap
-          if (qs.size >= 10) Some(f.getName -> qs) else None
-        }
+        // reporting no-previous-bench while older complete ones exist.
+        // A corrupt/unreadable newest file must degrade to the next
+        // older one, never abort baseline discovery.
+        try {
+          val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val body = if (raw.contains("\"queries\":{")) raw
+            else raw.replace("\\\"", "\"")
+          val at = body.indexOf("\"queries\":{")
+          if (at >= 0) {
+            val end = body.indexOf('}', at)
+            val qs = pairRx.findAllMatchIn(body.substring(at + 11, end))
+              .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+              .toMap
+            if (qs.isEmpty) None else Some(f.getName -> qs)
+          } else {
+            // SALVAGE a tail cut past the `"queries":{` marker (the
+            // driver captures a fixed-size tail; r7's starts mid-object):
+            // per-query keys are unmistakable — a letter prefix, a DIGIT,
+            // then `_name` (q1_agg, t11_bm25_index) — while wrapper
+            // scalars (n/rc/value/cpus, total_len-style fields) and the
+            // bench's own delta_* fields have no digit before the first
+            // underscore, so demanding the digit keeps them out. Demand
+            // a real population so garbage never becomes a baseline.
+            val qs = pairRx.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2))
+              .filter { case (k, _) => k.matches("[a-z]+\\d+_[a-z0-9_]+") }
+              .flatMap { case (k, v) =>
+                scala.util.Try(k -> v.toDouble).toOption }.toMap
+            if (qs.size >= 10) Some(f.getName -> qs) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }.collectFirst { case Some(x) => x }
   }
 
@@ -223,13 +243,30 @@ object Bench {
       // must not quietly report the median of its successful rounds
       n -> (if (ok.size < samples.size) -1.0 else median(ok))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only a fixed-size TAIL (2000 chars) of this
+    // process's output, and sbt appends its own "[success] Total time"
+    // line after ours — so the FINAL line must be compact enough that
+    // (final line + sbt epilogue) fits the window, or the driver records
+    // `parsed: null` (r1–r8 all did). Millisecond precision with
+    // trailing-zero strip keeps ~80 queries under ~1800 chars; the
+    // full-precision values and the delta diagnostics go on their own
+    // EARLIER lines so nothing is lost, only moved out of the tail
+    // budget.
     val failed = results.count(_._2 < 0)
     // a failed query must not read as a speedup: surface the count
     // explicitly next to the successful-query total
     val total = results.map(_._2).filter(_ >= 0).sum
     val delta = deltaJson(results, previousBench())
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs":$runs,$delta,"queries":$qs,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull}}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING: final JSON line is ${line.length} chars — " +
+        "approaching the driver's 2000-char tail window")
+    println(line)
   }
 }

@@ -78,6 +78,44 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(qs == Map("q1" -> 2.0))
   }
 
+  test("salvage rejects wrapper-shaped keys and survives pseudo-numbers (ADVICE r8)") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":2.0},"sf":"x"}""")
+    // tail cut past the marker; wrapper fields shaped like total_len /
+    // wall_clock have NO digit before the underscore and must not join
+    // the query map; a version-ish pseudo-number (1.2.3) must not abort
+    // parsing of the whole file
+    val pairs = (1 to 12).map(i => s"""\\"q${i}_name$i\\":0.$i""").mkString(",")
+    write(d, "BENCH_r07.json",
+      s"""{"n":7,"tail":"9,\\"total_len\\":42,\\"wall_clock\\":7.5,$pairs,\\"v_tag\\":1.2.3}\\n"}""")
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r07.json")
+    assert(qs.size == 12, s"wrapper keys leaked: ${qs.keys}")
+    assert(!qs.contains("total_len") && !qs.contains("wall_clock") && !qs.contains("v_tag"))
+  }
+
+  test("previousBench survives an unreadable newest file (ADVICE r8)") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":2.0},"sf":"x"}""")
+    // a newest file that is a DIRECTORY (read throws) must degrade to
+    // the older complete file instead of aborting discovery
+    assert(new java.io.File(d, "BENCH_r09.json").mkdir())
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r05.json")
+    assert(qs == Map("q1" -> 2.0))
+  }
+
+  test("ms renders millisecond precision, strips zeros, keeps the -1 sentinel") {
+    assert(Bench.ms(1.330260085) == "1.33")
+    assert(Bench.ms(0.802309242) == "0.802")
+    assert(Bench.ms(2.0) == "2.0")
+    assert(Bench.ms(0.0004) == "0.0") // sub-ms rounds to zero, stays a number
+    assert(Bench.ms(-1.0) == "-1")
+    assert(Bench.ms(61.87654) == "61.877")
+  }
+
   test("uniform offset classifies flat; single-query spike concentrated") {
     val prev = Some("BENCH_r05.json" ->
       Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
