@@ -278,10 +278,16 @@ object TextSearch {
   private[graft] def scoreBatchFromPostings(cached: DataFrame,
       docLen: DataFrame, nDocs: Long, avgLen: Double, queries: DataFrame,
       idCol: String, textCol: String, k1: Double, b: Double): DataFrame = {
-    val qTerms = queries
-      .select(col(idCol).as("query_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .where(col("term") =!= "").distinct()
+    // the tokenized query frame feeds THREE consumers (the driver term
+    // probe, the postings term filter when the In-list path loses, and
+    // the final query_id attach) — persist it once so the probe job
+    // doesn't tokenize the batch a first time only for the df join and
+    // the attach to re-tokenize it twice more (ADVICE r8)
+    val qTerms = graft.ManagedCache.swap("TextSearch.batchQTerms",
+      queries
+        .select(col(idCol).as("query_id"),
+          explode(tokens(col(textCol))).as("term"))
+        .where(col("term") =!= "").distinct())
 
     val probe = qTerms.select("term").distinct()
       .limit(batchPushTermsMax + 1).collect().map(_.getString(0))

@@ -260,13 +260,17 @@ object AnnQueries {
       val bcast = AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
-      // symmetric difference empty AND same cardinality ⇒ identical
+      // symmetric difference empty AND same cardinality ⇒ identical.
+      // NON-VACUOUS: an empty union (both paths regressed to zero rows)
+      // must FAIL the contract, so the null aggregate coalesces to 0.0
+      // and the equality additionally demands a positive population
       val equivRow = knnSample.unionAll(bcast)
         .groupBy("query_id", "neighbor_id", "rank")
         .agg(count(lit(1)).as("__n"))
         .agg(coalesce(
-          (sum(when(col("__n") === 2, 1).otherwise(0)) === count(lit(1)))
-            .cast("int").cast("double"), lit(1.0)).as("e"))
+          ((sum(when(col("__n") === 2, 1).otherwise(0)) === count(lit(1)))
+            && sum(col("__n")) > 0)
+            .cast("int").cast("double"), lit(0.0)).as("e"))
         .select(lit("knn_join_equiv").as("method"), col("e").as("value"),
           lit(1.0).as("contract_floor"), (col("e") >= 1.0).as("meets_contract"))
 
