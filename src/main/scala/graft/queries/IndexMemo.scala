@@ -1,0 +1,39 @@
+package graft.queries
+
+/** Per-JVM registry of persisted-index artifacts shared by gate
+  * queries ([[TextQueries]]'s BM25 postings, [[AnnQueries]]'s IVF
+  * assignment). A persisted index pre-exists any query in a real
+  * deployment; in the gate the FIRST consumer in a JVM builds it (so
+  * Verify still exercises the build/refresh machinery end-to-end) and
+  * every later invocation — golden hashing, the oracle dump, PlanAudit,
+  * repeated bench calls — serves from the stored artifact instead of
+  * rebuilding into a fresh leaked temp tree per invocation (ADVICE r8).
+  * The whole tree lives under one root a shutdown hook removes. */
+private[graft] object IndexMemo {
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ix")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The stored location for `key` (e.g. "bm25:<sfdir>"), running
+    * `build` exactly once per JVM on first use. `build` receives the
+    * target path and must leave a complete index there. */
+  def path(key: String)(build: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      val p = root
+        .resolve(java.lang.Integer.toHexString(key.hashCode))
+        .resolve(key.takeWhile(_ != ':')).toString
+      build(p)
+      p
+    })
+}
