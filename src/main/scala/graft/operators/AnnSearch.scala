@@ -525,6 +525,44 @@ object AnnSearch {
     * recall floor. Deterministic end-to-end (deterministic Lloyd
     * quantizer, exact cosine, bit-stable ranking).
     * Output: query_id, neighbor_id, cosine, rank. */
+  /** kNN self-join entry point with the join SHAPE chosen by the
+    * engine's own measure-then-decide discipline instead of by the
+    * caller: the probe side of the broadcast formulation is exactly
+    * n·nprobe exploded (query_id, qv, list_id) rows ≈ n·nprobe·(8·dim +
+    * 16) bytes, so estimate that from one cheap count + a single-row
+    * dim probe and dispatch — under the session's
+    * `autoBroadcastJoinThreshold` the [[ivfTopK]] broadcast shape wins
+    * (no shuffle; measured 1.5–2× at 100k, tools/knnjoin_smoke_r8.txt),
+    * past it the [[knnJoinIvf]] partitioned `list_id` join is the only
+    * shape that scales (nothing broadcast, nothing driver-sized; wins
+    * 1.6–1.8× at 1M where the broadcast is 2 GB+). The threshold is the
+    * session's DECLARED broadcast budget, so the dispatch is portable
+    * to a real cluster rather than tuned to local[32]'s generous
+    * driver; results are identical either way — same quantizer, same
+    * probe kernel, same ranking (AnnSpec pins row equality, the a11
+    * `knn_join_equiv` contract re-pins it in-gate).
+    * Output: query_id, neighbor_id, cosine, rank. */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val dim = corpus.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val n = corpus.count()
+    if (knnJoinBroadcastFits(n, dim, nprobe, threshold))
+      ivfTopK(corpus, corpus, idCol, vecCol, k, nlist, nprobe)
+    else
+      knnJoinIvf(corpus, idCol, vecCol, k, nlist, nprobe)
+  }
+
+  /** The [[knnJoin]] decision rule, exposed for the spec: does the
+    * broadcast formulation's probe side fit the session's declared
+    * broadcast budget? A disabled threshold (≤ 0) always takes the
+    * partitioned shape. */
+  private[graft] def knnJoinBroadcastFits(n: Long, dim: Int, nprobe: Int,
+      threshold: Long): Boolean =
+    threshold > 0 && n * nprobe * (8L * dim + 16) <= threshold
+
   def knnJoinIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = ivfCorpus(corpus, idCol, vecCol)

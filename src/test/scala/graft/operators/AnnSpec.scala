@@ -323,6 +323,46 @@ class AnnSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knnJoin auto-dispatch: each regime picks the right shape, results identical") {
+    // the decision rule itself: probe-side bytes n·nprobe·(8·dim+16)
+    // vs the declared broadcast budget
+    assert(AnnSearch.knnJoinBroadcastFits(
+      n = 1500, dim = 32, nprobe = 6, threshold = 64L << 20))
+    assert(!AnnSearch.knnJoinBroadcastFits( // 1M × 64-dim ≈ 2.1 GB probe side
+      n = 1000000, dim = 64, nprobe = 4, threshold = 64L << 20))
+    assert(!AnnSearch.knnJoinBroadcastFits( // disabled budget → partitioned
+      n = 10, dim = 4, nprobe = 2, threshold = -1))
+    // boundary: exactly at the budget still broadcasts, one byte past doesn't
+    val bytes = 100L * 6 * (8 * 32 + 16)
+    assert(AnnSearch.knnJoinBroadcastFits(100, 32, 6, bytes))
+    assert(!AnnSearch.knnJoinBroadcastFits(100, 32, 6, bytes - 1))
+
+    // end-to-end: under the session budget (64 MB) the gate corpus takes
+    // the broadcast shape (the forced probe-side hint is visible in the
+    // executed plan); with the budget disabled it takes the partitioned
+    // shape — and the rows are identical either way
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val bcast = AnnSearch.knnJoin(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 6)
+    val bcastRows = rows(bcast)
+    assert(bcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "small corpus under budget should take the broadcast shape")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val part = AnnSearch.knnJoin(emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 6)
+      val partRows = rows(part)
+      assert(!part.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "disabled budget must take the partitioned shape end-to-end")
+      assert(partRows == bcastRows,
+        "the two dispatch regimes returned different graphs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("knnJoinIvf recovers planted mutual nearest neighbors at rank 1") {
     val s = spark
     import s.implicits._
