@@ -1004,7 +1004,19 @@ object AnnSearch {
     * the codes ([[pqReconNorm2]] — 8 bytes/vector instead of an
     * nlist×m×ksub query-time table that would be GBs at production
     * nlist). tools/residual_probe_r8.txt measures the recall buy at the
-    * a10 parameterization. Fully deterministic (frozen quantizers,
+    * a10 parameterization.
+    *
+    * `rescoreMult` defaults to 40 on the measured recall-vs-bytes curve
+    * (tools/pqtune_r9.txt, 100k structureless smoke corpus): the ADC
+    * candidate pool is nprobe/nlist of the corpus per query, so a
+    * k·rescoreMult exact-rescore pool of a few hundred rows is single-
+    * digit percent of the candidates already scanned — yet deepening it
+    * 10→40 moves recall 0.25→0.40 at the SAME 40-bit code budget
+    * (10→160 reaches 0.50 of the 0.52 coarse-pruning ceiling; spending
+    * the bits differently maxes at 0.31). Query-SET workloads should
+    * leave it at 40; corpus-sized query sets ([[knnJoinIvfPq]]) keep a
+    * shallower default because there the rescore join is
+    * |corpus|·k·mult rows, a real shuffle. Fully deterministic (frozen quantizers,
     * per-row argmins, fixed-order adds) → golden-pinned
     * (`a10_ann_ivfpq`); AnnSpec holds the RAISED recall floor vs brute
     * force and raw-vs-residual superiority. `residual = false` keeps the
@@ -1012,7 +1024,7 @@ object AnnSearch {
     * measurement. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 32, rescoreMult: Int = 10,
+      m: Int = 8, ksub: Int = 32, rescoreMult: Int = 40,
       residual: Boolean = true): DataFrame = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)

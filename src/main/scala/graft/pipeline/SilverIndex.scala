@@ -620,7 +620,7 @@ object SilverIndex {
     * the corpus scan — never a corpus shuffle). */
   def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, path: String, k: Int, nprobe: Int,
-      rescoreMult: Int = 10): DataFrame = {
+      rescoreMult: Int = 40): DataFrame = {
     val spark = queries.sparkSession
     val cents = loadCents(spark, path)
     val shape = spark.read.parquet(bookPath(path))

@@ -200,7 +200,7 @@ class AnnSpec extends SparkTestBase {
     val exact = AnnSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val out = AnnSearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10)
+      k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 40)
       .collect()
     out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
       assert(rows.length <= 5)
@@ -224,25 +224,35 @@ class AnnSpec extends SparkTestBase {
       exactCos.get(key).foreach(c => assert(c == r.getDouble(2), s"$key"))
     }
     val recall = (exact intersect got).size.toDouble / exact.size
-    info(s"IVF-PQ recall@5 = $recall (nprobe 6/16, m=8, ksub=32)")
-    // raised 0.4 → 0.6 with residual encoding (measures 0.68 here; raw
-    // codes measured 0.64 at the a10 params — tools/residual_probe_r8.txt)
-    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    info(s"IVF-PQ recall@5 = $recall (nprobe 6/16, m=8, ksub=32, mult=40)")
+    // r9 retune (tools/pqtune_r9.txt): the deeper exact rescore (10→40)
+    // lifts this corpus to its coarse-pruning ceiling — measures 0.72
+    // here (r8 floor was 0.6 at mult=10); deterministic quantizers, so
+    // the number cannot drift without a code change
+    assert(recall >= 0.7, s"IVF-PQ recall $recall")
     // residual codes must not rank WORSE than the r7 raw codes at the
-    // same 40-bit budget (the entire point of encoding residuals)
-    val rawGot = AnnSearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10,
-        residual = false)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rawRecall = (exact intersect rawGot).size.toDouble / exact.size
-    info(s"IVF-PQ raw-code recall@5 = $rawRecall (same budget)")
-    assert(recall >= rawRecall,
-      s"residual recall $recall fell below raw-code recall $rawRecall")
+    // same 40-bit budget (the entire point of encoding residuals).
+    // Compared at mult=10 — the regime where CODE quality decides the
+    // outcome; at mult=40 this tiny corpus's rescore pool covers nearly
+    // every candidate and both encodings hit the pruning ceiling
+    // (residual 0.68 vs raw 0.64 at r8 — tools/residual_probe_r8.txt)
+    def recallAtMult10(residual: Boolean): Double = {
+      val g = AnnSearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 10,
+          residual = residual)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect g).size.toDouble / exact.size
+    }
+    val residRecall = recallAtMult10(residual = true)
+    val rawRecall = recallAtMult10(residual = false)
+    info(s"IVF-PQ mult=10 recall@5: residual=$residRecall raw=$rawRecall")
+    assert(residRecall >= rawRecall,
+      s"residual recall $residRecall fell below raw-code recall $rawRecall")
     // deterministic under corpus repartitioning
     val again = AnnSearch.ivfPqTopK(queries, emb.repartition(7), "vec_id",
         "embedding", k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
-        rescoreMult = 10)
+        rescoreMult = 40)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
   }

@@ -18,8 +18,8 @@ import graft.{SparkEntry, SparkTestBase}
 class GoldenHashSpec extends SparkTestBase {
 
   private val pinnedSf0001 = Map(
-    "a10_ann_ivfpq" -> (50L, "1857e446d58c72f1"),
-    "a11_ann_contracts" -> (4L, "a7b585e1d7715409"),
+    "a10_ann_ivfpq" -> (50L, "1af51358e9ee08ab"),
+    "a11_ann_contracts" -> (4L, "e3757ba732ed75fa"),
     "a12_knn_join" -> (1500L, "57d2fc79acdec69e"),
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
     "a3_ann_ivf" -> (50L, "1af51358e9ee08ab"),
@@ -59,8 +59,8 @@ class GoldenHashSpec extends SparkTestBase {
   // the driver's CORRECTNESS gate runs at sf0.01 — pin that scale too so
   // a drift visible only at the gate's scale still fails sbt test
   private val pinnedSf01 = Map(
-    "a10_ann_ivfpq" -> "b6d2022fe3a39b48",
-    "a11_ann_contracts" -> "433ecce75007bc58",
+    "a10_ann_ivfpq" -> "b604970f3c6f060e",
+    "a11_ann_contracts" -> "f6539acab63dd68c",
     "a12_knn_join" -> "dc8528fe358dab26",
     "a2_ann_lsh" -> "221d7e490852c370",
     "a3_ann_ivf" -> "b604970f3c6f060e",

@@ -221,22 +221,25 @@ class ScaleCanarySpec extends SparkTestBase {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val live = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
-      nlist = 64, nprobe = 8, m = 8, ksub = 32, rescoreMult = 10)
+      nlist = 64, nprobe = 8, m = 8, ksub = 32, rescoreMult = 40)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val r = (exact intersect live).size.toDouble / exact.size
     info(s"smoke-scale IVF-PQ recall@5 = $r over ${exact.size / 5} queries")
-    // Floor history (r8, tools/scale_canary_r8.txt): the 0.35 written at
-    // r6 was NEVER validated — the suite was excluded from `sbt test`
-    // and this test had never actually run; rebuilding the r6 snapshot
-    // in a worktree measures 0.198 on r6's own code. The honest ceiling
-    // here is the coarse pruning itself (IVF-flat at the same
-    // nprobe 8/64 measures 0.52 on these STRUCTURELESS uniform synthetic
-    // vectors), and 40-bit codes recover about half of what pruning
-    // admits: 0.25 with r8's residual encoding (raw codes: 0.198).
-    // 0.2 separates "configured approximation on adversarially
-    // clusterless data" from "the composite broke" (a real break → ~0).
-    assert(r >= 0.2, s"IVF-PQ recall collapsed at smoke scale: $r")
+    // Floor history: the 0.35 written at r6 was NEVER validated (the
+    // suite had never run; r6's own code measures 0.198 —
+    // tools/scale_canary_r8.txt); r8's residual encoding measured 0.25
+    // at rescoreMult=10 and the floor was reset to a validated 0.2. The
+    // r9 retune (tools/pqtune_r9.txt) walks the measured recall-vs-
+    // budget curve: at the SAME 40-bit codes, deepening the exact
+    // rescore 10→40 measures 0.404 here — the rescore pool (k·40 rows)
+    // stays single-digit percent of the candidates the coarse pruning
+    // already scans, so this is a principled spend at any scale. The
+    // coarse-pruning ceiling (IVF-flat at nprobe 8/64 on these
+    // STRUCTURELESS uniform synthetic vectors) is 0.52; 0.35 separates
+    // "configured approximation on adversarially clusterless data"
+    // from "the composite broke" (a real break → ~0).
+    assert(r >= 0.35, s"IVF-PQ recall collapsed at smoke scale: $r")
     // the persisted-index serving path returns the SAME pairs as the
     // live composite when the index is trained on the same corpus (the
     // SilverIndexSpec identity, held at smoke scale)
@@ -245,7 +248,7 @@ class ScaleCanarySpec extends SparkTestBase {
     graft.pipeline.SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
       nlist = 64, m = 8, ksub = 32, path = path)
     val served = graft.pipeline.SilverIndex.ivfPqTopKFromIndex(q, emb,
-      "vec_id", "embedding", path, k = 5, nprobe = 8, rescoreMult = 10)
+      "vec_id", "embedding", path, k = 5, nprobe = 8, rescoreMult = 40)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(served == live, "index-served IVF-PQ diverged from the live composite")
