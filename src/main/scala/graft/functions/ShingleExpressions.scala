@@ -25,6 +25,50 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernel {
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val PUNCT = java.util.regex.Pattern.compile("[\\p{Punct}]")
+
+  /** Rolling polynomial fingerprint over the chars — the t4 hash
+    * ((h·31 + c) mod 1e9+7 per char), which DuckDB replicates exactly
+    * with `list_reduce`/`ascii`, so hashed-feature bucketing built on
+    * it is oracle-checkable cross-engine (xxhash64/md5-int would not
+    * be without hex parsing). */
+  private def fp31(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31 + s.charAt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** Linear text-classifier score in the fastText shape (Joulin et al.
+    * 2016, public), integer-quantized: features are ALL word unigram
+    * and bigram occurrences of the retrieval tokenizer (lowercase,
+    * punctuation→space, whitespace split — the [[graft.operators
+    * .TextSearch]] parity the t6 oracle pins), each hashed into
+    * `weights.length` buckets by [[fp31]], and the score is the exact
+    * integer sum of the bucket weights. One compiled pass per row, no
+    * HOF lambdas, no exchange — the shape of a learned quality filter
+    * applied at 100 TB (the weight table is the model; training it is
+    * out of scope, serving it is a narrow map). Integer arithmetic end
+    * to end → hash-exact DuckDB oracle. Empty text scores 0. */
+  def linearTextScore(text: UTF8String, weights: Array[Int]): Long = {
+    val norm = PUNCT.matcher(
+      text.toString.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+    if (norm.isEmpty) return 0L
+    val toks = WS.split(norm, -1)
+    val d = weights.length
+    var score = 0L
+    var i = 0
+    while (i < toks.length) {
+      score += weights((fp31(toks(i)) % d).toInt)
+      if (i + 1 < toks.length)
+        score += weights((fp31(toks(i) + " " + toks(i + 1)) % d).toInt)
+      i += 1
+    }
+    score
+  }
 
   /** Distinct word n-gram shingles ("w1 w2 … wn"), first-occurrence order.
     * Matches `wordShinglesFromTokens(tokens(text), n)`: Spark-semantics
@@ -143,6 +187,46 @@ object TextKernel {
     }
     out
   }
+}
+
+/** `linear_text_score(text, weights)` — see
+  * [[TextKernel.linearTextScore]]: the hashed-bag linear classifier
+  * score (fastText shape, integer-quantized weights). */
+case class LinearTextScore(child: Expression, weights: Array[Int])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_text_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"linear_text_score requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernel.linearTextScore(text.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the weight table rides along as a referenced object, not a code
+    // literal — a 2048-int array inlined as source would blow codegen
+    val w = ctx.addReferenceObj("weights", weights, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernel.linearTextScore($c, $w)")
+  }
+
+  // two scores are the same computation only if the tables match
+  override def equals(other: Any): Boolean = other match {
+    case LinearTextScore(c, w) =>
+      c == child && java.util.Arrays.equals(w, weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `word_shingles(text, n)` — see [[TextKernel.wordShingles]]. */

@@ -33,6 +33,11 @@ package object functions {
   /** Reference `normalize_title` as a native expression. */
   def normalize_title(c: Column): Column = col(NormalizeTitle(expr(c)))
 
+  /** Hashed-bag linear classifier score, integer-quantized weights
+    * (fastText shape; see [[TextKernel.linearTextScore]]). */
+  def linear_text_score(text: Column, weights: Array[Int]): Column =
+    col(LinearTextScore(expr(text), weights))
+
   /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 

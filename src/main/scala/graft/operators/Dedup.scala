@@ -401,6 +401,39 @@ object Dedup {
     clean.unionAll(verified)
   }
 
+  /** Benchmark decontamination by exact word-n-gram overlap — the
+    * published "13-gram rule" (GPT-3 appx. C, Brown et al. 2020;
+    * PaLM/Llama train-set hygiene use the same shape): flag every
+    * training document that shares at least one word n-gram with the
+    * evaluation set, reporting how many DISTINCT n-grams it shares.
+    * [[crossJaccardPairs]] asks "how similar"; this asks the stricter
+    * release question "does any eval span appear verbatim" — a single
+    * memorized 13-gram contaminates even at negligible Jaccard.
+    *
+    * Scale shape: the EVAL side is benchmark-sized (thousands of rows)
+    * while the train side is the 100 TB corpus — so the eval side's
+    * distinct grams broadcast, and the corpus pays ONE narrow
+    * explode + broadcast semi-join, with the only shuffle the per-doc
+    * count (output-proportional: contaminated (doc, gram) pairs). The
+    * corpus never shuffles its text. Gram sets come from
+    * [[graft.functions.word_shingles]] (trim, `\s+` split, distinct),
+    * so the overlap count is exact and integer → full DuckDB oracle.
+    * Output: doc_id, n_shared_grams (train docs with ≥ 1 shared gram). */
+  def ngramOverlap(train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalText: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val evalGrams = eval
+      .select(explode(graft.functions.word_shingles(col(evalText), n))
+        .as("gram"))
+      .distinct()
+    train
+      .select(col(trainId).as("doc_id"),
+        explode(graft.functions.word_shingles(col(trainText), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates
     * `ref`'s `xxhash64(key)`s into a Bloom filter (distributive
     * partition-merge, `sketch.BloomFilter`) and returns a codegen

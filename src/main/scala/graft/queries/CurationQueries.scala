@@ -119,6 +119,36 @@ object CurationQueries {
         "doc_id", "lang", "mix-r3",
         Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25))),
 
+    // Decontamination by the published 13-GRAM RULE (GPT-3 appx. C):
+    // flag train docs sharing any verbatim word-13-gram with the eval
+    // slice, with the count of distinct shared grams. The synthetic
+    // corpus shares no natural 13-grams (measured zero at sf0.01), so
+    // the query EMBEDS deterministic contamination identically in both
+    // engines (the t7/t8 discipline): eval docs (every 97th) carry a
+    // group-keyed canary span of 13+(doc_id%5) synthetic words, and
+    // every 23rd train doc carries the same span for its group — so a
+    // contaminated doc shares exactly (doc_id%5)+1 distinct 13-grams
+    // (the windows fully inside the span; boundary windows differ per
+    // doc). Integer counts → hash-exact oracle. Scale shape: the
+    // eval side's distinct grams broadcast; the corpus pays one narrow
+    // explode + broadcast semi-join + an output-sized per-doc count.
+    "c10_ngram_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = col("doc_id") % 5
+      val span = array_join(
+        transform(sequence(lit(1), lit(13) + g),
+          p => concat(lit("leak"), g, lit("w"), p)), " ")
+      val withSpan = concat(col("text"), lit(" "), span)
+      val evalDf = docs.where(col("doc_id") % 97 === 0)
+        .select(withSpan.as("text"))
+      val train = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 0, withSpan)
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.ngramOverlap(
+        train, "doc_id", "text", evalDf, "text", n = 13)
+    }),
+
     // decontamination: training docs whose word-2-gram sets overlap a
     // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —
     // the benchmark side broadcasts, the corpus never shuffles
@@ -181,6 +211,44 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the embedded-contamination construction verbatim (span of
+    // 13+(doc_id%5) 'leak<g>w<p>' words on every 97th doc's eval copy
+    // and every 23rd train doc), then distinct-13-gram overlap counts;
+    // DuckDB list slices are 1-based inclusive, range() stop-exclusive
+    "c10_ngram_decontam" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || ' ' || array_to_string(list_transform(
+        |      range(1, 14 + doc_id % 5),
+        |      p -> 'leak' || CAST(doc_id % 5 AS VARCHAR) || 'w' ||
+        |           CAST(p AS VARCHAR)), ' ') AS spanned,
+        |    text
+        |  FROM documents),
+        |ev AS (SELECT spanned AS text FROM base WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 23 = 0 THEN spanned ELSE text END AS text
+        |       FROM base WHERE doc_id % 97 <> 0),
+        |eg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |             range(1, len(string_split_regex(trim(text), '\s+')) - 11),
+        |             i -> array_to_string(
+        |               string_split_regex(trim(text), '\s+')[i : i + 12], ' '))))
+        |             AS gram
+        |    FROM ev
+        |    WHERE len(string_split_regex(trim(text), '\s+')) >= 13)),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(string_split_regex(trim(text), '\s+')) - 11),
+        |           i -> array_to_string(
+        |             string_split_regex(trim(text), '\s+')[i : i + 12], ' '))))
+        |           AS gram
+        |  FROM tr
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 13)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM tg JOIN eg USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+
     // mirrors t3 (lang-id), t1 (tokens), t5 (repetition), d1 (exact
     // dedup), d2 (jaccard pairs) oracle fragments, composed
     "c1_corpus_pipeline" ->

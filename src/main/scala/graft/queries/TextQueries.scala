@@ -143,6 +143,22 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("rscore"), col("rank"))
     }),
 
+    // Quality-model scoring: a hashed-bag linear classifier in the
+    // fastText shape (unigram+bigram occurrences → 2048 buckets →
+    // integer weight sum, one codegen pass per row — TextKernel
+    // .linearTextScore) plus the keep/drop gate at threshold 0. In
+    // production the weight table is a learned model broadcast to every
+    // task; the gate derives a deterministic pseudo-model (weight(b) =
+    // (b·2654435761) mod 2003 − 1001) so DuckDB can replicate the
+    // integer arithmetic end-to-end — the bucket hash is the t4
+    // rolling fingerprint, proven cross-engine.
+    "t12_quality_model" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.linear_text_score(col("text"), qualityModelWeights)
+          .as("quality_score"))
+        .withColumn("keep", (col("quality_score") >= 0).cast("int"))),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -228,7 +244,46 @@ object TextQueries {
     })
   )
 
+  /** The t12 pseudo-model: 2048 integer weights derived from the bucket
+    * index alone, so the oracle regenerates them in SQL arithmetic. */
+  private[graft] val qualityModelWeights: Array[Int] =
+    Array.tabulate(2048)(b => ((b.toLong * 2654435761L) % 2003L - 1001L).toInt)
+
   val oracles: Map[String, String] = Map(
+    // tokenizer = the t6 CTEs; grams = ALL unigram + bigram occurrences
+    // (no distinct — a bag model); bucket = the t4 rolling fingerprint
+    // mod 2048; weight regenerated from the bucket index; docs with no
+    // grams (empty text) score 0 via the left join
+    "t12_quality_model" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(ws) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(gram, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 2048 AS bkt
+        |  FROM g WHERE gram <> ''),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum((bkt * 2654435761) % 2003 - 1001) AS BIGINT) AS s
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s, 0) AS quality_score,
+        |  CAST(coalesce(s, 0) >= 0 AS INT) AS keep
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
     "t1_token_counts" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

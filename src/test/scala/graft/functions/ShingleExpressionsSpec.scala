@@ -91,6 +91,42 @@ class ShingleExpressionsSpec extends SparkTestBase {
     assert(diff.count() === 0)
   }
 
+  test("linear_text_score matches an independent Scala reimplementation incl. edges") {
+    // independent reference: tokenize the t6 way, bag unigrams+bigrams,
+    // t4 rolling fingerprint mod D, integer weight sum
+    def ref(text: String, w: Array[Int]): Long = {
+      def fp(s: String): Long =
+        s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[\\p{Punct}]", " ").trim.split("\\s+")
+        .filter(_.nonEmpty)
+      val grams = toks.toSeq ++ toks.toSeq.sliding(2).withFilter(_.size == 2)
+        .map(_.mkString(" "))
+      grams.map(g => w((fp(g) % w.length).toInt).toLong).sum
+    }
+    val w = graft.queries.TextQueries.qualityModelWeights
+    val rows = corpus.select(col("doc_id"), col("text"),
+        linear_text_score(col("text"), w).as("s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getString(1), w),
+        s"doc ${r.getLong(0)}: '${r.getString(1).take(40)}'")
+    }
+    // bag semantics: a repeated gram counts every occurrence
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "alpha beta"), (2L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+      .select(linear_text_score(col("text"), w).as("s"))
+      .collect().map(_.getLong(0))
+    // doc 2 has 2x the unigrams, 2x the "alpha beta" bigram, plus the
+    // extra "beta alpha" bridge gram — strictly more than double only
+    // if the bridge weight is nonzero; assert the exact relation
+    val fpBridge = "beta alpha".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(one(1) == 2 * one(0) + w((fpBridge % w.length).toInt))
+  }
+
   test("hyperplane_sig kernel matches HOF formulation exactly") {
     val emb = t(spark, sf(), "embeddings")
     def hofSig(v: org.apache.spark.sql.Column, offset: Int, bits: Int) = {

@@ -232,6 +232,36 @@ class DedupSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("ngramOverlap: planted verbatim spans flagged with exact distinct-gram counts") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 6).map(i => s"leakw$i").mkString(" ") // 6 words
+    val evalDf = Seq(
+      "the eval benchmark question text " + span,
+      "another eval item entirely").toDF("text")
+    val train = Seq(
+      // shares the whole 6-word span -> 6-4+1 = 3 distinct 4-grams
+      (1L, "completely different prefix " + span),
+      // shares a 5-word suffix of the span -> 2 distinct 4-grams
+      (2L, "short prefix " + span.split(" ").drop(1).mkString(" ")),
+      // repeats the span twice -> still 3 DISTINCT shared grams
+      (3L, s"$span and again $span"),
+      // clean doc
+      (4L, "no overlap with anything here at all"),
+      // fewer than n words
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(train, "doc_id", "text", evalDf, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 3L),
+      s"wrong contamination accounting: $out")
+    // the eval side must be the broadcast build side — the corpus-side
+    // explode never shuffles into a sort-merge join
+    val plan = Dedup.ngramOverlap(train, "doc_id", "text", evalDf, "text",
+      n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams were not broadcast:\n$plan")
+  }
+
   test("bloomAntiJoin == plain anti-join exactly; the bloom prunes the verify input") {
     val ref = docs.where(col("doc_id") % 7 === 0)
     val got = Dedup.bloomAntiJoin(docs, ref, col("text"),
