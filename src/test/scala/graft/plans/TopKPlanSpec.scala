@@ -32,4 +32,19 @@ class TopKPlanSpec extends SparkTestBase {
           "or a new ranking stage bypassed rankedTopK")
     }
   }
+
+  test("BM25 index consumers push the term set into the postings scan") {
+    // the r9 persisted-index contract (VERDICT r8 task 5): h1's lexical
+    // leg, t10's batch, and t11 all serve from the stored postings with
+    // the driver-known term set a PUSHED parquet predicate — if the
+    // filter ever degrades to a post-scan join/filter only, the scan
+    // reads the whole vocabulary and the stored-index advantage is
+    // gone. PLANS.md documents the shape; this pins it.
+    Seq("h1_hybrid_rrf", "t10_bm25_batch", "t11_bm25_index").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(term"),
+        s"$name: no pushed In(term, ...) predicate on the postings scan")
+    }
+  }
 }
