@@ -26,16 +26,17 @@ package graft
   */
 object Bench {
 
-  /** Millisecond-precision locale-proof rendering for the final bench
-    * line: `%.3f` with trailing zeros stripped ("1.330"→"1.33",
+  /** Locale-proof fixed-precision rendering for the final bench line:
+    * `%.<decimals>f` with trailing zeros stripped ("1.330"→"1.33",
     * "0.800"→"0.8", "2.000"→"2.0"); a failed query's -1 sentinel stays
-    * "-1". Three decimals is the precision the medians actually carry
-    * (fork-to-fork swing is ~0.1 s) and keeps the line inside the
-    * driver's tail window. */
-  private[graft] def ms(v: Double): String =
+    * "-1". Three decimals (ms) is the precision the medians actually
+    * carry (fork-to-fork swing is ~0.1 s); the renderer degrades to 2
+    * or 1 when the line would crowd the driver's tail window. */
+  private[graft] def ms(v: Double, decimals: Int = 3): String =
     if (v < 0) "-1"
     else {
-      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
@@ -285,13 +286,23 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull}}""")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1800) System.err.println(
-      s"[bench] WARNING: final JSON line is ${line.length} chars — " +
-        "approaching the driver's 2000-char tail window")
+    // Render at ms precision, DEGRADING to coarser precision if the
+    // line would crowd the driver's 2000-char tail window (sbt's
+    // epilogue + the [info] prefix eat ~90 of it): a 10 ms-precision
+    // line that parses beats a 1 ms-precision line that truncates. At
+    // 76 queries the 3-decimal render measures ~1830 chars — one loaded
+    // run pushing a dozen queries past 10 s would overflow without the
+    // fallback.
+    def render(decimals: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total, decimals)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Iterator(3, 2, 1).map(render)
+      .find(_.length <= 1870).getOrElse(render(1))
+    if (line.length > 1870) System.err.println(
+      s"[bench] WARNING: final JSON line is ${line.length} chars even at " +
+        "1-decimal precision — the driver's 2000-char tail window is at risk")
     println(line)
   }
 }

@@ -546,7 +546,12 @@ object AnnSearch {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val dim = corpus.select(size(col(vecCol)).as("d")).head(1)
+    // dim from the first row with a real vector — a leading NULL (or
+    // legacy size(NULL) = -1) must not shrink the estimate to ~8
+    // bytes/row and wave a multi-GB probe side through the broadcast
+    // check; an all-null corpus degenerates identically in both shapes
+    val dim = corpus.select(size(col(vecCol)).as("d"))
+      .where(col("d").isNotNull && col("d") > 0).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
     val n = corpus.count()
     if (knnJoinBroadcastFits(n, dim, nprobe, threshold))

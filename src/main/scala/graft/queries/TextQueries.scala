@@ -152,10 +152,14 @@ object TextQueries {
     // (b·2654435761) mod 2003 − 1001) so DuckDB can replicate the
     // integer arithmetic end-to-end — the bucket hash is the t4
     // rolling fingerprint, proven cross-engine.
+    // NULL text scores 0 (coalesce BEFORE the kernel — the oracle's
+    // LEFT JOIN + coalesce does the same, so a null-bearing corpus
+    // cannot split the engines)
     "t12_quality_model" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        graft.functions.linear_text_score(col("text"), qualityModelWeights)
+        graft.functions.linear_text_score(
+          coalesce(col("text"), lit("")), qualityModelWeights)
           .as("quality_score"))
         .withColumn("keep", (col("quality_score") >= 0).cast("int"))),
 

@@ -18,6 +18,7 @@ import graft.operators.AnnSearch
 object PqTuneProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    require(n >= 100, s"need n >= 100 (the query set is vec_id % (n/100)), got $n")
     val spark = graft.Sessions.local("pqtune-probe", 32)
     spark.sparkContext.setLogLevel("ERROR")
 

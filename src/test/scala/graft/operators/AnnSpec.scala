@@ -249,6 +249,15 @@ class AnnSpec extends SparkTestBase {
     info(s"IVF-PQ mult=10 recall@5: residual=$residRecall raw=$rawRecall")
     assert(residRecall >= rawRecall,
       s"residual recall $residRecall fell below raw-code recall $rawRecall")
+    // EXACT pins, deliberately: at mult=40 the gate-scale rescore pool
+    // covers nearly every pruned candidate, so a10's golden hash equals
+    // a3's ivf-flat hash and no longer discriminates the PQ CODE stage
+    // — these mult=10 values are where code quality decides the
+    // outcome, and the quantizers are deterministic, so any drift in
+    // codebook training / encode / ADC moves them. Regenerate alongside
+    // an INTENDED quantizer change, like a golden.
+    assert(residRecall == 0.68, s"residual mult=10 recall drifted: $residRecall")
+    assert(rawRecall == 0.64, s"raw-code mult=10 recall drifted: $rawRecall")
     // deterministic under corpus repartitioning
     val again = AnnSearch.ivfPqTopK(queries, emb.repartition(7), "vec_id",
         "embedding", k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
