@@ -68,6 +68,20 @@ object AnnQueries {
       AnnSearch.knnJoinIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 6)),
 
+    // The AUTO-dispatched kNN self-join (r9): knnJoin estimates the
+    // probe-side broadcast bytes against the session budget and picks
+    // the shape itself — at gate scale that is the broadcast ivfTopK
+    // form (6.3 MB probe side at sf0.1 vs the 64 MB budget). Its golden
+    // content hash is INTENTIONALLY equal to a12's at both sfs: the
+    // dispatcher choosing a different join strategy must never change a
+    // row, and the shared pin makes any divergence (or a dispatch
+    // regression flipping the regime and then diverging) driver-
+    // visible every round. AnnSpec drives the partitioned regime and
+    // pins the byte-boundary decision rule.
+    "a14_knn_auto" -> ((s, dir) =>
+      AnnSearch.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 6)),
+
     // Incremental IVF through the driver gate (no-oracle, golden-pinned):
     // quantizer built and FROZEN on 75% of the corpus, delta refresh
     // folds in the rest (assignments compute only for new ids —

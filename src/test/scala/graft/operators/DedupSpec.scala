@@ -262,6 +262,34 @@ class DedupSpec extends SparkTestBase {
       s"eval grams were not broadcast:\n$plan")
   }
 
+  test("ngramOverlap matches brute-force set intersection on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array.tabulate(30)(i => s"v$i")
+    def doc(len: Int): String =
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def grams(text: String, n: Int): Set[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (1 to 8).foreach { trial =>
+      val n = 2 + rnd.nextInt(3) // 2..4
+      val train = (1 to 40).map(i => (i.toLong, doc(3 + rnd.nextInt(15))))
+      val evalDocs = (1 to 6).map(_ => doc(3 + rnd.nextInt(10)))
+      val evalGrams = evalDocs.flatMap(grams(_, n)).toSet
+      val expected = train
+        .map { case (id, t) => id -> (grams(t, n) & evalGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      val got = Dedup.ngramOverlap(
+          train.toDF("doc_id", "text"), "doc_id", "text",
+          evalDocs.map(Tuple1(_)).toDF("text"), "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n): $got vs $expected")
+    }
+  }
+
   test("bloomAntiJoin == plain anti-join exactly; the bloom prunes the verify input") {
     val ref = docs.where(col("doc_id") % 7 === 0)
     val got = Dedup.bloomAntiJoin(docs, ref, col("text"),

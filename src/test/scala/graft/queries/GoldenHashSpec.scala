@@ -21,6 +21,10 @@ class GoldenHashSpec extends SparkTestBase {
     "a10_ann_ivfpq" -> (50L, "1af51358e9ee08ab"),
     "a11_ann_contracts" -> (4L, "e3757ba732ed75fa"),
     "a12_knn_join" -> (1500L, "57d2fc79acdec69e"),
+    // INTENTIONALLY equal to a12's hash: the auto-dispatcher picking a
+    // different join strategy must never change a row (AnnSpec pins the
+    // decision rule and the partitioned regime)
+    "a14_knn_auto" -> (1500L, "57d2fc79acdec69e"),
     "a2_ann_lsh" -> (50L, "6b243e12a60eee0a"),
     "a3_ann_ivf" -> (50L, "1af51358e9ee08ab"),
     "a4_neardup_lsh" -> (5L, "31b91f09d61ba1c1"),
@@ -62,6 +66,7 @@ class GoldenHashSpec extends SparkTestBase {
     "a10_ann_ivfpq" -> "b604970f3c6f060e",
     "a11_ann_contracts" -> "f6539acab63dd68c",
     "a12_knn_join" -> "dc8528fe358dab26",
+    "a14_knn_auto" -> "dc8528fe358dab26", // == a12, see sf0.001 note
     "a2_ann_lsh" -> "221d7e490852c370",
     "a3_ann_ivf" -> "b604970f3c6f060e",
     "a4_neardup_lsh" -> "33464f57b6c9d31e",
