@@ -184,6 +184,42 @@ object TextSearch {
       .groupBy("doc").agg(sum(col("w")).as("score"))
   }
 
+  /** Per-document unigram surprisal — the in-engine form of CCNet-style
+    * perplexity filtering (Wenzek et al. 2020 filter on a KenLM
+    * perplexity; with no external LM the corpus's OWN unigram
+    * distribution is the honest model): mean negative log-likelihood
+    * `−Σ tf·ln(cf/total) / len` over the doc's tokens, where `cf` is
+    * the corpus collection frequency. Boilerplate/templated docs score
+    * LOW (their tokens are corpus-frequent), lexically odd docs score
+    * HIGH — the standard quality-bucketing signal.
+    *
+    * Built entirely on the postings machinery: one tokenize/explode
+    * ([[postings]]), corpus stats via [[termStats]] joined back on the
+    * term (at 100 TB this is the one term-keyed shuffle the inverted
+    * index already pays — against a PERSISTED index
+    * ([[graft.pipeline.SilverIndex.refreshPostings]]) the stats side is
+    * a stored table and the join prunes to the corpus being scored),
+    * then one per-doc sum. Output: doc, len (tokens), mean_nll
+    * (double, nats). Callers ranking on it should round first (the
+    * [[bm25Scores]] reduction-order caveat). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val post = graft.ManagedCache.swap("TextSearch.unigramSurprisal",
+      postings(df, idCol, textCol))
+    surprisalFromPostings(post)
+  }
+
+  /** [[unigramSurprisal]] from an already-built postings table. */
+  def surprisalFromPostings(post: DataFrame): DataFrame = {
+    val stats = post.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val total = post.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    post.join(stats, "term")
+      .groupBy("doc")
+      .agg(sum(col("tf")).as("len"),
+        (-sum(col("tf") * log(col("cf") / total.toDouble)) /
+          sum(col("tf"))).as("mean_nll"))
+  }
+
   /** Okapi BM25 top-k over [[bm25Scores]].
     * Output: doc, score (double), rank — deterministic tie-break on doc. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,

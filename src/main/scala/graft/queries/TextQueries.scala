@@ -163,6 +163,19 @@ object TextQueries {
           .as("quality_score"))
         .withColumn("keep", (col("quality_score") >= 0).cast("int"))),
 
+    // Unigram surprisal (CCNet-style perplexity filtering without an
+    // external LM — the corpus's own unigram distribution is the
+    // model): mean −ln P(token) per doc. Ranking/keeping decisions
+    // round first (the h1 discipline); the gate emits round(...,6),
+    // which both engines agree on (the BM25 oracles already pin ln/
+    // division parity). Low = boilerplate-frequent tokens, high =
+    // lexically odd — the standard quality-bucketing signal.
+    "t13_surprisal" -> ((s, dir) =>
+      graft.operators.TextSearch.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("len"),
+          round(col("mean_nll"), 6).as("mean_nll"))),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -254,6 +267,28 @@ object TextQueries {
     Array.tabulate(2048)(b => ((b.toLong * 2654435761L) % 2003L - 1001L).toInt)
 
   val oracles: Map[String, String] = Map(
+    // the t6 tokenizer CTEs; cf/total from the same postings; the
+    // per-doc sum rounds at 6 decimals (reduction order is the only
+    // divergence — the h1/BM25 discipline)
+    "t13_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |stats AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+        |          FROM post GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM post)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len,
+        |  round(-sum(tf * ln(cf / CAST(total AS DOUBLE))) / sum(tf), 6)
+        |    AS mean_nll
+        |FROM post JOIN stats USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
     // tokenizer = the t6 CTEs; grams = ALL unigram + bigram occurrences
     // (no distinct — a bag model); bucket = the t4 rolling fingerprint
     // mod 2048; weight regenerated from the bucket index; docs with no

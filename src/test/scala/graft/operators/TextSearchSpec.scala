@@ -213,6 +213,45 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
     }
   }
 
+  test("unigramSurprisal matches an independent reimplementation; ordering is sane") {
+    val s = spark
+    import s.implicits._
+    // 'common' dominates the corpus; doc 3 is all-common, doc 4 all-rare
+    val docs = Seq(
+      (1L, "common common common common rare1"),
+      (2L, "common common common rare2 rare3"),
+      (3L, "common common common common common"),
+      (4L, "rare4 rare5 rare6"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextSearch.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent computation over the same tokenizer
+    val toks = Seq(
+      1L -> Seq("common", "common", "common", "common", "rare1"),
+      2L -> Seq("common", "common", "common", "rare2", "rare3"),
+      3L -> Seq("common", "common", "common", "common", "common"),
+      4L -> Seq("rare4", "rare5", "rare6"))
+    val cf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val total = toks.map(_._2.size).sum.toDouble
+    toks.foreach { case (id, ts) =>
+      val expect = -ts.map(t => math.log(cf(t) / total)).sum / ts.size
+      val (len, nll) = out(id)
+      assert(len == ts.size, s"doc $id token count")
+      assert(math.abs(nll - expect) < 1e-9, s"doc $id: $nll vs $expect")
+    }
+    assert(!out.contains(5L), "an empty doc has no tokens, no row")
+    // the quality-signal ordering: all-common boilerplate scores LOWEST,
+    // the all-rare doc HIGHEST
+    val byNll = out.toSeq.sortBy(_._2._2).map(_._1)
+    assert(byNll.head == 3L && byNll.last == 4L, s"ordering: $byNll")
+    // identity with the stored-postings path
+    val viaPost = TextSearch.surprisalFromPostings(
+        TextSearch.postings(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, nll)) =>
+      assert(math.abs(viaPost(id) - nll) < 1e-12) }
+  }
+
   test("termStats counts frequencies over the normalized tokens") {
     val s = spark
     import s.implicits._
