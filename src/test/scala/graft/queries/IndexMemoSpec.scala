@@ -26,4 +26,24 @@ class IndexMemoSpec extends AnyFunSuite {
     val p3 = IndexMemo.path(s"$key-other")(build)
     assert(p3 != p1 && built.get() == 2, "distinct keys get distinct builds")
   }
+
+  test("a failed build is not memoized; the next access retries") {
+    // the consumers' builders (SilverIndex.refresh*) are idempotent on a
+    // partial tree, so retry-on-next-access is the correct contract: a
+    // transient failure (disk, interrupted job) must not pin a broken
+    // path for the rest of the JVM
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec-fail:${System.nanoTime()}"
+    def flaky(p: String): Unit = {
+      if (attempts.incrementAndGet() == 1) sys.error("transient build failure")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      ()
+    }
+    intercept[RuntimeException](IndexMemo.path(key)(flaky))
+    val p = IndexMemo.path(key)(flaky)
+    assert(attempts.get() == 2, "second access must re-run the build")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    assert(IndexMemo.path(key)(flaky) == p && attempts.get() == 2,
+      "a successful build memoizes")
+  }
 }
