@@ -271,13 +271,11 @@ object Bench {
     }
     // The driver captures only a fixed-size TAIL (2000 chars) of this
     // process's output, and sbt appends its own "[success] Total time"
-    // line after ours — so the FINAL line must be compact enough that
-    // (final line + sbt epilogue) fits the window, or the driver records
-    // `parsed: null` (r1–r8 all did). Millisecond precision with
-    // trailing-zero strip keeps ~80 queries under ~1800 chars; the
-    // full-precision values and the delta diagnostics go on their own
-    // EARLIER lines so nothing is lost, only moved out of the tail
-    // budget.
+    // line after ours — so the FINAL line must fit the window or the
+    // driver records `parsed: null` (r1–r8 all did). Full-precision
+    // values and the delta diagnostics go on their own EARLIER line so
+    // nothing is lost, only moved out of the tail budget; the final
+    // line itself renders at the highest precision that fits (below).
     val failed = results.count(_._2 < 0)
     // a failed query must not read as a speedup: surface the count
     // explicitly next to the successful-query total
@@ -286,13 +284,11 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull}}""")
-    // Render at ms precision, DEGRADING to coarser precision if the
-    // line would crowd the driver's 2000-char tail window (sbt's
-    // epilogue + the [info] prefix eat ~90 of it): a 10 ms-precision
-    // line that parses beats a 1 ms-precision line that truncates. At
-    // 76 queries the 3-decimal render measures ~1830 chars — one loaded
-    // run pushing a dozen queries past 10 s would overflow without the
-    // fallback.
+    // ms precision, DEGRADING to 2 then 1 decimals if the line would
+    // crowd the window (sbt's epilogue + the [info] prefix eat ~90 of
+    // the 2000): a 10 ms-precision line that parses beats a
+    // 1 ms-precision line that truncates. At 78 queries the 3-decimal
+    // render measures ~1869 chars — right at the guard.
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v, decimals) }
         .mkString("{", ",", "}")

@@ -501,30 +501,6 @@ object AnnSearch {
     rankedTopK(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
-  /** k-nearest-neighbor SELF-join: every corpus vector → its k nearest
-    * neighbors — the kNN-graph build behind near-dup graphing,
-    * SemDeDup-style curation, and hard-negative mining. The query set
-    * IS the corpus, so the [[ivfTopK]] probe shape (queries broadcast
-    * into the assignment scan) cannot run at scale — a corpus-sized
-    * probe side has no broadcastable form. Both sides instead carry
-    * their IVF assignment and meet in a PARTITIONED equi-join on
-    * `list_id`: members sit in their single nearest list, probers
-    * explode to their `nprobe` nearest lists (both narrow maps over the
-    * frozen centroid matrix — no exchange until the join itself),
-    * candidates are per-list blocks (never all-pairs; AQE splits skewed
-    * lists), and ranking is the output-sized [[graft.functions
-    * .TopKByKey]] aggregate. At gate scale AQE may still CHOOSE to
-    * broadcast the small side — the contract is that nothing REQUIRES
-    * it (AnnSpec pins result identity under
-    * autoBroadcastJoinThreshold=-1).
-    *
-    * Candidate sets are identical to `ivfTopK(corpus, corpus, …)` at
-    * the same (nlist, nprobe) — same quantizer, same probe kernel; only
-    * the join strategy differs — so the a11 contract battery checks
-    * EQUALITY against the broadcast shape on a query sample, not a
-    * recall floor. Deterministic end-to-end (deterministic Lloyd
-    * quantizer, exact cosine, bit-stable ranking).
-    * Output: query_id, neighbor_id, cosine, rank. */
   /** kNN self-join entry point with the join SHAPE chosen by the
     * engine's own measure-then-decide discipline instead of by the
     * caller: the probe side of the broadcast formulation is exactly
@@ -568,6 +544,30 @@ object AnnSearch {
       threshold: Long): Boolean =
     threshold > 0 && n * nprobe * (8L * dim + 16) <= threshold
 
+  /** k-nearest-neighbor SELF-join: every corpus vector → its k nearest
+    * neighbors — the kNN-graph build behind near-dup graphing,
+    * SemDeDup-style curation, and hard-negative mining. The query set
+    * IS the corpus, so the [[ivfTopK]] probe shape (queries broadcast
+    * into the assignment scan) cannot run at scale — a corpus-sized
+    * probe side has no broadcastable form. Both sides instead carry
+    * their IVF assignment and meet in a PARTITIONED equi-join on
+    * `list_id`: members sit in their single nearest list, probers
+    * explode to their `nprobe` nearest lists (both narrow maps over the
+    * frozen centroid matrix — no exchange until the join itself),
+    * candidates are per-list blocks (never all-pairs; AQE splits skewed
+    * lists), and ranking is the output-sized [[graft.functions
+    * .TopKByKey]] aggregate. At gate scale AQE may still CHOOSE to
+    * broadcast the small side — the contract is that nothing REQUIRES
+    * it (AnnSpec pins result identity under
+    * autoBroadcastJoinThreshold=-1).
+    *
+    * Candidate sets are identical to `ivfTopK(corpus, corpus, …)` at
+    * the same (nlist, nprobe) — same quantizer, same probe kernel; only
+    * the join strategy differs — so the a11 contract battery checks
+    * EQUALITY against the broadcast shape on a query sample, not a
+    * recall floor. Deterministic end-to-end (deterministic Lloyd
+    * quantizer, exact cosine, bit-stable ranking).
+    * Output: query_id, neighbor_id, cosine, rank. */
   def knnJoinIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = ivfCorpus(corpus, idCol, vecCol)

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.SparkTestBase
-import graft.operators.{AnnSearch, Blocking, Dedup, SimilarityJoin, SimilarityJoinConfig}
+import graft.operators.{AnnSearch, Blocking, SimilarityJoin, SimilarityJoinConfig}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -70,30 +70,7 @@ class MiniCanarySpec extends SparkTestBase {
   }
 
   test("mini-canary: minhash LSH recovers every eligible planted near-dup at 20k") {
-    val docs = SyntheticScale.docs(spark, n)
-    val s = spark
-    import s.implicits._
-    val pl = SyntheticScale.plantedPairs(n).toDF("doc_a", "doc_b")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
-      .select(col("doc"), sort_array(col("sh")).as("sh"))
-    val truth = pl
-      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("j",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          (size(col("sha")) + size(col("shb")) -
-            size(array_intersect(col("sha"), col("shb")))))
-      .where(col("j") >= 0.5)
-      .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.size > n / 250,
-      s"planted-pair ground truth implausibly small: ${truth.size}")
-    val found = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5)
-      .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = truth -- found
-    assert(missed.isEmpty,
-      s"planted recall ${1.0 - missed.size.toDouble / truth.size}: " +
-        s"missed ${missed.size}/${truth.size}, e.g. ${missed.take(5)}")
+    CanaryChecks.assertPlantedMinhashRecall(spark,
+      SyntheticScale.docs(spark, n), n, minTruth = n / 250)
   }
 }

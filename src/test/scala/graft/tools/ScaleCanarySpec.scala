@@ -36,34 +36,8 @@ class ScaleCanarySpec extends SparkTestBase {
   private lazy val emb = SyntheticScale.embeddings(spark, nDocs.toLong)
 
   test("minhash LSH recovers 100% of eligible planted near-dup pairs", Slow) {
-    val planted = SyntheticScale.plantedPairs(nDocs)
-    // ground truth per planted pair: exact bigram Jaccard computed
-    // directly on the two texts — pairs at j >= theta are ELIGIBLE and
-    // banding must recover every one of them
-    val s = spark
-    import s.implicits._
-    val pl = planted.toDF("doc_a", "doc_b")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
-      .select(col("doc"), sort_array(col("sh")).as("sh"))
-    val truth = pl
-      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("j", size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        (size(col("sha")) + size(col("shb")) -
-          size(array_intersect(col("sha"), col("shb")))))
-      .where(col("j") >= 0.5)
-      .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.size > nDocs / 200,
-      s"planted-pair ground truth implausibly small: ${truth.size}")
-
-    val found = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 4, 0.5)
-      .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = truth -- found
-    assert(missed.isEmpty,
-      s"planted recall ${1.0 - missed.size.toDouble / truth.size}: " +
-        s"missed ${missed.size}/${truth.size}, e.g. ${missed.take(5)}")
+    CanaryChecks.assertPlantedMinhashRecall(spark, docs, nDocs,
+      minTruth = nDocs / 200)
   }
 
   test("Auto engages Token past the key threshold; recall boundary exact", Slow) {
