@@ -99,6 +99,34 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-gram occurrences in POSITION order (no dedup) — the
+    * positional-seed form behind exact-substring span detection
+    * ([[graft.operators.Dedup.sharedSpans]]): element i is the n-gram
+    * starting at token position i, so `posexplode` yields (position,
+    * gram) pairs directly. Same tokenization as [[wordShingles]]
+    * (trim, `\s+` split); short input → empty array. */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = text.trim()
+    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = WS.split(trimmed.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character q-grams, first-occurrence order. Matches
     * `charNgrams(text, q)`: length < q → empty array. Counts CODE POINTS
     * like Spark's `length`/`substring` (a surrogate pair is one
@@ -224,6 +252,31 @@ case class LinearTextScore(child: Expression, weights: Array[Int])
   }
   override def hashCode(): Int =
     31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_shingles_all(text, n)` — see [[TextKernel.wordShinglesAll]]:
+  * ALL n-gram occurrences in position order. */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles_all requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernel.wordShinglesAll(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernel.wordShinglesAll($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -41,6 +41,11 @@ package object functions {
   /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 
+  /** ALL word n-gram occurrences in position order (see
+    * [[TextKernel.wordShinglesAll]]). */
+  def word_shingles_all(text: Column, n: Int): Column =
+    col(WordShinglesAll(expr(text), n))
+
   /** Distinct character q-grams, single compiled pass. */
   def char_ngrams(text: Column, q: Int): Column = col(CharNgrams(expr(text), q))
 

@@ -434,6 +434,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Exact-substring shared spans — the dedup criterion of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * public), which removes VERBATIM repeated spans of ≥ L tokens
+    * across documents (their threshold: 50 BPE tokens; word-token L
+    * here). The published implementation builds a corpus-wide suffix
+    * array — inherently sequential state. This is the distributed
+    * seed-and-extend formulation of the same criterion: any shared
+    * span of length s ≥ L contains exactly s − L + 1 of its L-gram
+    * seeds at CONSECUTIVE positions in both documents, so
+    *  1. seed: positional L-grams ([[graft.functions
+    *     .word_shingles_all]] + posexplode, one narrow pass) self-join
+    *     on the gram — the only corpus-sized shuffle, proportional to
+    *     seed MATCCHES, not pairs of documents;
+    *  2. extend: matches sharing a (doc_a, doc_b) DIAGONAL (pos_a −
+    *     pos_b) are consecutive iff their positions are consecutive —
+    *     the classic run-length grouping (pos − row_number) merges each
+    *     run in one window pass, recovering the MAXIMAL span exactly:
+    *     a run of c seeds is a shared span of c + L − 1 tokens.
+    * Deterministic integers end-to-end → hash-exact DuckDB oracle.
+    *
+    * Scale notes: seed matching at production L (13–50) is sparse —
+    * natural corpora share almost no verbatim 13-grams outside true
+    * duplication (the c10 measurement: zero across 500 docs) — and a
+    * pathological hot gram (boilerplate shared by k docs) produces
+    * k² seed matches; AQE skew-splitting handles the join, and callers
+    * deduplicating a boilerplate-heavy corpus should run [[exact]] /
+    * line-level filters first (the published pipeline does the same).
+    * Output: doc_a < doc_b, start_a, start_b (token positions),
+    * span_len (tokens, ≥ minLen). */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minimum span length must be >= 1, got $minLen")
+    val grams = df
+      .select(col(idCol).as("doc"),
+        posexplode(graft.functions.word_shingles_all(col(textCol), minLen))
+          .as(Seq("pos", "gram")))
+    val a = grams.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+      col("gram"))
+    val b = grams.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+      col("gram"))
+    val seeds = a.join(b, "gram").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+    seeds
+      .withColumn("__grp", col("pos_a") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"), col("doc_b"),
+            col("pos_a") - col("pos_b")).orderBy(col("pos_a"))))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + minLen - 1).as("span_len"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
   /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates
     * `ref`'s `xxhash64(key)`s into a Bloom filter (distributive
     * partition-merge, `sketch.BloomFilter`) and returns a codegen

@@ -69,6 +69,47 @@ object DedupQueries {
             .cast("long").as("survivor"))
     }),
 
+    // Exact-substring dedup (Lee et al. 2021): maximal verbatim shared
+    // spans >= 13 word tokens across docs, by the distributed
+    // seed-and-extend formulation (Dedup.sharedSpans). Two deterministic
+    // duplication sources, identical in both engines: every 7th doc
+    // carries a group-keyed 13+2*(g%3)-token span, g = doc_id%29 — 29
+    // groups keep the planted pair count output-sane at every scale
+    // (same-group pairs share exactly that span, the c10 discipline),
+    // and the corpus's own planted near-dups (doc 100k-1 vs its
+    // one-word-changed successor) share their long natural runs.
+    // Integer positions/lengths -> hash-exact oracle.
+    "d10_substring_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = org.apache.spark.sql.functions.col("doc_id") % 29
+      val span = org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.lit(13) + (g % 3) * 2),
+          p => org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("dupg"), g,
+            org.apache.spark.sql.functions.lit("w"), p)), " ")
+      val embedded = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("doc_id") % 7 === 0,
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.col("text"),
+              org.apache.spark.sql.functions.lit(" "), span))
+          .otherwise(org.apache.spark.sql.functions.col("text"))
+          .as("text"))
+      Dedup.sharedSpans(embedded, "doc_id", "text", minLen = 13)
+        .select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"),
+          org.apache.spark.sql.functions.col("start_a").cast("long")
+            .as("start_a"),
+          org.apache.spark.sql.functions.col("start_b").cast("long")
+            .as("start_b"),
+          org.apache.spark.sql.functions.col("span_len"))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -111,6 +152,39 @@ object DedupQueries {
     // d7 = d3 through the persisted-signature path; identical output by
     // construction (SilverIndexSpec), so the same oracle applies.
     "d7_incr_minhash" -> exactJaccardSql,
+
+    // the embedded-span construction verbatim, then the seed-and-extend
+    // CTEs: positional 13-grams (1-based DuckDB slices -> 0-based pos),
+    // gram self-join, diagonal run-length grouping via pos - row_number
+    "d10_substring_spans" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+        |      array_to_string(list_transform(range(1, 14 + ((doc_id % 29) % 3) * 2),
+        |        p -> 'dupg' || CAST(doc_id % 29 AS VARCHAR) || 'w' ||
+        |             CAST(p AS VARCHAR)), ' ')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM e),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ws[i : i + 12], ' ') AS gram
+        |  FROM t, unnest(range(1, len(ws) - 11)) AS u(i)
+        |  WHERE len(ws) >= 13),
+        |s AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos AS pos_a, b.pos AS pos_b
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT *, pos_a - row_number() OVER (
+        |    PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+        |  FROM s)
+        |SELECT doc_a, doc_b,
+        |  CAST(min(pos_a) AS BIGINT) AS start_a,
+        |  CAST(min(pos_b) AS BIGINT) AS start_b,
+        |  CAST(count(*) + 12 AS BIGINT) AS span_len
+        |FROM r GROUP BY doc_a, doc_b, pos_a - pos_b, grp""".stripMargin,
     // d8: the exact-Jaccard pair CTEs verbatim, then an independent
     // transitive closure — reachability as a recursive CTE, component =
     // min reachable node (UNION dedups, so the recursion terminates at

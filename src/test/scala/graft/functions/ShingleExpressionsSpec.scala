@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.functions.{word_shingles, minhash_sig, simhash64}
+import graft.functions.{word_shingles, word_shingles_all, minhash_sig, simhash64}
 import graft.queries.Tables.t
 
 /** Parity tests: the compiled single-pass kernels must reproduce the
@@ -89,6 +89,23 @@ class ShingleExpressionsSpec extends SparkTestBase {
       .where(not(col("k1") <=> col("h1")) || not(col("k2") <=> col("h2")) ||
         not(col("k3") <=> col("h3")))
     assert(diff.count() === 0)
+  }
+
+  test("word_shingles_all kernel matches the HOF composition (ordered, all occurrences)") {
+    for (n <- Seq(1, 2, 3, 13)) {
+      // HOF reference: positional n-grams over the same tokenization
+      val toks = split(trim(col("text")), "\\s+")
+      val hof = when(length(trim(col("text"))) === 0 || size(toks) < n,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      val bad = corpus
+        .select(col("doc_id"), word_shingles_all(col("text"), n).as("k"),
+          hof.as("h"))
+        .where(not(col("k") <=> col("h")))
+        .count()
+      assert(bad == 0, s"n=$n: kernel diverged from HOF on $bad docs")
+    }
   }
 
   test("linear_text_score matches an independent Scala reimplementation incl. edges") {

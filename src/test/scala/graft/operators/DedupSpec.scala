@@ -262,6 +262,76 @@ class DedupSpec extends SparkTestBase {
       s"eval grams were not broadcast:\n$plan")
   }
 
+  test("sharedSpans recovers planted verbatim spans maximally, incl. the one-word-edit shape") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "p1 p2 A B C D E F x y"),
+      (2L, "q1 A B C D E F z"),
+      // the near-dup shape: one word changed mid-document
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "w1 w2 w3 XX w5 w6 w7 w8"),
+      (5L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    val expected = Set(
+      (1L, 2L, 2, 1, 6L),  // "A B C D E F" — ONE maximal span, not splits
+      (3L, 4L, 0, 0, 3L),  // "w1 w2 w3" before the edit
+      (3L, 4L, 4, 4, 4L))  // "w5 w6 w7 w8" after it
+    assert(out == expected, s"got $out")
+  }
+
+  test("sharedSpans matches a diagonal-run reimplementation on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Array.tabulate(12)(i => s"v$i") // small vocab → real collisions
+    def ref(a: Seq[String], b: Seq[String], L: Int): Set[(Int, Int, Long)] = {
+      // independent formulation: per diagonal, run-lengths of matching
+      // tokens; report (start_a, start_b, len) for every maximal run of
+      // seed matches, len = run + L - 1 over seeds (NOT raw tokens —
+      // the operator's contract is L-gram seed runs)
+      val seeds = for {
+        i <- a.indices if i + L <= a.length
+        j <- b.indices if j + L <= b.length
+        if a.slice(i, i + L) == b.slice(j, j + L)
+      } yield (i, j)
+      seeds.groupBy { case (i, j) => i - j }.flatMap { case (_, ss) =>
+        // consecutive seeds share (pos_a - rank): each group is one
+        // maximal run
+        ss.sortBy(_._1).zipWithIndex
+          .groupBy { case ((i, _), idx) => i - idx }
+          .values.map { run =>
+            val (i0, j0) = run.head._1
+            (i0, j0, (run.length + L - 1).toLong)
+          }
+      }.toSet
+    }
+    (1 to 6).foreach { trial =>
+      val L = 2 + rnd.nextInt(2)
+      val docs = (1 to 10).map(i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      val got = Dedup.sharedSpans(docs.toDF("doc_id", "text"), "doc_id",
+          "text", minLen = L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(2), r.getInt(3), r.getLong(4)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      for {
+        (ia, ta) <- toks; (ib, tb) <- toks if ia < ib
+      } {
+        val expect = ref(ta, tb, L)
+        val actual = got.getOrElse((ia, ib), Set.empty)
+        assert(actual == expect,
+          s"trial $trial L=$L docs ($ia, $ib): $actual vs $expect")
+      }
+    }
+  }
+
   test("ngramOverlap matches brute-force set intersection on randomized corpora") {
     val s = spark
     import s.implicits._
