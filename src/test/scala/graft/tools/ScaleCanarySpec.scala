@@ -134,6 +134,46 @@ class ScaleCanarySpec extends SparkTestBase {
       "join-back shape (broadcast vs shuffle) changed the result")
   }
 
+  test("sharedSpans at 100k docs: exactly the planted near-dup spans, nothing else", Slow) {
+    // the diverse-vocabulary corpus shares no natural verbatim 13-grams
+    // (50k-word vocab, random draws) — so d10's operator must emit
+    // EXACTLY the spans of the planted one-word-edit pairs, computed
+    // here independently per pair by direct token comparison, and the
+    // seed join must stay match-proportional (sparse) at 100k
+    val out = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 13)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = SyntheticScale.plantedPairs(nDocs).toSet
+    assert(out.keySet.subsetOf(planted),
+      s"non-planted pairs surfaced: ${(out.keySet -- planted).take(5)}")
+    var checked = 0
+    planted.foreach { case (a, b) =>
+      val ta = texts(a).trim.split("\\s+")
+      val tb = texts(b).trim.split("\\s+")
+      // expected spans: maximal runs of equal tokens at the same
+      // positions (the pair differs by one substituted word), kept at
+      // >= 13 tokens
+      val expect = scala.collection.mutable.Set.empty[(Int, Int, Long)]
+      var i = 0
+      while (i < math.min(ta.length, tb.length)) {
+        if (ta(i) == tb(i)) {
+          val start = i
+          while (i < math.min(ta.length, tb.length) && ta(i) == tb(i)) i += 1
+          if (i - start >= 13) expect += ((start, start, (i - start).toLong))
+        } else i += 1
+      }
+      val actual = out.getOrElse((a, b), Set.empty)
+      assert(actual == expect.toSet, s"pair ($a, $b): $actual vs $expect")
+      if (expect.nonEmpty) checked += 1
+    }
+    assert(checked > nDocs / 200,
+      s"too few planted pairs carried a >=13-token span: $checked")
+  }
+
   test("connected components: exact roots at 100k nodes incl. a 5k chain", Slow) {
     val n = 100000L
     // k=5000: 20 components, the last a 5000-link CHAIN (worst-case
