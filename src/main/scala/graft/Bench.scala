@@ -287,8 +287,10 @@ object Bench {
     // ms precision, DEGRADING to 2 then 1 decimals if the line would
     // crowd the window (sbt's epilogue + the [info] prefix eat ~90 of
     // the 2000): a 10 ms-precision line that parses beats a
-    // 1 ms-precision line that truncates. At 78 queries the 3-decimal
-    // render measures ~1869 chars — right at the guard.
+    // 1 ms-precision line that truncates. The battery crossed the
+    // 3-decimal guard at 79 queries, so the shipped line is typically
+    // the 2-decimal (10 ms) render — full-precision values are always
+    // on the bench_detail line above.
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v, decimals) }
         .mkString("{", ",", "}")

@@ -74,11 +74,30 @@ object TextKernel {
     * Matches `wordShinglesFromTokens(tokens(text), n)`: Spark-semantics
     * trim, split on `\s+`, empty/short input → empty array. */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramsOf(text, n)
+    if (grams.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](grams.length * 2)
+    var i = 0
+    while (i < grams.length) { seen.add(grams(i)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** ALL word n-grams in position order ("w1 w2 … wn" per start token)
+    * — the shared gram construction behind [[wordShingles]] (which
+    * dedups, first-occurrence order) and [[wordShinglesAll]] (which
+    * keeps positions): trim, split on `\s+`, empty/short input → empty
+    * array. One implementation so the two kernels can never drift on
+    * tokenization. */
+  private def gramsOf(text: UTF8String, n: Int): Array[String] = {
     val trimmed = text.trim()
-    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
+    if (trimmed.numBytes() == 0) return Array.empty
     val toks = WS.split(trimmed.toString, -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i + n <= toks.length) {
@@ -89,14 +108,10 @@ object TextKernel {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var m = 0
-    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
-    new GenericArrayData(out)
+    out
   }
 
   /** ALL word n-gram occurrences in POSITION order (no dedup) — the
@@ -106,24 +121,10 @@ object TextKernel {
     * gram) pairs directly. Same tokenization as [[wordShingles]]
     * (trim, `\s+` split); short input → empty array. */
   def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
-    val trimmed = text.trim()
-    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
-    val toks = WS.split(trimmed.toString, -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](toks.length - n + 1)
-    val sb = new java.lang.StringBuilder
+    val grams = gramsOf(text, n)
+    val out = new Array[Any](grams.length)
     var i = 0
-    while (i + n <= toks.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
-    }
+    while (i < grams.length) { out(i) = UTF8String.fromString(grams(i)); i += 1 }
     new GenericArrayData(out)
   }
 

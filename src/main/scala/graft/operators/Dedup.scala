@@ -446,7 +446,7 @@ object Dedup {
     *  1. seed: positional L-grams ([[graft.functions
     *     .word_shingles_all]] + posexplode, one narrow pass) self-join
     *     on the gram — the only corpus-sized shuffle, proportional to
-    *     seed MATCCHES, not pairs of documents;
+    *     seed MATCHES, not pairs of documents;
     *  2. extend: matches sharing a (doc_a, doc_b) DIAGONAL (pos_a −
     *     pos_b) are consecutive iff their positions are consecutive —
     *     the classic run-length grouping (pos − row_number) merges each

@@ -194,26 +194,29 @@ object TextSearch {
     * HIGH — the standard quality-bucketing signal.
     *
     * Built entirely on the postings machinery: one tokenize/explode
-    * ([[postings]]), corpus stats via [[termStats]] joined back on the
-    * term (at 100 TB this is the one term-keyed shuffle the inverted
-    * index already pays — against a PERSISTED index
+    * ([[postings]]), per-term collection frequencies aggregated from
+    * the same postings and joined back on the term (at 100 TB this is
+    * the one term-keyed shuffle the inverted index already pays —
+    * against a PERSISTED index
     * ([[graft.pipeline.SilverIndex.refreshPostings]]) the stats side is
     * a stored table and the join prunes to the corpus being scored),
     * then one per-doc sum. Output: doc, len (tokens), mean_nll
     * (double, nats). Callers ranking on it should round first (the
     * [[bm25Scores]] reduction-order caveat). */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val post = graft.ManagedCache.swap("TextSearch.unigramSurprisal",
-      postings(df, idCol, textCol))
-    surprisalFromPostings(post)
-  }
+      : DataFrame =
+    surprisalFromPostings(postings(df, idCol, textCol))
 
-  /** [[unigramSurprisal]] from an already-built postings table. */
+  /** [[unigramSurprisal]] from an already-built postings table. The
+    * input feeds THREE consumers (the eager total, the stats side, and
+    * the scored side of the final join), so it is persisted here —
+    * without that, a non-persisted postings lineage (a live tokenize/
+    * explode/groupBy) would re-run 3×. */
   def surprisalFromPostings(post: DataFrame): DataFrame = {
-    val stats = post.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val total = post.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
-    post.join(stats, "term")
+    val p = graft.ManagedCache.swap("TextSearch.surprisalPostings", post)
+    val stats = p.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val total = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    p.join(stats, "term")
       .groupBy("doc")
       .agg(sum(col("tf")).as("len"),
         (-sum(col("tf") * log(col("cf") / total.toDouble)) /
