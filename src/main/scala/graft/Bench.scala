@@ -180,6 +180,7 @@ object Bench {
     provision("bm25")(graft.queries.TextQueries.bm25IndexPath(spark, sfDir))
     provision("ivf")(graft.queries.AnnQueries.ivfIndexPath(spark, sfDir))
     provision("minhash")(graft.queries.DedupQueries.minhashIndexPath(spark, sfDir))
+    provision("stream-bm25")(graft.queries.StreamQueries.streamIndexPath(spark, sfDir))
     val out = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
     spark.stop()
     out
