@@ -40,7 +40,8 @@ class TopKPlanSpec extends SparkTestBase {
     // filter ever degrades to a post-scan join/filter only, the scan
     // reads the whole vocabulary and the stored-index advantage is
     // gone. PLANS.md documents the shape; this pins it.
-    Seq("h1_hybrid_rrf", "t10_bm25_batch", "t11_bm25_index").foreach { name =>
+    Seq("h1_hybrid_rrf", "t10_bm25_batch", "t11_bm25_index",
+        "s5_stream_index").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf())
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters: [In(term"),
