@@ -144,6 +144,37 @@ class ShingleExpressionsSpec extends SparkTestBase {
     assert(one(1) == 2 * one(0) + w((fpBridge % w.length).toInt))
   }
 
+  test("linear_text_score parity holds across randomized weight tables and dims") {
+    val rnd = new scala.util.Random(99)
+    def ref(text: String, w: Array[Int]): Long = {
+      def fp(s0: String): Long =
+        s0.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[\\p{Punct}]", " ").trim.split("\\s+")
+        .filter(_.nonEmpty)
+      val grams = toks.toSeq ++ toks.toSeq.sliding(2).withFilter(_.size == 2)
+        .map(_.mkString(" "))
+      grams.map(g => w((fp(g) % w.length).toInt).toLong).sum
+    }
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      val dim = Seq(7, 64, 257, 4096)(trial - 1) // incl. non-power-of-2
+      val w = Array.fill(dim)(rnd.nextInt(4001) - 2000)
+      val docs = (1 to 30).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))(
+          s"tok${rnd.nextInt(40)}").mkString(" ")))
+      val out = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          linear_text_score(col("text"), w).as("s"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getLong(2) == ref(r.getString(1), w),
+          s"trial $trial dim=$dim doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("hyperplane_sig kernel matches HOF formulation exactly") {
     val emb = t(spark, sf(), "embeddings")
     def hofSig(v: org.apache.spark.sql.Column, offset: Int, bits: Int) = {

@@ -252,6 +252,38 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
       assert(math.abs(viaPost(id) - nll) < 1e-12) }
   }
 
+  test("unigramSurprisal matches the reference on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      // small vocab with a skewed head so cf varies meaningfully
+      val vocab = Array.tabulate(15)(i => s"w$i")
+      def pick(): String =
+        vocab(math.min(rnd.nextInt(vocab.length), rnd.nextInt(vocab.length)))
+      val docs = (1 to 25).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12))(pick()).mkString(" ")))
+      val out = TextSearch.unigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val cf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val total = toks.map(_._2.size).sum.toDouble
+      toks.foreach { case (id, ts) =>
+        if (ts.isEmpty) assert(!out.contains(id), s"trial $trial doc $id")
+        else {
+          val expect = -ts.map(t => math.log(cf(t) / total)).sum / ts.size
+          val (len, nll) = out(id)
+          assert(len == ts.size, s"trial $trial doc $id length")
+          assert(math.abs(nll - expect) < 1e-9,
+            s"trial $trial doc $id: $nll vs $expect")
+        }
+      }
+    }
+  }
+
   test("termStats counts frequencies over the normalized tokens") {
     val s = spark
     import s.implicits._
