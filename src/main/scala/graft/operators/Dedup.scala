@@ -454,27 +454,66 @@ object Dedup {
     *     a run of c seeds is a shared span of c + L − 1 tokens.
     * Deterministic integers end-to-end → hash-exact DuckDB oracle.
     *
-    * Scale notes: seed matching at production L (13–50) is sparse —
-    * natural corpora share almost no verbatim 13-grams outside true
-    * duplication (the c10 measurement: zero across 500 docs) — and a
-    * pathological hot gram (boilerplate shared by k docs) produces
-    * k² seed matches; AQE skew-splitting handles the join, and callers
-    * deduplicating a boilerplate-heavy corpus should run [[exact]] /
-    * line-level filters first (the published pipeline does the same).
+    * Scale notes (the two hardened behaviors, VERDICT r9 task 1):
+    *  - the self-join keys on `xxhash64(gram)` — 8 bytes — never the
+    *    raw L-word string, so the only corpus-sized shuffle carries
+    *    ~8 B/seed instead of the ~L·avg-word bytes the string key
+    *    would (measured at L=13: ×15.6 per key, ×5.2 total seed-join
+    *    shuffle write — 868→168 MiB on the 100k-doc canary corpus,
+    *    tools/spanpayload_r10.txt). A 64-bit collision
+    *    (~n²/2⁶⁵ for n distinct grams — < 1e-7 even at 10¹² grams)
+    *    can at worst seed one phantom single-seed span or extend a
+    *    run by one; callers needing certainty re-verify survivors
+    *    against the text (the [[bloomAntiJoin]] discipline).
+    *  - `maxGramOcc` is the hot-gram valve, the analogue of
+    *    SimilarityJoin's token-salt budget: a gram occurring f_a
+    *    times in doc A and f_b in doc B seeds f_a·f_b matches, so
+    *    corpus-hot boilerplate (license headers shared by millions
+    *    of docs, degenerate "a a a …" text) makes the seed join
+    *    quadratic. With the ceiling set, grams whose TOTAL corpus
+    *    occurrence count exceeds it are dropped before the join
+    *    (heavy-hitter set is small by construction → broadcast
+    *    anti-join; the counting pass is map-side-combined). RECALL
+    *    CONTRACT: output is exactly what the un-ceilinged operator
+    *    would report on the corpus with hot-gram seeds deleted — a
+    *    span all of whose L-gram seeds are hot disappears entirely
+    *    (that is the point: corpus-wide boilerplate is not a
+    *    doc-pair duplication signal), and a span with hot INTERIOR
+    *    seeds is reported as its surviving fragments (each still
+    *    ≥ minLen by the run-length arithmetic). Default disabled
+    *    (Long.MaxValue): results are then the exact Lee et al.
+    *    criterion, and seed matching at production L (13–50) is
+    *    sparse on deduplicated natural text (the c10 measurement:
+    *    zero shared 13-grams across 500 docs).
     * Output: doc_a < doc_b, start_a, start_b (token positions),
     * span_len (tokens, ≥ minLen). */
   def sharedSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
+      minLen: Int, maxGramOcc: Long = Long.MaxValue): DataFrame = {
     require(minLen >= 1, s"minimum span length must be >= 1, got $minLen")
+    require(maxGramOcc >= 2,
+      s"maxGramOcc < 2 would drop every matchable gram, got $maxGramOcc")
     val grams = df
       .select(col(idCol).as("doc"),
         posexplode(graft.functions.word_shingles_all(col(textCol), minLen))
           .as(Seq("pos", "gram")))
-    val a = grams.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
-      col("gram"))
-    val b = grams.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
-      col("gram"))
-    val seeds = a.join(b, "gram").where(col("doc_a") < col("doc_b"))
+      .select(col("doc"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val kept =
+      if (maxGramOcc == Long.MaxValue) grams
+      else {
+        // heavy hitters only: the frame is tiny (grams ABOVE the
+        // ceiling), so the anti-join broadcasts; the count itself is
+        // one map-side-combined aggregation over 8-byte keys
+        val hot = grams.groupBy(col("gh"))
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxGramOcc)
+          .select(col("gh"))
+        grams.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
+    val a = kept.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+      col("gh"))
+    val b = kept.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+      col("gh"))
+    val seeds = a.join(b, "gh").where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
     seeds
       .withColumn("__grp", col("pos_a") - row_number().over(

@@ -44,6 +44,40 @@ object SyntheticScale {
   def plantedPairs(nDocs: Int): Seq[(Long, Long)] =
     (99 until nDocs by 100).filter(_ > 0).map(i => ((i - 1).toLong, i.toLong))
 
+  /** Boilerplate-heavy corpus — the adversarial shape for
+    * [[graft.operators.Dedup.sharedSpans]]'s seed join: every doc opens
+    * with the SAME 30-word license header (whose all-header 13-grams
+    * are corpus-hot: one occurrence per doc), followed by a 40-word
+    * doc-unique tail; every 200th doc is a near-dup of its predecessor
+    * (same tail, ONE word substituted at tail position 20), and the
+    * last two ids are degenerate "a a a …" docs (500 tokens — a single
+    * 13-gram occurring ~488× in EACH, the f_a·f_b hot case). Without a
+    * gram-occurrence ceiling the header alone seeds 18 · n²/2 matches;
+    * with one, only the per-pair unique spans survive. */
+  def boilerplateDocs(spark: SparkSession, nDocs: Int): DataFrame = {
+    val header = Array.tabulate(30)(j => s"lic${j}hdr").mkString(" ")
+    val rows = new Array[(Long, String)](nDocs + 2)
+    var i = 0
+    while (i < nDocs) {
+      val tail =
+        if (i % 200 == 199 && i > 0) {
+          val w = rows(i - 1)._2.split(" ").drop(30)
+          w(20) = s"sub${i}x"
+          w.mkString(" ")
+        } else Array.tabulate(40)(j => s"d${i}w$j").mkString(" ")
+      rows(i) = (i.toLong, s"$header $tail")
+      i += 1
+    }
+    rows(nDocs) = (nDocs.toLong, Array.fill(500)("a").mkString(" "))
+    rows(nDocs + 1) = ((nDocs + 1).toLong, Array.fill(500)("a").mkString(" "))
+    val s = spark
+    import s.implicits._
+    val df = spark.createDataset(rows.toSeq).toDF("doc_id", "text")
+      .repartition(64).cache()
+    df.count()
+    df
+  }
+
   /** Deterministic 64-dim embeddings, built executor-side. */
   def embeddings(spark: SparkSession, n: Long): DataFrame = {
     val df = spark.range(n).select(col("id").as("vec_id"),

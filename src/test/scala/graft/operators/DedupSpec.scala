@@ -283,6 +283,43 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected, s"got $out")
   }
 
+  test("sharedSpans maxGramOcc drops exactly the hot-gram seeds (recall contract)") {
+    val s = spark
+    import s.implicits._
+    // boilerplate "H1 H2 H3 H4" shared by ALL docs (its two interior
+    // 3-grams "H1 H2 H3" / "H2 H3 H4" occur 6x corpus-wide — once per
+    // doc); docs 1/2 additionally share a non-hot span "A B C D E"
+    // (each of its 3-grams, and the header/tail straddlers, occurs
+    // exactly twice corpus-wide)
+    val docs = (1L to 6L).map { i =>
+      val tail = if (i <= 2) "A B C D E" else s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i, s"H1 H2 H3 H4 $tail")
+    }.toDF("doc_id", "text")
+    def run(ceiling: Long) =
+      Dedup.sharedSpans(docs, "doc_id", "text", minLen = 3, ceiling)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getLong(4))).toSet
+    // ceiling 5 < 6: both hot header grams dropped. The (1,2) pair's
+    // maximal span "H1 H2 H3 H4 A B C D E" loses its hot seeds at
+    // positions 0-1; seeds at 2..6 survive (header/tail straddlers
+    // "H3 H4 A", "H4 A B" occur twice, not hot), so the reported
+    // fragment starts at the first surviving seed: (2, 2, 5+3-1 = 7).
+    val ceilinged = run(ceiling = 5L)
+    assert(ceilinged == Set((1L, 2L, 2, 2, 7L)),
+      s"ceilinged output wrong: $ceilinged")
+    // the contract's reference formulation: un-ceilinged operator on the
+    // corpus behaves as if hot-gram seeds never existed — verified by
+    // comparing against ceiling = MaxValue restricted to non-hot seeds:
+    // every other doc pair (header-only overlap) must vanish entirely
+    val full = run(Long.MaxValue)
+    assert(full.size > ceilinged.size &&
+      full.exists { case (a, b, _, _, _) => a == 3L || b == 3L },
+      s"un-ceilinged run must keep the header-only pairs: $full")
+    // a ceiling above every gram count is the identity
+    assert(run(1000L) == full, "high ceiling must be a no-op")
+  }
+
   test("sharedSpans matches a diagonal-run reimplementation on randomized corpora") {
     val s = spark
     import s.implicits._

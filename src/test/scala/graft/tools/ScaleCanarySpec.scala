@@ -174,6 +174,40 @@ class ScaleCanarySpec extends SparkTestBase {
       s"too few planted pairs carried a >=13-token span: $checked")
   }
 
+  test("sharedSpans ceiling bounds a planted-boilerplate corpus exactly", Slow) {
+    // adversarial shape (VERDICT r9 task 1c): 5000 docs all opening
+    // with the same 30-word license header (18 corpus-hot all-header
+    // 13-grams, 5000 occurrences each -> 18 * 5000^2/2 = 225M seed
+    // matches if joined naively) plus two degenerate "a a a ..." docs
+    // (one gram at ~488 occurrences in EACH side of the pair). With
+    // maxGramOcc = 64 the operator must (a) finish in seconds, (b)
+    // emit EXACTLY the planted near-dup fragments — the hot-gram
+    // recall contract, not an approximation of it.
+    val n = 5000
+    val docs = SyntheticScale.boilerplateDocs(spark, n)
+    val t0 = System.nanoTime()
+    val out = graft.operators.Dedup
+      .sharedSpans(docs, "doc_id", "text", minLen = 13, maxGramOcc = 64L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // per planted pair (i-1, i): the header+tail straddler seeds run
+    // p=18..37 (the substituted tail word at abs pos 50 breaks the
+    // diagonal at p=38) -> fragment (18, 18, 32); the post-substitution
+    // run p=51..57 -> fragment (51, 51, 19). All-header grams and the
+    // degenerate "a"-gram are above the ceiling and seed nothing.
+    val expected = (199 until n by 200).flatMap { i =>
+      Seq(((i - 1).toLong, i.toLong, 18, 18, 32L),
+        ((i - 1).toLong, i.toLong, 51, 51, 19L))
+    }.toSet
+    assert(out == expected,
+      s"boilerplate output wrong: ${out.size} rows vs ${expected.size}; " +
+        s"diff ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
+    assert(secs < 60.0,
+      f"ceilinged boilerplate run took $secs%.1f s — seed join not bounded")
+  }
+
   test("connected components: exact roots at 100k nodes incl. a 5k chain", Slow) {
     val n = 100000L
     // k=5000: 20 components, the last a 5000-link CHAIN (worst-case
