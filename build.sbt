@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses a JSON line from the tail of `sbt runMain`
+// stdout. Two sbt behaviors have defeated that parse every round so
+// far (BENCH_r*.json `parsed: null`): the logger prefixes forked-run
+// output with "[info] ", and sbt appends "[success] Total time …"
+// AFTER our final line. StdoutOutput passes the forked JVM's stdout
+// through verbatim, and showSuccess drops the epilogue — so the last
+// stdout line of a bench invocation is the raw JSON itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Scale-canary suite (graft.Slow tag, ~2-4 min) is excluded from plain
 // `sbt test`; run it with `sbt -Dgraft.slow=1 slowTest`. The exclusion
 // is conditional on the sysprop because ScalaTest treats a tag in both

@@ -271,12 +271,17 @@ object Bench {
       n -> (if (ok.size < samples.size) -1.0 else median(ok))
     }
     // The driver captures only a fixed-size TAIL (2000 chars) of this
-    // process's output, and sbt appends its own "[success] Total time"
-    // line after ours — so the FINAL line must fit the window or the
-    // driver records `parsed: null` (r1–r8 all did). Full-precision
-    // values and the delta diagnostics go on their own EARLIER line so
-    // nothing is lost, only moved out of the tail budget; the final
-    // line itself renders at the highest precision that fits (below).
+    // process's output. Since r10 the build passes forked-run stdout
+    // through VERBATIM (run/outputStrategy = StdoutOutput) and
+    // suppresses sbt's "[success] Total time" epilogue (showSuccess :=
+    // false), so the raw JSON below is the absolute last stdout line —
+    // the two sbt behaviors that made r1–r9 record `parsed: null`
+    // (an "[info] " prefix on every line, an epilogue after ours) are
+    // both gone. Full-precision values and the delta diagnostics go to
+    // tools/bench_detail_last.json (a committed round artifact — the
+    // tail window never sees them) and on their own earlier stdout
+    // line; the final line still renders at the highest precision that
+    // fits the window, belt-and-braces.
     val failed = results.count(_._2 < 0)
     // a failed query must not read as a speedup: surface the count
     // explicitly next to the successful-query total
@@ -284,7 +289,12 @@ object Bench {
     val delta = deltaJson(results, previousBench())
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull}}""")
+    val detail = s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull,"sf":"$sfDir","runs":$runs}}"""
+    println(detail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/bench_detail_last.json"), detail + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_detail file: $e") }
     // ms precision, DEGRADING to 2 then 1 decimals if the line would
     // crowd the window (sbt's epilogue + the [info] prefix eat ~90 of
     // the 2000): a 10 ms-precision line that parses beats a
