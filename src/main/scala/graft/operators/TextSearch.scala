@@ -214,14 +214,56 @@ object TextSearch {
     * explode/groupBy) would re-run 3×. */
   def surprisalFromPostings(post: DataFrame): DataFrame = {
     val p = graft.ManagedCache.swap("TextSearch.surprisalPostings", post)
-    val stats = p.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val total = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    surprisalOver(p)
+  }
+
+  /** [[surprisalFromPostings]] against a PERSISTED postings table
+    * ([[graft.pipeline.SilverIndex.refreshPostings]]): a stored
+    * 3-column parquet is cheap to re-scan, so persisting it wholesale
+    * (the live-lineage contract above) only costs memory-write time.
+    * Instead the SMALL side — the per-term collection frequencies —
+    * is persisted for its two consumers (the total and the scoring
+    * join), and the postings scan runs twice from disk with the
+    * projection pushed. Same output, index-serving cost shape. */
+  def surprisalFromIndex(post: DataFrame): DataFrame = {
+    val (stats, total) = indexStats(post)
+    surprisalJoin(post, stats, total)
+  }
+
+  /** [[surprisalFromIndex]] restricted to a candidate doc set (any
+    * one-column frame of doc ids): the unigram MODEL (cf/total) stays
+    * the full index — scoring a filtered candidate pool against a
+    * frozen corpus LM, the CCNet composition — but only the
+    * candidates' postings flow into the scoring join (a doc-keyed
+    * semi-join the stored doc-partitioned postings serve cheaply).
+    * At 100 TB this is the difference between scoring every document
+    * and scoring the curation survivors. */
+  def surprisalFromIndexFor(post: DataFrame, docIds: DataFrame)
+      : DataFrame = {
+    val (stats, total) = indexStats(post)
+    surprisalJoin(
+      post.join(docIds.select(col(docIds.columns.head).as("doc")),
+        Seq("doc"), "left_semi"),
+      stats, total)
+  }
+
+  private def indexStats(post: DataFrame): (DataFrame, Long) = {
+    val stats = graft.ManagedCache.swap("TextSearch.surprisalStats",
+      post.groupBy("term").agg(sum(col("tf")).as("cf")))
+    (stats, stats.agg(coalesce(sum(col("cf")), lit(0L))).head().getLong(0))
+  }
+
+  private def surprisalOver(p: DataFrame): DataFrame =
+    surprisalJoin(p, p.groupBy("term").agg(sum(col("tf")).as("cf")),
+      p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0))
+
+  private def surprisalJoin(p: DataFrame, stats: DataFrame,
+      total: Long): DataFrame =
     p.join(stats, "term")
       .groupBy("doc")
       .agg(sum(col("tf")).as("len"),
         (-sum(col("tf") * log(col("cf") / total.toDouble)) /
           sum(col("tf"))).as("mean_nll"))
-  }
 
   /** Okapi BM25 top-k over [[bm25Scores]].
     * Output: doc, score (double), rank — deterministic tie-break on doc. */

@@ -83,6 +83,66 @@ object CurationQueries {
         .select(col("doc_id"), col("lang_guess"), col("n_words"))
     }),
 
+    // The FULL CCNet-style stack (VERDICT r9 task 5): c1's chain with
+    // the r9 model signals folded in as first-class gates —
+    //   1. narrow signals: lang-ID + tokens + repetition + the t12
+    //      hashed-bag classifier score, ONE codegen projection;
+    //   2. heuristic gate + classifier gate (score >= 0) — all narrow
+    //      filters run BEFORE any shuffle;
+    //   3. surprisal bucketing (the CCNet head/middle/tail recipe):
+    //      survivors scored against the FROZEN full-corpus unigram
+    //      model served from the persisted postings index (the
+    //      t11/t13 IndexMemo artifact) — only survivor postings flow
+    //      into the scoring join — and the lexically-odd tail bucket
+    //      dropped (thresholds fixed at 3.3998/3.4041 on the rounded
+    //      nll so both engines bucket identically);
+    //   4. exact dedup, 5. near-dup drop — c1's stages verbatim.
+    // At 100 TB: stages 1-2 are a narrow scan-side map; the surprisal
+    // join is doc-keyed over stored postings pruned to survivors; the
+    // model stats are the index's term aggregation.
+    "c11_curation_ccnet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .transform(graft.operators.Par.spread(_, col("doc_id")))
+      val total2g = greatest(tokenCount(col("text")) - 1, lit(0))
+      val signals = graft.ManagedCache.swap("CurationQueries.c11.signals",
+        docs.select(
+            col("doc_id"), col("text"),
+            graft.functions.word_shingles(col("text"), 2).as("sh"),
+            langId(col("text")).as("lang_guess"),
+            tokenCount(col("text")).as("n_words"),
+            total2g.as("__t2g"),
+            graft.functions.linear_text_score(
+              coalesce(col("text"), lit("")),
+              TextQueries.qualityModelWeights).as("quality_score"))
+          .withColumn("rep", when(col("__t2g") === 0, lit(0.0))
+            .otherwise(lit(1.0) - size(col("sh")).cast("double")
+              / col("__t2g").cast("double")))
+          .drop("__t2g"))
+      val gated = signals.where(col("lang_guess") =!= "und" &&
+        col("n_words").between(20, 1000) && col("rep") <= 0.1 &&
+        col("quality_score") >= 0)
+      val nll = graft.operators.TextSearch.surprisalFromIndexFor(
+          graft.pipeline.SilverIndex.postingsIndex(s,
+            TextQueries.bm25IndexPath(s, dir)),
+          gated.select(col("doc_id")))
+        .select(col("doc").as("doc_id"),
+          round(col("mean_nll"), 6).as("rnll"))
+      val bucketed = gated.join(nll, "doc_id")
+        .withColumn("nll_bucket",
+          when(col("rnll") < 3.3998, lit("head"))
+            .when(col("rnll") < 3.4041, lit("middle"))
+            .otherwise(lit("tail")))
+        .where(col("nll_bucket") =!= "tail")
+      val kept = bucketed.join(
+        Dedup.exact(bucketed, "text", "doc_id")
+          .select(col("kept_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Dedup.dropNearDups(kept, "doc_id",
+          Dedup.jaccardPairsBy(kept, "doc_id", col("sh"), theta = 0.5))
+        .select(col("doc_id"), col("lang_guess"), col("n_words"),
+          col("quality_score"), col("nll_bucket"))
+    }),
+
     // sequence packing: assign every doc to a 2048-token context-window
     // pack in doc_id order, via the DISTRIBUTED exclusive prefix sum
     // (operators/Packing — no single-task global window; see its
@@ -248,6 +308,99 @@ object CurationQueries {
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM tg JOIN eg USING (gram)
         |GROUP BY doc_id""".stripMargin,
+
+    // the c1 oracle CTEs + the t12 classifier CTEs + the t13 surprisal
+    // CTEs (full-corpus model), composed with the fixed nll-bucket
+    // thresholds — every fragment is independently oracle-proven by
+    // its own gate query
+    "c11_curation_ccnet" ->
+      """WITH sig AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    string_split_regex(trim(text), '\s+') AS ws,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|una)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht|ein)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|des|est|une)\b')) AS fr
+        |  FROM documents),
+        |lg AS (
+        |  SELECT doc_id, text, n_words, ws,
+        |    CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |         WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+        |         ELSE 'und' END AS lang_guess,
+        |    CASE WHEN n_words <= 1 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+        |              / CAST(n_words - 1 AS DOUBLE) END AS rep
+        |  FROM sig),
+        |ctoks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ') AS cws
+        |  FROM documents),
+        |cg AS (
+        |  SELECT doc_id, unnest(cws) AS gram FROM ctoks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(cws)),
+        |           i -> cws[i] || ' ' || cws[i+1])) AS gram
+        |  FROM ctoks),
+        |cb AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(gram, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 2048 AS bkt
+        |  FROM cg WHERE gram <> ''),
+        |csc AS (
+        |  SELECT doc_id,
+        |    CAST(sum((bkt * 2654435761) % 2003 - 1001) AS BIGINT) AS s
+        |  FROM cb GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id, coalesce(s, 0) AS quality_score
+        |  FROM documents d LEFT JOIN csc ON d.doc_id = csc.doc_id),
+        |stoks AS (
+        |  SELECT doc_id, unnest(cws) AS term FROM ctoks),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM stoks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |stats AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+        |          FROM post GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM post),
+        |nll AS (
+        |  SELECT doc_id,
+        |    round(-sum(tf * ln(cf / CAST(total AS DOUBLE))) / sum(tf), 6)
+        |      AS rnll
+        |  FROM post JOIN stats USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |gated AS (
+        |  SELECT lg.doc_id, lg.text, lg.ws, lg.lang_guess, lg.n_words,
+        |    q.quality_score,
+        |    CASE WHEN nll.rnll < 3.3998 THEN 'head'
+        |         WHEN nll.rnll < 3.4041 THEN 'middle'
+        |         ELSE 'tail' END AS nll_bucket
+        |  FROM lg JOIN q USING (doc_id) JOIN nll USING (doc_id)
+        |  WHERE lang_guess <> 'und' AND n_words BETWEEN 20 AND 1000
+        |    AND rep <= 0.1 AND quality_score >= 0 AND nll.rnll < 3.4041),
+        |kept AS (
+        |  SELECT * FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS s
+        |  FROM kept),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)
+        |SELECT doc_id, lang_guess, n_words, quality_score, nll_bucket
+        |FROM kept
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     // mirrors t3 (lang-id), t1 (tokens), t5 (repetition), d1 (exact
     // dedup), d2 (jaccard pairs) oracle fragments, composed

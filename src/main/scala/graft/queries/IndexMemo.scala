@@ -27,11 +27,17 @@ private[graft] object IndexMemo {
 
   /** The stored location for `key` (e.g. "bm25:<sfdir>"), running
     * `build` exactly once per JVM on first use. `build` receives the
-    * target path and must leave a complete index there. */
+    * target path and must leave a complete index there. The directory
+    * name is the key's SHA-256 (not the 32-bit hashCode — two distinct
+    * keys colliding there would silently cross-contaminate two
+    * corpora's indexes, ADVICE r9) with the pre-colon prefix kept for
+    * debuggability. */
   def path(key: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
-      val p = root
-        .resolve(java.lang.Integer.toHexString(key.hashCode))
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(key.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(32)
+      val p = root.resolve(sha)
         .resolve(key.takeWhile(_ != ':')).toString
       build(p)
       p

@@ -170,9 +170,14 @@ object TextQueries {
     // which both engines agree on (the BM25 oracles already pin ln/
     // division parity). Low = boilerplate-frequent tokens, high =
     // lexically odd — the standard quality-bucketing signal.
+    // Served from the PERSISTED postings index (the shared t11/h1
+    // IndexMemo artifact, content-identical to a live tokenize by the
+    // delta≡scratch spec) — no corpus tokenize/explode at query time;
+    // the one term-keyed shuffle reads stored 3-column parquet
+    // (VERDICT r9 task 4).
     "t13_surprisal" -> ((s, dir) =>
-      graft.operators.TextSearch.unigramSurprisal(
-        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.TextSearch.surprisalFromIndex(
+        graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)))
         .select(col("doc").as("doc_id"), col("len"),
           round(col("mean_nll"), 6).as("mean_nll"))),
 

@@ -250,6 +250,13 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     out.foreach { case (id, (_, nll)) =>
       assert(math.abs(viaPost(id) - nll) < 1e-12) }
+    // and with the index-serving shape (persists the stats side, scans
+    // the postings twice — the t13 gate path)
+    val viaIx = TextSearch.surprisalFromIndex(
+        TextSearch.postings(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, nll)) =>
+      assert(math.abs(viaIx(id) - nll) < 1e-12) }
   }
 
   test("unigramSurprisal matches the reference on randomized corpora") {
