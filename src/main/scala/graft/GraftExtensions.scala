@@ -53,6 +53,8 @@ object GraftFunctions {
     "minhash_sig" -> checked("minhash_sig", 2) { args =>
       MinHashSig(args(0), litInt(args(1), "minhash_sig", "k")) },
     "simhash64" -> checked("simhash64", 1) { args => SimHash64(args(0)) },
+    "bpe_token_count" -> checked("bpe_token_count", 1) { args =>
+      BpeTokenCount(args(0)) },
     "bitset_inter_count" -> checked("bitset_inter_count", 2) { args =>
       BitsetInterCount(args(0), args(1)) },
     "bitset_jaccard" -> checked("bitset_jaccard", 4) { args =>

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic byte-pair-encoding token counting — the GPT-2 merge
+  * algorithm (Sennrich et al. 2016; Radford et al. 2019 released the
+  * reference implementation publicly) over a FIXED, checked-in merge
+  * table, so a token-denominated pipeline stage (packing, budget
+  * sampling, data cards) can count in BPE tokens instead of whitespace
+  * words and still be replayed exactly by an independent SQL engine.
+  *
+  * Algorithm (per whitespace pre-token): start from single characters,
+  * then repeatedly find the adjacent symbol pair with the LOWEST merge
+  * rank and fuse its FIRST occurrence, until no adjacent pair is in the
+  * table. Real BPE fuses every occurrence of the chosen pair per step;
+  * the two procedures provably agree whenever the table satisfies the
+  * learned-BPE invariant (a merge's parts are single characters or
+  * outputs of strictly earlier merges — any pair involving a freshly
+  * created symbol ranks later than the merge that created it), which
+  * [[merges]] does by construction and BpeSpec re-verifies against an
+  * independent fuse-all-occurrences implementation on randomized
+  * inputs. First-occurrence fusing is what a SQL replay can express as
+  * one splice per recursion step.
+  *
+  * ASCII/BMP contract (the t12 kernel's caveat, stated up front):
+  * symbols are UTF-16 code units and the merge table is lowercase
+  * ASCII, so supplementary-plane characters count as two one-unit
+  * symbols. Counts remain deterministic for any input; cross-engine
+  * parity is pinned for ASCII corpora (DuckDB splits per code point).
+  */
+object BpeKernel {
+
+  /** The fixed merge table, rank = position. Every entry's parts are
+    * single characters or outputs of EARLIER entries (the learned-BPE
+    * invariant — see class doc). Mirrored verbatim by the c12 oracle's
+    * map literal; do not reorder without regenerating that SQL. */
+  val merges: Array[(String, String)] = Array(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("h", "e"), ("a", "t"), ("o", "r"), ("e", "n"),
+    ("a", "l"), ("e", "s"), ("o", "u"), ("i", "t"), ("s", "t"),
+    ("e", "d"), ("i", "s"), ("a", "r"), ("l", "e"), ("o", "m"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("er", "s"), ("ou", "r"),
+    ("re", "s"), ("at", "e"), ("it", "y"), ("al", "l"), ("st", "r"),
+    ("on", "e"), ("en", "t"), ("ar", "e"), ("le", "s"), ("om", "e"),
+    ("the", "r"), ("ing", "s"), ("ate", "s"), ("str", "a"))
+
+  /** rank by "left right" (symbols never contain whitespace — they are
+    * fragments of whitespace-split pre-tokens). */
+  private val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.put(merges(i)._1 + " " + merges(i)._2, i)
+      i += 1
+    }
+    m
+  }
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** BPE-encode one pre-token; returns the final symbol sequence. */
+  def encodeWord(word: String): Array[String] = {
+    var syms = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var done = syms.length <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var at = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r < best) { best = r; at = j }
+        j += 1
+      }
+      if (at < 0) done = true
+      else {
+        val next = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, next, 0, at)
+        next(at) = syms(at) + syms(at + 1)
+        System.arraycopy(syms, at + 2, next, at + 1, syms.length - at - 2)
+        syms = next
+        if (syms.length == 1) done = true
+      }
+    }
+    syms
+  }
+
+  /** Total BPE token count of a text: Spark-semantics trim + `\s+`
+    * pre-tokenization (the [[TextKernel]] discipline), then the sum of
+    * per-word symbol counts. Empty/blank text → 0. */
+  def tokenCount(text: UTF8String): Long = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return 0L
+    val words = WS.split(trimmed, -1)
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) total += encodeWord(words(i)).length
+      i += 1
+    }
+    total
+  }
+}
+
+/** `bpe_token_count(text)` — see [[BpeKernel.tokenCount]]: total BPE
+  * token count under the fixed public merge table; a drop-in
+  * denominator column for [[graft.operators.Packing]] /
+  * [[graft.operators.Splits]] budget operators. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    BpeKernel.tokenCount(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeKernel.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

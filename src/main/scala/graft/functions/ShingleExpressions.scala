@@ -52,7 +52,17 @@ object TextKernel {
     * HOF lambdas, no exchange — the shape of a learned quality filter
     * applied at 100 TB (the weight table is the model; training it is
     * out of scope, serving it is a narrow map). Integer arithmetic end
-    * to end → hash-exact DuckDB oracle. Empty text scores 0. */
+    * to end → hash-exact DuckDB oracle. Empty text scores 0.
+    *
+    * ASCII/BMP contract (ADVICE r9): [[fp31]] folds UTF-16 code UNITS
+    * (`charAt`) while a per-code-point engine (DuckDB `ascii()` over
+    * split characters) folds code points, and `Locale.ROOT`
+    * lowercasing can differ from SQL `lower()` outside ASCII — so
+    * scores are deterministic for ANY input, but cross-engine parity
+    * is guaranteed only for BMP text and pinned (t12) on ASCII
+    * corpora. A supplementary-plane character hashes as its two
+    * surrogates here and as one code point there; callers replaying
+    * the score in another engine must match on that alphabet. */
   def linearTextScore(text: UTF8String, weights: Array[Int]): Long = {
     val norm = PUNCT.matcher(
       text.toString.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim

@@ -38,6 +38,11 @@ package object functions {
   def linear_text_score(text: Column, weights: Array[Int]): Column =
     col(LinearTextScore(expr(text), weights))
 
+  /** Deterministic BPE token count under the fixed public merge table
+    * (see [[BpeKernel.tokenCount]]) — the model-tokenizer-shaped
+    * denominator for packing / budget sampling / data cards. */
+  def bpe_token_count(text: Column): Column = col(BpeTokenCount(expr(text)))
+
   /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 

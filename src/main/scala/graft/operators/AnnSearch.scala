@@ -519,17 +519,24 @@ object AnnSearch {
     * `knn_join_equiv` contract re-pins it in-gate).
     * Output: query_id, neighbor_id, cosine, rank. */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      rowCountHint: Long = -1L, dimHint: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    // dim from the first row with a real vector — a leading NULL (or
-    // legacy size(NULL) = -1) must not shrink the estimate to ~8
-    // bytes/row and wave a multi-GB probe side through the broadcast
-    // check; an all-null corpus degenerates identically in both shapes
-    val dim = corpus.select(size(col(vecCol)).as("d"))
-      .where(col("d").isNotNull && col("d") > 0).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val n = corpus.count()
+    // Both stats come from hints when the caller already knows them
+    // (catalog stats, a materialized upstream count) — ADVICE r9: the
+    // probe jobs below re-run the corpus lineage, which at the design
+    // scale is a full scan per stat. Without hints: dim from the first
+    // row with a real vector — a leading NULL (or legacy size(NULL) =
+    // -1) must not shrink the estimate to ~8 bytes/row and wave a
+    // multi-GB probe side through the broadcast check; an all-null
+    // corpus degenerates identically in both shapes.
+    val dim =
+      if (dimHint > 0) dimHint
+      else corpus.select(size(col(vecCol)).as("d"))
+        .where(col("d").isNotNull && col("d") > 0).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    val n = if (rowCountHint > 0) rowCountHint else corpus.count()
     if (knnJoinBroadcastFits(n, dim, nprobe, threshold))
       ivfTopK(corpus, corpus, idCol, vecCol, k, nlist, nprobe)
     else
@@ -1019,9 +1026,10 @@ object AnnSearch {
     * 10→40 moves recall 0.25→0.40 at the SAME 40-bit code budget
     * (10→160 reaches 0.50 of the 0.52 coarse-pruning ceiling; spending
     * the bits differently maxes at 0.31). Query-SET workloads should
-    * leave it at 40; corpus-sized query sets ([[knnJoinIvfPq]]) keep a
-    * shallower default because there the rescore join is
-    * |corpus|·k·mult rows, a real shuffle. Fully deterministic (frozen quantizers,
+    * leave it at 40; corpus-sized query sets ([[knnJoinIvfPq]])
+    * auto-tune the depth from the pair-set bytes against the session's
+    * declared shuffle capacity ([[knnJoinRescoreMult]]), because there
+    * the rescore join is |corpus|·k·mult rows, a real shuffle. Fully deterministic (frozen quantizers,
     * per-row argmins, fixed-order adds) → golden-pinned
     * (`a10_ann_ivfpq`); AnnSpec holds the RAISED recall floor vs brute
     * force and raw-vs-residual superiority. `residual = false` keeps the
@@ -1106,12 +1114,35 @@ object AnnSearch {
     *    a |corpus|·k·rescoreMult pair set through the driver.
     * Same quantizers, codes, and scoring expressions as
     * `ivfPqTopK(corpus, corpus, …)` — AnnSpec pins row equality.
+    *
+    * `rescoreMult` AUTO-TUNES by default (r10, the a14 discipline): the
+    * query-set path's measured optimum is 40 (tools/pqtune_r9.txt) but
+    * here the rescore join is |corpus|·k·mult rows — a REAL shuffle —
+    * so the depth is picked from the estimated pair bytes against the
+    * session's declared shuffle capacity (shuffle partitions × target
+    * partition bytes, both session confs — portable to a real cluster):
+    * as deep as 40 while the pair set fits a healthy shuffle, floored
+    * at the r8-validated 10 when the corpus is large enough that every
+    * extra mult is mult·k rows per corpus vector
+    * ([[knnJoinRescoreMult]], spec-pinned per regime; recall/wall A/B
+    * at 100k in tools/knnmult_r10.txt). Pass an explicit positive value
+    * to override; `rowCountHint` skips the sizing count when the caller
+    * already knows |corpus|.
     * Output: query_id, neighbor_id, cosine (exact), rank. */
   def knnJoinIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-      ksub: Int = 32, rescoreMult: Int = 10): DataFrame = {
+      ksub: Int = 32, rescoreMult: Int = -1,
+      rowCountHint: Long = -1L): DataFrame = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)
+    val mult =
+      if (rescoreMult > 0) rescoreMult
+      else {
+        val conf = corpus.sparkSession.sessionState.conf
+        val n = if (rowCountHint > 0) rowCountHint else c.count()
+        knnJoinRescoreMult(n, k, conf.numShufflePartitions,
+          conf.filesMaxPartitionBytes)
+      }
     val ix = ivfPqCoded(c, nlist, m, ksub, residual = true,
       "AnnSearch.knnJoinIvfPq.codes")
     val q0 = c.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
@@ -1138,7 +1169,24 @@ object AnnSearch {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore", pqAdcCosineStored(col("__lut"), col("__qn"),
         col("__qcdot"), col("codes"), col("rnorm2"), ix.cms))
-    exactRescoreShuffled(pqCandTop(cand, k * rescoreMult), c, q0, k)
+    exactRescoreShuffled(pqCandTop(cand, k * mult), c, q0, k)
+  }
+
+  /** The [[knnJoinIvfPq]] rescore-depth rule, exposed for the spec:
+    * deepest mult in [10, 40] whose |corpus|·k·mult pair set (at
+    * ~32 B/row: two ids, the ADC score, row overhead) fits the
+    * session's declared shuffle capacity — `shufflePartitions ×
+    * maxPartitionBytes`, the same declared-budget discipline as
+    * [[knnJoinBroadcastFits]]. 10 and 40 are the two MEASURED regimes
+    * (tools/pqtune_r9.txt: 40 = query-set recall optimum; 10 = the r8
+    * kNN-graph floor); between them depth degrades proportionally
+    * rather than falling off a cliff. */
+  private[graft] def knnJoinRescoreMult(n: Long, k: Int,
+      shufflePartitions: Int, maxPartitionBytes: Long): Int = {
+    val pairRowBytes = 32L
+    val budget = shufflePartitions.toLong * maxPartitionBytes
+    val fits = budget / math.max(1L, n * k * pairRowBytes)
+    math.max(10L, math.min(40L, fits)).toInt
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate

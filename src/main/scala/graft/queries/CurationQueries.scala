@@ -155,6 +155,29 @@ object CurationQueries {
         .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("pack_id"))
     }),
 
+    // BPE-denominated packing (VERDICT r9 task 3): c2's pack assignment
+    // with the denominator switched from whitespace words to
+    // DETERMINISTIC BPE tokens (functions.bpe_token_count — the GPT-2
+    // merge algorithm over the fixed checked-in table, a codegen
+    // kernel). The packing operator takes any count column, so the
+    // model-tokenizer denominator threads through unchanged — the same
+    // swap works for c8's budget sampling and c7's data card. The
+    // oracle replays the merge table via a recursive CTE (one
+    // first-occurrence fuse per step — provably equal to standard BPE
+    // under the table's learned-merge invariant, see BpeKernel docs),
+    // so integer token counts are hash-exact cross-engine.
+    "c12_bpe_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.bpe_token_count(coalesce(col("text"), lit("")))
+            .as("n_bpe_tokens"))
+      graft.operators.Packing
+        .packByTokenBudget(docs, Seq("doc_id"), "n_bpe_tokens",
+          budget = 2048L)
+        .select(col("doc_id"), col("n_bpe_tokens"), col("cum_before"),
+          col("pack_id"))
+    }),
+
     // deterministic 10/10/80 train-split assignment — membership is a
     // pure function of (salt, doc_id) via md5, so it survives reruns,
     // repartitioning, and engine migrations (operators/Splits)
@@ -444,6 +467,61 @@ object CurationQueries {
         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)
         |SELECT doc_id, lang_guess, n_words FROM kept
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // the BpeKernel merge table as a map literal (rank by 'left right'),
+    // replayed by a recursive CTE: per word, fuse the first occurrence
+    // of the lowest-ranked adjacent pair until none is in the table
+    // (equal to standard fuse-all BPE under the table's learned-merge
+    // invariant); final count = min list length over the recursion.
+    // Then c2's packing window over the BPE counts.
+    "c12_bpe_packing" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |uw AS (SELECT DISTINCT word FROM wc),
+        |enc AS (
+        |  SELECT word, string_split(word, '') AS syms FROM uw
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:at-1] || [syms[at] || syms[at+1]] || syms[at+2:len(syms)]
+        |      AS syms
+        |  FROM (
+        |    SELECT word, syms, list_position(rk, best) AS at, best
+        |    FROM (
+        |      SELECT word, syms,
+        |        list_transform(range(1, len(syms)),
+        |          i -> coalesce(map_extract(mm.m,
+        |                 syms[i] || ' ' || syms[i+1])[1], 999999)) AS rk
+        |      FROM enc CROSS JOIN (SELECT MAP {
+        |        't h':0,'i n':1,'a n':2,'e r':3,'o n':4,'r e':5,'h e':6,
+        |        'a t':7,'o r':8,'e n':9,'a l':10,'e s':11,'o u':12,
+        |        'i t':13,'s t':14,'e d':15,'i s':16,'a r':17,'l e':18,
+        |        'o m':19,'th e':20,'an d':21,'in g':22,'er s':23,
+        |        'ou r':24,'re s':25,'at e':26,'it y':27,'al l':28,
+        |        'st r':29,'on e':30,'en t':31,'ar e':32,'le s':33,
+        |        'om e':34,'the r':35,'ing s':36,'ate s':37,'str a':38}
+        |        AS m) mm) t1
+        |    CROSS JOIN LATERAL (SELECT list_min(rk) AS best) t2) t3
+        |  WHERE best IS NOT NULL AND best < 999999),
+        |wtok AS (SELECT word, min(len(syms)) AS ntok FROM enc GROUP BY word),
+        |dtok AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(sum(wc.n * wtok.ntok), 0) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents d
+        |  LEFT JOIN wc ON d.doc_id = wc.doc_id
+        |  LEFT JOIN wtok ON wc.word = wtok.word
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_bpe_tokens,
+        |  CAST(coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(CAST(coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 2048) AS BIGINT) AS pack_id
+        |FROM dtok""".stripMargin,
 
     // the oracle states packing as the classic single-window form the
     // operator distributes

@@ -445,6 +445,48 @@ class AnnSpec extends SparkTestBase {
     assert(viaJoin.map(_._1).size == emb.count())
   }
 
+  test("knnJoinIvfPq rescoreMult auto-tunes from pair bytes vs shuffle capacity") {
+    // the rule itself (budget = partitions × target partition bytes;
+    // pair row ≈ 32 B): small corpora take the query-set optimum 40,
+    // the design-scale corpus floors at the r8-validated 10, and the
+    // mid-scale regime degrades proportionally instead of cliffing
+    val budget32 = (32, 128L << 20) // 32 × 128 MB = 4 GB declared capacity
+    assert(AnnSearch.knnJoinRescoreMult(1500, 3,
+      budget32._1, budget32._2) == 40, "gate corpus must take 40")
+    assert(AnnSearch.knnJoinRescoreMult(100000000000L, 10,
+      budget32._1, budget32._2) == 10, "1e11 corpus must floor at 10")
+    // 4 GB / (5M · 3 · 32B) = 8.9 → proportional regime clamps to 10..40
+    val mid = AnnSearch.knnJoinRescoreMult(5000000L, 3,
+      budget32._1, budget32._2)
+    assert(mid == 10, s"5M×k3 sits just under the floor boundary: $mid")
+    val mid2 = AnnSearch.knnJoinRescoreMult(2000000L, 3,
+      budget32._1, budget32._2)
+    assert(mid2 > 10 && mid2 < 40,
+      s"2M×k3 must land strictly between the regimes: $mid2")
+    // boundary exactness: fits = budget/(n·k·32) at the 40 edge
+    val n40 = budget32._1 * budget32._2 / (40L * 3 * 32)
+    assert(AnnSearch.knnJoinRescoreMult(n40, 3,
+      budget32._1, budget32._2) == 40)
+    assert(AnnSearch.knnJoinRescoreMult(n40 + n40 / 40 + 1, 3,
+      budget32._1, budget32._2) < 40)
+
+    // end-to-end: the default (auto) resolves to 40 on the gate corpus
+    // and must be row-identical to an explicit 40 — one entry point,
+    // no behavior fork for callers
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val auto = rows(AnnSearch.knnJoinIvfPq(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4))
+    val explicit40 = rows(AnnSearch.knnJoinIvfPq(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4, rescoreMult = 40))
+    assert(auto == explicit40, "auto depth diverged from explicit 40")
+    // the rowCountHint path must not change the decision
+    val hinted = rows(AnnSearch.knnJoinIvfPq(emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4, rowCountHint = emb.count()))
+    assert(hinted == auto)
+  }
+
   test("a5_ann_recall contract query reports both methods above the floor") {
     val rows = graft.SparkEntry.queries("a5_ann_recall")(spark, sf())
       .collect()
