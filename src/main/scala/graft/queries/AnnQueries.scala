@@ -238,22 +238,69 @@ object AnnQueries {
     "a11_ann_contracts" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 50 === 0)
-      val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val got = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 40)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      val recallRow = exact.join(got, Seq("query_id", "neighbor_id"), "left")
-        .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
-        .select(lit("ivfpq_recall").as("method"),
-          round(col("r"), 4).as("value"),
-          lit(0.65).as("contract_floor"), (col("r") >= 0.65).as("meets_contract"))
+      // The four contract legs are independent (each re-derives its own
+      // trained state — the non-circularity contract) and their
+      // CONSTRUCTION is driver-action-bound (quantizer training
+      // collects, ~0.2-0.5 s each warm — tools/a11_stage_r10.txt), so
+      // they build CONCURRENTLY on the session's scheduler instead of
+      // serially (VERDICT r9 task 7: nothing in the contract says
+      // serial). Content is unchanged: every leg is bit-deterministic
+      // in isolation and the final union order is fixed by code.
+      def leg[T](body: => T): scala.concurrent.Future[T] =
+        scala.concurrent.Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(s); body
+        }(contractEc)
+      val fRecall = leg {
+        val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val got = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 40)
+          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+        exact.join(got, Seq("query_id", "neighbor_id"), "left")
+          .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
+          .select(lit("ivfpq_recall").as("method"),
+            round(col("r"), 4).as("value"),
+            lit(0.65).as("contract_floor"), (col("r") >= 0.65).as("meets_contract"))
+      }
 
       val theta = 0.45
       // two consumers (exactness check + dropped set) — materialize once
-      val pairs = graft.ManagedCache.swap("a11.pairs",
-        AnnSearch.clusterNearDupPairs(emb, "vec_id", "embedding",
-          theta = theta, nlist = 16))
+      val fPairs = leg {
+        graft.ManagedCache.swap("a11.pairs",
+          AnnSearch.clusterNearDupPairs(emb, "vec_id", "embedding",
+            theta = theta, nlist = 16))
+      }
+      val fSurvivors = leg {
+        AnnSearch.semanticDedup(emb, "vec_id", "embedding",
+          theta = theta, nlist = 16).select(col("vec_id"))
+      }
+      val fEquiv = leg {
+        val knnSample = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 6)
+          .where(col("query_id") % 50 === 0)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val bcast = AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 6)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        // symmetric difference empty AND same cardinality ⇒ identical.
+        // NON-VACUOUS: an empty union (both paths regressed to zero
+        // rows) must FAIL the contract, so the null aggregate coalesces
+        // to 0.0 and the equality additionally demands a positive
+        // population
+        knnSample.unionAll(bcast)
+          .groupBy("query_id", "neighbor_id", "rank")
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(
+            ((sum(when(col("__n") === 2, 1).otherwise(0)) === count(lit(1)))
+              && sum(col("__n")) > 0)
+              .cast("int").cast("double"), lit(0.0)).as("e"))
+          .select(lit("knn_join_equiv").as("method"), col("e").as("value"),
+            lit(1.0).as("contract_floor"), (col("e") >= 1.0).as("meets_contract"))
+      }
+
+      val wait = scala.concurrent.duration.Duration(20,
+        java.util.concurrent.TimeUnit.MINUTES)
+      val pairs = scala.concurrent.Await.result(fPairs, wait)
       val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("__ea"))
       val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("__eb"))
       val verified = pairs.join(va, "vec_a").join(vb, "vec_b")
@@ -267,8 +314,7 @@ object AnnQueries {
           round(col("f"), 4).as("value"),
           lit(1.0).as("contract_floor"), (col("f") >= 1.0).as("meets_contract"))
 
-      val survivors = AnnSearch.semanticDedup(emb, "vec_id", "embedding",
-        theta = theta, nlist = 16).select(col("vec_id"))
+      val survivors = scala.concurrent.Await.result(fSurvivors, wait)
       val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
       val ids = emb.select(col("vec_id")).distinct()
       // each corpus id must appear EXACTLY once across survivors ∪
@@ -283,37 +329,31 @@ object AnnQueries {
           col("p").as("value"),
           lit(1.0).as("contract_floor"), (col("p") >= 1.0).as("meets_contract"))
 
-      // knn_join_equiv: the a12 self-join restricted to the sampled
-      // queries must equal the BROADCAST ivfTopK shape row-for-row
-      // ((query_id, neighbor_id, rank) triples; same quantizer, same
-      // probe kernel, same ranking — only the join strategy differs),
-      // so this is an equality contract, not a recall floor. Guards the
-      // partitioned-join path against silently diverging candidates.
-      val knnSample = AnnSearch.knnJoinIvf(emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 6)
-        .where(col("query_id") % 50 === 0)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      val bcast = AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 6)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      // symmetric difference empty AND same cardinality ⇒ identical.
-      // NON-VACUOUS: an empty union (both paths regressed to zero rows)
-      // must FAIL the contract, so the null aggregate coalesces to 0.0
-      // and the equality additionally demands a positive population
-      val equivRow = knnSample.unionAll(bcast)
-        .groupBy("query_id", "neighbor_id", "rank")
-        .agg(count(lit(1)).as("__n"))
-        .agg(coalesce(
-          ((sum(when(col("__n") === 2, 1).otherwise(0)) === count(lit(1)))
-            && sum(col("__n")) > 0)
-            .cast("int").cast("double"), lit(0.0)).as("e"))
-        .select(lit("knn_join_equiv").as("method"), col("e").as("value"),
-          lit(1.0).as("contract_floor"), (col("e") >= 1.0).as("meets_contract"))
-
+      // knn_join_equiv (built in fEquiv above): the a12 self-join
+      // restricted to the sampled queries must equal the BROADCAST
+      // ivfTopK shape row-for-row ((query_id, neighbor_id, rank)
+      // triples; same quantizer, same probe kernel, same ranking —
+      // only the join strategy differs), so it is an equality
+      // contract, not a recall floor. Guards the partitioned-join path
+      // against silently diverging candidates.
+      val recallRow = scala.concurrent.Await.result(fRecall, wait)
+      val equivRow = scala.concurrent.Await.result(fEquiv, wait)
       recallRow.unionAll(verified).unionAll(partitionRow)
         .unionAll(equivRow).orderBy("method")
     })
   )
+
+  /** Small daemon pool for [[queries]]' a11 concurrent contract-leg
+    * construction — Spark sessions schedule concurrent driver actions
+    * fine; the pool only bounds how many quantizer trainings overlap. */
+  private lazy val contractEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val th = new Thread(r, "a11-contract-leg")
+          th.setDaemon(true)
+          th
+        }))
 
   val oracles: Map[String, String] = Map(
     // a1's CTEs over the WHOLE corpus as the query set, k=3
