@@ -250,18 +250,33 @@ object AnnQueries {
         scala.concurrent.Future {
           org.apache.spark.sql.SparkSession.setActiveSession(s); body
         }(contractEc)
-      val fRecall = leg {
-        val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
-          .select(col("query_id"), col("neighbor_id"))
+      // brute-force reference shared by the two PQ rows — construction
+      // is action-free (no training), so it hoists out of the futures
+      val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def pqRecallRow(method: String, mult: Int, floor: Double) = leg {
         val got = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32, rescoreMult = 40)
+          k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
+          rescoreMult = mult)
           .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
         exact.join(got, Seq("query_id", "neighbor_id"), "left")
           .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
-          .select(lit("ivfpq_recall").as("method"),
+          .select(lit(method).as("method"),
             round(col("r"), 4).as("value"),
-            lit(0.65).as("contract_floor"), (col("r") >= 0.65).as("meets_contract"))
+            lit(floor).as("contract_floor"),
+            (col("r") >= floor).as("meets_contract"))
       }
+      val fRecall = pqRecallRow("ivfpq_recall", mult = 40, floor = 0.65)
+      // ADVICE r9: at rescoreMult=40 the a10 golden equals a3's
+      // (exact rescore recovers everything coarse pruning admits), so
+      // the DRIVER gate stopped discriminating the PQ code/ADC stage.
+      // At rescoreMult=1 the rescore pool IS the ADC top-k — any
+      // codebook/LUT/ADC drift changes which candidates are picked and
+      // moves this recall, and the exact VALUE is pinned through a11's
+      // content hash at both gate scales. The floor only guards
+      // collapse; the hash is the real gate.
+      val fCodesDecide =
+        pqRecallRow("ivfpq_codes_decide", mult = 1, floor = 0.10)
 
       val theta = 0.45
       // two consumers (exactness check + dropped set) — materialize once
@@ -337,9 +352,10 @@ object AnnQueries {
       // contract, not a recall floor. Guards the partitioned-join path
       // against silently diverging candidates.
       val recallRow = scala.concurrent.Await.result(fRecall, wait)
+      val codesDecideRow = scala.concurrent.Await.result(fCodesDecide, wait)
       val equivRow = scala.concurrent.Await.result(fEquiv, wait)
-      recallRow.unionAll(verified).unionAll(partitionRow)
-        .unionAll(equivRow).orderBy("method")
+      recallRow.unionAll(codesDecideRow).unionAll(verified)
+        .unionAll(partitionRow).unionAll(equivRow).orderBy("method")
     })
   )
 

@@ -19,7 +19,10 @@ class GoldenHashSpec extends SparkTestBase {
 
   private val pinnedSf0001 = Map(
     "a10_ann_ivfpq" -> (50L, "1af51358e9ee08ab"),
-    "a11_ann_contracts" -> (4L, "e3757ba732ed75fa"),
+    // 5 rows since r10: + ivfpq_codes_decide (rescoreMult=1 — the
+    // PQ code/ADC stage decides the output, so code drift moves the
+    // pinned value even though a10's deep-rescore hash equals a3's)
+    "a11_ann_contracts" -> (5L, "76e20e05cbbbd406"),
     "a12_knn_join" -> (1500L, "57d2fc79acdec69e"),
     // INTENTIONALLY equal to a12's hash: the auto-dispatcher picking a
     // different join strategy must never change a row (AnnSpec pins the
@@ -64,7 +67,7 @@ class GoldenHashSpec extends SparkTestBase {
   // a drift visible only at the gate's scale still fails sbt test
   private val pinnedSf01 = Map(
     "a10_ann_ivfpq" -> "b604970f3c6f060e",
-    "a11_ann_contracts" -> "f6539acab63dd68c",
+    "a11_ann_contracts" -> "8c37efc4c77d90d9",
     "a12_knn_join" -> "dc8528fe358dab26",
     "a14_knn_auto" -> "dc8528fe358dab26", // == a12, see sf0.001 note
     "a2_ann_lsh" -> "221d7e490852c370",
