@@ -210,12 +210,23 @@ object AnnQueries {
             round(col("r"), 4).as("recall_at_5"),
             lit(floor).as("contract_floor"),
             (col("r") >= floor).as("meets_contract"))
-      recallOf(
+      // the two method legs are independent and construction-heavy
+      // (IVF trains its quantizer at construction) — build them
+      // concurrently, the a11 discipline; content unchanged
+      def leg(body: => DataFrame): scala.concurrent.Future[DataFrame] =
+        scala.concurrent.Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(s); body
+        }(contractEc)
+      val fLsh = leg(recallOf(
         AnnSearch.lshTopK(q, emb, "vec_id", "embedding",
-          k = 5, bits = 8, tables = 8, probeHamming = 1), "lsh", 0.5)
-        .unionAll(recallOf(
-          AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 6), "ivf", 0.7))
+          k = 5, bits = 8, tables = 8, probeHamming = 1), "lsh", 0.5))
+      val fIvf = leg(recallOf(
+        AnnSearch.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6), "ivf", 0.7))
+      val wait = scala.concurrent.duration.Duration(20,
+        java.util.concurrent.TimeUnit.MINUTES)
+      scala.concurrent.Await.result(fLsh, wait)
+        .unionAll(scala.concurrent.Await.result(fIvf, wait))
         .orderBy("method")
     }),
 

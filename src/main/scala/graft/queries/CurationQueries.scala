@@ -127,12 +127,16 @@ object CurationQueries {
           gated.select(col("doc_id")))
         .select(col("doc").as("doc_id"),
           round(col("mean_nll"), 6).as("rnll"))
-      val bucketed = gated.join(nll, "doc_id")
-        .withColumn("nll_bucket",
-          when(col("rnll") < 3.3998, lit("head"))
-            .when(col("rnll") < 3.4041, lit("middle"))
-            .otherwise(lit("tail")))
-        .where(col("nll_bucket") =!= "tail")
+      // the survivor frame is SMALL (post-gate) but its lineage carries
+      // the surprisal join — persist it so the dedup stage's stats /
+      // candidate / verify branches read rows, not re-run the join
+      val bucketed = graft.ManagedCache.swap("CurationQueries.c11.bucketed",
+        gated.join(nll, "doc_id")
+          .withColumn("nll_bucket",
+            when(col("rnll") < 3.3998, lit("head"))
+              .when(col("rnll") < 3.4041, lit("middle"))
+              .otherwise(lit("tail")))
+          .where(col("nll_bucket") =!= "tail"))
       val kept = bucketed.join(
         Dedup.exact(bucketed, "text", "doc_id")
           .select(col("kept_id").as("doc_id")),
