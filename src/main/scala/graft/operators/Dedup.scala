@@ -528,6 +528,47 @@ object Dedup {
         col("span_len"))
   }
 
+  /** The REMOVAL action of Lee et al. 2021 over [[sharedSpans]]: their
+    * pipeline doesn't just detect verbatim repeated spans ≥ L tokens,
+    * it CUTS every duplicated occurrence except one from the training
+    * text. Deterministic survivor policy (the codebase's min-id
+    * discipline): for every reported span the doc_a (smaller-id)
+    * occurrence is the canonical copy and the doc_b token interval
+    * `[start_b, start_b + span_len)` is removed; a doc's intervals
+    * from ALL its pairings apply together (overlaps union naturally —
+    * a token is dropped if ANY interval covers it).
+    *
+    * Output: idCol, text_clean (surviving tokens joined by single
+    * spaces — token surgery normalizes whitespace for every doc, cut
+    * or not, so the result is engine-replayable), n_removed_tokens.
+    * Scale shape: [[sharedSpans]]'s cost plus one doc-keyed
+    * `collect_list` of the (tiny) interval set and a narrow per-row
+    * filter — the interval check is len(tokens)·|intervals| per doc,
+    * and intervals are few by the span-merging arithmetic. Integer
+    * positions + pure string surgery → hash-exact DuckDB oracle. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxGramOcc: Long = Long.MaxValue): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, minLen, maxGramOcc)
+    val cuts = spans.groupBy(col("doc_b"))
+      .agg(collect_list(array(col("start_b").cast("long"),
+        col("span_len"))).as("__ivs"))
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    df.join(cuts, col(idCol) === cuts("doc_b"), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept", filter(col("__toks"),
+        (_, i) => coalesce(
+          !exists(col("__ivs"),
+            iv => i.cast("long") >= iv.getItem(0) &&
+              i.cast("long") < iv.getItem(0) + iv.getItem(1)),
+          lit(true))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates
     * `ref`'s `xxhash64(key)`s into a Bloom filter (distributive
     * partition-merge, `sketch.BloomFilter`) and returns a codegen

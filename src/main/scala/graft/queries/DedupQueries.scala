@@ -110,6 +110,38 @@ object DedupQueries {
           org.apache.spark.sql.functions.col("span_len"))
     }),
 
+    // The REMOVAL action over d10's spans (Lee et al.'s actual dedup
+    // step): the same embedded-span corpus, every doc_b occurrence of
+    // a reported span cut at token granularity, min-id occurrence
+    // canonical. Pure integer/string surgery -> hash-exact oracle.
+    "d11_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = org.apache.spark.sql.functions.col("doc_id") % 29
+      val span = org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.lit(13) + (g % 3) * 2),
+          p => org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("dupg"), g,
+            org.apache.spark.sql.functions.lit("w"), p)), " ")
+      // NULL text coalesces to '' BEFORE the surgery (the t12
+      // discipline) — both engines then agree on ('' , 0) for the
+      // null-bearing rows instead of one producing SQL NULL
+      val base = org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(""))
+      val embedded = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("doc_id") % 7 === 0,
+            org.apache.spark.sql.functions.concat(base,
+              org.apache.spark.sql.functions.lit(" "), span))
+          .otherwise(base)
+          .as("text"))
+      Dedup.removeSharedSpans(embedded, "doc_id", "text", minLen = 13)
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -185,6 +217,56 @@ object DedupQueries {
         |  CAST(min(pos_b) AS BIGINT) AS start_b,
         |  CAST(count(*) + 12 AS BIGINT) AS span_len
         |FROM r GROUP BY doc_a, doc_b, pos_a - pos_b, grp""".stripMargin,
+    // the d10 seed-and-extend CTEs verbatim, then the removal: per
+    // doc_b, the union of its [start_b, start_b+span_len) token
+    // intervals cut from the (whitespace-normalized) token sequence;
+    // DuckDB list lambdas are 1-based, positions 0-based
+    "d11_span_removal" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' ' ||
+        |      array_to_string(list_transform(range(1, 14 + ((doc_id % 29) % 3) * 2),
+        |        p -> 'dupg' || CAST(doc_id % 29 AS VARCHAR) || 'w' ||
+        |             CAST(p AS VARCHAR)), ' ')
+        |    ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |             ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |      FROM e),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ws[i : i + 12], ' ') AS gram
+        |  FROM t, unnest(range(1, len(ws) - 11)) AS u(i)
+        |  WHERE len(ws) >= 13),
+        |s AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos AS pos_a, b.pos AS pos_b
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT *, pos_a - row_number() OVER (
+        |    PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+        |  FROM s),
+        |spans AS (
+        |  SELECT doc_b,
+        |    CAST(min(pos_b) AS BIGINT) AS start_b,
+        |    CAST(count(*) + 12 AS BIGINT) AS span_len
+        |  FROM r GROUP BY doc_a, doc_b, pos_a - pos_b, grp),
+        |cuts AS (
+        |  SELECT doc_b AS doc_id,
+        |    list(list_value(start_b, span_len)) AS ivs
+        |  FROM spans GROUP BY doc_b),
+        |k AS (
+        |  SELECT t.doc_id, t.ws,
+        |    list_filter(t.ws, (x, i) -> coalesce(
+        |      len(list_filter(c.ivs, iv ->
+        |        i - 1 >= iv[1] AND i - 1 < iv[1] + iv[2])), 0) = 0) AS kept
+        |  FROM t LEFT JOIN cuts c ON t.doc_id = c.doc_id)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_clean,
+        |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed_tokens
+        |FROM k""".stripMargin,
+
     // d8: the exact-Jaccard pair CTEs verbatim, then an independent
     // transitive closure — reachability as a recursive CTE, component =
     // min reachable node (UNION dedups, so the recursion terminates at

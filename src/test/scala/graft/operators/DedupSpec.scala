@@ -283,6 +283,34 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected, s"got $out")
   }
 
+  test("removeSharedSpans cuts exactly the doc_b occurrences, min-id canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "p1 p2 A B C D E F x y"),   // canonical copy of "A B C D E F"
+      (2L, "q1 A B C D E F z"),        // doc_b: tokens 1..6 cut
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"), // canonical of both fragments
+      (4L, "w1 w2 w3 XX w5 w6 w7 w8"), // doc_b: [0,3) and [4,8) cut
+      (5L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, "doc_id", "text", minLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("p1 p2 A B C D E F x y", 0L),
+      2L -> ("q1 z", 6L),
+      3L -> ("w1 w2 w3 w4 w5 w6 w7 w8", 0L),
+      4L -> ("XX", 7L),
+      5L -> ("nothing shared here at all", 0L)), s"got $out")
+    // re-running detection on the cleaned corpus finds nothing: the
+    // removal is a fixpoint for this corpus (canonical copies remain,
+    // duplicates are gone)
+    val again = Dedup.sharedSpans(
+      Dedup.removeSharedSpans(docs, "doc_id", "text", minLen = 3)
+        .select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text", minLen = 3)
+    assert(again.count() == 0, "cleaned corpus still reports shared spans")
+  }
+
   test("sharedSpans maxGramOcc drops exactly the hot-gram seeds (recall contract)") {
     val s = spark
     import s.implicits._
