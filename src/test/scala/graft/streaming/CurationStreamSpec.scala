@@ -53,4 +53,46 @@ class CurationStreamSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.map(_._1) == Set(1L, 3L, 5L)) // gates fired
   }
+
+  test("r10 model-signal kernels run unchanged under readStream") {
+    // the classifier score (t12), BPE token count (c12), and the full
+    // heuristic battery are stateless codegen kernels — a streaming
+    // ingest can score/gate/price documents incrementally with the
+    // exact batch values (the c11/c12 columns, minus the stateful
+    // surprisal/dedup stages which need the corpus model)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.functions.linear_text_score(coalesce(col("text"), lit("")),
+        graft.queries.TextQueries.qualityModelWeights).as("quality_score"),
+      graft.functions.bpe_token_count(coalesce(col("text"), lit("")))
+        .as("n_bpe_tokens"),
+      langId(col("text")).as("lang_guess"))
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "streaming the theater and interesting strands are one"),
+      (3L, ""),
+      (4L, "el perro corre por la calle y la plaza de madrid"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = score(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("model_signals_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val streamed = rows(spark.table("model_signals_out"))
+    val batch = rows(score(docs.toDF("doc_id", "text")))
+    assert(streamed == batch, s"stream/batch split: $streamed vs $batch")
+    assert(streamed.exists(_._3 > 0), "BPE counts must be non-trivial")
+  }
 }

@@ -206,6 +206,19 @@ class ScaleCanarySpec extends SparkTestBase {
         s"diff ${(out -- expected).take(3)} / ${(expected -- out).take(3)}")
     assert(secs < 60.0,
       f"ceilinged boilerplate run took $secs%.1f s — seed join not bounded")
+    // and the REMOVAL action on the same corpus: each planted near-dup
+    // (every 200th doc) loses exactly its two surviving fragments
+    // (32 + 19 tokens); everything else is untouched
+    val removed = graft.operators.Dedup
+      .removeSharedSpans(docs, "doc_id", "text", minLen = 13,
+        maxGramOcc = 64L)
+      .select(col("doc_id"), col("n_removed_tokens"))
+      .where(col("n_removed_tokens") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectRemoved = (199 until n by 200).map(i => i.toLong -> 51L).toMap
+    assert(removed == expectRemoved,
+      s"removal accounting wrong: ${removed.size} docs cut vs " +
+        s"${expectRemoved.size}; sample ${removed.take(3)}")
   }
 
   test("connected components: exact roots at 100k nodes incl. a 5k chain", Slow) {
