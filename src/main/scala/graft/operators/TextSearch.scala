@@ -247,6 +247,49 @@ object TextSearch {
       stats, total)
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * public): rank source documents by how target-domain-like their
+    * token distribution is, `log w(x) = Σ_term tf · (ln p_t(term) −
+    * ln p_s(term))`, with add-1 smoothing over the SOURCE vocabulary
+    * for both unigram models so target-absent terms score a finite
+    * penalty instead of −∞. The published method hashes n-gram
+    * features into buckets; with word unigrams over the retrieval
+    * tokenizer the bucket table IS the postings vocabulary — the same
+    * machinery, exact and SQL-replayable (the paper's hashing is a
+    * memory bound, not a semantic one).
+    *
+    * Postings-shaped like [[unigramSurprisal]]: both models aggregate
+    * from the (persistable) postings table — `targetDocs` (any
+    * one-column frame of doc ids, e.g. a trusted in-domain slice)
+    * selects the target subset by a semi-join — and scoring is one
+    * term-keyed join + one per-doc sum. Callers ranking/sampling on
+    * the weight should round first (the h1 discipline). Output: doc,
+    * len (tokens), log_w (nats; > 0 ⇒ more target-like than the
+    * source average). */
+  def dsirLogWeights(post: DataFrame, targetDocs: DataFrame): DataFrame = {
+    val p = graft.ManagedCache.swap("TextSearch.dsirPostings", post)
+    val tgt = p.join(
+      targetDocs.select(col(targetDocs.columns.head).as("doc")),
+      Seq("doc"), "left_semi")
+    val srcStats = p.groupBy("term").agg(sum(col("tf")).as("cf_s"))
+    val tgtStats = tgt.groupBy("term").agg(sum(col("tf")).as("cf_t"))
+    val Row2 = p.agg(coalesce(sum(col("tf")), lit(0L)),
+      countDistinct(col("term"))).head()
+    val (totalS, vocab) = (Row2.getLong(0), Row2.getLong(1))
+    val totalT = tgt.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    val stats = srcStats.join(tgtStats, Seq("term"), "left")
+      .select(col("term"),
+        (log((coalesce(col("cf_t"), lit(0L)) + 1.0) /
+            (totalT + vocab).toDouble) -
+          log((col("cf_s") + 1.0) / (totalS + vocab).toDouble))
+          .as("__lr"))
+    p.join(stats, "term")
+      .groupBy("doc")
+      .agg(sum(col("tf")).as("len"),
+        sum(col("tf") * col("__lr")).as("log_w"))
+  }
+
   private def indexStats(post: DataFrame): (DataFrame, Long) = {
     val stats = graft.ManagedCache.swap("TextSearch.surprisalStats",
       post.groupBy("term").agg(sum(col("tf")).as("cf")))

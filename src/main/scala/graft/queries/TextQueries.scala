@@ -181,6 +181,20 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("len"),
           round(col("mean_nll"), 6).as("mean_nll"))),
 
+    // DSIR importance log-weights (Xie et al. 2023): rank every doc by
+    // Σ tf·(ln p_target − ln p_source) with add-1 smoothing over the
+    // source vocabulary, target = the corpus's own lang='en' slice (a
+    // trusted in-domain set). Served from the persisted postings index
+    // like t13; round(...,6) pins the ln/division parity.
+    "t14_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextSearch.dsirLogWeights(
+          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
+          docs.where(col("lang") === "en").select(col("doc_id")))
+        .select(col("doc").as("doc_id"), col("len"),
+          round(col("log_w"), 6).as("log_w"))
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -292,6 +306,41 @@ object TextQueries {
         |  round(-sum(tf * ln(cf / CAST(total AS DOUBLE))) / sum(tf), 6)
         |    AS mean_nll
         |FROM post JOIN stats USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // the t13 tokenizer/postings CTEs; two unigram models (source =
+    // corpus, target = lang='en' slice) with add-1 smoothing over the
+    // source vocabulary, then the per-doc tf-weighted log-ratio sum
+    "t14_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |src AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf_s
+        |        FROM post GROUP BY term),
+        |tg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf_t
+        |       FROM post JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_s,
+        |               CAST(count(DISTINCT term) AS BIGINT) AS v
+        |        FROM post),
+        |tott AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS total_t
+        |         FROM post JOIN documents USING (doc_id)
+        |         WHERE lang = 'en'),
+        |lr AS (
+        |  SELECT term,
+        |    ln((coalesce(cf_t, 0) + 1.0) / (total_t + v)) -
+        |    ln((cf_s + 1.0) / (total_s + v)) AS lrv
+        |  FROM src LEFT JOIN tg USING (term)
+        |  CROSS JOIN tot CROSS JOIN tott)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len,
+        |  round(sum(tf * lrv), 6) AS log_w
+        |FROM post JOIN lr USING (term)
         |GROUP BY doc_id""".stripMargin,
 
     // tokenizer = the t6 CTEs; grams = ALL unigram + bigram occurrences

@@ -259,6 +259,55 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
       assert(math.abs(viaIx(id) - nll) < 1e-12) }
   }
 
+  test("dsirLogWeights matches an independent reimplementation; ordering is sane") {
+    val s = spark
+    import s.implicits._
+    // two "domains": docs 1-3 share vocab A (the target), docs 4-5
+    // vocab B, doc 6 mixes — its weight must land between the pure docs
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta gamma delta"),
+      (3L, "alpha delta beta"),
+      (4L, "zeta eta theta zeta eta"),
+      (5L, "theta zeta eta"),
+      (6L, "alpha beta zeta eta")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val target = docs.where(col("doc_id") <= 3).select(col("doc_id"))
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val out = TextSearch.dsirLogWeights(post, target)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    // independent model: plain Scala maps over the same tokenization
+    val toks = Map(
+      1L -> Seq("alpha", "beta", "gamma", "alpha"),
+      2L -> Seq("beta", "gamma", "delta"),
+      3L -> Seq("alpha", "delta", "beta"),
+      4L -> Seq("zeta", "eta", "theta", "zeta", "eta"),
+      5L -> Seq("theta", "zeta", "eta"),
+      6L -> Seq("alpha", "beta", "zeta", "eta"))
+    val cfS = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val cfT = toks.filter(_._1 <= 3L).values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val totalS = toks.values.map(_.size).sum.toDouble
+    val totalT = toks.filter(_._1 <= 3L).values.map(_.size).sum.toDouble
+    val v = cfS.size.toDouble
+    toks.foreach { case (id, ts) =>
+      val expect = ts.map { t =>
+        math.log((cfT.getOrElse(t, 0) + 1.0) / (totalT + v)) -
+          math.log((cfS(t) + 1.0) / (totalS + v))
+      }.sum
+      val (len, w) = out(id)
+      assert(len == ts.size, s"doc $id len")
+      assert(math.abs(w - expect) < 1e-9, s"doc $id: $w vs $expect")
+    }
+    // ordering: target-vocab docs positive, off-domain negative, the
+    // mixed doc strictly between
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2 > 0))
+    assert(Seq(4L, 5L).forall(out(_)._2 < 0))
+    assert(out(6L)._2 < out(1L)._2 && out(6L)._2 > out(4L)._2)
+  }
+
   test("unigramSurprisal matches the reference on randomized corpora") {
     val s = spark
     import s.implicits._
