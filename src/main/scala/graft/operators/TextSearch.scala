@@ -290,6 +290,53 @@ object TextSearch {
         sum(col("tf") * col("__lr")).as("log_w"))
   }
 
+  /** Hashing TF-IDF vectorization — the feature-extraction bridge from
+    * the text family to the vector family (the sklearn
+    * HashingVectorizer→TfidfTransformer composition; also fastText's
+    * input layer): terms hash into `dim` buckets by the t4 rolling
+    * fingerprint (the engine-portable hash the t12 classifier already
+    * pins cross-engine), bucket weights are smoothed TF-IDF
+    * `tf · (ln((N+1)/(df_b+1)) + 1)`, and each document L2-normalizes
+    * — so dot product IS cosine and the output feeds [[AnnSearch]]
+    * directly ([[hashingTfIdfVectors]] for the dense form).
+    *
+    * Postings-shaped: one narrow bucket map over the (persistable)
+    * postings table, a (doc, bucket) partial re-aggregation, the
+    * bucket document frequencies (vocabulary-sized — broadcast scale),
+    * and a per-doc norm join. Returns SPARSE triples (doc, bucket,
+    * weight) — the honest storage shape at any dim. */
+  def hashingTfIdf(post: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val p = graft.ManagedCache.swap("TextSearch.tfidfPostings", post)
+    val b = p.withColumn("bucket",
+        pmod(graft.functions.TextFunctions.fingerprint(col("term")),
+          lit(dim.toLong)))
+      .groupBy("doc", "bucket").agg(sum(col("tf")).as("btf"))
+    val n = p.select(col("doc")).distinct().count()
+    val dfb = b.groupBy("bucket").agg(countDistinct(col("doc")).as("dfb"))
+    val w = b.join(dfb, "bucket")
+      .withColumn("__w", col("btf") *
+        (log(lit(n + 1.0) / (col("dfb") + 1.0)) + 1.0))
+    val norm = w.groupBy("doc")
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__n"))
+    w.join(norm, "doc")
+      .select(col("doc"), col("bucket"),
+        (col("__w") / col("__n")).as("weight"))
+  }
+
+  /** [[hashingTfIdf]] as dense `array<double>` vectors (doc, vec) —
+    * the [[AnnSearch]] input shape. Dense is only sane at small dim
+    * (the classic LSA/LSH regime); keep the sparse triples otherwise. */
+  def hashingTfIdfVectors(post: DataFrame, dim: Int): DataFrame =
+    hashingTfIdf(post, dim)
+      .groupBy("doc")
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("weight")))).as("__m"))
+      .select(col("doc"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          coalesce(element_at(col("__m"), j.cast("long")), lit(0.0)))
+          .as("vec"))
+
   private def indexStats(post: DataFrame): (DataFrame, Long) = {
     val stats = graft.ManagedCache.swap("TextSearch.surprisalStats",
       post.groupBy("term").agg(sum(col("tf")).as("cf")))

@@ -195,6 +195,18 @@ object TextQueries {
           round(col("log_w"), 6).as("log_w"))
     }),
 
+    // Hashing TF-IDF vectorization (sklearn HashingVectorizer →
+    // TfidfTransformer shape): terms → 64 buckets by the t4 rolling
+    // fingerprint, smoothed tf-idf weights, per-doc L2 normalization —
+    // the text→vector feature bridge, emitted as SPARSE (doc, bucket,
+    // weight) triples; served from the persisted postings index.
+    "t15_hash_tfidf" -> ((s, dir) =>
+      graft.operators.TextSearch.hashingTfIdf(
+          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
+          dim = 64)
+        .select(col("doc").as("doc_id"), col("bucket"),
+          round(col("weight"), 6).as("weight"))),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -307,6 +319,40 @@ object TextQueries {
         |    AS mean_nll
         |FROM post JOIN stats USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the t13 tokenizer/postings CTEs; per-term bucket = the t12 fp31
+    // list_reduce fold mod 64; smoothed idf + per-doc L2 norm
+    "t15_hash_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 64 AS bucket,
+        |    tf
+        |  FROM post),
+        |bt AS (SELECT doc_id, bucket, CAST(sum(tf) AS BIGINT) AS btf
+        |       FROM b GROUP BY doc_id, bucket),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM post),
+        |dfb AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+        |        FROM bt GROUP BY bucket),
+        |w AS (
+        |  SELECT doc_id, bucket,
+        |    btf * (ln((n + 1.0) / (dfb + 1.0)) + 1.0) AS w
+        |  FROM bt JOIN dfb USING (bucket) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id)
+        |SELECT doc_id, bucket, round(w / nm, 6) AS weight
+        |FROM w JOIN nrm USING (doc_id)""".stripMargin,
 
     // the t13 tokenizer/postings CTEs; two unigram models (source =
     // corpus, target = lang='en' slice) with add-1 smoothing over the

@@ -308,6 +308,57 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
     assert(out(6L)._2 < out(1L)._2 && out(6L)._2 > out(4L)._2)
   }
 
+  test("hashingTfIdf matches an independent reimplementation; vectors feed ANN") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = corpus.toDF("doc_id", "text")
+    val dim = 16
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val out = TextSearch.hashingTfIdf(post, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+
+    // independent model over the same tokenizer contract
+    def toks(t: String) = t.toLowerCase
+      .replaceAll("[\\p{Punct}]", " ").trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    def fp31(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val byDoc = corpus.filter(_._2.nonEmpty)
+      .map { case (id, t) => id -> toks(t) }.filter(_._2.nonEmpty).toMap
+    val btf = byDoc.view.mapValues(ts =>
+      ts.groupBy(w => fp31(w) % dim).view.mapValues(_.size).toMap).toMap
+    val n = byDoc.size
+    val dfb = btf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    btf.foreach { case (id, bm) =>
+      val w = bm.map { case (b, tf) =>
+        b -> tf * (math.log((n + 1.0) / (dfb(b) + 1.0)) + 1.0) }
+      val nrm = math.sqrt(w.values.map(x => x * x).sum)
+      w.foreach { case (b, x) =>
+        val got = out((id, b))
+        assert(math.abs(got - x / nrm) < 1e-9, s"doc $id bucket $b")
+      }
+      // L2 property
+      val l2 = w.keys.toSeq.map(b => out((id, b))).map(x => x * x).sum
+      assert(math.abs(l2 - 1.0) < 1e-9, s"doc $id not L2-normalized: $l2")
+    }
+    // dense form: correct dim, same nonzeros, and it runs through the
+    // ANN brute-force entry unchanged (the text→vector bridge)
+    val dense = TextSearch.hashingTfIdfVectors(post, dim)
+    val vecs = dense.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs.values.forall(_.length == dim))
+    btf.foreach { case (id, bm) =>
+      bm.keys.foreach(b =>
+        assert(math.abs(vecs(id)(b.toInt) - out((id, b))) < 1e-12))
+    }
+    val knn = AnnSearch.bruteForceTopK(dense, dense, "doc", "vec", k = 2)
+      .collect()
+    assert(knn.nonEmpty, "hashed vectors must drive ANN end-to-end")
+  }
+
   test("unigramSurprisal matches the reference on randomized corpora") {
     val s = spark
     import s.implicits._
