@@ -569,6 +569,34 @@ object Dedup {
           .as("n_removed_tokens"))
   }
 
+  /** Corpus-level repeated-UNIT removal — the line-dedup stage of the
+    * MassiveText/RefinedWeb pipelines (Rae et al. 2021 §A.1.2 remove
+    * documents' repeated lines; Penedo et al. 2023 dedup lines across
+    * the corpus), generalized to any unit column: given an exploded
+    * (doc, position, unit) frame, drop every occurrence of a unit
+    * whose corpus-wide DOCUMENT frequency exceeds `maxDocFreq` —
+    * boilerplate navigation bars, cookie banners, license footers
+    * appear verbatim in many documents and are removed from ALL of
+    * them (corpus-wide boilerplate is not content; the d10/d11 span
+    * machinery handles pairwise duplication where one canonical copy
+    * should survive).
+    *
+    * Scale shape: the unit document frequencies are one
+    * map-side-combined aggregation; units ABOVE the ceiling are few by
+    * construction (they are the corpus's boilerplate vocabulary), so
+    * the removal is a broadcast anti-join — the corpus never shuffles
+    * its unit text. Returns the kept rows of `units` unchanged;
+    * callers reassemble documents by grouping on position order. */
+  def dropRepeatedUnits(units: DataFrame, docCol: String, unitCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val hot = units.groupBy(col(unitCol))
+      .agg(countDistinct(col(docCol)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(col(unitCol))
+    units.join(broadcast(hot), Seq(unitCol), "left_anti")
+  }
+
   /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates
     * `ref`'s `xxhash64(key)`s into a Bloom filter (distributive
     * partition-merge, `sketch.BloomFilter`) and returns a codegen

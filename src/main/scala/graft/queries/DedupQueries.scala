@@ -142,6 +142,50 @@ object DedupQueries {
       Dedup.removeSharedSpans(embedded, "doc_id", "text", minLen = 13)
     }),
 
+    // Corpus-level repeated-unit removal (the MassiveText/RefinedWeb
+    // line-dedup stage; units here are the c4 chunker's disjoint
+    // 10-token chunks since the synthetic corpus has no newlines):
+    // every chunk appearing verbatim in MORE THAN ONE document is
+    // boilerplate and removed from ALL docs; survivors reassemble in
+    // chunk order. The corpus's planted exact/near duplicates make the
+    // removal non-trivial (a full-duplicate doc empties entirely).
+    "d12_unit_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val units = graft.operators.Packing.chunkTokens(docs, "doc_id",
+        "text", chunkSize = 10, overlap = 0)
+      val kept = graft.operators.Dedup.dropRepeatedUnits(units, "doc_id",
+        "chunk_text", maxDocFreq = 1)
+      val reassembled = kept.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+        .agg(
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.array_sort(
+                org.apache.spark.sql.functions.collect_list(
+                  org.apache.spark.sql.functions.struct(
+                    org.apache.spark.sql.functions.col("chunk_id"),
+                    org.apache.spark.sql.functions.col("chunk_text")))),
+              s => s.getField("chunk_text")), " ").as("text_clean"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n_kept"))
+      val totals = units.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n_units"))
+      docs.select(org.apache.spark.sql.functions.col("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col("text_clean"),
+            org.apache.spark.sql.functions.lit("")).as("text_clean"),
+          (org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col("__n_units"),
+              org.apache.spark.sql.functions.lit(0L)) -
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col("__n_kept"),
+              org.apache.spark.sql.functions.lit(0L)))
+            .cast("long").as("n_dropped_units"))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -266,6 +310,38 @@ object DedupQueries {
         |  coalesce(array_to_string(kept, ' '), '') AS text_clean,
         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed_tokens
         |FROM k""".stripMargin,
+
+    // the c4 chunker CTEs at size 10 / overlap 0, a doc-frequency
+    // ceiling on the chunk text, order-preserving reassembly
+    "d12_unit_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s.i) - 1
+        |           AS chunk_id,
+        |         array_to_string(ws[s.i + 1 : s.i + 10], ' ') AS chunk_text
+        |  FROM d, LATERAL (SELECT unnest(range(0, greatest(len(ws), 1), 10)) AS i) s),
+        |hot AS (
+        |  SELECT chunk_text FROM c GROUP BY chunk_text
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |k AS (SELECT * FROM c
+        |      WHERE chunk_text NOT IN (SELECT chunk_text FROM hot)),
+        |r AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(chunk_text ORDER BY chunk_id), ' ')
+        |      AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_units FROM c GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |  coalesce(r.text_clean, '') AS text_clean,
+        |  CAST(coalesce(t.n_units, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+        |    AS n_dropped_units
+        |FROM documents dd
+        |LEFT JOIN t ON dd.doc_id = t.doc_id
+        |LEFT JOIN r ON dd.doc_id = r.doc_id""".stripMargin,
 
     // d8: the exact-Jaccard pair CTEs verbatim, then an independent
     // transitive closure — reachability as a recursive CTE, component =

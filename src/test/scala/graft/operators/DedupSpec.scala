@@ -283,6 +283,35 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected, s"got $out")
   }
 
+  test("dropRepeatedUnits drops exactly the corpus-hot units; anti-join broadcasts") {
+    val s = spark
+    import s.implicits._
+    // the boilerplate unit "COOKIE BANNER" appears in 3 docs (df=3);
+    // "SHARED FOOTER" in 2; unique lines once each
+    val units = Seq(
+      (1L, 0L, "COOKIE BANNER"), (1L, 1L, "unique line one"),
+      (2L, 0L, "COOKIE BANNER"), (2L, 1L, "SHARED FOOTER"),
+      (3L, 0L, "COOKIE BANNER"), (3L, 1L, "SHARED FOOTER"),
+      (3L, 2L, "unique line two"),
+      // df counts DISTINCT docs: a unit twice in ONE doc is not hot
+      (4L, 0L, "repeated within"), (4L, 1L, "repeated within")
+    ).toDF("doc_id", "pos", "unit")
+    def kept(maxDf: Long) =
+      Dedup.dropRepeatedUnits(units, "doc_id", "unit", maxDf)
+        .select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept(1L) == Set((1L, 1L), (3L, 2L), (4L, 0L), (4L, 1L)),
+      s"df>1 must drop banner+footer everywhere: ${kept(1L)}")
+    assert(kept(2L) == Set((1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L),
+      (4L, 0L), (4L, 1L)), "df>2 must keep the footer")
+    // the hot set is broadcast, the unit text never shuffles
+    val plan = Dedup.dropRepeatedUnits(units, "doc_id", "unit", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"hot units were not broadcast:\n$plan")
+  }
+
   test("removeSharedSpans cuts exactly the doc_b occurrences, min-id canonical") {
     val s = spark
     import s.implicits._
