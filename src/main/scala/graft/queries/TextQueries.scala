@@ -207,6 +207,46 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("bucket"),
           round(col("weight"), 6).as("weight"))),
 
+    // End-to-end text→vector→kNN (the t15 bridge driven through the
+    // ANN family): hashed TF-IDF vectors from the persisted postings
+    // index, exact cosine kNN (the a13 brute baseline — the honest
+    // reference; the scale path is the same vectors through
+    // LSH/IVF/knnJoin), ranks on round(cosine, 6) with the doc
+    // tie-break (the h1/t11 discipline — the oracle computes the SAME
+    // cosine sparsely, a different reduction order). Top-3 per doc
+    // from a rounded re-rank of the exact top-10.
+    "h2_text_knn" -> ((s, dir) => {
+      // persisted: both cross-join sides consume the vectors, and
+      // without the materialization barrier the 64-element
+      // map-lookup array construction re-evaluates PER PAIR (the
+      // knnpq projection-folding hazard — measured ~52 s vs ~3 s at
+      // sf0.1)
+      val dense = graft.ManagedCache.swap("TextQueries.h2.dense",
+        graft.operators.TextSearch.hashingTfIdfVectors(
+          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
+          dim = 64))
+      // rank over the FULL neighbor set on the rounded cosine (not a
+      // rounded re-rank of an exact-cosine top-k — a rounded tie group
+      // straddling the pre-truncation boundary would split the
+      // engines); truncation happens after the rounded window — the
+      // a13 brute-baseline shape
+      val q = dense.select(col("doc").as("query_id"), col("vec").as("qv"))
+      val c = dense.select(col("doc").as("neighbor_id"), col("vec").as("cv"))
+        .transform(graft.operators.Par.spread(_, col("neighbor_id")))
+      val top = broadcast(q).crossJoin(c)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")),
+            6).as("rcos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rcos").desc, col("neighbor_id").asc)
+      top.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("query_id").as("doc_id"),
+          col("neighbor_id"), col("rcos"), col("rank"))
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -319,6 +359,60 @@ object TextQueries {
         |    AS mean_nll
         |FROM post JOIN stats USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the t15 CTEs through the UNROUNDED normalized weights, then the
+    // SPARSE cosine (Σ w_a·w_b over shared buckets — the vectors are
+    // L2-normalized so dot IS cosine; zero-overlap pairs coalesce to
+    // 0 via the full pair frame), rounded ranking with the doc
+    // tie-break
+    "h2_text_knn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 64 AS bucket,
+        |    tf
+        |  FROM post),
+        |bt AS (SELECT doc_id, bucket, CAST(sum(tf) AS BIGINT) AS btf
+        |       FROM b GROUP BY doc_id, bucket),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM post),
+        |dfb AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+        |        FROM bt GROUP BY bucket),
+        |w AS (
+        |  SELECT doc_id, bucket,
+        |    btf * (ln((n + 1.0) / (dfb + 1.0)) + 1.0) AS w
+        |  FROM bt JOIN dfb USING (bucket) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id),
+        |wn AS (SELECT doc_id, bucket, w / nm AS wt
+        |       FROM w JOIN nrm USING (doc_id)),
+        |ds AS (SELECT DISTINCT doc_id FROM wn),
+        |sp AS (
+        |  SELECT a.doc_id AS qid, b.doc_id AS nid, sum(a.wt * b.wt) AS c
+        |  FROM wn a JOIN wn b ON a.bucket = b.bucket
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |cosim AS (
+        |  SELECT q.doc_id AS qid, n.doc_id AS nid,
+        |    round(coalesce(sp.c, 0), 6) AS rcos
+        |  FROM ds q JOIN ds n ON q.doc_id <> n.doc_id
+        |  LEFT JOIN sp ON sp.qid = q.doc_id AND sp.nid = n.doc_id),
+        |r AS (
+        |  SELECT qid, nid, rcos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rcos DESC, nid ASC) AS rank
+        |  FROM cosim)
+        |SELECT qid AS doc_id, nid AS neighbor_id, rcos, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // the t13 tokenizer/postings CTEs; per-term bucket = the t12 fp31
     // list_reduce fold mod 64; smoothed idf + per-doc L2 norm
