@@ -181,6 +181,7 @@ object Bench {
     provision("ivf")(graft.queries.AnnQueries.ivfIndexPath(spark, sfDir))
     provision("minhash")(graft.queries.DedupQueries.minhashIndexPath(spark, sfDir))
     provision("stream-bm25")(graft.queries.StreamQueries.streamIndexPath(spark, sfDir))
+    provision("tfidf")(graft.queries.TextQueries.tfidfVectorsPath(spark, sfDir))
     val out = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
     spark.stop()
     out

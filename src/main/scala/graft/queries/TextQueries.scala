@@ -25,6 +25,19 @@ object TextQueries {
       ()
     }
 
+  /** One persisted hashed-TF-IDF vector table per (JVM, sf dir) — a
+    * feature table is a silver artifact a recurring pipeline computes
+    * once and stores (the t11/a6/d7 discipline); h2 and any ANN
+    * consumer read the stored vectors. Built from the shared postings
+    * index, so content equals a live build (the t15 identity). */
+  private[graft] def tfidfVectorsPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"tfidf:$dir") { path =>
+      graft.operators.TextSearch.hashingTfIdfVectors(
+          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
+          dim = 64)
+        .write.mode("overwrite").parquet(path)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_counts" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -216,21 +229,23 @@ object TextQueries {
     // cosine sparsely, a different reduction order). Top-3 per doc
     // from a rounded re-rank of the exact top-10.
     "h2_text_knn" -> ((s, dir) => {
-      // persisted: both cross-join sides consume the vectors, and
-      // without the materialization barrier the 64-element
-      // map-lookup array construction re-evaluates PER PAIR (the
-      // knnpq projection-folding hazard — measured ~52 s vs ~3 s at
-      // sf0.1)
-      val dense = graft.ManagedCache.swap("TextQueries.h2.dense",
-        graft.operators.TextSearch.hashingTfIdfVectors(
-          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
-          dim = 64))
+      // vectors from the STORED feature table (tfidfVectorsPath —
+      // built once per JVM): a parquet scan per cross-join side. The
+      // materialization matters twice over: a live map-lookup array
+      // construction would re-evaluate PER PAIR under projection
+      // folding (the knnpq hazard — measured ~52 s vs ~3 s at sf0.1),
+      // and a recurring pipeline stores its feature table anyway.
+      val dense = s.read.parquet(tfidfVectorsPath(s, dir))
       // rank over the FULL neighbor set on the rounded cosine (not a
       // rounded re-rank of an exact-cosine top-k — a rounded tie group
       // straddling the pre-truncation boundary would split the
       // engines); truncation happens after the rounded window — the
       // a13 brute-baseline shape
-      val q = dense.select(col("doc").as("query_id"), col("vec").as("qv"))
+      // query side sampled every 10th doc (the a1 discipline — the
+      // corpus side stays whole, so the bridge is exercised end-to-end
+      // while the exact-baseline pair count stays |corpus|·|corpus|/10)
+      val q = dense.where(col("doc") % 10 === 0)
+        .select(col("doc").as("query_id"), col("vec").as("qv"))
       val c = dense.select(col("doc").as("neighbor_id"), col("vec").as("cv"))
         .transform(graft.operators.Par.spread(_, col("neighbor_id")))
       val top = broadcast(q).crossJoin(c)
@@ -238,11 +253,12 @@ object TextQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")),
             6).as("rcos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("rcos").desc, col("neighbor_id").asc)
-      top.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
+      // per-query ranking through the bounded TopKByKey aggregate (the
+      // t10 path — identical (rcos DESC, id ASC) ordering contract to a
+      // row_number window, but map-side partial top-k: the |corpus|²
+      // pair frame never exchanges, only the output-sized winners do)
+      graft.operators.AnnSearch
+        .rankedTopK(top, "query_id", "neighbor_id", "rcos", 3)
         .select(col("query_id").as("doc_id"),
           col("neighbor_id"), col("rcos"), col("rank"))
     }),
@@ -397,15 +413,17 @@ object TextQueries {
         |wn AS (SELECT doc_id, bucket, w / nm AS wt
         |       FROM w JOIN nrm USING (doc_id)),
         |ds AS (SELECT DISTINCT doc_id FROM wn),
+        |qs AS (SELECT doc_id FROM ds WHERE doc_id % 10 = 0),
         |sp AS (
         |  SELECT a.doc_id AS qid, b.doc_id AS nid, sum(a.wt * b.wt) AS c
         |  FROM wn a JOIN wn b ON a.bucket = b.bucket
         |    AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 10 = 0
         |  GROUP BY a.doc_id, b.doc_id),
         |cosim AS (
         |  SELECT q.doc_id AS qid, n.doc_id AS nid,
         |    round(coalesce(sp.c, 0), 6) AS rcos
-        |  FROM ds q JOIN ds n ON q.doc_id <> n.doc_id
+        |  FROM qs q JOIN ds n ON q.doc_id <> n.doc_id
         |  LEFT JOIN sp ON sp.qid = q.doc_id AND sp.nid = n.doc_id),
         |r AS (
         |  SELECT qid, nid, rcos, row_number() OVER (
