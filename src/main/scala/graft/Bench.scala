@@ -308,11 +308,22 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total, decimals)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // Budget: since the r10 output rework the final line is the LAST
+    // verbatim stdout (no sbt prefix, no epilogue), so the 2000-char
+    // tail keeps it complete as long as the line itself is under the
+    // window — 1990 leaves slack for the newline. If even 1-decimal
+    // precision can't fit (the battery would need ~95+ queries), a
+    // PARSEABLE line without the per-query map beats an unparseable
+    // one: totals stay in the final line, per-query values live on the
+    // bench_detail stdout line and in tools/bench_detail_last.json.
     val line = Iterator(3, 2, 1).map(render)
-      .find(_.length <= 1870).getOrElse(render(1))
-    if (line.length > 1870) System.err.println(
-      s"[bench] WARNING: final JSON line is ${line.length} chars even at " +
-        "1-decimal precision — the driver's 2000-char tail window is at risk")
+      .find(_.length <= 1990).getOrElse {
+        System.err.println(
+          "[bench] final line exceeds the tail window even at 1 decimal " +
+            "— dropping the queries map from it (full values remain in " +
+            "bench_detail)")
+        s"""{"metric":"total","value":${ms(total, 2)},"unit":"sec","failed":$failed,"runs":$runs,"queries":{},"sf":"$sfDir"}"""
+      }
     println(line)
   }
 }
