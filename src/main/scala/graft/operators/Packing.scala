@@ -180,6 +180,27 @@ object Packing {
       array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** The ARTIFACT half of packing: assemble each pack's member texts
+    * into the concatenated training example a trainer actually
+    * consumes — [[packByTokenBudget]] assigns documents to packs
+    * (docs start in the pack where their cumulative offset lands; a
+    * straddling doc spills into the next window, the standard
+    * greedy-concat shape), and this groups members per pack in
+    * `orderCol` order and joins their texts with single spaces.
+    * Output: pack_id, n_docs, n_tokens (sum of the members' counts),
+    * pack_text. One doc-keyed aggregation over the already-assigned
+    * frame; the per-pack collect is bounded by budget/min-doc-tokens
+    * members. Deterministic strings → exact oracle. */
+  def assemblePacks(df: DataFrame, orderCol: String, tokensCol: String,
+      textCol: String, budget: Long): DataFrame =
+    packByTokenBudget(df, Seq(orderCol), tokensCol, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+          s => s.getField(textCol)), " ").as("pack_text"))
+
   /** Pack documents into `budget`-token bins in `orderCols` order:
     * output = input ++ (`cum_before`, `pack_id`). */
   def packByTokenBudget(df: DataFrame, orderCols: Seq[String],

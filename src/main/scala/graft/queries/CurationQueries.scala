@@ -182,6 +182,19 @@ object CurationQueries {
           col("pack_id"))
     }),
 
+    // Pack ASSEMBLY (the artifact half of c2): each 2048-token pack's
+    // member documents concatenated in doc order into the training
+    // example a trainer consumes. Deterministic strings and integer
+    // sums -> hash-exact oracle.
+    "c13_pack_assembly" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+      graft.operators.Packing
+        .assemblePacks(docs, "doc_id", "n_tokens", "text", budget = 2048L)
+    }),
+
     // deterministic 10/10/80 train-split assignment — membership is a
     // pure function of (salt, doc_id) via md5, so it survives reruns,
     // repartitioning, and engine migrations (operators/Splits)
@@ -526,6 +539,26 @@ object CurationQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM dtok""".stripMargin,
+
+    // the c2 window CTE, then per-pack grouping with an ORDER BY list
+    // aggregation — the assembled example text
+    "c13_pack_assembly" ->
+      """WITH tok AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |         END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      / 2048) AS BIGINT) AS pack_id
+        |  FROM tok)
+        |SELECT pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  array_to_string(list(text ORDER BY doc_id), ' ') AS pack_text
+        |FROM c GROUP BY pack_id""".stripMargin,
 
     // the oracle states packing as the classic single-window form the
     // operator distributes

@@ -71,6 +71,28 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("assemblePacks concatenates members in order with exact accounting") {
+    val s = spark
+    import s.implicits._
+    // budget 10: doc 1 (6) starts pack 0; doc 2 (5) starts at cum 6 →
+    // still pack 0 (straddles into the next window); doc 3 (4) starts
+    // at cum 11 → pack 1; doc 4 (empty, 0 tokens) shares doc 3's
+    // offset window → pack 1
+    val docs = Seq(
+      (1L, "a b c d e f", 6L),
+      (2L, "g h i j k", 5L),
+      (3L, "l m n o", 4L),
+      (4L, "", 0L)).toDF("doc_id", "text", "n_tokens")
+    val out = graft.operators.Packing
+      .assemblePacks(docs, "doc_id", "n_tokens", "text", budget = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out == Map(
+      0L -> (2L, 11L, "a b c d e f g h i j k"),
+      1L -> (2L, 4L, "l m n o ")), s"got $out")
+  }
+
   test("reserved __graft_ input columns are rejected, not silently dropped") {
     val s = spark
     import s.implicits._
