@@ -500,14 +500,15 @@ object Dedup {
     val kept =
       if (maxGramOcc == Long.MaxValue) grams
       else {
-        // heavy hitters only: the frame is tiny (grams ABOVE the
-        // ceiling), so the anti-join broadcasts; the count itself is
-        // one map-side-combined aggregation over 8-byte keys
+        // heavy hitters only: the frame is normally tiny (grams ABOVE
+        // the ceiling), and the count itself is one map-side-combined
+        // aggregation over 8-byte keys; the broadcast is size-guarded
+        // because "tiny" is caller-controlled (see [[hotAntiJoin]])
         val hot = grams.groupBy(col("gh"))
           .agg(count(lit(1)).as("__occ"))
           .where(col("__occ") > maxGramOcc)
           .select(col("gh"))
-        grams.join(broadcast(hot), Seq("gh"), "left_anti")
+        hotAntiJoin(grams, hot, Seq("gh"), "sharedSpans")
       }
     val a = kept.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
       col("gh"))
@@ -552,9 +553,13 @@ object Dedup {
     val cuts = spans.groupBy(col("doc_b"))
       .agg(collect_list(array(col("start_b").cast("long"),
         col("span_len"))).as("__ivs"))
-    val toks = when(length(trim(col(textCol))) === 0,
+    // NULL text participates in the whitespace-normalization contract
+    // like empty text (the t12 coalesce discipline): ('', 0), not
+    // (NULL, NULL) — NULL would otherwise propagate through trim/split
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = when(length(trim(txt)) === 0,
         array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+      .otherwise(split(trim(txt), "\\s+"))
     df.join(cuts, col(idCol) === cuts("doc_b"), "left")
       .withColumn("__toks", toks)
       .withColumn("__kept", filter(col("__toks"),
@@ -569,6 +574,29 @@ object Dedup {
           .as("n_removed_tokens"))
   }
 
+  /** Anti-join `big` against a heavy-hitter frame of 8-byte hash keys,
+    * with the broadcast SIZE-GUARDED instead of assumed: the hot set is
+    * "small by construction" only for sane ceilings — a caller passing
+    * a low `maxGramOcc`/`maxDocFreq` on a highly repetitive corpus makes
+    * it corpus-scale, and a forced `broadcast()` hint is mandatory to
+    * the planner, so it would OOM the driver. Here the hot frame is
+    * persisted (ManagedCache lifecycle — LRU-released per call site),
+    * counted once, and broadcast only while the key payload fits the
+    * session's `autoBroadcastJoinThreshold` (~16 B per hashed-key row);
+    * past that — or when broadcasting is disabled (threshold ≤ 0) — the
+    * join falls back to the shuffled left_anti: the probe side then
+    * exchanges on the 8-byte key too (that is the unavoidable cost of a
+    * hot set too large to replicate), and AQE re-plans from runtime
+    * sizes. */
+  private def hotAntiJoin(big: DataFrame, hot: DataFrame,
+      keys: Seq[String], slot: String): DataFrame = {
+    val cached = graft.ManagedCache.swap(s"hotAntiJoin:$slot", hot)
+    val threshold =
+      big.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val fits = threshold > 0 && cached.count() <= math.max(1L, threshold / 16)
+    big.join(if (fits) broadcast(cached) else cached, keys, "left_anti")
+  }
+
   /** Corpus-level repeated-UNIT removal — the line-dedup stage of the
     * MassiveText/RefinedWeb pipelines (Rae et al. 2021 §A.1.2 remove
     * documents' repeated lines; Penedo et al. 2023 dedup lines across
@@ -581,20 +609,34 @@ object Dedup {
     * machinery handles pairwise duplication where one canonical copy
     * should survive).
     *
-    * Scale shape: the unit document frequencies are one
-    * map-side-combined aggregation; units ABOVE the ceiling are few by
-    * construction (they are the corpus's boilerplate vocabulary), so
-    * the removal is a broadcast anti-join — the corpus never shuffles
-    * its unit text. Returns the kept rows of `units` unchanged;
-    * callers reassemble documents by grouping on position order. */
+    * Scale shape: document frequencies are counted on `xxhash64(unit)`
+    * — never the raw unit text — so the DISTINCT (unit, doc) pairs the
+    * `countDistinct` shuffles are ~16 B rows instead of the 50–500 B a
+    * line/chunk string key would carry (the same key discipline as
+    * [[sharedSpans]]'s seeds, measured there at ×15.6 per key; A/B for
+    * this operator in tools/unitpayload_r11.txt). Units ABOVE the
+    * ceiling are the corpus's boilerplate vocabulary — normally few —
+    * so the removal is a broadcast anti-join on the 8-byte hash, with
+    * the broadcast size-guarded by [[hotAntiJoin]] for hostile
+    * ceilings. The corpus never shuffles its unit text: the df pass
+    * exchanges hashed pairs and the anti-join replicates the hot hashes
+    * (only the guarded corpus-scale-hot fallback exchanges unit rows,
+    * keyed on the hash). A 64-bit hash
+    * collision (~n²/2⁶⁵ across distinct units) can at worst delete an
+    * innocent unit that collides with a hot one or nudge one df count;
+    * callers needing certainty re-verify against the text (the
+    * [[bloomAntiJoin]] discipline). Returns the kept rows of `units`
+    * unchanged; callers reassemble documents by grouping on position
+    * order. */
   def dropRepeatedUnits(units: DataFrame, docCol: String, unitCol: String,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val hot = units.groupBy(col(unitCol))
+    val hashed = units.withColumn("__uh", xxhash64(col(unitCol)))
+    val hot = hashed.groupBy(col("__uh"))
       .agg(countDistinct(col(docCol)).as("__df"))
       .where(col("__df") > maxDocFreq)
-      .select(col(unitCol))
-    units.join(broadcast(hot), Seq(unitCol), "left_anti")
+      .select(col("__uh"))
+    hotAntiJoin(hashed, hot, Seq("__uh"), "dropRepeatedUnits").drop("__uh")
   }
 
   /** The probe predicate of [[bloomAntiJoin]], standalone: aggregates

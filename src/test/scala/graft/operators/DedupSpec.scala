@@ -340,6 +340,39 @@ class DedupSpec extends SparkTestBase {
     assert(again.count() == 0, "cleaned corpus still reports shared spans")
   }
 
+  test("removeSharedSpans maps NULL text to ('', 0), not (NULL, NULL)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, null: String), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, "doc_id", "text", minLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ("a b c d", 0L), 2L -> ("", 0L),
+      3L -> ("", 0L)), s"got $out")
+  }
+
+  test("hot anti-join falls back to a shuffled join when broadcast is off") {
+    val s = spark
+    import s.implicits._
+    val units = Seq((1L, 0L, "X"), (2L, 0L, "X"), (1L, 1L, "y1"),
+      (2L, 1L, "y2")).toDF("doc_id", "pos", "unit")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val out = Dedup.dropRepeatedUnits(units, "doc_id", "unit", 1L)
+      // semantics unchanged on the fallback path…
+      assert(out.select(col("doc_id"), col("pos")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 1L), (2L, 1L)))
+      // …and no mandatory broadcast hint was planted
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard must not force a broadcast with the threshold off:\n$plan")
+    } finally s.conf.set(key, prev)
+  }
+
   test("sharedSpans maxGramOcc drops exactly the hot-gram seeds (recall contract)") {
     val s = spark
     import s.implicits._
