@@ -93,6 +93,36 @@ class PackingSpec extends SparkTestBase {
       1L -> (2L, 4L, "l m n o ")), s"got $out")
   }
 
+  test("assemblePacks denominated in BPE tokens bins on the kernel's counts") {
+    val s = spark
+    import s.implicits._
+    // whitespace counting sees 2 tokens per doc; the BPE kernel fuses
+    // per its merge table, so the two denominations pack differently —
+    // proving the tokensCol is really threaded, not re-derived
+    val docs = Seq(
+      (1L, "the other"), (2L, "of straw"), (3L, "xy zq"))
+      .toDF("doc_id", "text")
+      .withColumn("n_ws", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("n_bpe", graft.functions.bpe_token_count(col("text")))
+    val bpeCounts = docs.select("doc_id", "n_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sanity: BPE and whitespace denominations genuinely differ
+    assert(bpeCounts.values.sum >
+      docs.agg(sum("n_ws")).head.getLong(0))
+    val budget = bpeCounts(1L) + 1 // doc 2 straddles, doc 3's start decides
+    val out = graft.operators.Packing
+      .packByTokenBudget(docs, Seq("doc_id"), "n_bpe", budget)
+      .select("doc_id", "cum_before", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c1 = bpeCounts(1L)
+    val c2 = bpeCounts(2L)
+    val expected = Set(
+      (1L, 0L, 0L),
+      (2L, c1, c1 / budget),
+      (3L, c1 + c2, (c1 + c2) / budget))
+    assert(out == expected, s"got $out, counts $bpeCounts")
+  }
+
   test("reserved __graft_ input columns are rejected, not silently dropped") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TrainerExportSpec extends SparkTestBase {
+
+  private def packs() = {
+    val s = spark
+    import s.implicits._
+    // 10 docs of 30-130 tokens, budget 256 → a handful of packs
+    val docs = (0L until 10L).map { i =>
+      val n = 30 + (i * 11 % 101).toInt
+      (i, Seq.fill(n)(s"w${i}t").mkString(" "), n.toLong)
+    }.toDF("doc_id", "text", "n_tokens")
+    Packing.assemblePacks(docs, "doc_id", "n_tokens", "text", budget = 256L)
+  }
+
+  test("shard assignment is contiguous, dense, and count-exact") {
+    val p = packs()
+    val nPacks = p.count()
+    val manifest = TrainerExport.shardManifest(p, packsPerShard = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(manifest.length == ((nPacks + 1) / 2).toInt,
+      s"expected ceil($nPacks/2) shards, got ${manifest.length}")
+    manifest.foreach { r =>
+      val (shard, nP, lo, hi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // dense range: the shard holds EXACTLY the pack ids in [lo, hi]
+      assert(hi - lo + 1 == nP, s"shard $shard range not dense: $r")
+      assert(lo == shard * 2 && hi <= shard * 2 + 1,
+        s"shard $shard holds foreign packs: $r")
+    }
+    // totals conserve the input
+    assert(manifest.map(_.getLong(4)).sum == 10L, "n_docs must conserve")
+    val totalTokens = p.agg(sum("n_tokens")).head.getLong(0)
+    assert(manifest.map(_.getLong(5)).sum == totalTokens)
+  }
+
+  test("manifest digests certify content: any pack-text change flips the hash") {
+    val p = packs().cache()
+    val base = TrainerExport.shardManifest(p, 2)
+      .select("shard_id", "content_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tampered = p.withColumn("pack_text",
+      when(col("pack_id") === 1L, concat(col("pack_text"), lit(" x")))
+        .otherwise(col("pack_text")))
+    val after = TrainerExport.shardManifest(tampered, 2)
+      .select("shard_id", "content_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(0L) != base(0L), "shard 0 (packs 0-1) must change")
+    assert(after.keySet.filter(_ != 0L).forall(k => after(k) == base(k)),
+      "other shards must not change")
+    p.unpersist()
+  }
+
+  test("writeShards round-trips: layout, containment, and manifest fidelity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val p = packs()
+    val written = TrainerExport.writeShards(p, packsPerShard = 2, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // one shard_id=N directory per manifest row, nothing else visible
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(_.getName.stripPrefix("shard_id=").toLong).toSet
+    assert(shardDirs == written.keySet, s"dirs $shardDirs vs ${written.keySet}")
+
+    // each shard directory contains exactly its manifest's pack range
+    shardDirs.foreach { sid =>
+      val ids = spark.read.parquet(s"$dir/shard_id=$sid")
+        .select("pack_id").collect().map(_.getLong(0)).sorted
+      val m = written(sid)
+      assert(ids.head == m.getLong(2) && ids.last == m.getLong(3) &&
+        ids.length == m.getLong(1).toInt,
+        s"shard $sid content ${ids.toSeq} disagrees with manifest $m")
+    }
+
+    // the recomputed-from-disk manifest is row-identical (content_hash
+    // included) to the one written alongside
+    val back = TrainerExport.readBackManifest(spark, dir, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(back == written.map { case (k, v) => k -> v.toSeq },
+      "read-back manifest diverged from the written artifact")
+    val stored = spark.read.parquet(s"$dir/_graft_manifest")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(stored == back, "stored manifest diverged")
+  }
+
+  test("appending packs never reassigns existing shards") {
+    val s = spark
+    import s.implicits._
+    val p1 = (0L until 6L).map(i => (i, s"pack $i body", 10L + i))
+      .toDF("pack_id", "pack_text", "n_tokens")
+      .withColumn("n_docs", lit(1L))
+    val p2 = (0L until 9L).map(i => (i, s"pack $i body", 10L + i))
+      .toDF("pack_id", "pack_text", "n_tokens")
+      .withColumn("n_docs", lit(1L))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      TrainerExport.shardManifest(df, 3).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+    val (m1, m2) = (m(p1), m(p2))
+    // shards 0..1 existed before the append and are byte-identical
+    assert(m1.keySet == Set(0L, 1L) && m2.keySet == Set(0L, 1L, 2L))
+    assert(m1.forall { case (k, v) => m2(k) == v },
+      "append must be monotone: existing shards unchanged")
+  }
+}
