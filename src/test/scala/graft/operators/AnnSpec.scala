@@ -342,6 +342,30 @@ class AnnSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knnJoin over hashing-TF-IDF vectors: recall vs brute holds; hints don't move rows") {
+    // the h3 pairing: text-derived vectors (not the synthetic embedding
+    // table) through the auto-dispatched kNN self-join — TF-IDF mass
+    // concentrates in few buckets, a different geometry than the
+    // gaussian embeddings the other cases cover
+    val docs = t(spark, sf(), "documents")
+    val vecs = TextSearch.hashingTfIdfVectors(
+      TextSearch.postings(docs, "doc_id", "text"), dim = 64).cache()
+    val approx = AnnSearch.knnJoin(vecs, "doc", "vec", k = 3,
+      nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = AnnSearch.bruteForceTopK(vecs, vecs, "doc", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, f"TF-IDF knnJoin recall $recall%.3f < 0.7 floor")
+    // stat hints are a COST knob only: same rows with both provided
+    val n = vecs.count()
+    val hinted = AnnSearch.knnJoin(vecs, "doc", "vec", k = 3,
+      nlist = 16, nprobe = 6, rowCountHint = n, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted == approx, "rowCountHint/dimHint changed the result")
+    vecs.unpersist()
+  }
+
   test("knnJoin auto-dispatch: each regime picks the right shape, results identical") {
     // the decision rule itself: probe-side bytes n·nprobe·(8·dim+16)
     // vs the declared broadcast budget

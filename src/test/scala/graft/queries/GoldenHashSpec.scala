@@ -36,6 +36,11 @@ class GoldenHashSpec extends SparkTestBase {
     "a9_ann_pq" -> (50L, "9b30196313781817"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
+    // the a5-shape recall contract of the stored-TF-IDF knnJoin scale
+    // path vs h2's exact rows (recall 0.9133 ≥ floor 0.7 —
+    // tools/h3_recall_r11.txt); a dispatch or bucketing drift moves
+    // the pinned recall
+    "h3_text_knn_scale" -> (1L, "fda2dea7d3d0cfa6"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
 
   test("digest is partitioning/order independent; pair boundaries don't collide") {
@@ -78,6 +83,7 @@ class GoldenHashSpec extends SparkTestBase {
     "a9_ann_pq" -> "1ba543ab527ee29a",
     "d4_simhash_pairs" -> "c015e8e4ac029638",
     "d9_semdedup" -> "f023a2b1aec517f2",
+    "h3_text_knn_scale" -> "986470c5970ba7e5",
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
 
   test("sf0.01 content hashes match GOLDENS.json (the driver-gate scale)") {
