@@ -27,6 +27,26 @@ object AnnQueries {
       ()
     }
 
+  /** Per-(JVM, sf dir) embeddings stats memo — the [[AnnSearch.knnJoin]]
+    * hint source (VERDICT r10 task 5): (n, dim) derive ONCE per corpus
+    * from a filter-less parquet count (footer metadata under the
+    * session's aggregate-pushdown conf, see [[graft.Sessions]]) plus a
+    * single first-row dim probe, instead of knnJoin re-running both
+    * probe jobs on every call (bench runs the auto path three times a
+    * pass). On a real deployment the same numbers come from catalog
+    * stats or a stored index's sidecar; the memo is that sidecar for
+    * gate tables. */
+  private val embStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+  private[graft] def embStats(s: SparkSession, dir: String): (Long, Int) =
+    embStatsMemo.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val dim = emb.select(size(col("embedding")).as("d"))
+        .where(col("d") > 0).head().getInt(0)
+      (n, dim)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -78,9 +98,15 @@ object AnnQueries {
     // regression flipping the regime and then diverging) driver-
     // visible every round. AnnSpec drives the partitioned regime and
     // pins the byte-boundary decision rule.
-    "a14_knn_auto" -> ((s, dir) =>
+    // r11: the gate closure supplies the stat hints (embStats memo), so
+    // the dispatcher's per-call corpus probes are gone from the auto
+    // path — tools/knnhint_r11.txt carries the job-count A/B; hints are
+    // a cost knob only (AnnSpec pins hint-invariance of the rows)
+    "a14_knn_auto" -> ((s, dir) => {
+      val (n, dim) = embStats(s, dir)
       AnnSearch.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 6)),
+        k = 3, nlist = 16, nprobe = 6, rowCountHint = n, dimHint = dim)
+    }),
 
     // Incremental IVF through the driver gate (no-oracle, golden-pinned):
     // quantizer built and FROZEN on 75% of the corpus, delta refresh
