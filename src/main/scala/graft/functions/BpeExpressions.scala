@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII, so supplementary-plane characters count as two one-unit
   * symbols. Counts remain deterministic for any input; cross-engine
   * parity is pinned for ASCII corpora (DuckDB splits per code point).
+  * The supplementary-plane behavior of all three text-hashing kernels
+  * is asserted in one place: TextHashContractSpec.
   */
 object BpeKernel {
 

@@ -62,7 +62,9 @@ object TextKernel {
     * is guaranteed only for BMP text and pinned (t12) on ASCII
     * corpora. A supplementary-plane character hashes as its two
     * surrogates here and as one code point there; callers replaying
-    * the score in another engine must match on that alphabet. */
+    * the score in another engine must match on that alphabet.
+    * (Asserted with the other two kernels' planes in
+    * TextHashContractSpec.) */
   def linearTextScore(text: UTF8String, weights: Array[Int]): Long = {
     val norm = PUNCT.matcher(
       text.toString.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim

@@ -101,7 +101,14 @@ object TextFunctions {
 
   /** Polynomial rolling-hash document fingerprint:
     * acc = (acc * 31 + ascii(char)) mod 1e9+7 over the text's characters.
-    * Order-sensitive, engine-portable (64-bit exact). */
+    * Order-sensitive, engine-portable (64-bit exact).
+    *
+    * Unicode contract (shared with the fp31/BPE kernels and pinned in
+    * TextHashContractSpec): THIS hash folds per CODE POINT — Spark and
+    * DuckDB `ascii` agree on code points, so t4/t15 oracles hold beyond
+    * ASCII — whereas the fp31 (t12) and BPE (c12) kernels fold UTF-16
+    * code UNITS, so their cross-engine parity is pinned for BMP/ASCII
+    * corpora only. */
   def fingerprint(text: Column): Column =
     aggregate(
       split(text, ""),

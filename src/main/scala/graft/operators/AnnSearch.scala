@@ -1038,11 +1038,17 @@ object AnnSearch {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 32, rescoreMult: Int = 40,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      cacheSlot: String = "AnnSearch.ivfPqTopK.codes"): DataFrame = {
+    // cacheSlot: CONCURRENT invocations over the same corpus plan hit
+    // the same (slot, semanticHash) ManagedCache key — whichever swaps
+    // second unpersists the frame the other may be mid-action on
+    // (correctness preserved, concurrency win lost). Callers running
+    // legs in parallel pass distinct slots (ADVICE r10: a11's two PQ
+    // legs suffix the rescoreMult).
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)
-    val ix = ivfPqCoded(c, nlist, m, ksub, residual,
-      "AnnSearch.ivfPqTopK.codes")
+    val ix = ivfPqCoded(c, nlist, m, ksub, residual, cacheSlot)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes0 = probeLists(q0, ix.cents, nprobe,
       idTypeFallback = Some(ix.listIdType))
@@ -1141,7 +1147,8 @@ object AnnSearch {
         val conf = corpus.sparkSession.sessionState.conf
         val n = if (rowCountHint > 0) rowCountHint else c.count()
         knnJoinRescoreMult(n, k, conf.numShufflePartitions,
-          conf.filesMaxPartitionBytes)
+          conf.getConf(org.apache.spark.sql.internal.SQLConf
+            .ADVISORY_PARTITION_SIZE_IN_BYTES))
       }
     val ix = ivfPqCoded(c, nlist, m, ksub, residual = true,
       "AnnSearch.knnJoinIvfPq.codes")
@@ -1182,9 +1189,14 @@ object AnnSearch {
     * kNN-graph floor); between them depth degrades proportionally
     * rather than falling off a cliff. */
   private[graft] def knnJoinRescoreMult(n: Long, k: Int,
-      shufflePartitions: Int, maxPartitionBytes: Long): Int = {
+      shufflePartitions: Int, advisoryPartitionBytes: Long): Int = {
     val pairRowBytes = 32L
-    val budget = shufflePartitions.toLong * maxPartitionBytes
+    // advisory SHUFFLE-partition bytes (AQE's coalesce target), not the
+    // file-scan split size — ADVICE r10: filesMaxPartitionBytes governs
+    // how scans split files and says nothing about shuffle partition
+    // capacity, so a tuned cluster could mis-size the depth through a
+    // semantically unrelated knob
+    val budget = shufflePartitions.toLong * advisoryPartitionBytes
     val fits = budget / math.max(1L, n * k * pairRowBytes)
     math.max(10L, math.min(40L, fits)).toInt
   }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.functions.NormalizeTitle]]-style normalized text (strip
   * punctuation, collapse whitespace) so "Engineer," and "engineer"
   * agree.
+  *
+  * Unicode contract (shared, pinned in TextHashContractSpec): the
+  * tokenizer never splits inside a supplementary-plane character, and
+  * downstream term HASHES differ by kernel — [[graft.functions
+  * .TextFunctions.fingerprint]] (t15 buckets here) folds per code
+  * point (engine-portable beyond ASCII), while the fp31 (t12) and BPE
+  * (c12) kernels fold UTF-16 code units (cross-engine parity pinned
+  * for BMP/ASCII corpora).
   */
 object TextSearch {
 

@@ -292,9 +292,13 @@ object AnnQueries {
       val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
       def pqRecallRow(method: String, mult: Int, floor: Double) = leg {
+        // distinct cache slot per leg: both legs code the SAME corpus,
+        // so a shared slot would have each leg's swap unpersist the
+        // frame the other is mid-action on (ADVICE r10)
         val got = AnnSearch.ivfPqTopK(q, emb, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
-          rescoreMult = mult)
+          rescoreMult = mult,
+          cacheSlot = s"a11.ivfpq.mult$mult")
           .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
         exact.join(got, Seq("query_id", "neighbor_id"), "left")
           .agg((coalesce(sum(col("hit")), lit(0)) / count(lit(1))).as("r"))
