@@ -221,6 +221,76 @@ class ScaleCanarySpec extends SparkTestBase {
         s"${expectRemoved.size}; sample ${removed.take(3)}")
   }
 
+  test("dropRepeatedUnits on the boilerplate corpus: exact df semantics, hot set broadcast", Slow) {
+    // the r11 hash-keyed df pass on the adversarial long-unit shape
+    // (VERDICT r10 task 1 'done' criterion): 5000 docs sharing a
+    // 30-word header (3 corpus-hot 10-token chunks, df = 5000), 40-word
+    // doc-unique tails with every 200th doc a near-dup of its
+    // predecessor (tail chunks 3/4/6 shared at df = 2, chunk 5 split by
+    // the substitution), plus two degenerate all-"a" docs whose 50
+    // identical chunks sit at df = 2.
+    val n = 5000
+    val docs = SyntheticScale.boilerplateDocs(spark, n)
+    val units = graft.operators.Packing
+      .chunkTokens(docs, "doc_id", "text", chunkSize = 10, overlap = 0)
+    val t0 = System.nanoTime()
+    def keptCount(maxDf: Long): (Long, String) = {
+      val kept = Dedup.dropRepeatedUnits(units, "doc_id", "chunk_text", maxDf)
+      val c = kept.count()
+      (c, kept.queryExecution.executedPlan.toString)
+    }
+    // df ≤ 10 keeps everything but the header: 5000 docs × tail chunks
+    // {3,4,5,6} + 2 degenerate docs × 50 chunks
+    val (kept10, _) = keptCount(10L)
+    assert(kept10 == 5000L * 4 + 2 * 50, s"maxDf=10 kept $kept10")
+    // df ≤ 1 additionally drops the near-dup pairs' shared tail chunks
+    // (both members, chunks 3/4/6) and empties the degenerate docs:
+    // 4950 × 4 + 50 × 1 + 0
+    val (kept1, plan1) = keptCount(1L)
+    assert(kept1 == 4950L * 4 + 50, s"maxDf=1 kept $kept1")
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the hot set (79 hashes at maxDf=1) is far under the guard: the
+    // anti-join must run broadcast, the corpus-side unit text unshuffled
+    assert(plan1.contains("BroadcastHashJoin"),
+      s"hot-hash set was not broadcast:\n$plan1")
+    assert(secs < 60.0, f"unit dedup took $secs%.1f s at 5k docs")
+  }
+
+  test("sharded trainer export at 100k docs: manifest invariants, read-back identity", Slow) {
+    // the r11 export artifact at scale (VERDICT r10 task 2 'done'
+    // criterion as a canary): pack the full 100k-doc corpus, write
+    // fixed-count shards + manifest, and prove the artifact — dense
+    // contiguous pack ranges, member conservation, and a re-manifest
+    // FROM DISK identical to the one computed from the live frame
+    // (content digests included).
+    val withTok = docs.select(col("doc_id"), col("text"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val packs = graft.operators.Packing
+      .assemblePacks(withTok, "doc_id", "n_tokens", "text", budget = 2048L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-canary-export").toString
+    val t0 = System.nanoTime()
+    val manifest = graft.operators.TrainerExport
+      .writeShards(packs, packsPerShard = 64, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (sid, m) =>
+      val (nP, lo, hi) = (m(1).asInstanceOf[Long], m(2).asInstanceOf[Long],
+        m(3).asInstanceOf[Long])
+      assert(hi - lo + 1 == nP && lo == sid * 64,
+        s"shard $sid range not dense/aligned: $m")
+    }
+    assert(manifest.values.map(_(4).asInstanceOf[Long]).sum == nDocs.toLong,
+      "n_docs must conserve the corpus")
+    val back = graft.operators.TrainerExport
+      .readBackManifest(spark, dir, packsPerShard = 64)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(back == manifest,
+      "read-back manifest diverged from the live one — write infidelity")
+    assert(secs < 120.0, f"export took $secs%.1f s at 100k docs")
+  }
+
   test("connected components: exact roots at 100k nodes incl. a 5k chain", Slow) {
     val n = 100000L
     // k=5000: 20 components, the last a 5000-link CHAIN (worst-case
