@@ -1183,8 +1183,8 @@ object AnnSearch {
     * deepest mult in [10, 40] whose |corpus|·k·mult pair set (at
     * ~32 B/row: two ids, the ADC score, row overhead) fits the
     * session's declared shuffle capacity — `shufflePartitions ×
-    * maxPartitionBytes`, the same declared-budget discipline as
-    * [[knnJoinBroadcastFits]]. 10 and 40 are the two MEASURED regimes
+    * advisoryPartitionSizeInBytes` (AQE's shuffle-partition target),
+    * the same declared-budget discipline as [[knnJoinBroadcastFits]]. 10 and 40 are the two MEASURED regimes
     * (tools/pqtune_r9.txt: 40 = query-set recall optimum; 10 = the r8
     * kNN-graph floor); between them depth degrades proportionally
     * rather than falling off a cliff. */
