@@ -193,7 +193,17 @@ object Packing {
     * members. Deterministic strings → exact oracle. */
   def assemblePacks(df: DataFrame, orderCol: String, tokensCol: String,
       textCol: String, budget: Long): DataFrame =
-    packByTokenBudget(df, Seq(orderCol), tokensCol, budget)
+    assembleAssigned(packByTokenBudget(df, Seq(orderCol), tokensCol, budget),
+      orderCol, tokensCol, textCol)
+
+  /** The grouping half of [[assemblePacks]] over a frame that ALREADY
+    * carries `pack_id` (from [[packByTokenBudget]]) — exposed so a
+    * caller that also needs the per-member assignment (e.g.
+    * [[TrainerExport.shardManifestWithCard]]'s per-shard language mix)
+    * assigns once instead of re-running the prefix-sum window. */
+  def assembleAssigned(assigned: DataFrame, orderCol: String,
+      tokensCol: String, textCol: String): DataFrame =
+    assigned
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).cast("long").as("n_tokens"),

@@ -78,23 +78,82 @@ object TrainerExport {
         col("p50_pack_tokens"), col("content_hash"))
   }
 
+  /** [[shardManifest]] extended with the per-shard LANGUAGE data card —
+    * the [[graft.queries.CurationQueries c7]] battery threaded over the
+    * artifact a trainer mounts: each manifest row gains `lang_mix`, a
+    * deterministic `lang:n_docs:n_tokens` list sorted by language
+    * (strings and integers only → exact oracle, the c15 discipline).
+    * Takes the MEMBER frame (pre-assembly: one row per document with
+    * `langCol` still attached — pack text no longer knows its members'
+    * languages), assigns packs ONCE ([[Packing.packByTokenBudget]]),
+    * and reuses the assignment for both the assembled manifest and the
+    * language roll-up. Two aggregations over the same tiny shard key;
+    * the lang roll-up groups on (shard, lang) first so the ordered
+    * collect is bounded by the language-alphabet size, never by shard
+    * membership. */
+  def shardManifestWithCard(members: DataFrame, orderCol: String,
+      tokensCol: String, textCol: String, langCol: String,
+      packBudget: Long, packsPerShard: Int): DataFrame = {
+    val assigned = Packing.packByTokenBudget(
+      members, Seq(orderCol), tokensCol, packBudget)
+    val packs = Packing.assembleAssigned(assigned, orderCol, tokensCol,
+      textCol)
+    val manifest = shardManifest(packs, packsPerShard)
+    val mix = assigned
+      .withColumn("shard_id",
+        floor(col("pack_id") / packsPerShard).cast("long"))
+      .groupBy(col("shard_id"), col(langCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(tokensCol)).cast("long").as("__tk"))
+      .groupBy(col("shard_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(langCol), col("__n"),
+          col("__tk")))),
+        s => concat_ws(":", s.getField(langCol), s.getField("__n"),
+          s.getField("__tk"))), ",").as("lang_mix"))
+    manifest.join(mix, Seq("shard_id"))
+  }
+
   /** Write the packs as one parquet directory per shard
     * (`outDir/shard_id=N/`, each shard one pack_id-sorted file) plus the
-    * manifest at `outDir/_graft_manifest` — certifying what was HANDED
-    * to the writer; [[readBackManifest]] recomputes the same digest from
-    * disk so a spec (or an operator) can prove write fidelity. Returns
-    * the manifest. One repartition on the shard key: every shard writes
-    * in parallel, no driver-side data movement. */
+    * manifest at `outDir/_graft_manifest`. The manifest is computed FROM
+    * THE WRITTEN ARTIFACT (the [[readBackManifest]] pass), not from a
+    * second evaluation of the live `packs` plan — so a nondeterministic
+    * or concurrently-changing input lineage can never store a manifest
+    * that fails to describe the files on disk, and the packs lineage is
+    * evaluated exactly once (the write). Returns the stored manifest
+    * read back from disk for the same reason. One repartition on the
+    * shard key: every shard writes in parallel, no driver-side data
+    * movement; the certifying pass is one extra scan of the artifact. */
   def writeShards(packs: DataFrame, packsPerShard: Int,
       outDir: String): DataFrame = {
+    val spark = packs.sparkSession
     withShard(packs, packsPerShard)
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("pack_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    val manifest = shardManifest(packs, packsPerShard)
-    manifest.coalesce(1).write.mode("overwrite")
+    readBackManifest(spark, outDir, packsPerShard)
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_graft_manifest")
-    manifest
+    spark.read.parquet(s"$outDir/_graft_manifest")
+  }
+
+  /** Data-loader shard addressing: read shards `[fromShard, untilShard)`
+    * of a [[writeShards]] artifact. Because shard assignment is
+    * `⌊pack_id / packsPerShard⌋` over dense pack ids, the contract is
+    * exact: the result holds precisely the packs with
+    * `pack_id ∈ [fromShard·packsPerShard, untilShard·packsPerShard)`
+    * that exist — a worker can claim a shard range and know its pack
+    * range without consulting anything but the two integers
+    * (TrainerExportSpec pins this as an executable contract). The
+    * filter is on the PARTITION column, so the scan prunes to the
+    * addressed directories — no foreign shard is listed or read. */
+  def readShardRange(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, fromShard: Long, untilShard: Long): DataFrame = {
+    require(fromShard >= 0 && untilShard > fromShard,
+      s"need 0 <= fromShard < untilShard, got [$fromShard, $untilShard)")
+    spark.read.parquet(outDir)
+      .where(col("shard_id") >= fromShard && col("shard_id") < untilShard)
   }
 
   /** Recompute the manifest from a [[writeShards]] directory (shard_id

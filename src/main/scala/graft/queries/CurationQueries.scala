@@ -233,6 +233,33 @@ object CurationQueries {
       graft.operators.TrainerExport.shardManifest(packs, packsPerShard = 4)
     }),
 
+    // the BPE-denominated trainer artifact END-TO-END (r11 VERDICT task
+    // 1 — c14 proved BPE mixing+packing, c15 proved the sharded
+    // manifest, but c15's artifact was still billed in whitespace
+    // tokens): c14's exact composition (BPE counts → BPE-budget
+    // language mixing → 1024-BPE packs) rolled into the 4-per-shard
+    // manifest, with the c7 data card threaded over the SHARDS — each
+    // manifest row carries `lang_mix`, the deterministic per-language
+    // doc/BPE-token mix of its member documents. Every column is an
+    // integer, a fixed-precision double, or a deterministic string →
+    // full DuckDB oracle (the c12 merge-replay CTE feeding the c15
+    // shard roll-up)
+    "c16_bpe_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"),
+          graft.functions.bpe_token_count(coalesce(col("text"), lit("")))
+            .as("n_bpe_tokens"))
+      val sampled = graft.operators.Splits.sampleByTokenBudget(
+        docs, "doc_id", "lang", "n_bpe_tokens", "bpe-mix-r11",
+        Map("en" -> 6000L, "es" -> 2500L, "de" -> 1200L))
+      graft.operators.TrainerExport.shardManifestWithCard(
+        sampled.select(col("doc_id"), col("lang"), col("text"),
+          col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", "text", "lang",
+        packBudget = 1024L, packsPerShard = 4)
+    }),
+
     // deterministic 10/10/80 train-split assignment — membership is a
     // pure function of (salt, doc_id) via md5, so it survives reruns,
     // repartitioning, and engine migrations (operators/Splits)
@@ -696,6 +723,97 @@ object CurationQueries {
         |  quantile_cont(n_tokens, 0.5) AS p50_pack_tokens,
         |  md5(string_agg(md5(pack_text), '' ORDER BY pack_id)) AS content_hash
         |FROM s GROUP BY shard_id""".stripMargin,
+
+    // c14's merge-replay chain (lang kept through the mixing filter),
+    // then c13's pack grouping at the 1024-BPE budget, then c15's shard
+    // roll-up PLUS the per-shard language mix (c7's data card as an
+    // ordered lang:docs:tokens string)
+    "c16_bpe_export" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |uw AS (SELECT DISTINCT word FROM wc),
+        |enc AS (
+        |  SELECT word, string_split(word, '') AS syms FROM uw
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:at-1] || [syms[at] || syms[at+1]] || syms[at+2:len(syms)]
+        |      AS syms
+        |  FROM (
+        |    SELECT word, syms, list_position(rk, best) AS at, best
+        |    FROM (
+        |      SELECT word, syms,
+        |        list_transform(range(1, len(syms)),
+        |          i -> coalesce(map_extract(mm.m,
+        |                 syms[i] || ' ' || syms[i+1])[1], 999999)) AS rk
+        |      FROM enc CROSS JOIN (SELECT MAP {
+        |        't h':0,'i n':1,'a n':2,'e r':3,'o n':4,'r e':5,'h e':6,
+        |        'a t':7,'o r':8,'e n':9,'a l':10,'e s':11,'o u':12,
+        |        'i t':13,'s t':14,'e d':15,'i s':16,'a r':17,'l e':18,
+        |        'o m':19,'th e':20,'an d':21,'in g':22,'er s':23,
+        |        'ou r':24,'re s':25,'at e':26,'it y':27,'al l':28,
+        |        'st r':29,'on e':30,'en t':31,'ar e':32,'le s':33,
+        |        'om e':34,'the r':35,'ing s':36,'ate s':37,'str a':38}
+        |        AS m) mm) t1
+        |    CROSS JOIN LATERAL (SELECT list_min(rk) AS best) t2) t3
+        |  WHERE best IS NOT NULL AND best < 999999),
+        |wtok AS (SELECT word, min(len(syms)) AS ntok FROM enc GROUP BY word),
+        |dtok AS (
+        |  SELECT d.doc_id, d.lang, coalesce(d.text, '') AS text,
+        |    CAST(coalesce(sum(wc.n * wtok.ntok), 0) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents d
+        |  LEFT JOIN wc ON d.doc_id = wc.doc_id
+        |  LEFT JOIN wtok ON wc.word = wtok.word
+        |  GROUP BY d.doc_id, d.lang, d.text),
+        |sel AS (
+        |  SELECT doc_id, lang, text, n_bpe_tokens,
+        |    CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY lang
+        |      ORDER BY substring(md5('bpe-mix-r11:' || CAST(doc_id AS VARCHAR)),
+        |               1, 12), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_b
+        |  FROM dtok WHERE lang IN ('en', 'es', 'de')),
+        |kept AS (
+        |  SELECT doc_id, lang, text, n_bpe_tokens FROM sel
+        |  WHERE cum_b < CASE lang WHEN 'en' THEN 6000
+        |                          WHEN 'es' THEN 2500
+        |                          ELSE 1200 END),
+        |p AS (
+        |  SELECT doc_id, lang, text, n_bpe_tokens,
+        |    CAST(floor(CAST(coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      / 1024) AS BIGINT) AS pack_id
+        |  FROM kept),
+        |pk AS (
+        |  SELECT pack_id, count(*) AS n_docs,
+        |    CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+        |    array_to_string(list(text ORDER BY doc_id), ' ') AS pack_text
+        |  FROM p GROUP BY pack_id),
+        |s AS (SELECT *, CAST(floor(CAST(pack_id AS DOUBLE) / 4) AS BIGINT)
+        |        AS shard_id FROM pk),
+        |man AS (
+        |  SELECT shard_id, count(*) AS n_packs,
+        |    min(pack_id) AS pack_id_min, max(pack_id) AS pack_id_max,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    min(n_tokens) AS min_pack_tokens, max(n_tokens) AS max_pack_tokens,
+        |    quantile_cont(n_tokens, 0.5) AS p50_pack_tokens,
+        |    md5(string_agg(md5(pack_text), '' ORDER BY pack_id)) AS content_hash
+        |  FROM s GROUP BY shard_id),
+        |pl AS (
+        |  SELECT CAST(floor(CAST(pack_id AS DOUBLE) / 4) AS BIGINT) AS shard_id,
+        |    lang, count(*) AS n,
+        |    CAST(sum(n_bpe_tokens) AS BIGINT) AS tk
+        |  FROM p GROUP BY 1, lang),
+        |mix AS (
+        |  SELECT shard_id,
+        |    string_agg(lang || ':' || CAST(n AS VARCHAR) || ':' ||
+        |      CAST(tk AS VARCHAR), ',' ORDER BY lang) AS lang_mix
+        |  FROM pl GROUP BY shard_id)
+        |SELECT man.*, mix.lang_mix FROM man JOIN mix USING (shard_id)""".stripMargin,
 
     // the oracle states packing as the classic single-window form the
     // operator distributes

@@ -54,8 +54,18 @@ class TrainerExportSpec extends SparkTestBase {
     p.unpersist()
   }
 
+  private def withTempDir[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export")
+    try f(dir.toString)
+    finally { // ADVICE r11: don't leak a parquet artifact per test run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("writeShards round-trips: layout, containment, and manifest fidelity") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    withTempDir { dir =>
     val p = packs()
     val written = TrainerExport.writeShards(p, packsPerShard = 2, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -85,6 +95,75 @@ class TrainerExportSpec extends SparkTestBase {
     val stored = spark.read.parquet(s"$dir/_graft_manifest")
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(stored == back, "stored manifest diverged")
+    }
+  }
+
+  test("readShardRange addresses exactly the manifest's pack ranges") {
+    withTempDir { dir =>
+      val p = packs()
+      val manifest = TrainerExport.writeShards(p, packsPerShard = 2, dir)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val lastShard = manifest.keySet.max
+      // every contiguous shard range [i, j): the read yields precisely
+      // the packs with pack_id in [i*2, j*2) that exist — the two
+      // integers ARE the address (TrainerExport contiguity contract)
+      val allPacks = p.select("pack_id").collect().map(_.getLong(0)).toSet
+      for (i <- 0L to lastShard; j <- (i + 1) to (lastShard + 1)) {
+        val got = TrainerExport.readShardRange(spark, dir, i, j)
+          .select("pack_id").collect().map(_.getLong(0)).toSet
+        val expected = allPacks.filter(id => id >= i * 2 && id < j * 2)
+        assert(got == expected,
+          s"shards [$i,$j): got $got, expected $expected")
+      }
+      // the address is served by PARTITION pruning, not a full scan
+      val plan = TrainerExport.readShardRange(spark, dir, 1, 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        !plan.contains("PartitionFilters: []"),
+        s"shard range must prune on the partition column:\n$plan")
+    }
+  }
+
+  test("shardManifestWithCard: manifest columns unchanged, lang_mix exact") {
+    val s = spark
+    import s.implicits._
+    // 9 docs across 3 languages with known token counts; budget 100 →
+    // hand-computable pack and shard assignment in doc_id order
+    val n = Seq(40L, 50L, 30L, 70L, 20L, 60L, 45L, 35L, 55L)
+    val langs = Seq("en", "es", "en", "de", "en", "es", "de", "en", "es")
+    val docs = n.indices.map { i =>
+      (i.toLong, langs(i), Seq.fill(n(i).toInt)(s"w$i").mkString(" "), n(i))
+    }.toDF("doc_id", "lang", "text", "n_tokens")
+
+    val card = TrainerExport.shardManifestWithCard(docs, "doc_id",
+      "n_tokens", "text", "lang", packBudget = 100L, packsPerShard = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // the manifest half is IDENTICAL to the plain shardManifest over the
+    // equivalently assembled packs (the card adds a column, changes none)
+    val plain = TrainerExport.shardManifest(
+      Packing.assemblePacks(docs, "doc_id", "n_tokens", "text", 100L),
+      packsPerShard = 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(card.keySet == plain.keySet)
+    card.foreach { case (sid, r) =>
+      assert(r.toSeq.init == plain(sid),
+        s"shard $sid manifest columns drifted: ${r.toSeq} vs ${plain(sid)}")
+    }
+
+    // lang_mix replayed in plain Scala: cum-before packing in doc_id
+    // order, shard = pack/2, per-shard langs sorted, lang:docs:tokens
+    val cum = n.scanLeft(0L)(_ + _).init
+    val shard = cum.map(c => (c / 100L) / 2L)
+    val expected = shard.indices.groupBy(shard(_)).map { case (sid, idx) =>
+      sid -> idx.groupBy(langs(_)).toSeq.sortBy(_._1)
+        .map { case (l, ids) => s"$l:${ids.size}:${ids.map(n(_)).sum}" }
+        .mkString(",")
+    }
+    expected.foreach { case (sid, mix) =>
+      assert(card(sid).getString(card(sid).length - 1) == mix,
+        s"shard $sid lang_mix: got ${card(sid)}, expected $mix")
+    }
   }
 
   test("appending packs never reassigns existing shards") {

@@ -258,13 +258,19 @@ class ScaleCanarySpec extends SparkTestBase {
 
   test("sharded trainer export at 100k docs: manifest invariants, read-back identity", Slow) {
     // the r11 export artifact at scale (VERDICT r10 task 2 'done'
-    // criterion as a canary): pack the full 100k-doc corpus, write
-    // fixed-count shards + manifest, and prove the artifact — dense
-    // contiguous pack ranges, member conservation, and a re-manifest
-    // FROM DISK identical to the one computed from the live frame
-    // (content digests included).
-    val withTok = docs.select(col("doc_id"), col("text"),
-      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    // criterion as a canary), r12: packed in the BPE DENOMINATION the
+    // trainer bills in (VERDICT r11 task 1 — the c16 composition at
+    // 100k docs): BPE-count the full corpus, write fixed-count shards +
+    // manifest, and prove the artifact — dense contiguous pack ranges,
+    // member conservation, a re-manifest FROM DISK identical to the one
+    // computed from the live frame (content digests included), and the
+    // per-shard language data card conserving the corpus.
+    val withTok = docs
+      .withColumn("lang", element_at(
+        array(lit("en"), lit("es"), lit("de")),
+        (col("doc_id") % 3 + 1).cast("int")))
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.bpe_token_count(col("text")).as("n_tokens"))
     val packs = graft.operators.Packing
       .assemblePacks(withTok, "doc_id", "n_tokens", "text", budget = 2048L)
     val dir = java.nio.file.Files
@@ -288,6 +294,16 @@ class ScaleCanarySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(back == manifest,
       "read-back manifest diverged from the live one — write infidelity")
+    // the language data card over the same members conserves the corpus:
+    // every doc appears in exactly one shard's lang_mix entry
+    val mixDocs = graft.operators.TrainerExport
+      .shardManifestWithCard(withTok, "doc_id", "n_tokens", "text", "lang",
+        packBudget = 2048L, packsPerShard = 64)
+      .select(col("lang_mix")).collect()
+      .flatMap(_.getString(0).split(","))
+      .map(_.split(":")(1).toLong).sum
+    assert(mixDocs == nDocs.toLong,
+      s"lang_mix must conserve the corpus: $mixDocs docs accounted")
     assert(secs < 120.0, f"export took $secs%.1f s at 100k docs")
   }
 
