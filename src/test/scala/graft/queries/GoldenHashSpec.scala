@@ -41,6 +41,10 @@ class GoldenHashSpec extends SparkTestBase {
     // tools/h3_recall_r11.txt); a dispatch or bucketing drift moves
     // the pinned recall
     "h3_text_knn_scale" -> (1L, "fda2dea7d3d0cfa6"),
+    // the byte-bound twin: same sampled queries through knnJoinIvfPq
+    // (recall 0.9133 ≥ floor 0.7 — tools/h4_recall_r12.txt); PQ code,
+    // ADC, or rescore-depth drift moves the pinned recall
+    "h4_text_knn_pq" -> (1L, "4cfbaaa7967a7370"),
     "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
 
   test("digest is partitioning/order independent; pair boundaries don't collide") {
@@ -84,6 +88,7 @@ class GoldenHashSpec extends SparkTestBase {
     "d4_simhash_pairs" -> "c015e8e4ac029638",
     "d9_semdedup" -> "f023a2b1aec517f2",
     "h3_text_knn_scale" -> "986470c5970ba7e5",
+    "h4_text_knn_pq" -> "545aae7504ec8fa9",
     "j2_simjoin_fuzzy" -> "53f9c25d8c7976b7")
 
   test("sf0.01 content hashes match GOLDENS.json (the driver-gate scale)") {
