@@ -1082,8 +1082,16 @@ object AnnSearch {
       listIdType: org.apache.spark.sql.types.DataType)
 
   private def ivfPqCoded(c: DataFrame, nlist: Int, m: Int, ksub: Int,
-      residual: Boolean, cacheSlot: String): IvfPqIndex = {
-    val sub = pqSubDim(c, m)
+      residual: Boolean, cacheSlot: String, dimHint: Int = -1): IvfPqIndex = {
+    // dimHint: skip the first-row dim probe job when the caller already
+    // knows the vector dimension (a stored feature table's build
+    // constant / sidecar — the knnJoin hint discipline); the
+    // divisibility check still runs either way
+    val sub =
+      if (dimHint > 0) {
+        require(dimHint % m == 0, s"dim $dimHint not divisible by m=$m")
+        dimHint / m
+      } else pqSubDim(c, m)
     val cents = ivfCentroids(c, nlist)
     val assigned = ivfAssign(c, cents)
     // codebooks train on what they will encode: residuals against the
@@ -1138,7 +1146,7 @@ object AnnSearch {
   def knnJoinIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       ksub: Int = 32, rescoreMult: Int = -1,
-      rowCountHint: Long = -1L): DataFrame = {
+      rowCountHint: Long = -1L, dimHint: Int = -1): DataFrame = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val c = ivfCorpus(corpus, idCol, vecCol)
     val mult =
@@ -1151,7 +1159,7 @@ object AnnSearch {
             .ADVISORY_PARTITION_SIZE_IN_BYTES))
       }
     val ix = ivfPqCoded(c, nlist, m, ksub, residual = true,
-      "AnnSearch.knnJoinIvfPq.codes")
+      "AnnSearch.knnJoinIvfPq.codes", dimHint = dimHint)
     val q0 = c.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
     val probes0 = probeLists(q0, ix.cents, nprobe,
       idTypeFallback = Some(ix.listIdType))

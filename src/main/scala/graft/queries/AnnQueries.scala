@@ -42,8 +42,12 @@ object AnnQueries {
     embStatsMemo.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
+      // headOption fallback (ADVICE r11): an empty or all-null/empty
+      // vector table degrades to dim 0 — the same graceful shape as
+      // knnJoin's own probe — instead of NoSuchElementException
       val dim = emb.select(size(col("embedding")).as("d"))
-        .where(col("d") > 0).head().getInt(0)
+        .where(col("d") > 0).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
       (n, dim)
     })
 

@@ -293,12 +293,13 @@ object TextQueries {
     // (see AnnSpec's TF-IDF case); a bucketing bug reads ~0.
     "h3_text_knn_scale" -> ((s, dir) => {
       val dense = s.read.parquet(tfidfVectorsPath(s, dir))
-      // dimHint: the vectorizer dimension is a build constant (64) —
-      // the hint kills knnJoin's first-row dim probe job; the row count
-      // it still derives is a footer-metadata read on the stored table
+      // dimHint: the vectorizer dimension is a build constant (64);
+      // rowCountHint: the memoized feature-table footer count
+      // (tfidfCount) — together they kill both of knnJoin's per-call
+      // probe jobs (the a14/h4 hint discipline, r12)
       val approx = graft.operators.AnnSearch.knnJoin(
           dense, "doc", "vec", k = 3, nlist = 16, nprobe = 6,
-          dimHint = 64)
+          rowCountHint = tfidfCount(s, dir), dimHint = 64)
         .where(col("query_id") % 10 === 0)
         .select(col("query_id"), col("neighbor_id"))
       val exact = textKnnExact(s, dir)
@@ -330,7 +331,7 @@ object TextQueries {
       val dense = s.read.parquet(tfidfVectorsPath(s, dir))
       val approx = graft.operators.AnnSearch.knnJoinIvfPq(
           dense, "doc", "vec", k = 3, nlist = 16, nprobe = 6,
-          rowCountHint = tfidfCount(s, dir))
+          rowCountHint = tfidfCount(s, dir), dimHint = 64)
         .where(col("query_id") % 10 === 0)
         .select(col("query_id"), col("neighbor_id"))
       val exact = textKnnExact(s, dir)
