@@ -260,6 +260,33 @@ object CurationQueries {
         packBudget = 1024L, packsPerShard = 4)
     }),
 
+    // QUALITY-CURRICULUM mixing (r12): the static quality-stratified
+    // token-budget mixture a curriculum/data-recipe pipeline samples —
+    // t12's fastText-shape quality score buckets the corpus
+    // (high/mid/low at the measured score quartile boundaries), then
+    // c8's deterministic hash-ordered per-stratum token budget selects
+    // within each bucket (budgets in whitespace tokens; the BPE
+    // denomination is c14/c16's axis). Pure composition of proven
+    // kernels -> full oracle: the t12 scoring CTE feeding the c8
+    // budget-window CTE.
+    "c17_quality_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"),
+        graft.functions.linear_text_score(
+          coalesce(col("text"), lit("")),
+          TextQueries.qualityModelWeights).as("quality_score"))
+      val bucketed = docs.withColumn("bucket",
+        when(col("quality_score") >= 8000, "high")
+          .when(col("quality_score") >= 0, "mid")
+          .otherwise("low"))
+      graft.operators.Splits.sampleByTokenBudget(
+        bucketed.select(col("doc_id"), col("bucket"), col("n_tokens"),
+          col("quality_score")),
+        "doc_id", "bucket", "n_tokens", "quality-mix-r12",
+        Map("high" -> 8000L, "mid" -> 4000L, "low" -> 1000L))
+    }),
+
     // deterministic 10/10/80 train-split assignment — membership is a
     // pure function of (salt, doc_id) via md5, so it survives reruns,
     // repartitioning, and engine migrations (operators/Splits)
@@ -917,6 +944,61 @@ object CurationQueries {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 4000
         |                             WHEN 'es' THEN 1500
         |                             ELSE 800 END""".stripMargin,
+
+    // the t12 scoring CTE (per-doc hashed-gram linear score), the
+    // quartile-boundary bucket CASE, then c8's hash-ordered
+    // per-stratum budget window
+    "c17_quality_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(ws) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(gram, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 2048 AS bkt
+        |  FROM g WHERE gram <> ''),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum((bkt * 2654435761) % 2003 - 1001) AS BIGINT) AS s
+        |  FROM b GROUP BY doc_id),
+        |d AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(coalesce(d.text, '')),
+        |                  '\s+')) END AS n_tokens,
+        |    coalesce(s, 0) AS q
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN q >= 8000 THEN 'high'
+        |         WHEN q >= 0 THEN 'mid' ELSE 'low' END AS bucket,
+        |    n_tokens, q
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens, q,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY substring(md5('quality-mix-r12:' ||
+        |               CAST(doc_id AS VARCHAR)), 1, 12), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM k)
+        |SELECT doc_id, bucket, n_tokens, q AS quality_score, cum_before
+        |FROM c
+        |WHERE cum_before < CASE bucket WHEN 'high' THEN 8000
+        |                               WHEN 'mid' THEN 4000
+        |                               ELSE 1000 END""".stripMargin,
 
     "c7_data_card" ->
       """WITH d AS (

@@ -346,6 +346,47 @@ object TextQueries {
           (col("r") >= 0.7).as("meets_contract"))
     }),
 
+    // HARD-NEGATIVE mining (r12): the retriever-training staple — for
+    // each sampled query document, the lexically-close (high BM25)
+    // documents that are NOT semantic positives. Composition of two
+    // proven retrieval legs: BM25 top-10 from the persisted postings
+    // index with the query docs' own text as the query set (t10's
+    // batch machinery), anti-joined against the dense positives (h2's
+    // exact cosine top-3 over the stored TF-IDF vectors) and the query
+    // itself, survivors re-ranked hardest-first (rscore DESC, the
+    // h1/t10 tie discipline) to the top-5 negatives per query. Both
+    // legs have exact DuckDB formulations, so the mined pairs are
+    // ORACLE-exact end-to-end. Scale shape: the BM25 leg is
+    // posting-shaped (query terms pushed into the stored index scan),
+    // the positive set is output-sized (|Q|·3), the anti-join
+    // broadcast-sized — nothing corpus-quadratic.
+    "h5_hard_negatives" -> ((s, dir) => {
+      val (post, dlen, n, avg) =
+        graft.pipeline.SilverIndex.bm25Index(s, bm25IndexPath(s, dir))
+      val queries = t(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"),
+          coalesce(col("text"), lit("")).as("qtext"))
+      val lex = graft.operators.TextSearch
+        .scoreBatchFromPostings(post, dlen, n, avg, queries,
+          "query_id", "qtext", k1 = 1.2, b = 0.75)
+        .select(col("query_id"), col("doc"),
+          round(col("score"), 6).as("rscore"))
+      val lexTop = graft.operators.AnnSearch
+        .rankedTopK(lex, "query_id", "doc", "rscore", 10)
+        .select(col("query_id"), col("doc").as("doc_id"), col("rscore"))
+      val pos = textKnnExact(s, dir)
+        .select(col("doc_id").as("query_id"),
+          col("neighbor_id").as("doc_id"))
+      val negs = lexTop
+        .join(pos, Seq("query_id", "doc_id"), "left_anti")
+        .where(col("query_id") =!= col("doc_id"))
+      graft.operators.AnnSearch
+        .rankedTopK(negs, "query_id", "doc_id", "rscore", 5)
+        .select(col("query_id"), col("doc_id").as("negative_id"),
+          col("rscore"), col("rank"))
+    }),
+
     // Inverted-index statistics build (TextSearch.postings/termStats):
     // per-term document frequency + collection frequency — the linear
     // posting-list construction keyword retrieval needs; integers, so
@@ -514,6 +555,100 @@ object TextQueries {
         |  FROM cosim)
         |SELECT qid AS doc_id, nid AS neighbor_id, rcos, rank
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // hard-negative mining: the t10 BM25 CTEs with the sampled docs'
+    // own text as the query set (lex top-10), the h2 dense CTEs for
+    // the positives (cosine top-3), anti-join + self-exclusion, then
+    // the hardest-first re-rank to 5 negatives per query
+    "h5_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
+        |qs AS (SELECT doc_id AS query_id, coalesce(text, '') AS qtext
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |qterm AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, unnest(string_split_regex(trim(
+        |             regexp_replace(regexp_replace(lower(qtext),
+        |               '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |               '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM qs) WHERE term <> ''),
+        |qp AS (SELECT * FROM post
+        |       WHERE term IN (SELECT DISTINCT term FROM qterm)),
+        |dft AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+        |w AS (SELECT qp.doc_id, qp.term,
+        |        (ln(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0)))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len) / avglen)) AS w
+        |      FROM qp JOIN dft USING (term) JOIN dlen USING (doc_id)
+        |        CROSS JOIN gstats),
+        |qw AS (SELECT qt.query_id, w.doc_id, w.w
+        |       FROM w JOIN qterm qt USING (term)),
+        |lsc AS (SELECT query_id, doc_id, round(sum(w), 6) AS rscore
+        |        FROM qw GROUP BY query_id, doc_id),
+        |lr AS (SELECT query_id, doc_id, rscore, row_number() OVER
+        |         (PARTITION BY query_id
+        |          ORDER BY rscore DESC, doc_id ASC) AS rank
+        |       FROM lsc),
+        |lex AS (SELECT query_id, doc_id, rscore FROM lr WHERE rank <= 10),
+        |hb AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 64 AS bucket,
+        |    tf
+        |  FROM post),
+        |bt AS (SELECT doc_id, bucket, CAST(sum(tf) AS BIGINT) AS btf
+        |       FROM hb GROUP BY doc_id, bucket),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM post),
+        |dfb AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+        |        FROM bt GROUP BY bucket),
+        |dw AS (
+        |  SELECT doc_id, bucket,
+        |    btf * (ln((n + 1.0) / (dfb + 1.0)) + 1.0) AS w
+        |  FROM bt JOIN dfb USING (bucket) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM dw GROUP BY doc_id),
+        |wn AS (SELECT doc_id, bucket, w / nm AS wt
+        |       FROM dw JOIN nrm USING (doc_id)),
+        |ds AS (SELECT DISTINCT doc_id FROM wn),
+        |dqs AS (SELECT doc_id FROM ds WHERE doc_id % 10 = 0),
+        |sp AS (
+        |  SELECT a.doc_id AS qid, b.doc_id AS nid, sum(a.wt * b.wt) AS c
+        |  FROM wn a JOIN wn b ON a.bucket = b.bucket
+        |    AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 10 = 0
+        |  GROUP BY a.doc_id, b.doc_id),
+        |cosim AS (
+        |  SELECT q.doc_id AS qid, n.doc_id AS nid,
+        |    round(coalesce(sp.c, 0), 6) AS rcos
+        |  FROM dqs q JOIN ds n ON q.doc_id <> n.doc_id
+        |  LEFT JOIN sp ON sp.qid = q.doc_id AND sp.nid = n.doc_id),
+        |hr AS (
+        |  SELECT qid, nid, rcos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rcos DESC, nid ASC) AS rank
+        |  FROM cosim),
+        |p3 AS (SELECT qid, nid FROM hr WHERE rank <= 3),
+        |neg AS (
+        |  SELECT l.query_id, l.doc_id, l.rscore FROM lex l
+        |  WHERE l.doc_id <> l.query_id
+        |    AND NOT EXISTS (SELECT 1 FROM p3
+        |                    WHERE p3.qid = l.query_id AND p3.nid = l.doc_id)),
+        |rr AS (SELECT query_id, doc_id, rscore, row_number() OVER
+        |         (PARTITION BY query_id
+        |          ORDER BY rscore DESC, doc_id ASC) AS rank
+        |       FROM neg)
+        |SELECT query_id, doc_id AS negative_id, rscore, rank
+        |FROM rr WHERE rank <= 5""".stripMargin,
 
     // the t13 tokenizer/postings CTEs; per-term bucket = the t12 fp31
     // list_reduce fold mod 64; smoothed idf + per-doc L2 norm
