@@ -54,7 +54,17 @@ object TrainerExport {
     * pack_text). Deterministic integers and hex digests end-to-end →
     * exact oracle. */
   def shardManifest(packs: DataFrame, packsPerShard: Int): DataFrame = {
-    val sharded = withShard(packs, packsPerShard)
+    // persist barrier (r12): the manifest reads the sharded frame in two
+    // branches (the per-shard aggregate and the exact-median quantiles),
+    // and on a LIVE lineage each branch would re-run everything upstream
+    // of the packs — for the gate composites that was the whole
+    // tokenize/pack chain re-evaluated per branch (17 source scans in
+    // c16's un-barriered plan). ManagedCache lifecycle: deterministic
+    // lineage (pack_id is a total order), LRU-released per call site.
+    // The at-scale path doesn't rely on this: writeShards manifests FROM
+    // the written artifact, one scan by construction.
+    val sharded = graft.ManagedCache.swap("TrainerExport.shardManifest",
+      withShard(packs, packsPerShard))
     val base = sharded.groupBy(col("shard_id")).agg(
       count(lit(1)).as("n_packs"),
       min(col("pack_id")).as("pack_id_min"),
@@ -94,8 +104,13 @@ object TrainerExport {
   def shardManifestWithCard(members: DataFrame, orderCol: String,
       tokensCol: String, textCol: String, langCol: String,
       packBudget: Long, packsPerShard: Int): DataFrame = {
-    val assigned = Packing.packByTokenBudget(
-      members, Seq(orderCol), tokensCol, packBudget)
+    // persist barrier on the per-member assignment (r12): the manifest
+    // half and the language roll-up both consume it, and the upstream
+    // members lineage (BPE counting, budget sampling in c16's shape) is
+    // exactly what must not re-run per consumer
+    val assigned = graft.ManagedCache.swap("TrainerExport.withCard",
+      Packing.packByTokenBudget(members, Seq(orderCol), tokensCol,
+        packBudget))
     val packs = Packing.assembleAssigned(assigned, orderCol, tokensCol,
       textCol)
     val manifest = shardManifest(packs, packsPerShard)
