@@ -482,6 +482,34 @@ object SilverIndex {
       k, nprobe)
   }
 
+  /** Metadata-FILTERED ANN against the persisted IVF index (r12): the
+    * vector-database "filtered search" semantics — top-k among only the
+    * members whose id appears in `eligible` (an attribute predicate
+    * resolved to an id frame by the caller: `labels.where(...)`). This
+    * is PRE-filtering done right for a frozen index: the filter
+    * composes as a semi-join into the assignment table BEFORE any
+    * scoring, so candidates are (probed lists ∩ eligible) — never
+    * score-then-discard, which silently returns < k eligible rows when
+    * the top-k is filter-heavy. The semi-join rides the same
+    * partition-pruned read the unfiltered path uses; at 10¹¹ vectors
+    * `eligible` is itself an indexed attribute scan and the semi-join
+    * hash-partitions on the 8-byte id. Results are exactly
+    * `ivfTopKFromIndex` over a corpus restricted to the eligible rows
+    * under the SAME frozen quantizer (the assignment is per-row;
+    * SilverIndexSpec pins subset + recall vs the filtered brute
+    * baseline). */
+  def ivfTopKFromIndexWhere(queries: DataFrame, idCol: String,
+      vecCol: String, path: String, k: Int, nprobe: Int,
+      eligible: DataFrame, eligibleIdCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCents(spark, path)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val members = ivfAssigned(spark, path).join(
+      eligible.select(col(eligibleIdCol).as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_semi")
+    AnnSearch.ivfTopKFromAssigned(q0, members, cents, k, nprobe)
+  }
+
   // ----------------------------------------------------------------- IVF-PQ
 
   private def bookPath(path: String) = s"$path/codebooks"

@@ -75,6 +75,26 @@ object AnnQueries {
         k = 5, bits = 8, tables = 8, probeHamming = 1)
     }),
 
+    // Metadata-FILTERED vector search (r12): top-k among only the
+    // members satisfying an attribute predicate (label = 2 — the
+    // embeddings table's own metadata column), with PRE-filter
+    // semantics: the filter composes before ranking, so the result is
+    // exactly the top-k of the eligible subset — never a post-filtered
+    // top-k that silently returns fewer than k eligible rows. This is
+    // the exact baseline (brute force over the filtered corpus, the a1
+    // oracle with the predicate pushed into the corpus CTE — full
+    // DuckDB oracle); the scale path is the SAME predicate as a
+    // semi-join into the persisted IVF index's assignment table
+    // (SilverIndex.ivfTopKFromIndexWhere — candidates are probed lists
+    // ∩ eligible; SilverIndexSpec pins subset + recall vs this exact
+    // baseline).
+    "a15_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.bruteForceTopK(
+        emb.where(col("vec_id") % 50 === 0),
+        emb.where(col("label") === 2), "vec_id", "embedding", k = 5)
+    }),
+
     "a3_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       AnnSearch.ivfTopK(
@@ -435,6 +455,19 @@ object AnnQueries {
         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
         |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cosine
         |      FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // the a1 CTEs with the metadata predicate pushed into the corpus
+    // side — pre-filter semantics, rank over eligible members only
+    "a15_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |           WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |      FROM q, embeddings e WHERE e.vec_id <> query_id AND e.label = 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,

@@ -49,4 +49,28 @@ class MultimodalSpec extends SparkTestBase {
     val empty = Multimodal.sampleFrames(payloads.where(col("id") === 3), "bin", 16, 1)
     assert(empty.count() == 0)
   }
+
+  test("cross-video frame dedup drops a shared frame from ALL carriers (m4)") {
+    val s = spark
+    import s.implicits._
+    // three 'videos' of two 8-byte frames each; frame "INTROCRD" is the
+    // planted boilerplate shared by videos 1 and 2; every other frame
+    // is unique to its carrier
+    val vids = Seq(
+      (1L, "INTROCRDaaaaaaaa"), (2L, "INTROCRDbbbbbbbb"),
+      (3L, "ccccccccdddddddd"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), encode(col("s"), "UTF-8").as("bin"))
+    val frames = Multimodal.sampleFrames(vids, "bin",
+      frameBytes = 8, stride = 1)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+    val kept = Dedup.dropRepeatedUnits(frames, "doc_id", "frame_md5",
+      maxDocFreq = 1)
+      .select("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the shared intro frame (idx 0 of videos 1 AND 2) is gone from
+    // both; every unique frame survives
+    assert(kept == Set((1L, 1), (2L, 1), (3L, 0), (3L, 1)), s"got $kept")
+  }
 }

@@ -99,6 +99,47 @@ class SilverIndexSpec extends SparkTestBase {
     assert(fromIndex.count() > 0)
   }
 
+  test("ivf filtered search: pre-filter semantics, subset, recall vs exact baseline") {
+    val path = tmp("silver-ivf-filtered")
+    SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16,
+      path = path)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val eligible = emb.where(col("label") === 2)
+    val got = SilverIndex.ivfTopKFromIndexWhere(q, "vec_id", "embedding",
+      path, k = 5, nprobe = 6, eligible, "vec_id").cache()
+
+    // pre-filter semantics: every returned neighbor is eligible, and
+    // queries return k rows whenever the probed lists hold >= k eligible
+    // members (a post-filtered top-k would silently return fewer)
+    val eligibleIds = eligible.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => eligibleIds(r.getLong(1))),
+      "filtered search returned an ineligible neighbor")
+
+    // identical to filtering the ASSIGNMENT table of the same frozen
+    // index up front — the semi-join is the predicate, nothing rescored
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scratch = AnnSearch.ivfAssign(
+      AnnSearch.ivfCorpus(eligible, "vec_id", "embedding"), cents)
+    val live = AnnSearch.ivfTopKFromAssigned(
+      q.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      scratch, cents, k = 5, nprobe = 6)
+    assert(rowSet(got) == rowSet(live),
+      "filtered-from-index must equal the same frozen index over the " +
+        "pre-filtered corpus")
+
+    // recall vs the exact filtered baseline (the a15 oracle shape)
+    val exact = AnnSearch.bruteForceTopK(q, eligible, "vec_id",
+      "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, f"filtered IVF recall $recall%.3f < 0.7 floor")
+    got.unpersist()
+  }
+
   test("ivf-pq: frozen-quantizer delta refresh == from-scratch; index-served == live composite") {
     val path = tmp("silver-ivfpq")
     val base = emb.where(col("vec_id") % 4 =!= 0)
