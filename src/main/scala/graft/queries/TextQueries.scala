@@ -378,8 +378,10 @@ object TextQueries {
       val pos = textKnnExact(s, dir)
         .select(col("doc_id").as("query_id"),
           col("neighbor_id").as("doc_id"))
+      // the positive set is |Q|·3 by construction (top-3 per sampled
+      // query) — broadcast it rather than let the anti-join sort-merge
       val negs = lexTop
-        .join(pos, Seq("query_id", "doc_id"), "left_anti")
+        .join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
         .where(col("query_id") =!= col("doc_id"))
       graft.operators.AnnSearch
         .rankedTopK(negs, "query_id", "doc_id", "rscore", 5)
