@@ -255,6 +255,58 @@ object TextSearch {
       stats, total)
   }
 
+  /** BIGRAM language-model surprisal with add-one smoothing — the
+    * sequence-aware upgrade of [[surprisalFromIndex]]'s unigram model
+    * (CCNet's actual filter is an LM perplexity; the corpus's own
+    * bigram distribution is the strongest model expressible without an
+    * external artifact): per document, `mean −ln P(w_i | w_{i−1})`
+    * with `P = (c(w_{i−1} w_i) + 1) / (c(w_{i−1}) + V)` over corpus
+    * counts and vocabulary size V. Low = phrase-level boilerplate
+    * (navigation chains, templates repeat bigrams verbatim), high =
+    * unusual word ORDER even when the unigrams are common — exactly
+    * what t13's bag-of-words model cannot see.
+    *
+    * Everything is built-in codegen'd expressions: tokens via the
+    * shared retrieval tokenizer, per-doc bigrams via `zip_with` over
+    * two array slices (no UDF, no explode-then-window), counts via two
+    * term-keyed aggregations. Scale shape: the bigram/unigram count
+    * tables are postings-shaped silver artifacts (a recurring pipeline
+    * persists them exactly like the t13 index; V and the count joins
+    * are term-keyed shuffles of count-table size, never corpus text).
+    * Deterministic ln/division at fixed group bags → exact oracle
+    * under round(…, 6), the t13 discipline.
+    * Output: doc, n_bigrams, mean_nll2 (unrounded). Documents with
+    * fewer than two tokens have no bigram evidence and are absent,
+    * like t13's empty docs. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .transform(Par.spread(_, col("doc")))
+      .select(col("doc"),
+        filter(tokens(col("__text")), w => w =!= "").as("ws"))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val bg = base
+      .select(col("doc"), explode(zip_with(
+        slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("doc", "bigram").agg(count(lit(1)).as("tf2"))
+    val uni = base.select(col("doc"), explode(col("ws")).as("lw"))
+    val cu = uni.groupBy("lw").agg(count(lit(1)).cast("long").as("cu"))
+    val v = uni.select(countDistinct(col("lw")).as("v"))
+    val cb = bg.groupBy("bigram")
+      .agg(sum(col("tf2")).cast("long").as("cb"))
+    bg.join(cb, "bigram")
+      .withColumn("lw", split(col("bigram"), " ").getItem(0))
+      .join(cu, "lw")
+      .crossJoin(broadcast(v))
+      .groupBy("doc")
+      .agg(sum(col("tf2")).cast("long").as("n_bigrams"),
+        (-sum(col("tf2") *
+            log((col("cb") + 1.0) /
+              (col("cu") + col("v")).cast("double"))) /
+          sum(col("tf2"))).as("mean_nll2"))
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling",
     * public): rank source documents by how target-domain-like their

@@ -245,6 +245,18 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("len"),
           round(col("mean_nll"), 6).as("mean_nll"))),
 
+    // Bigram-LM surprisal (r12): the sequence-aware quality signal —
+    // add-one-smoothed mean −ln P(w_i | w_{i−1}) over the corpus's own
+    // bigram distribution (TextSearch.bigramSurprisal). Catches
+    // phrase-level boilerplate and scrambled word order that t13's
+    // bag-of-words model cannot see. round(…,6) pins ln/division
+    // parity (the t13 discipline); full DuckDB oracle.
+    "t16_bigram_lm" -> ((s, dir) =>
+      graft.operators.TextSearch.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          round(col("mean_nll2"), 6).as("mean_nll2"))),
+
     // DSIR importance log-weights (Xie et al. 2023): rank every doc by
     // Σ tf·(ln p_target − ln p_source) with add-1 smoothing over the
     // source vocabulary, target = the corpus's own lang='en' slice (a
@@ -501,6 +513,38 @@ object TextQueries {
         |    AS mean_nll
         |FROM post JOIN stats USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the t13 tokenizer as a LIST (empties filtered before pairing),
+    // bigrams via the t12 range/list_transform pattern, two count
+    // tables + vocab size, the smoothed-ln mean at the same fixed
+    // group bags the Spark aggregation sums over
+    "t16_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ') AS ws0
+        |  FROM documents),
+        |wsf AS (SELECT doc_id, list_filter(ws0, w -> w <> '') AS ws
+        |        FROM toks),
+        |uni AS (SELECT doc_id, unnest(ws) AS term FROM wsf),
+        |cu AS (SELECT term AS lw, CAST(count(*) AS BIGINT) AS cu
+        |       FROM uni GROUP BY term),
+        |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM uni),
+        |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM wsf),
+        |bg AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf2
+        |       FROM bgx GROUP BY doc_id, bigram),
+        |cb AS (SELECT bigram, CAST(sum(tf2) AS BIGINT) AS cb
+        |       FROM bg GROUP BY bigram),
+        |j AS (SELECT bg.doc_id, bg.tf2, cb.cb, cu.cu
+        |      FROM bg JOIN cb USING (bigram)
+        |      JOIN cu ON cu.lw = string_split(bg.bigram, ' ')[1]),
+        |vj AS (SELECT j.*, vv.v FROM j CROSS JOIN vv)
+        |SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+        |  round(-sum(tf2 * ln((cb + 1.0) / CAST(cu + v AS DOUBLE)))
+        |    / sum(tf2), 6) AS mean_nll2
+        |FROM vj GROUP BY doc_id""".stripMargin,
 
     // the t15 CTEs through the UNROUNDED normalized weights, then the
     // SPARSE cosine (Σ w_a·w_b over shared buckets — the vectors are

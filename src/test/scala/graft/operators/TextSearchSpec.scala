@@ -400,4 +400,33 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
     assert(stats("the") == (3L, 4L))   // docs 1 (×2), 2, 4
     assert(!stats.contains(""))
   }
+
+  test("bigramSurprisal matches hand-computed add-one bigram NLLs") {
+    val s = spark
+    import s.implicits._
+    // corpus: doc 1 = "a b a", doc 2 = "b a", doc 3 = "" (no bigrams)
+    // unigrams: a×3, b×2, V = 2
+    // bigrams:  doc 1 {a b, b a}, doc 2 {b a} → c(a b)=1, c(b a)=2
+    // doc 1: −(ln((1+1)/(3+2)) + ln((2+1)/(2+2)))/2
+    // doc 2: −ln((2+1)/(2+2))
+    val docs = Seq((1L, "a b a"), (2L, "b, a"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextSearch.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toMap
+    val d1 = -(math.log(2.0 / 5) + math.log(3.0 / 4)) / 2
+    val d2 = -math.log(3.0 / 4)
+    assert(out.keySet == Set(1L, 2L), s"doc 3 has no bigram evidence: $out")
+    assert(out(1L) == (2L, math.rint(d1 * 1e6) / 1e6), s"got ${out(1L)}")
+    assert(out(2L) == (1L, math.rint(d2 * 1e6) / 1e6), s"got ${out(2L)}")
+    // template boilerplate (repeated bigrams) scores LOWER than novel
+    // word order over the same unigrams — the signal t13 cannot see
+    val tpl = (1L to 20L).map(i => (i, "home about contact home about"))
+    val odd = Seq((21L, "contact home about about home"))
+    val mixed = (tpl ++ odd).toDF("doc_id", "text")
+    val sc = TextSearch.bigramSurprisal(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) < sc(21L),
+      s"template ${sc(1L)} must score below scrambled ${sc(21L)}")
+  }
 }
