@@ -260,6 +260,21 @@ object CurationQueries {
         packBudget = 1024L, packsPerShard = 4)
     }),
 
+    // BPE merge-table INDUCTION (r12): the training half of the
+    // tokenizer story (c12/c14/c16 encode and budget with a FIXED
+    // table; this learns one) — Sennrich et al. 2016 greedy merge
+    // induction on a deterministic hash-ordered bounded sample (the
+    // quantizer-training discipline), word counts aggregated
+    // distributed, merge rounds driver-side on the weighted vocab.
+    // Deterministic strings + integers -> golden-pinned ×2 sfs (an
+    // iterative global-argmax train loop has no tractable SQL oracle;
+    // BpeTrainSpec holds the hand-computed truth + the learned-BPE
+    // structural invariant on real data).
+    "c18_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.learnedMergeTable(s,
+        t(s, dir, "documents"), "doc_id", "text",
+        numMerges = 32, maxTrainDocs = 2048)),
+
     // QUALITY-CURRICULUM mixing (r12): the static quality-stratified
     // token-budget mixture a curriculum/data-recipe pipeline samples —
     // t12's fastText-shape quality score buckets the corpus

@@ -34,6 +34,10 @@ class GoldenHashSpec extends SparkTestBase {
     "a5_ann_recall" -> (2L, "53a52499814a2b46"),
     "a6_incr_ivf" -> (50L, "fb1f0e7b543084a7"),
     "a9_ann_pq" -> (50L, "9b30196313781817"),
+    // learned merge table (32 rounds, 2048-doc hash sample) — training
+    // drift (sample, tie-break, counting) moves the pin; BpeTrainSpec
+    // holds the hand-computed truth + the structural invariant
+    "c18_bpe_train" -> (32L, "3ae1eef05d46f2f0"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
     // the a5-shape recall contract of the stored-TF-IDF knnJoin scale
@@ -85,6 +89,7 @@ class GoldenHashSpec extends SparkTestBase {
     "a5_ann_recall" -> "3ba15df77338632d",
     "a6_incr_ivf" -> "635a548f0b12b371",
     "a9_ann_pq" -> "1ba543ab527ee29a",
+    "c18_bpe_train" -> "eed8080744ca685a",
     "d4_simhash_pairs" -> "c015e8e4ac029638",
     "d9_semdedup" -> "f023a2b1aec517f2",
     "h3_text_knn_scale" -> "986470c5970ba7e5",
