@@ -60,6 +60,23 @@ object TemporalQueries {
         window = "30 minutes")
         .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
           col("view_id"), col("r_ts").as("view_ts"))
+    }),
+
+    // x3 (r12): item co-occurrence with PMI scoring over the events
+    // stream — the association statistic behavioral training pairs are
+    // mined from ("users who touched A also touched B"). Items come
+    // from the event props payload (the `k` attribute, extracted with
+    // the same regex in both engines); the per-user pair space is
+    // capped by the operator's power-user guard. Deterministic counts
+    // + one ln -> exact oracle under round(…,6) (operators/CoOccur).
+    "x3_covisit_pmi" -> ((s, dir) => {
+      val inc = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+      graft.operators.CoOccur
+        .itemPmi(inc, "user_id", "item", minUsers = 3,
+          maxItemsPerUser = 1000)
+        .select(col("item_a"), col("item_b"), col("n_co"),
+          round(col("pmi"), 6).as("rpmi"))
     })
   )
 
@@ -88,6 +105,29 @@ object TemporalQueries {
         |SELECT c.user_id, c.click_id, c.ts AS click_ts,
         |       v.view_id, v.ts AS view_ts
         |FROM c JOIN v ON c.user_id = v.user_id
-        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // distinct incidence, the power-user cap as a HAVING, per-user
+    // pair self-join, item counts + qualifying-user total, PMI
+    "x3_covisit_pmi" ->
+      """WITH inc0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '[0-9]+') AS INT) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL),
+        |q AS (SELECT u FROM inc0 GROUP BY u HAVING count(*) <= 1000),
+        |inc AS (SELECT inc0.* FROM inc0 JOIN q USING (u)),
+        |nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM inc),
+        |ci AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_co
+        |  FROM inc a JOIN inc b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING count(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.n_co,
+        |  round(ln(CAST(p.n_co AS DOUBLE) * n_users /
+        |    CAST(ca.c * cb.c AS DOUBLE)), 6) AS rpmi
+        |FROM p JOIN ci ca ON ca.i = p.item_a
+        |  JOIN ci cb ON cb.i = p.item_b
+        |  CROSS JOIN nn""".stripMargin
   )
 }
