@@ -793,4 +793,53 @@ object Dedup {
           col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Quality-aware canonical selection over near-dup clusters — the
+    * production dedup shape: instead of keeping an ARBITRARY survivor
+    * per duplicate cluster (the [[Components.nearDupComponents]]
+    * `component == id` convention), keep the BEST document under a
+    * caller-supplied ranking (longest, least punctuation-noisy, …).
+    * This is what corpus pipelines actually ship — near-dup clusters
+    * frequently contain one clean original and several truncated or
+    * boilerplate-wrapped copies, and min-doc_id survivorship keeps a
+    * random one of them.
+    *
+    * `rankCols` are compared as a struct, LARGEST wins; the caller must
+    * make the ranking total (end with a unique tiebreaker such as
+    * `-col(idCol)`), otherwise `keep` can mark several rows in a
+    * cluster.
+    *
+    * Scale shape: the pair generator and the O(log n) component closure
+    * are the dominant cost and are already bucketed ([[jaccardPairs]] /
+    * [[minhashLshPairs]] docs); the selection itself is one
+    * partial-aggregated `groupBy(component)` producing cluster-
+    * cardinality rows, then an equi-join back on `component` — AQE
+    * broadcasts the aggregated side whenever clusters ≪ docs (the
+    * common case; a window `row_number` would instead force a full
+    * sort per cluster and cannot be broadcast). The joined frame is
+    * computed once behind a [[ManagedCache]] barrier so the cluster
+    * lineage (pairs + closure) is not evaluated twice.
+    *
+    * Returns the input rows + `component` (cluster root id),
+    * `cluster_size`, and `keep` (1 for the per-cluster argmax, else 0).
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      rankCols: Seq[Column], aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    require(rankCols.nonEmpty, "keepBestPerCluster needs ranking columns")
+    graft.Reserved.requireNone(docs, "Dedup.keepBestPerCluster")
+    Seq("component", "cluster_size", "keep").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"keepBestPerCluster emits column '$c'; rename the input column"))
+    val ranked = graft.ManagedCache.swap("Dedup.keepBestPerCluster",
+      Components.nearDupComponents(docs, idCol, pairs, aCol, bCol)
+        .withColumn("__graft_rank", struct(rankCols: _*)))
+    val best = ranked.groupBy(col("component"))
+      .agg(max(col("__graft_rank")).as("__graft_best"),
+        count(lit(1)).as("cluster_size"))
+    ranked.join(best, Seq("component"))
+      .withColumn("keep",
+        (col("__graft_rank") === col("__graft_best")).cast("long"))
+      .drop("__graft_rank", "__graft_best")
+  }
 }

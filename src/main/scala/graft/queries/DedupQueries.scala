@@ -186,6 +186,28 @@ object DedupQueries {
             .cast("long").as("n_dropped_units"))
     }),
 
+    // Quality-aware canonical selection (the production dedup shape):
+    // d8's exact-Jaccard clusters, but the survivor per cluster is the
+    // BEST document — most words, then least punctuation-noisy, then
+    // lowest doc_id — not the arbitrary min-id root. Integer n_words +
+    // engine-exact punct_ratio (the t2 int/int division) keep the
+    // argmax deterministic in both engines; the DuckDB oracle re-derives
+    // the closure with its own recursive CTE and picks via row_number.
+    "d13_quality_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.5)
+      val withQ = docs
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextFunctions.qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("text"), col("m.n_words").as("n_words"),
+          col("m.punct_ratio").as("punct_ratio"))
+      Dedup.keepBestPerCluster(withQ, "doc_id", pairs,
+        Seq(col("n_words"), -col("punct_ratio"), -col("doc_id")))
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          col("n_words").cast("long").as("n_words"), col("keep"))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -367,6 +389,44 @@ object DedupQueries {
         |SELECT node AS doc_id, min(r) AS component,
         |       CAST(min(r) = node AS BIGINT) AS survivor
         |FROM reach GROUP BY node""".stripMargin,
+
+    // d13: the d8 closure CTEs verbatim, the t2 quality CTE, then an
+    // independent per-cluster argmax via row_number (n_words DESC,
+    // punct_ratio ASC, doc_id ASC); keep = rn 1.
+    "d13_quality_dedup" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+        |      FROM d),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |q AS (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE CAST(len(regexp_extract_all(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS DOUBLE) /
+        |                  CAST(length(text) AS DOUBLE) END AS punct_ratio
+        |      FROM documents),
+        |r2 AS (SELECT comp.doc_id, comp.component, q.n_words, q.punct_ratio,
+        |        row_number() OVER (PARTITION BY comp.component
+        |          ORDER BY q.n_words DESC, q.punct_ratio ASC, comp.doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY comp.component) AS cluster_size
+        |      FROM comp JOIN q ON comp.doc_id = q.doc_id)
+        |SELECT doc_id, component, cluster_size,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(rn = 1 AS BIGINT) AS keep
+        |FROM r2""".stripMargin,
 
     // d4_simhash_pairs: rows-only (no SQL-expressible oracle)
 

@@ -564,4 +564,43 @@ class DedupSpec extends SparkTestBase {
     // the slot swapped, not stacked: still one held frame for this call site
     assert(graft.ManagedCache.size == after1)
   }
+
+  test("keepBestPerCluster keeps exactly the best-ranked doc per cluster") {
+    val s = spark
+    import s.implicits._
+    // cluster {1,2,3}: 3 is longest; singleton 10; cluster {20,21}: tie on
+    // words, doc 20 wins the lowest-id tiebreak
+    val df = Seq(
+      (1L, "aa bb cc dd ee", 5L),
+      (2L, "aa bb cc dd ff", 5L),
+      (3L, "aa bb cc dd ee gg hh", 7L),
+      (10L, "zz yy xx ww vv", 5L),
+      (20L, "mm nn oo pp qq", 5L),
+      (21L, "mm nn oo pp rr", 5L)).toDF("doc_id", "text", "n_words")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBestPerCluster(df, "doc_id", pairs,
+      Seq(col("n_words"), -col("doc_id")))
+      .select("doc_id", "component", "cluster_size", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 3L, 0L)) && out(2L) == ((1L, 3L, 0L)))
+    assert(out(3L) == ((1L, 3L, 1L)), "longest doc wins the cluster")
+    assert(out(10L) == ((10L, 1L, 1L)), "singleton keeps itself")
+    assert(out(20L) == ((20L, 2L, 1L)) && out(21L) == ((20L, 2L, 0L)),
+      "word-count tie falls to the lowest id")
+    // exactly one survivor per component
+    val perComp = out.values.groupBy(_._1).map { case (_, vs) => vs.map(_._3).sum }
+    assert(perComp.forall(_ == 1L))
+  }
+
+  test("keepBestPerCluster rejects output-column collisions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L)).toDF("doc_id", "keep")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBestPerCluster(df, "doc_id", pairs, Seq(col("doc_id")))
+    }
+    assert(e.getMessage.contains("keep"))
+  }
 }
