@@ -305,7 +305,7 @@ object Bench {
     // a flaky fork is retried once; surviving forked passes are kept
     // (they are the i.i.d. samples) — only a total fork failure falls
     // back to the in-process mode, which is documented as inflating
-    // CPU-dense queries with JVM aging. In the (default) sliced shape a
+    // CPU-dense queries with JVM aging. In the (opt-in) sliced shape a
     // pass is the UNION of its slice forks; a slice that fails twice
     // drops its queries from that pass, and the missing-in-a-pass rule
     // below then marks them failed rather than quietly reporting a

@@ -58,7 +58,11 @@ object CoOccur {
       .join(ci.select(col("i").as("item_b"), col("c").as("__cb")), "item_b")
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"), col("n_co"),
+        // cast each count BEFORE multiplying: c_a·c_b as long·long wraps
+        // silently past Long.MaxValue (counts > ~3e9 each) under
+        // non-ANSI eval; double·double stays finite and correct
         log(col("n_co").cast("double") * col("n_users") /
-          (col("__ca") * col("__cb")).cast("double")).as("pmi"))
+          (col("__ca").cast("double") * col("__cb").cast("double")))
+          .as("pmi"))
   }
 }

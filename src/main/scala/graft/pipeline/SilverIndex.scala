@@ -626,7 +626,11 @@ object SilverIndex {
     * (VERDICT r11 task 8: no stat probe on a path whose sidecar already
     * knows the shape). */
   private def bookShape(
-      rows: Array[org.apache.spark.sql.Row]): (Int, Int) = {
+      rows: Array[org.apache.spark.sql.Row],
+      path: String): (Int, Int) = {
+    require(rows.nonEmpty,
+      s"codebook table at $path is empty — the index was never built " +
+        "or is corrupt; rebuild before querying")
     val m = rows.iterator.map(_.getInt(0)).toSet.size
     val sub = rows.iterator
       .map(r => Option(r.getAs[scala.collection.Seq[Any]](2))
@@ -677,7 +681,7 @@ object SilverIndex {
     // (m, sub) from the fingerprint-cached book rows (bookShape) — r11
     // ran a countDistinct/max aggregation JOB here on every call against
     // a table that froze at first build (VERDICT r11 task 8)
-    val (m, sub) = bookShape(loadBookRows(spark, path)._1)
+    val (m, sub) = bookShape(loadBookRows(spark, path)._1, path)
     val books = loadCodebooks(spark, path, m, sub)
     val codes = spark.read.parquet(codesPath(path))
       .withColumn("list_id",

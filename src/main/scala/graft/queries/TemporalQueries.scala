@@ -112,8 +112,9 @@ object TemporalQueries {
     "x3_covisit_pmi" ->
       """WITH inc0 AS (
         |  SELECT DISTINCT user_id AS u,
-        |    CAST(regexp_extract(props, '[0-9]+') AS INT) AS i
-        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL),
+        |    TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) IS NOT NULL),
         |q AS (SELECT u FROM inc0 GROUP BY u HAVING count(*) <= 1000),
         |inc AS (SELECT inc0.* FROM inc0 JOIN q USING (u)),
         |nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM inc),
@@ -125,7 +126,7 @@ object TemporalQueries {
         |  GROUP BY a.i, b.i HAVING count(*) >= 3)
         |SELECT p.item_a, p.item_b, p.n_co,
         |  round(ln(CAST(p.n_co AS DOUBLE) * n_users /
-        |    CAST(ca.c * cb.c AS DOUBLE)), 6) AS rpmi
+        |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS rpmi
         |FROM p JOIN ci ca ON ca.i = p.item_a
         |  JOIN ci cb ON cb.i = p.item_b
         |  CROSS JOIN nn""".stripMargin
