@@ -93,12 +93,47 @@ object Splits {
     val keyed = inBudget.withColumn("__hk", hashKey(col(idCol), salt))
     val summed = Packing.cumSumBeforeBy(keyed, Seq(stratumCol),
       Seq("__hk", idCol), tokensCol)
-    val budgetOf = budgets.toSeq.sortBy(_._1).map { case (s, b) =>
+    summed.where(col("cum_before") < budgetCase(stratumCol, budgets))
+      .drop("__hk")
+  }
+
+  /** The stratum → budget constant as one CASE column. */
+  private def budgetCase(stratumCol: String,
+      budgets: Map[String, Long]): Column =
+    budgets.toSeq.sortBy(_._1).map { case (s, b) =>
       (col(stratumCol) === s, lit(b)) }
       .foldLeft(Option.empty[Column]) { case (acc, (cond, b)) =>
         Some(acc.fold(when(cond, b))(_.when(cond, b)))
       }.get
-    summed.where(col("cum_before") < budgetOf).drop("__hk")
+
+  /** [[sampleByTokenBudget]] ordered by an IMPORTANCE WEIGHT instead of
+    * the uniform hash — importance RESAMPLING (the selection step DSIR
+    * weights exist for, Xie et al. 2023 §3: keep the highest-weighted
+    * documents until the target token budget fills). Within each stratum
+    * docs are taken by `weightCol` DESC (id ASC tie-break) while the
+    * running token total before the doc stays under the stratum budget —
+    * boundary doc kept, same overrun contract as the hash-ordered
+    * sibling. Deterministic given deterministic weights (pre-round
+    * weights to fixed precision if they must survive an engine
+    * migration). Same distributed-prefix-sum shape: one range
+    * repartition on (stratum, −weight, id), no single-task stratum
+    * window at any scale. Output: input columns ++ `cum_before`. */
+  def sampleTopByBudget(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, weightCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      s"budgets must be positive: $budgets")
+    require(!df.columns.contains("__nw"),
+      "input already has a __nw column — rename it first")
+    val inBudget = df.where(
+      col(stratumCol).isin(budgets.keys.toSeq.map(k => k: Any): _*))
+    // DESC via negation: cumSumBeforeBy orders ascending; −w asc == w
+    // desc (−0.0 and 0.0 compare equal in both engines, ties fall to id)
+    val keyed = inBudget.withColumn("__nw", -col(weightCol))
+    val summed = Packing.cumSumBeforeBy(keyed, Seq(stratumCol),
+      Seq("__nw", idCol), tokensCol)
+    summed.where(col("cum_before") < budgetCase(stratumCol, budgets))
+      .drop("__nw")
   }
 
   /** Adds `outCol` naming each row's split. `splits` are

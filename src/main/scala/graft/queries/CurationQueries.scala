@@ -275,6 +275,31 @@ object CurationQueries {
         t(s, dir, "documents"), "doc_id", "text",
         numMerges = 32, maxTrainDocs = 2048)),
 
+    // DSIR importance RESAMPLING (r13): the selection step the t14
+    // weights exist for (Xie et al. 2023 §3) — rank every doc by its
+    // importance log-weight (target = the corpus's en slice, served
+    // from the same persisted postings index as t13/t14) and keep the
+    // TOP-weighted docs per language until a token budget fills,
+    // budgets denominated in the same tokenizer's counts the weights
+    // were computed over. Pure composition of proven kernels -> full
+    // oracle: the t14 weight CTEs feeding a weight-DESC-ordered c8
+    // budget window (Splits.sampleTopByBudget — the importance-ordered
+    // sibling of the hash-ordered budget sampler).
+    "c19_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.operators.TextSearch.dsirLogWeights(
+          graft.pipeline.SilverIndex.postingsIndex(s,
+            TextQueries.bm25IndexPath(s, dir)),
+          docs.where(col("lang") === "en").select(col("doc_id")))
+        .select(col("doc").as("doc_id"), col("len"),
+          round(col("log_w"), 6).as("log_w"))
+      graft.operators.Splits.sampleTopByBudget(
+        docs.select(col("doc_id"), col("lang")).join(w, "doc_id")
+          .select(col("doc_id"), col("lang"), col("len"), col("log_w")),
+        "doc_id", "lang", "len", "log_w",
+        Map("en" -> 3000L, "es" -> 1200L, "de" -> 600L))
+    }),
+
     // QUALITY-CURRICULUM mixing (r12): the static quality-stratified
     // token-budget mixture a curriculum/data-recipe pipeline samples —
     // t12's fastText-shape quality score buckets the corpus
@@ -1014,6 +1039,57 @@ object CurationQueries {
         |WHERE cum_before < CASE bucket WHEN 'high' THEN 8000
         |                               WHEN 'mid' THEN 4000
         |                               ELSE 1000 END""".stripMargin,
+
+    // the t14 DSIR-weight CTEs (tokenizer/postings, two smoothed
+    // unigram models, per-doc tf-weighted log-ratio sum), then a
+    // weight-DESC-ordered c8 budget window per language
+    "c19_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |src AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf_s
+        |        FROM post GROUP BY term),
+        |tg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf_t
+        |       FROM post JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_s,
+        |               CAST(count(DISTINCT term) AS BIGINT) AS v
+        |        FROM post),
+        |tott AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS total_t
+        |         FROM post JOIN documents USING (doc_id)
+        |         WHERE lang = 'en'),
+        |lr AS (
+        |  SELECT term,
+        |    ln((coalesce(cf_t, 0) + 1.0) / (total_t + v)) -
+        |    ln((cf_s + 1.0) / (total_s + v)) AS lrv
+        |  FROM src LEFT JOIN tg USING (term)
+        |  CROSS JOIN tot CROSS JOIN tott),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len,
+        |    round(sum(tf * lrv), 6) AS log_w
+        |  FROM post JOIN lr USING (term)
+        |  GROUP BY doc_id),
+        |d AS (
+        |  SELECT w.doc_id, documents.lang, w.len, w.log_w
+        |  FROM w JOIN documents USING (doc_id)
+        |  WHERE lang IN ('en', 'es', 'de')),
+        |c AS (
+        |  SELECT doc_id, lang, len, log_w,
+        |    CAST(coalesce(sum(len) OVER (PARTITION BY lang
+        |      ORDER BY log_w DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, len, log_w, cum_before FROM c
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 3000
+        |                             WHEN 'es' THEN 1200
+        |                             ELSE 600 END""".stripMargin,
 
     "c7_data_card" ->
       """WITH d AS (

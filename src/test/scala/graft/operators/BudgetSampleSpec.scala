@@ -57,6 +57,54 @@ class BudgetSampleSpec extends SparkTestBase {
     }
   }
 
+  test("sampleTopByBudget: takes docs in weight-desc order until the budget fills") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (0L until 200L).map(i =>
+      (i, s"l${i % 2}", 10L + rng.nextInt(30), rng.nextDouble() * 10 - 5))
+      .toDF("doc_id", "lang", "n_tokens", "w")
+    val budgets = Map("l0" -> 300L, "l1" -> 500L)
+    val kept = Splits.sampleTopByBudget(df, "doc_id", "lang", "n_tokens",
+        "w", budgets)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // single-window reference: weight desc, id tie-break, exclusive sum
+    val want = df.withColumn("cb",
+        coalesce(sum(col("n_tokens")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("w").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect()
+      .filter(r => budgets.get(r.getString(1)).exists(r.getLong(4) < _))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.map(_._1).sorted.toSeq == want.map(_._1).sorted.toSeq)
+
+    // the kept set is exactly the top-weighted prefix: every kept doc's
+    // weight >= every dropped doc's weight within its stratum (modulo
+    // the id tie-break at the boundary)
+    budgets.keys.foreach { lang =>
+      val keptW = kept.filter(_._2 == lang).map(_._4)
+      val dropped = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+        .filter(t => t._2 == lang && !kept.exists(_._1 == t._1)).map(_._3)
+      assert(dropped.forall(dw => keptW.forall(_ >= dw)),
+        s"$lang kept a lower-weighted doc over a higher-weighted one")
+    }
+  }
+
+  test("sampleTopByBudget: deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 150L).map(i => (i, "x", 7L + i % 11,
+      (i * 37 % 50).toDouble))
+      .toDF("doc_id", "lang", "n_tokens", "w")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Splits.sampleTopByBudget(d, "doc_id", "lang", "n_tokens", "w",
+        Map("x" -> 400L)).collect().map(_.getLong(0)).toSet
+    assert(ids(df) == ids(df.repartition(9, col("doc_id"))))
+  }
+
   test("sampleByTokenBudget: deterministic under repartitioning; budgets nest") {
     val s = spark
     import s.implicits._
