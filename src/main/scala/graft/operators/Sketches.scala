@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+
+/** KMV (k-minimum-values) distinct-count sketch — the CROSS-ENGINE
+  * REPLAYABLE cardinality sketch (Bar-Yossef et al. 2002; the unbiased
+  * (k−1)/U₍ₖ₎ estimator from Beyer et al., SIGMOD 2007).
+  *
+  * Spark's built-in `approx_count_distinct` (HyperLogLog++) is the
+  * day-to-day answer (SketchesSpec pins its error contract), but its
+  * register layout is an engine implementation detail: no other system
+  * can reproduce or audit the estimate, and two engines never agree
+  * bit-for-bit. KMV is the portable alternative: the sketch IS the k
+  * lexicographically-smallest `md5` hashes of the key set (the
+  * [[Splits.hashKey]] engine-portability discipline — every engine's
+  * md5 of the same string agrees, lowercase-hex order == numeric
+  * order), so any engine can rebuild the identical sketch, merge
+  * sketches from different engines, and derive the identical estimate:
+  * with m < k distinct hashes the sketch is EXACT (est = m); otherwise
+  * est = (k−1) / U₍ₖ₎ where U₍ₖ₎ = (k-th smallest hash) / 16¹²,
+  * rel. std. error ≈ 1/√(k−2) (~9% at k=128).
+  *
+  * Scale shape: the aggregation state is a BOUNDED sorted vector of
+  * ≤ k 12-char strings held as a live object per (partition, group) —
+  * Spark's ObjectHashAggregate keeps typed-`Aggregator` buffers
+  * unserialized between rows — so the map side reduces each partition
+  * to ≤ k rows per group before the ONE shuffle of partial sketches
+  * (vs `countDistinct`'s shuffle of every distinct key: the sketch
+  * shuffle is O(groups·k), not O(distinct keys), the entire point at
+  * 100 TB). Per row the update is an O(1) reject against the current
+  * k-th minimum once the sketch warms, O(log k + k) copy on the rare
+  * insert. Merge is union-truncate — associative, commutative,
+  * duplicate-insensitive — so sketches parallelize across any
+  * partitioning and union across shards, days, or engines.
+  */
+object Sketches {
+
+  /** Hex digits kept per hash: 48 bits — collision-negligible for the
+    * estimator (P[any collision] ≈ k²/2⁴⁹ per group) and exact in a
+    * double (< 2⁵³), so the estimate arithmetic is portable too. */
+  val HexDigits = 12
+
+  /** 16¹² as a double — the hash-space size U₍ₖ₎ normalizes against. */
+  val Space: Double = 281474976710656.0
+
+  /** The per-row sketch key: first 12 lowercase-hex chars of
+    * md5(key-as-string). NULL keys yield NULL and are skipped by the
+    * aggregator (SQL COUNT(DISTINCT) semantics). */
+  def kmvHash(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, HexDigits)
+
+  /** Typed aggregate: the k smallest DISTINCT hash strings, ascending.
+    * Buffer = sorted bounded Vector (object-held between rows; encoded
+    * only for spill/shuffle). */
+  final class KmvAgg(k: Int)
+      extends Aggregator[String, Vector[String], Seq[String]] {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+
+    override def zero: Vector[String] = Vector.empty
+
+    override def reduce(b: Vector[String], h: String): Vector[String] =
+      insert(b, h)
+
+    // fold the smaller sketch into the larger; insert has set
+    // semantics, so the result is orientation-independent
+    override def merge(a: Vector[String], b: Vector[String]): Vector[String] =
+      if (a.length >= b.length) b.foldLeft(a)(insert)
+      else a.foldLeft(b)(insert)
+
+    override def finish(b: Vector[String]): Seq[String] = b
+
+    override def bufferEncoder: Encoder[Vector[String]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+
+    private def insert(b: Vector[String], h: String): Vector[String] = {
+      if (h == null) return b
+      // warm-path reject: not smaller than the current k-th minimum
+      if (b.length >= k && b.last <= h) return b
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid).compareTo(h) < 0) lo = mid + 1 else hi = mid
+      }
+      if (lo < b.length && b(lo) == h) b // already present
+      else {
+        val nb = (b.take(lo) :+ h) ++ b.drop(lo)
+        if (nb.length > k) nb.dropRight(1) else nb
+      }
+    }
+  }
+
+  /** The estimate from a sketch column (ascending array of ≤ k hashes):
+    * exact below k, (k−1)/U₍ₖ₎ at k. Shared by [[kmvDistinct]] and any
+    * consumer re-deriving the estimate from a STORED sketch. */
+  def kmvEstimate(kmins: Column, k: Int): Column =
+    when(size(kmins) < k, size(kmins).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Space) /
+        conv(element_at(kmins, -1), 16, 10).cast("long").cast("double"))
+
+  /** Per-group KMV sketch + estimate over `keyCol`. Output:
+    * `groupCols ++ (n_kept, kth_hash, kmins, est_distinct)` — `kmins`
+    * is the mergeable sketch itself (store it; union + re-aggregate
+    * re-derives the global sketch), `kth_hash` the k-th minimum the
+    * estimate divides by. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "kmvDistinct needs grouping columns")
+    val agg = udaf(new KmvAgg(k))
+    df.where(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(kmvHash(col(keyCol))).as("kmins"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("kmins")).as("n_kept"),
+        element_at(col("kmins"), -1).as("kth_hash"),
+        col("kmins"),
+        kmvEstimate(col("kmins"), k).as("est_distinct")): _*)
+  }
+}

@@ -230,6 +230,28 @@ object RelationalQueries {
         .select(col("c_nationkey"), lit("both").as("tag"))
         .unionByName(building.except(machinery)
           .select(col("c_nationkey"), lit("building_only").as("tag")))
+    }),
+
+    // KMV distinct sketch (r13): the cross-engine-replayable
+    // cardinality estimate — per event type, the k=128 smallest md5
+    // hashes of the user set, estimate (k−1)/U₍ₖ₎, checked against the
+    // exact countDistinct it replaces at scale (operators/Sketches;
+    // the sketch shuffle is O(groups·k) partial buffers, never the
+    // distinct keys). Deterministic hashes + IEEE doubles -> exact
+    // oracle: DuckDB rebuilds the identical sketch from the same md5s.
+    "k1_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+      val sk = graft.operators.Sketches.kmvDistinct(
+        ev, Seq("event_type"), "user_id", k = 128)
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      sk.join(exact, "event_type")
+        .select(col("event_type"), col("exact_d"), col("n_kept"),
+          col("kth_hash"),
+          round(col("est_distinct"), 6).as("est_distinct"),
+          round(abs(col("est_distinct") - col("exact_d")) /
+            col("exact_d"), 6).as("rel_err"))
     })
   )
 
@@ -384,6 +406,43 @@ object RelationalQueries {
         |SELECT c_nationkey, 'building_only' AS tag FROM (
         |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
-        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
+
+    // the sketch REBUILT in SQL: distinct md5-prefix hashes, the 128
+    // smallest per group via row_number, the k-th value parsed from hex
+    // by the rolling list_reduce, the same (k−1)·16¹²/v estimate
+    "k1_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 12) AS hk
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hk,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hk) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM h),
+        |kth AS (
+        |  SELECT event_type, CAST(least(m, 128) AS INT) AS n_kept,
+        |         hk AS kth_hash, m
+        |  FROM r WHERE rn = least(m, 128)),
+        |est AS (
+        |  SELECT event_type, n_kept, kth_hash,
+        |    CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |           / CAST(list_reduce(
+        |           list_transform(string_split(kth_hash, ''),
+        |             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |           (a, c) -> a * 16 + c) AS DOUBLE) END AS est0
+        |  FROM kth),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT e.event_type, ex.exact_d, e.n_kept, e.kth_hash,
+        |  round(est0, 6) AS est_distinct,
+        |  round(abs(est0 - exact_d) / exact_d, 6) AS rel_err
+        |FROM est e JOIN ex USING (event_type)""".stripMargin
   )
 }

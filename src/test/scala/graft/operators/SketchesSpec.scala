@@ -51,6 +51,51 @@ class SketchesSpec extends SparkTestBase {
     assert(fp <= fpp * 3, s"bloom fp rate $fp far beyond target $fpp")
   }
 
+  test("KMV: exact below k, unbiased-estimator error within 4/sqrt(k-2) at k") {
+    val s = spark
+    import s.implicits._
+    val k = 64
+    // two groups: one under k distinct (exact regime), one far over
+    val df = ((0L until 40L).map(i => ("small", i % 20)) ++
+      (0L until 8000L).map(i => ("big", i % 5000)))
+      .toDF("g", "key")
+    val got = Sketches.kmvDistinct(df, Seq("g"), "key", k)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getAs[Double]("est_distinct"))).toMap
+    assert(got("small") == ((20, 20.0)), "below k must be exact")
+    val (nk, est) = got("big")
+    assert(nk == k)
+    val err = math.abs(est - 5000.0) / 5000.0
+    info(s"k=$k est=$est err=$err")
+    assert(err <= 4.0 / math.sqrt(k - 2.0), s"KMV error $err beyond 4 sigma")
+  }
+
+  test("KMV: partition-invariant, and per-shard sketches merge to the whole") {
+    val s = spark
+    import s.implicits._
+    val k = 16
+    val df = (0L until 600L).map(i => ("g", i % 370)).toDF("g", "key")
+    def sketch(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      Sketches.kmvDistinct(d, Seq("g"), "key", k)
+        .select("kmins").head().getSeq[String](0)
+    val whole = sketch(df)
+    assert(whole == sketch(df.repartition(17, col("key"))),
+      "sketch must not depend on partitioning")
+
+    // store-and-merge consumer path: shard sketches, explode the stored
+    // hash arrays, re-aggregate through the same bounded insert
+    val shards = Sketches.kmvDistinct(df.where(col("key") % 2 === 0),
+        Seq("g"), "key", k)
+      .unionByName(Sketches.kmvDistinct(df.where(col("key") % 2 =!= 0),
+        Seq("g"), "key", k))
+    val merged = shards
+      .select(col("g"), explode(col("kmins")).as("h"))
+      .groupBy("g")
+      .agg(udaf(new Sketches.KmvAgg(k)).apply(col("h")).as("kmins"))
+      .head().getSeq[String](1)
+    assert(merged == whole, "merged shard sketches must equal the whole")
+  }
+
   test("count-min sketch overestimates only, within epsilon of total mass") {
     val eps = 0.001
     val cms = orders.stat.countMinSketch(col("o_orderpriority"),
