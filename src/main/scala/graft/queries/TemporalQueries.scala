@@ -77,6 +77,25 @@ object TemporalQueries {
           maxItemsPerUser = 1000)
         .select(col("item_a"), col("item_b"), col("n_co"),
           round(col("pmi"), 6).as("rpmi"))
+    }),
+
+    // x4 (r13): fixed-iteration PageRank over the user↔item incidence
+    // graph (x3's incidence, prefixed node ids, both edge directions so
+    // the bipartite walk mixes) — the whole-graph recursion sibling of
+    // d8's connected components. 3 rounds, d=0.85, per-round 12-decimal
+    // rounding in BOTH engines -> exact oracle as 3 unrolled CTEs
+    // (operators/PageRank).
+    "x4_pagerank" -> ((s, dir) => {
+      val inc = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("user_id").isNotNull && col("item").isNotNull)
+      val fwd = inc.select(
+        concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("i:"), col("item").cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.fixedIter(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
     })
   )
 
@@ -129,6 +148,51 @@ object TemporalQueries {
         |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS rpmi
         |FROM p JOIN ci ca ON ca.i = p.item_a
         |  JOIN ci cb ON cb.i = p.item_b
-        |  CROSS JOIN nn""".stripMargin
+        |  CROSS JOIN nn""".stripMargin,
+
+    // the PageRank recursion unrolled: distinct bipartite edges (both
+    // directions; prefixes keep the node spaces disjoint), out-degrees,
+    // then 3 rounds of contribution-sum + teleport, each rounded to 12
+    // decimals exactly as the operator does; all float constants forced
+    // through the same IEEE double ops Spark folds
+    "x4_pagerank" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+        |    'i:' || CAST(TRY_CAST(regexp_extract(props, '[0-9]+') AS INT)
+        |                 AS VARCHAR) AS dst
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) IS NOT NULL),
+        |e AS (SELECT src, dst FROM inc
+        |      UNION SELECT dst AS src, src AS dst FROM inc),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+        |pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+        |        FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT ed.dst AS node, sum(pr0.pr / ed.deg) AS m
+        |       FROM ed JOIN pr0 ON ed.src = pr0.node GROUP BY ed.dst),
+        |pr1 AS (SELECT nodes.node,
+        |  round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |    CAST(0.85 AS DOUBLE) * coalesce(c1.m, CAST(0 AS DOUBLE)), 12)
+        |    AS pr
+        |  FROM nodes LEFT JOIN c1 USING (node) CROSS JOIN nn),
+        |c2 AS (SELECT ed.dst AS node, sum(pr1.pr / ed.deg) AS m
+        |       FROM ed JOIN pr1 ON ed.src = pr1.node GROUP BY ed.dst),
+        |pr2 AS (SELECT nodes.node,
+        |  round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |    CAST(0.85 AS DOUBLE) * coalesce(c2.m, CAST(0 AS DOUBLE)), 12)
+        |    AS pr
+        |  FROM nodes LEFT JOIN c2 USING (node) CROSS JOIN nn),
+        |c3 AS (SELECT ed.dst AS node, sum(pr2.pr / ed.deg) AS m
+        |       FROM ed JOIN pr2 ON ed.src = pr2.node GROUP BY ed.dst),
+        |pr3 AS (SELECT nodes.node,
+        |  round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |    CAST(0.85 AS DOUBLE) * coalesce(c3.m, CAST(0 AS DOUBLE)), 12)
+        |    AS pr
+        |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
+        |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin
   )
 }
