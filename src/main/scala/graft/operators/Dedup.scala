@@ -726,18 +726,7 @@ object Dedup {
     * its own configuration). */
   def minhashPairsFromSets(sets: DataFrame, rowsPerBand: Int,
       theta: Double): DataFrame = {
-    // band count from the data, not a parameter: banding a stored index
-    // with a mismatched numHashes would silently change recall
-    val numBands = (size(col("sig")) / rowsPerBand).cast("int")
-    // band key = (band index, hash of the band's signature slice); the
-    // band join carries ids only — shingle arrays rejoin at verification
-    val banded = sets.select(col("doc"),
-      posexplode(transform(
-        sequence(lit(0), numBands - 1), b =>
-          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-
+    val banded = bandKeys(sets, rowsPerBand)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,
@@ -746,6 +735,52 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
 
+    verifyJaccard(candidates, sets.select(col("doc"), col("sh")), theta)
+  }
+
+  /** The LSH band keys of a signature frame: one (doc, band, bucket)
+    * row per band. Band count comes from the data, not a parameter:
+    * banding a stored index with a mismatched numHashes would silently
+    * change recall. Band key = (band index, hash of the band's
+    * signature slice); band rows carry ids only — shingle arrays rejoin
+    * at verification. */
+  private def bandKeys(sets: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numBands = (size(col("sig")) / rowsPerBand).cast("int")
+    sets.select(col("doc"),
+      posexplode(transform(
+        sequence(lit(0), numBands - 1), b =>
+          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** [[minhashPairsFromSets]] restricted to pairs INVOLVING a delta:
+    * candidates between `newIds` docs and the FULL signature frame
+    * (both orientations, canonicalized to doc_a < doc_b), then the same
+    * exact-Jaccard verification. This is the per-micro-batch kernel of
+    * STREAMING near-dup maintenance: run against the post-append
+    * signature table with the batch's genuinely-new ids, every near-dup
+    * pair is emitted exactly once — in the batch where its later-
+    * arriving member lands (old–old pairs were emitted in an earlier
+    * batch; new–new pairs collapse under the canonicalized distinct).
+    * Union over batches ≡ the from-scratch [[minhashPairsFromSets]]
+    * output. At scale the all-docs band side comes from the persisted
+    * signature table (band keys are per-doc deterministic, so a
+    * deployment can persist them append-only alongside the signatures);
+    * the join cost is ∝ bucket collisions with the delta, never the
+    * corpus pair space. */
+  def minhashPairsDelta(sets: DataFrame, newIds: DataFrame,
+      rowsPerBand: Int, theta: Double): DataFrame = {
+    val banded = bandKeys(sets, rowsPerBand)
+    val fresh = banded.join(
+      newIds.select(col(newIds.columns.head).as("doc")), Seq("doc"),
+      "left_semi")
+    val candidates = banded.alias("a").join(fresh.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
     verifyJaccard(candidates, sets.select(col("doc"), col("sh")), theta)
   }
 

@@ -751,6 +751,46 @@ object SilverIndex {
     streamingRefresh(docs, path)(
       refreshMinhash(_, idCol, textCol, n, numHashes, path))
 
+  /** Streaming NEAR-DUP detection: every micro-batch (1) appends its
+    * genuinely-new docs' signatures to the table at `sigPath` (the
+    * [[refreshMinhash]] anti-join discipline), then (2) emits the
+    * near-dup pairs INVOLVING those new docs against the full
+    * post-append signature table
+    * ([[graft.operators.Dedup.minhashPairsDelta]]) into `pairsPath`.
+    * Each pair lands exactly once — in the batch where its later-
+    * arriving member arrives — so the accumulated pairs table is
+    * row-identical to a from-scratch batch [[graft.operators
+    * .Dedup.minhashLshPairs]] over the same corpus (the s6 gate
+    * contract), and a REPLAYED batch (foreachBatch is at-least-once)
+    * finds zero new ids, appends zero signatures, and emits zero pairs
+    * — the same exactly-once-by-anti-join argument as
+    * [[streamingRefresh]], extended to the derived pair stream. The
+    * new-id frame is eagerly materialized BEFORE the signature append
+    * (localCheckpoint), since the append changes what the lazy
+    * anti-join would read. */
+  def streamingNearDupPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, rowsPerBand: Int,
+      theta: Double, sigPath: String, pairsPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.select(col(idCol).as("doc")).distinct()
+        val newIds = readIfData(spark, sigPath)
+          .fold(ids)(ix =>
+            ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
+          .localCheckpoint(true)
+        refreshMinhash(batch, idCol, textCol, n, numHashes, sigPath)
+        graft.operators.Dedup
+          .minhashPairsDelta(minhashIndex(spark, sigPath), newIds,
+            rowsPerBand, theta)
+          .write.mode("append").parquet(pairsPath)
+        ()
+      }
+      .option("checkpointLocation", s"$sigPath/_checkpoint")
+      .start()
+
   /** [[streamingRefresh]] pre-wired to [[refreshIvf]] (first batch
     * trains and freezes the quantizer, later batches assign-and-append
     * — the standard IVF append discipline under streaming arrival). */

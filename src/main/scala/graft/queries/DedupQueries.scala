@@ -225,7 +225,7 @@ object DedupQueries {
     })
   )
 
-  private val exactJaccardSql =
+  private[queries] val exactJaccardSql =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh

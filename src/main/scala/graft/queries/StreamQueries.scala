@@ -37,7 +37,43 @@ object StreamQueries {
       ()
     }
 
+  /** Near-dup pairs accumulated by REAL Structured Streaming (once per
+    * JVM + sf dir): the corpus arrives as three MemoryStream
+    * micro-batches through [[graft.pipeline.SilverIndex
+    * .streamingNearDupPairs]] — each batch appends its new signatures
+    * and emits only the pairs involving its new docs, so the
+    * accumulated pairs table equals the from-scratch d3 batch run. */
+  private[graft] def streamNearDupPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamneardup:$dir") { p =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.pipeline.SilverIndex.streamingNearDupPairs(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, numHashes = 64, rowsPerBand = 4, theta = 0.5,
+        s"$p/sig", s"$p/pairs")
+      try {
+        docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s6 (r13): STREAMING near-dup — d3's MinHash-LSH semantics under
+    // micro-batch arrival. Every pair is emitted exactly once (in the
+    // batch where its later member arrives), so the accumulated pairs
+    // table is row-identical to the batch run and d3's exact-Jaccard
+    // oracle applies verbatim (recall is total at these params, the d3
+    // adjudication).
+    "s6_stream_neardup" -> ((s, dir) =>
+      s.read.parquet(s"${streamNearDupPath(s, dir)}/pairs")),
+
     // BM25 served from the STREAMING-maintained index: semantically the
     // live-corpus score (delta≡scratch — the oracle neither knows nor
     // cares the index was folded in by micro-batches), ranks on
@@ -77,6 +113,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streaming accumulation ≡ the batch pair set — d3's oracle
+    "s6_stream_neardup" -> DedupQueries.exactJaccardSql,
+
     // the t11 lexical CTEs at the s5 term set — the streaming-built
     // index is semantically the live corpus score
     "s5_stream_index" ->
