@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Ordered-funnel analysis — the earliest step-by-step completion of an
+  * event sequence per user ("view → click → purchase"), the classic
+  * event-analytics operator behavioral pipelines report conversion
+  * from. The reference's event surface stops at windows/sessions
+  * (s1/s2); this is the cross-EVENT-TYPE ordering statistic.
+  *
+  * Semantics (greedy-earliest, the standard funnel definition): t₁ =
+  * the user's first step-1 event; tᵢ₊₁ = the first step-(i+1) event at
+  * or after tᵢ; a missing step leaves tᵢ₊₁ and every later step NULL.
+  * Greedy-earliest is deterministic and prefix-monotone (adding later
+  * events never changes an earlier tᵢ) — and relational: each step is
+  * one conditional min, so the whole funnel is SQL-replayable.
+  *
+  * Scale shape: one filtered aggregation per step plus a left join per
+  * transition, ALL keyed on the user column — k−1 co-keyed
+  * shuffle-joins for a k-step funnel, never a per-user sorted event
+  * collection (the collect_list alternative holds a user's whole
+  * history in one buffer — unbounded for power users; the join chain's
+  * state is one row per user per step). The step filter pushes to the
+  * scan, so each pass reads only its step's events. */
+object Funnel {
+
+  /** Per-user earliest completion times → (user, t1..tk, reached).
+    * `steps` are event-type values in funnel order (≥ 2). Output times
+    * are NULL where the funnel stalled; `reached` counts completed
+    * steps (≥ 1 by construction — users with no step-1 event have no
+    * row). */
+  def earliestCompletion(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size,
+      s"repeated step types are ambiguous: $steps")
+    val ev = events
+      .select(col(userCol).as("user"), col(typeCol).as("et"),
+        col(tsCol).as("ts"))
+      .where(col("user").isNotNull && col("ts").isNotNull &&
+        col("et").isin(steps.map(x => x: Any): _*))
+    var acc = ev.where(col("et") === steps.head)
+      .groupBy("user").agg(min(col("ts")).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val si = ev.where(col("et") === st)
+        .select(col("user"), col("ts").as("__ts"))
+      val prev = (1 to i).map(j => col(s"t$j"))
+      // left join keeps stalled users; a NULL tᵢ nulls the condition,
+      // so the min — and every later step — stays NULL
+      acc = acc.join(si, Seq("user"), "left")
+        .groupBy((col("user") +: prev): _*)
+        .agg(min(when(col("__ts") >= col(s"t$i"), col("__ts")))
+          .as(s"t${i + 1}"))
+    }
+    val reached = steps.indices.map(i => col(s"t${i + 1}").isNotNull
+      .cast("int")).reduce(_ + _)
+    acc.withColumn("reached", reached)
+  }
+}

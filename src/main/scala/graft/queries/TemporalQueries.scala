@@ -96,6 +96,21 @@ object TemporalQueries {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.PageRank.fixedIter(edges, "src", "dst", iters = 3)
         .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
+    // x5 (r13): ordered-funnel completion — per user, the earliest
+    // view → click → purchase chain (greedy-earliest conditional mins,
+    // one co-keyed join per transition; operators/Funnel). Stalled
+    // steps surface as the epoch sentinel (the x1 discipline).
+    "x5_funnel" -> ((s, dir) => {
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      graft.operators.Funnel.earliestCompletion(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("t1"),
+          coalesce(col("t2"), epoch).as("t2"),
+          coalesce(col("t3"), epoch).as("t3"),
+          col("reached"))
     })
   )
 
@@ -193,6 +208,37 @@ object TemporalQueries {
         |    CAST(0.85 AS DOUBLE) * coalesce(c3.m, CAST(0 AS DOUBLE)), 12)
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
-        |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin
+        |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // the funnel as three conditional mins: step 1 an aggregation,
+    // each transition a left join keyed on the user with the
+    // at-or-after condition; a NULL previous step nulls the condition
+    // and every later step
+    "x5_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |   AND e.ts >= s1.t1
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |   AND e.ts >= s2.t2
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, CAST(t1 AS TIMESTAMP) AS t1,
+        |  CAST(coalesce(t2, TIMESTAMP '1970-01-01 00:00:00')
+        |       AS TIMESTAMP) AS t2,
+        |  CAST(coalesce(t3, TIMESTAMP '1970-01-01 00:00:00')
+        |       AS TIMESTAMP) AS t3,
+        |  CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |       + CAST(t3 IS NOT NULL AS INT) AS INT) AS reached
+        |FROM s3""".stripMargin
   )
 }
