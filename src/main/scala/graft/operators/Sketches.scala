@@ -101,6 +101,57 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit(Space) /
         conv(element_at(kmins, -1), 16, 10).cast("long").cast("double"))
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005), with
+    * the same engine-portability contract as the KMV sketch: the d row
+    * hashes are md5-derived (`md5("row:key")` 12-hex prefix mod width),
+    * so any engine rebuilds the identical (row, bucket, cnt) table and
+    * derives the identical estimates — vs Spark's built-in
+    * `stat.countMinSketch`, whose seeded hash family is an
+    * implementation detail (SketchesSpec pins its error contract; this
+    * is the auditable/mergeable-across-engines variant). Estimates
+    * only ever OVERcount (collisions add, never subtract):
+    * est(x) = min over rows of cnt[row, h_row(x)], with
+    * P[overcount > 2N/width] < (1/2)^depth.
+    *
+    * Scale: the build is one narrow explode (×depth) into a groupBy —
+    * map-side combine bounds each partition's contribution at
+    * depth·width rows, so the shuffle is O(partitions·depth·width),
+    * never O(events). The sketch itself is depth·width rows — broadcast
+    * it to estimate: queries never shuffle. */
+  def cmsHash(key: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(row.toString), lit(":"),
+      key.cast("string")).cast("binary")), 1, HexDigits), 16, 10)
+      .cast("long") % width
+
+  /** The sketch table (row, bucket, cnt) over the BAG of keys (NULLs
+    * dropped); rows with multiplicity count multiply, matching
+    * frequency semantics. */
+  def cmsBuild(df: DataFrame, keyCol: String, width: Int,
+      depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1, s"bad CMS shape: $width x $depth")
+    df.where(col(keyCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsHash(col(keyCol), r, width)): _*)))
+      .groupBy(col("pos").as("row"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `keys` (deduped) against a sketch built with
+    * the same (width, depth): (key, est_n). The sketch side is
+    * broadcast — depth·width rows by construction. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      width: Int, depth: Int): DataFrame = {
+    val q = keys.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+      .select(col("key"), posexplode(array((0 until depth).map(r =>
+        cmsHash(col("key"), r, width)): _*)))
+      .withColumnRenamed("pos", "row")
+      .withColumnRenamed("col", "bucket")
+    q.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
   /** Per-group KMV sketch + estimate over `keyCol`. Output:
     * `groupCols ++ (n_kept, kth_hash, kmins, est_distinct)` — `kmins`
     * is the mergeable sketch itself (store it; union + re-aggregate

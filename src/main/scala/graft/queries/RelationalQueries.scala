@@ -252,6 +252,27 @@ object RelationalQueries {
           round(col("est_distinct"), 6).as("est_distinct"),
           round(abs(col("est_distinct") - col("exact_d")) /
             col("exact_d"), 6).as("rel_err"))
+    }),
+
+    // Count-Min frequency sketch (r13): k1's frequency sibling — item
+    // occurrence estimates from a 4×32 md5-hashed counter table
+    // (deliberately narrow so collisions and the overcount-only
+    // contract are visible in the output), checked against the exact
+    // per-item counts. Deterministic integers -> exact oracle: DuckDB
+    // rebuilds the identical counter table from the same md5s.
+    "k2_cms_freq" -> ((s, dir) => {
+      val items = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+      val sk = graft.operators.Sketches
+      val est = sk.cmsEstimate(sk.cmsBuild(items, "item", 32, 4),
+        items, "item", 32, 4)
+      val exact = items.groupBy("item")
+        .agg(count(lit(1)).cast("long").as("exact_n"))
+      est.join(exact, est("key") === exact("item"))
+        .select(col("item"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
     })
   )
 
@@ -443,6 +464,39 @@ object RelationalQueries {
         |SELECT e.event_type, ex.exact_d, e.n_kept, e.kth_hash,
         |  round(est0, 6) AS est_distinct,
         |  round(abs(est0 - exact_d) / exact_d, 6) AS rel_err
-        |FROM est e JOIN ex USING (event_type)""".stripMargin
+        |FROM est e JOIN ex USING (event_type)""".stripMargin,
+
+    // the counter table rebuilt in SQL: every occurrence × 4 row
+    // hashes (md5 '<row>:<item>' 12-hex prefix mod 32 via the rolling
+    // hex parse), counts per (row, bucket), estimate = min over the
+    // item's 4 buckets
+    "k2_cms_freq" ->
+      """WITH it AS (
+        |  SELECT TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS item
+        |  FROM events
+        |  WHERE props IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT)
+        |        IS NOT NULL),
+        |rws AS (SELECT unnest(range(0, 4)) AS r),
+        |h AS (
+        |  SELECT it.item, rws.r,
+        |    list_reduce(list_transform(string_split(substring(
+        |      md5(CAST(rws.r AS VARCHAR) || ':' ||
+        |          CAST(it.item AS VARCHAR)), 1, 12), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) % 32 AS bucket
+        |  FROM it CROSS JOIN rws),
+        |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM h GROUP BY r, bucket),
+        |qh AS (SELECT DISTINCT item, r, bucket FROM h),
+        |est AS (
+        |  SELECT qh.item, min(coalesce(sk.cnt, 0)) AS est_n
+        |  FROM qh LEFT JOIN sk ON qh.r = sk.r AND qh.bucket = sk.bucket
+        |  GROUP BY qh.item),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n
+        |       FROM it GROUP BY item)
+        |SELECT ex.item, ex.exact_n, est.est_n,
+        |  est.est_n - ex.exact_n AS overcount
+        |FROM est JOIN ex USING (item)""".stripMargin
   )
 }

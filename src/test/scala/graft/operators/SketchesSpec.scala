@@ -96,6 +96,41 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == whole, "merged shard sketches must equal the whole")
   }
 
+  test("portable CMS: overcount-only, per-row mass conservation, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 3000).map(_ => rng.nextInt(80).toLong)
+    val df = rows.toDF("k")
+    val (w, d) = (16, 4)
+    val sketch = Sketches.cmsBuild(df, "k", w, d)
+
+    // every row of counters carries the full mass
+    val perRow = sketch.groupBy("row").sum("cnt")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(perRow == Set(rows.size.toLong))
+
+    val exact = rows.groupBy(identity).map { case (k, xs) =>
+      k -> xs.size.toLong }
+    val est = Sketches.cmsEstimate(sketch, df, "k", w, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+    }
+    // with width >= distinct keys' spread, a wide sketch goes exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(df, "k", 4096, d), df, "k", 4096, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == exact, "wide CMS should be collision-free here")
+
+    val repart = Sketches.cmsBuild(df.repartition(13, col("k")), "k", w, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = sketch
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(repart == base)
+  }
+
   test("count-min sketch overestimates only, within epsilon of total mass") {
     val eps = 0.001
     val cms = orders.stat.countMinSketch(col("o_orderpriority"),
