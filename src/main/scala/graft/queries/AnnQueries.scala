@@ -102,6 +102,19 @@ object AnnQueries {
         k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // a16 (r13): engine-replayable fixed-iteration Lloyd k-means — the
+    // clustering primitive under SemDeDup blocks / IVF coarse
+    // quantizers, pinned (hash-rank init, sequential-fold distances,
+    // per-round 12-decimal centroid rounding) so the whole 2-round
+    // trajectory replays EXACTLY in DuckDB as unrolled CTEs (the
+    // x4 PageRank discipline applied to clustering).
+    "a16_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.KMeans.fixedIter(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist2"))
+    }),
+
     // kNN SELF-join: the whole corpus is the query set (kNN-graph
     // build), served by the partitioned list_id join — no broadcastable
     // side required. Deterministic (frozen Lloyd quantizer, exact
@@ -471,6 +484,56 @@ object AnnQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // the operator's trajectory unrolled: hash-rank init (c0), then
+    // per round assign (sequential zip-fold squared L2 rounded to 9,
+    // argmin with cluster-id tie-break) and update (per-dimension avg
+    // rounded to 12, rebuilt in index order) — the same rounding the
+    // Spark side applies, so every intermediate is engine-identical
+    "a16_kmeans" ->
+      """WITH data AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |h AS (SELECT id, v,
+        |        substring(md5('kmeans-init:' || CAST(id AS VARCHAR)), 1, 12) AS hk
+        |      FROM data),
+        |c0 AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, v AS cv
+        |       FROM h ORDER BY hk LIMIT 8),
+        |s0 AS (SELECT d.id, c0.c,
+        |         round(list_sum(list_transform(list_zip(d.v, c0.cv),
+        |               s -> (s[1] - s[2]) * (s[1] - s[2]))), 9) AS rd2
+        |       FROM data d CROSS JOIN c0),
+        |a0 AS (SELECT id, c, rd2 FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY id
+        |                     ORDER BY rd2, c) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |e1 AS (SELECT a.c AS c, unnest(generate_series(1, len(d.v))) AS i,
+        |              unnest(d.v) AS x
+        |       FROM a0 a JOIN data d ON a.id = d.id),
+        |m1 AS (SELECT c, i, round(avg(x), 12) AS m FROM e1 GROUP BY c, i),
+        |c1 AS (SELECT c, list(m ORDER BY i) AS cv FROM m1 GROUP BY c),
+        |s1 AS (SELECT d.id, c1.c,
+        |         round(list_sum(list_transform(list_zip(d.v, c1.cv),
+        |               s -> (s[1] - s[2]) * (s[1] - s[2]))), 9) AS rd2
+        |       FROM data d CROSS JOIN c1),
+        |a1 AS (SELECT id, c, rd2 FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY id
+        |                     ORDER BY rd2, c) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |e2 AS (SELECT a.c AS c, unnest(generate_series(1, len(d.v))) AS i,
+        |              unnest(d.v) AS x
+        |       FROM a1 a JOIN data d ON a.id = d.id),
+        |m2 AS (SELECT c, i, round(avg(x), 12) AS m FROM e2 GROUP BY c, i),
+        |c2 AS (SELECT c, list(m ORDER BY i) AS cv FROM m2 GROUP BY c),
+        |s2 AS (SELECT d.id, c2.c,
+        |         round(list_sum(list_transform(list_zip(d.v, c2.cv),
+        |               s -> (s[1] - s[2]) * (s[1] - s[2]))), 9) AS rd2
+        |       FROM data d CROSS JOIN c2),
+        |a2 AS (SELECT id, c, rd2 FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY id
+        |                     ORDER BY rd2, c) AS rn FROM s2)
+        |       WHERE rn = 1)
+        |SELECT id AS vec_id, c AS cluster, rd2 AS dist2 FROM a2""".stripMargin,
 
     // norm via list_inner_product on DOUBLE[] (same left-to-right
     // accumulation convention the a1/d5 oracles rely on); per-element
