@@ -154,4 +154,37 @@ object Splits {
     }.get.otherwise(lit(splits.last._1))
     df.withColumn(outCol, assigned)
   }
+
+  /** Deterministic EPOCH SHUFFLE — the between-epoch global reshuffle a
+    * training loader applies, as a portable (shard, pos) ADDRESS instead
+    * of an engine-private RNG permutation. Each row's address is a pure
+    * function of (salt, epoch, id): the row's key is
+    * md5("salt:epoch:id"); `shard` is the key's first 6 hex digits mod
+    * `nShards` (uniform buckets), `pos` the key's rank WITHIN the shard.
+    * A loader that streams shards 0..nShards-1, each in pos order, reads
+    * a uniform permutation of the corpus that (a) replays bit-for-bit on
+    * any engine and after any repartitioning, and (b) changes completely
+    * between epochs (the epoch is folded into the hash).
+    *
+    * Scale shape: the only movement is one hash-partition by shard plus
+    * a per-shard sort — the rank window never sees more than
+    * corpus/nShards rows, and no global total order is materialized.
+    * At 100 TB you size nShards to the loader's read parallelism
+    * (thousands); the per-shard sort is exactly the write-side sort the
+    * shard files need anyway. */
+  def epochShuffle(df: DataFrame, idCol: String, salt: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20]: $nShards")
+    require(epoch >= 0, s"epoch must be >= 0: $epoch")
+    val key = md5(concat(lit(salt), lit(":"), lit(epoch.toString), lit(":"),
+      col(idCol).cast("string")).cast("binary"))
+    val shard = (conv(substring(key, 1, 6), 16, 10).cast("long")
+      % nShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", key).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
 }

@@ -300,6 +300,20 @@ object CurationQueries {
         Map("en" -> 3000L, "es" -> 1200L, "de" -> 600L))
     }),
 
+    // c20 (r13): deterministic EPOCH SHUFFLE — the between-epoch global
+    // reshuffle a training loader applies, emitted as a portable
+    // (shard, pos) address (md5 of salt:epoch:id -> hash-bucket shard,
+    // in-shard rank) instead of an engine-private RNG permutation.
+    // Streaming shards 0..n-1 in pos order replays the same uniform
+    // permutation on any engine; a different epoch re-permutes
+    // completely. One hash-partition + per-shard sort, never a global
+    // total order (operators/Splits.epochShuffle).
+    "c20_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Splits.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", "epoch-shuffle-r13", epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // QUALITY-CURRICULUM mixing (r12): the static quality-stratified
     // token-budget mixture a curriculum/data-recipe pipeline samples —
     // t12's fastText-shape quality score buckets the corpus
@@ -1090,6 +1104,23 @@ object CurationQueries {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 3000
         |                             WHEN 'es' THEN 1200
         |                             ELSE 600 END""".stripMargin,
+
+    // the operator's address arithmetic verbatim: same md5 key, shard
+    // from the first 6 hex digits (DuckDB's 0x-cast == Spark's conv),
+    // pos as the in-shard rank with the same id tie-break
+    "c20_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('epoch-shuffle-r13:1:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |s AS (SELECT doc_id, hk,
+        |        CAST(CAST('0x' || substring(hk, 1, 6) AS BIGINT) % 8 AS INT)
+        |          AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM s""".stripMargin,
 
     "c7_data_card" ->
       """WITH d AS (

@@ -62,6 +62,52 @@ class SplitsSpec extends SparkTestBase {
     assert(run(df, "s2") != base)
   }
 
+  test("epochShuffle: dense per-shard positions, one address per row") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).toDF("id")
+    val got = Splits.epochShuffle(df, "id", "epoch-spec", epoch = 0,
+        nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 400 && got.map(_._1).distinct.length == 400)
+    // every shard's positions are exactly 1..count (a loader can stream
+    // shards in pos order with no gaps)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // rough uniformity across shards
+    assert(got.groupBy(_._2).values.forall(g =>
+      g.length > 50 && g.length < 150))
+  }
+
+  test("epochShuffle: replays across repartitioning; epochs re-permute") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Splits.epochShuffle(d, "id", "epoch-spec", epoch, nShards = 8)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+        .toMap
+    val e0 = run(df, 0)
+    assert(run(df.repartition(17), 0) == e0)
+    val e1 = run(df, 1)
+    assert(e1 != e0)
+    // the shuffle actually moves rows: most ids change address
+    assert(e0.count { case (id, addr) => e1(id) == addr } < 30)
+  }
+
+  test("epochShuffle: parameter guards") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 10L).toDF("id")
+    intercept[IllegalArgumentException](
+      Splits.epochShuffle(df, "id", "x", epoch = -1, nShards = 4))
+    intercept[IllegalArgumentException](
+      Splits.epochShuffle(df, "id", "x", epoch = 0, nShards = 0))
+  }
+
   test("thresholdHex rejects f >= 1.0 (13-hex-char silent mis-split guard)") {
     assert(Splits.thresholdHex(0.0) == "000000000000")
     assert(Splits.thresholdHex(0.5) == "800000000000")
