@@ -98,6 +98,14 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x6 (r13): weekly cohort retention — users cohorted by the ISO
+    // week of their first event, distinct-counted at each week offset
+    // (operators/Retention). Deterministic mins/distincts/date
+    // arithmetic -> exact oracle.
+    "x6_retention" -> ((s, dir) =>
+      graft.operators.Retention.weeklyCohorts(
+        t(s, dir, "events"), "user_id", "ts")),
+
     // x5 (r13): ordered-funnel completion — per user, the earliest
     // view → click → purchase chain (greedy-earliest conditional mins,
     // one co-keyed join per transition; operators/Funnel). Stalled
@@ -209,6 +217,21 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // the operator's two aggregations verbatim: per-user first week,
+    // distinct (user, week) activity, integer week offsets
+    "x6_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohorts AS (SELECT u, min(wk) AS cohort_week FROM ev GROUP BY u),
+        |active AS (SELECT DISTINCT u, wk FROM ev)
+        |SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+        |  CAST(datediff('day', c.cohort_week, a.wk) / 7 AS INT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+        |FROM active a JOIN cohorts c ON a.u = c.u
+        |GROUP BY 1, 2""".stripMargin,
 
     // the funnel as three conditional mins: step 1 an aggregation,
     // each transition a left join keyed on the user with the
