@@ -170,4 +170,52 @@ object Sketches {
         col("kmins"),
         kmvEstimate(col("kmins"), k).as("est_distinct")): _*)
   }
+
+  /** Deterministic hash-sample QUANTILE sketch — the third portable
+    * sketch next to KMV (distincts) and CMS (frequencies). Spark's
+    * `percentile_approx` (a GK variant) is the day-to-day answer, but
+    * its compaction schedule is an engine implementation detail: no
+    * other system reproduces its estimates. Here the sample IS the
+    * sketch: a row is in iff `md5(salt:id) < threshold(rate)` (the
+    * [[Splits]] purity contract — any engine draws the IDENTICAL
+    * sample), and each quantile is then RANK-EXACT over the sample
+    * (type-1/lower: the value at rank ⌈q·n⌉, ordered by value with the
+    * row's hash as tie-break) — pure row selection, no interpolation
+    * floats, so estimates replay bit-for-bit anywhere. Sample-quantile
+    * error concentrates as O(1/√(rate·N)) around the true quantile.
+    *
+    * Scale shape: the hash gate is a narrow codegen'd filter AT THE
+    * SCAN (only rate·N rows ever move); ranking is one window sort per
+    * group over the sample, and the rank targets join back per group —
+    * output is |groups|·|qs| rows. At 100 TB you size `rate` so a
+    * group's sample fits one partition (1e-5 of 1e12 rows = 1e7 — and
+    * the window never sees more than that); the UNSAMPLED alternative
+    * sorts the full corpus per group. */
+  def sampleQuantiles(df: DataFrame, idCol: Column, valCol: String,
+      groupCols: Seq[String], salt: String, rate: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "sampleQuantiles needs grouping columns")
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0, 1): $rate")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    val g = groupCols.map(col)
+    val sample = df
+      .where(col(valCol).isNotNull &&
+        Splits.hashKey(idCol, salt) < lit(Splits.thresholdHex(rate)))
+      .select(g :+ col(valCol).as("__v") :+
+        Splits.hashKey(idCol, salt).as("__hk"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"), col("__hk"))
+    val ranked = sample.withColumn("__rn", row_number().over(w))
+    val targets = sample.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_sample"))
+      .select(g :+ col("n_sample") :+
+        explode(array(qs.map(lit): _*)).as("q"): _*)
+      .withColumn("__rq", ceil(col("q") * col("n_sample")).cast("int"))
+    targets.join(ranked,
+        groupCols.map(c => targets(c) === ranked(c))
+          .reduce(_ && _) && col("__rq") === col("__rn"))
+      .select(groupCols.map(targets(_)) ++ Seq(col("q"),
+        col("n_sample"), col("__v").as("est_value")): _*)
+  }
 }

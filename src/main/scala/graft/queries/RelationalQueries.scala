@@ -273,7 +273,20 @@ object RelationalQueries {
       est.join(exact, est("key") === exact("item"))
         .select(col("item"), col("exact_n"), col("est_n"),
           (col("est_n") - col("exact_n")).as("overcount"))
-    })
+    }),
+
+    // Hash-sample quantile sketch (r13): the third portable sketch —
+    // k1 distincts, k2 frequencies, k3 QUANTILES. The deterministic
+    // md5 gate draws the identical 20% sample in any engine; each
+    // quantile is then rank-exact over the sample (value at ⌈q·n⌉,
+    // hash tie-break) — pure row selection, so the whole estimate
+    // replays bit-for-bit (operators/Sketches.sampleQuantiles).
+    "k3_quantile_sample" -> ((s, dir) =>
+      graft.operators.Sketches.sampleQuantiles(
+        t(s, dir, "lineitem"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        "l_extendedprice", Seq("l_returnflag"), "quantile-r13",
+        rate = 0.2, qs = Seq(0.25, 0.5, 0.75, 0.95)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +510,34 @@ object RelationalQueries {
         |       FROM it GROUP BY item)
         |SELECT ex.item, ex.exact_n, est.est_n,
         |  est.est_n - ex.exact_n AS overcount
-        |FROM est JOIN ex USING (item)""".stripMargin
+        |FROM est JOIN ex USING (item)""".stripMargin,
+
+    // the sketch rebuilt in SQL: same md5 sample gate (threshold(0.2)
+    // = '333333333333'), same (value, hash) rank order, same ⌈q·n⌉
+    // target ranks
+    "k3_quantile_sample" ->
+      """WITH sm AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    substring(md5('quantile-r13:' || CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12) AS hk
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND substring(md5('quantile-r13:' || CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+        |        < '333333333333'),
+        |r AS (SELECT l_returnflag, v, hk,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY v, hk) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |          AS n
+        |      FROM sm),
+        |t AS (SELECT DISTINCT l_returnflag, n FROM r),
+        |tq AS (SELECT l_returnflag, n AS n_sample,
+        |         unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                 CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q
+        |       FROM t)
+        |SELECT tq.l_returnflag, tq.q, tq.n_sample, r.v AS est_value
+        |FROM tq JOIN r ON r.l_returnflag = tq.l_returnflag
+        |  AND r.rn = CAST(ceil(tq.q * tq.n_sample) AS INT)""".stripMargin
   )
 }

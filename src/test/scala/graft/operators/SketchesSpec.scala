@@ -145,4 +145,64 @@ class SketchesSpec extends SparkTestBase {
         s"CMS overestimate for $k beyond eps bound: $est vs $n")
     }
   }
+
+  test("sampleQuantiles: estimates near truth, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // values ARE 0..9999, so the true q-quantile is ~q*10000
+    val df = (0L until 10000L).map(i => (i, i.toDouble)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.sampleQuantiles(d.withColumn("g", lit("all")),
+          org.apache.spark.sql.functions.col("id"), "v", Seq("g"),
+          "sq-spec", rate = 0.2, qs = Seq(0.25, 0.5, 0.95))
+        .collect().map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val got = run(df)
+    assert(got.size == 3)
+    // binomial sample size ~ 2000 ± a few sd
+    val n = got.head._2
+    assert(math.abs(n - 2000L) < 300, s"sample size $n")
+    // sample quantile concentrates: |est - q*10000| within ~5 sd
+    got.foreach { case (q, _, est) =>
+      val sd = math.sqrt(q * (1 - q) / n) * 10000
+      assert(math.abs(est - q * 10000) < 5 * sd + 10, s"q=$q est=$est")
+    }
+    // pure function of (salt, id): repartitioning changes nothing
+    assert(run(df.repartition(13)) == got)
+  }
+
+  test("sampleQuantiles: rank-exact selection matches a JVM replay") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("id", "v").withColumn("g", lit("x"))
+    val got = Sketches.sampleQuantiles(df,
+        org.apache.spark.sql.functions.col("id"), "v", Seq("g"),
+        "sq-spec2", rate = 0.3, qs = Seq(0.5))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    // replay: same md5 gate, same (value, hash) order, same ceil rank
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String =
+      md.digest(s"sq-spec2:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+    val thr = Splits.thresholdHex(0.3)
+    val sample = (0L until 500L)
+      .map(i => ((i * 37 % 101).toDouble, hk(i)))
+      .filter(_._2 < thr).sortBy(identity)
+    val want = sample(math.ceil(0.5 * sample.size).toInt - 1)._1
+    assert(got == ((sample.size.toLong, want)))
+  }
+
+  test("sampleQuantiles: parameter guards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "v").withColumn("g", lit("x"))
+    val id = org.apache.spark.sql.functions.col("id")
+    intercept[IllegalArgumentException](
+      Sketches.sampleQuantiles(df, id, "v", Seq.empty, "s", 0.2, Seq(0.5)))
+    intercept[IllegalArgumentException](
+      Sketches.sampleQuantiles(df, id, "v", Seq("g"), "s", 1.0, Seq(0.5)))
+    intercept[IllegalArgumentException](
+      Sketches.sampleQuantiles(df, id, "v", Seq("g"), "s", 0.2, Seq(1.5)))
+  }
 }
