@@ -102,6 +102,25 @@ object AnnQueries {
         k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // a17 (r13): MMR diversity re-ranking over a1's exact top-10 — the
+    // redundancy-suppression pass retrieval pipelines run before
+    // serving k results (operators/Mmr). Greedy trajectory pinned
+    // (9-decimal MMR rounding, id tie-breaks, the a1 cosine
+    // convention) -> exact oracle as 3 unrolled greedy CTEs.
+    "a17_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val top = AnnSearch.bruteForceTopK(
+        emb.where(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+        k = 10)
+      val cands = top.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      graft.operators.Mmr.rerank(cands, "query_id", "neighbor_id",
+          "cosine", "embedding", k = 3, lambda = 0.7)
+        .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+          col("mmr_score"))
+    }),
+
     // a16 (r13): engine-replayable fixed-iteration Lloyd k-means — the
     // clustering primitive under SemDeDup blocks / IVF coarse
     // quantizers, pinned (hash-rank init, sequential-fold distances,
@@ -484,6 +503,60 @@ object AnnQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // the greedy trajectory unrolled: a1's top-10 CTEs, then three
+    // picks — each an argmax over round(λ·rel − (1−λ)·maxSim, 9) with
+    // the id tie-break; λ terms built by the same IEEE ops as the
+    // operator's lit(0.7)/lit(1.0 − 0.7)
+    "a17_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, e.vec_id AS nid,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS rel,
+        |        CAST(e.embedding AS DOUBLE[]) AS v
+        |      FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |cand AS (SELECT query_id, nid, rel, v FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY rel DESC, nid ASC) AS rank FROM s)
+        |         WHERE rank <= 10),
+        |lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+        |               CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE) AS il),
+        |m1 AS (SELECT query_id, nid, v,
+        |         round(lam.l * rel - lam.il * CAST(0 AS DOUBLE), 9) AS mmr
+        |       FROM cand CROSS JOIN lam),
+        |p1 AS (SELECT query_id, nid, v, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, nid) AS rn FROM m1) WHERE rn = 1),
+        |r2 AS (SELECT c.query_id, c.nid, c.rel, c.v FROM cand c
+        |       LEFT JOIN p1 ON c.query_id = p1.query_id AND c.nid = p1.nid
+        |       WHERE p1.nid IS NULL),
+        |m2 AS (SELECT r.query_id, r.nid, r.v,
+        |         round(lam.l * r.rel -
+        |               lam.il * list_cosine_similarity(r.v, p1.v), 9) AS mmr
+        |       FROM r2 r JOIN p1 ON r.query_id = p1.query_id CROSS JOIN lam),
+        |p2 AS (SELECT query_id, nid, v, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, nid) AS rn FROM m2) WHERE rn = 1),
+        |sel2 AS (SELECT query_id, nid, v FROM p1
+        |         UNION ALL SELECT query_id, nid, v FROM p2),
+        |r3 AS (SELECT c.query_id, c.nid, c.rel, c.v FROM cand c
+        |       LEFT JOIN sel2 ON c.query_id = sel2.query_id
+        |         AND c.nid = sel2.nid
+        |       WHERE sel2.nid IS NULL),
+        |m3 AS (SELECT r.query_id, r.nid,
+        |         round(lam.l * r.rel -
+        |               lam.il * max(list_cosine_similarity(r.v, s.v)), 9)
+        |           AS mmr
+        |       FROM r3 r JOIN sel2 s ON r.query_id = s.query_id
+        |       CROSS JOIN lam
+        |       GROUP BY r.query_id, r.nid, r.rel, lam.l, lam.il),
+        |p3 AS (SELECT query_id, nid, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, nid) AS rn FROM m3) WHERE rn = 1)
+        |SELECT query_id, nid AS neighbor_id, CAST(1 AS INT) AS mmr_rank,
+        |       mmr AS mmr_score FROM p1
+        |UNION ALL SELECT query_id, nid, CAST(2 AS INT), mmr FROM p2
+        |UNION ALL SELECT query_id, nid, CAST(3 AS INT), mmr FROM p3""".stripMargin,
 
     // the operator's trajectory unrolled: hash-rank init (c0), then
     // per round assign (sequential zip-fold squared L2 rounded to 9,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class MmrSpec extends SparkTestBase {
+
+  private def run(rows: Seq[(String, Long, Double, Array[Float])], k: Int,
+      lambda: Double): Map[(String, Int), (Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("q", "id", "rel", "vec")
+    Mmr.rerank(df, "q", "id", "rel", "vec", k, lambda)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+  }
+
+  test("diversity beats a redundant higher-relevance candidate") {
+    val got = run(Seq(
+      ("Q", 1L, 0.9, Array(1f, 0f)),
+      // near-duplicate of 1: high rel but crowded out at round 2
+      ("Q", 2L, 0.85, Array(0.999f, 0.01f)),
+      ("Q", 3L, 0.5, Array(0f, 1f))), k = 2, lambda = 0.7)
+    assert(got(("Q", 1))._1 == 1L)           // plain relevance argmax
+    assert(got(("Q", 2))._1 == 3L,           // orthogonal beats near-dup
+      got.toString)
+    // pick-1 score is just lambda*rel
+    assert(math.abs(got(("Q", 1))._2 - 0.63) < 1e-9)
+    // pick-2 score: 0.7*0.5 - 0.3*cos((0,1),(1,0)) = 0.35
+    assert(math.abs(got(("Q", 2))._2 - 0.35) < 1e-9)
+  }
+
+  test("lambda = 1 reduces to plain relevance ranking") {
+    val got = run(Seq(
+      ("Q", 1L, 0.9, Array(1f, 0f)),
+      ("Q", 2L, 0.85, Array(0.999f, 0.01f)),
+      ("Q", 3L, 0.5, Array(0f, 1f))), k = 3, lambda = 1.0)
+    assert(got(("Q", 1))._1 == 1L && got(("Q", 2))._1 == 2L &&
+      got(("Q", 3))._1 == 3L)
+  }
+
+  test("per-query independence; short queries emit what they have") {
+    val got = run(Seq(
+      ("A", 1L, 0.9, Array(1f, 0f)), ("A", 2L, 0.1, Array(0f, 1f)),
+      ("B", 7L, 0.4, Array(1f, 1f))), k = 3, lambda = 0.7)
+    assert(got.keySet == Set(("A", 1), ("A", 2), ("B", 1)))
+    assert(got(("B", 1))._1 == 7L)
+  }
+
+  test("relevance ties break on the lower candidate id") {
+    val got = run(Seq(
+      ("Q", 9L, 0.5, Array(1f, 0f)),
+      ("Q", 4L, 0.5, Array(0f, 1f))), k = 1, lambda = 0.7)
+    assert(got(("Q", 1))._1 == 4L)
+  }
+
+  test("parameter guards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("Q", 1L, 0.5, Array(1f))).toDF("q", "id", "rel", "vec")
+    intercept[IllegalArgumentException](
+      Mmr.rerank(df, "q", "id", "rel", "vec", k = 0, lambda = 0.7))
+    intercept[IllegalArgumentException](
+      Mmr.rerank(df, "q", "id", "rel", "vec", k = 1, lambda = 0.0))
+    intercept[IllegalArgumentException](
+      Mmr.rerank(df, "q", "id", "rel", "vec", k = 1, lambda = 1.5))
+  }
+}
