@@ -738,6 +738,53 @@ object SilverIndex {
       .option("checkpointLocation", s"$path/_checkpoint")
       .start()
 
+  /** KMV sketch maintenance: fold a batch of (group, key) rows into the
+    * per-group sketch table at `path`/sketch — the streaming half of
+    * [[graft.operators.Sketches.kmvDistinct]] (the k1 sketch). The fold
+    * is union-truncate over the stored k-minima plus the batch's
+    * distinct hashes — associative, commutative, DUPLICATE-INSENSITIVE
+    * — so a replayed at-least-once micro-batch folds to the identical
+    * sketch (idempotence needs no anti-join here: the sketch itself
+    * absorbs duplicates), and the final table equals the from-scratch
+    * batch sketch REGARDLESS of arrival order or chunking (the s7 gate
+    * contract).
+    *
+    * Scale: the stored side is |groups|·k 12-char hashes, the batch
+    * side its own distinct hashes — each fold shuffles O(groups·k +
+    * batch-distinct) narrow rows, never historical raw keys (the whole
+    * point of maintaining the sketch instead of the key set). The new
+    * sketch is eagerly materialized (localCheckpoint) BEFORE the
+    * overwrite, since the lazy plan reads the table being replaced. */
+  def refreshKmv(batch: DataFrame, groupCol: String, keyCol: String,
+      k: Int, path: String): Refresh = {
+    val spark = batch.sparkSession
+    val sketchPath = s"$path/sketch"
+    val batchHashes = batch
+      .where(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        graft.operators.Sketches.kmvHash(col(keyCol)).as("hk"))
+      .distinct()
+    val all = readIfData(spark, sketchPath)
+      .map(_.select(col("grp"), explode(col("kmins")).as("hk")))
+      .fold(batchHashes)(batchHashes.unionByName(_).distinct())
+    val agg = udaf(new graft.operators.Sketches.KmvAgg(k))
+    val next = all.groupBy("grp").agg(agg(col("hk")).as("kmins"))
+      .localCheckpoint(true)
+    next.write.mode("overwrite").parquet(sketchPath)
+    val groups = next.count()
+    Refresh(groups, groups)
+  }
+
+  /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
+  def streamingRefreshKmv(rows: DataFrame, groupCol: String,
+      keyCol: String, k: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(rows, path)(refreshKmv(_, groupCol, keyCol, k, path))
+
+  /** The sketch table as stored: (grp, kmins). */
+  def kmvIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch")
+
   /** [[streamingRefresh]] pre-wired to [[refreshPostings]]. */
   def streamingRefreshPostings(docs: DataFrame, idCol: String,
       textCol: String, path: String)

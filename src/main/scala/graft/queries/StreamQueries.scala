@@ -64,7 +64,58 @@ object StreamQueries {
       ()
     }
 
+  /** KMV sketches maintained by REAL Structured Streaming (once per
+    * JVM + sf dir): (event_type, user_id) pairs arrive as three
+    * MemoryStream micro-batches folded into the sketch table by
+    * [[graft.pipeline.SilverIndex.streamingRefreshKmv]]'s
+    * union-truncate merge. */
+  private[graft] def streamKmvPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamkmv:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_type", "user_id").as[(String, Long)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = graft.pipeline.SilverIndex.streamingRefreshKmv(
+        source.toDF().toDF("event_type", "user_id"),
+        "event_type", "user_id", k = 128, path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s7 (r13): STREAMING distinct-count sketch — k1's KMV semantics
+    // under micro-batch arrival. The union-truncate fold is order- and
+    // duplicate-insensitive, so the maintained sketch is bit-identical
+    // to the from-scratch batch sketch and k1's oracle applies
+    // verbatim (same output shape, same estimator).
+    "s7_stream_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sk = graft.pipeline.SilverIndex
+        .kmvIndex(s, streamKmvPath(s, dir))
+      val est = sk.select(col("grp").as("event_type"),
+        size(col("kmins")).as("n_kept"),
+        element_at(col("kmins"), -1).as("kth_hash"),
+        graft.operators.Sketches.kmvEstimate(col("kmins"), 128)
+          .as("est"))
+      val exact = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_d"), col("n_kept"),
+          col("kth_hash"), round(col("est"), 6).as("est_distinct"),
+          round(abs(col("est") - col("exact_d")) / col("exact_d"), 6)
+            .as("rel_err"))
+    }),
     // s6 (r13): STREAMING near-dup — d3's MinHash-LSH semantics under
     // micro-batch arrival. Every pair is emitted exactly once (in the
     // batch where its later member arrives), so the accumulated pairs
@@ -115,6 +166,9 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // the streaming accumulation ≡ the batch pair set — d3's oracle
     "s6_stream_neardup" -> DedupQueries.exactJaccardSql,
+
+    // the maintained sketch ≡ the batch sketch — k1's oracle verbatim
+    "s7_stream_kmv" -> RelationalQueries.oracles("k1_kmv_distinct"),
 
     // the t11 lexical CTEs at the s5 term set — the streaming-built
     // index is semantically the live corpus score

@@ -160,4 +160,36 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(codesSet(streamPath) == codesSet(batchPath),
       "streamed IVF-PQ codes diverged from the batch-incremental build")
   }
+
+  test("streamed KMV == batch sketch; replayed batch folds to itself") {
+    val path = tmp("stream-kmv")
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i % 97))
+    val input = MemoryStream[(String, Long)]
+    val q = SilverIndex.streamingRefreshKmv(
+      input.toDF().toDF("grp", "key"), "grp", "key", k = 16, path = path)
+    try {
+      // adversarial chunking: overlapping duplicates across batches
+      input.addData(rows.take(200): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def sketchSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("kmins"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[String](1).toVector).toMap
+    val streamed = sketchSet(SilverIndex.kmvIndex(spark, path))
+    val batch = graft.operators.Sketches.kmvDistinct(
+        rows.toDF("grp", "key"), Seq("grp"), "key", k = 16)
+      .select(col("grp"), col("kmins"))
+    assert(streamed == sketchSet(batch),
+      "streamed KMV sketch diverged from the from-scratch batch sketch")
+
+    // explicit replay: folding an already-folded batch changes nothing
+    SilverIndex.refreshKmv(rows.take(200).toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    assert(sketchSet(SilverIndex.kmvIndex(spark, path)) == streamed,
+      "replayed fold mutated the sketch (duplicate-insensitivity broken)")
+  }
 }
