@@ -98,6 +98,15 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x7 (r13): first-order Markov transition matrix over per-user
+    // event-type sequences (ts order, event_id tie-break) — next-event
+    // statistics, t16's bigram-LM shape applied to behavior
+    // (operators/Markov). Integer counts + one division -> exact
+    // oracle under round(…,6).
+    "x7_markov" -> ((s, dir) =>
+      graft.operators.Markov.transitions(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")),
+
     // x6 (r13): weekly cohort retention — users cohorted by the ISO
     // week of their first event, distinct-counted at each week offset
     // (operators/Retention). Deterministic mins/distincts/date
@@ -217,6 +226,23 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // the operator's window verbatim: lead over (ts, event_id) per
+    // user, pair counts, window-normalized conditional probability
+    "x7_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT cur, next, CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM seq WHERE next IS NOT NULL GROUP BY cur, next)
+        |SELECT cur, next, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) /
+        |        sum(n_trans) OVER (PARTITION BY cur), 6) AS p
+        |FROM c""".stripMargin,
 
     // the operator's two aggregations verbatim: per-user first week,
     // distinct (user, week) activity, integer week offsets
