@@ -49,6 +49,53 @@ object TextSearch {
       .where(col("term") =!= "")
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings: (doc, term, pos) — pos is the 1-based token
+    * index under the same tokenization as [[postings]]. The substrate
+    * for phrase/proximity queries; ~len(doc) rows per doc instead of
+    * |vocab ∩ doc| (store it only if phrase search is served, the
+    * standard positional-index trade). */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .transform(Par.spread(_, col("doc")))
+      .select(col("doc"), posexplode(tokens(col("__text"))))
+      .where(col("col") =!= "")
+      .select(col("doc"), col("col").as("term"),
+        (col("pos") + 1).as("pos"))
+
+  /** Exact PHRASE match — docs where `phrase`'s terms appear at
+    * consecutive token positions, with the occurrence count:
+    * (doc, n_hits). Terms must arrive normalized (lowercase, no
+    * punctuation — the [[postings]] token form); overlapping
+    * occurrences count separately ("a a a" hits "a a" twice).
+    *
+    * Scale shape: the positional postings are FILTERED to the phrase's
+    * terms before anything joins (over a stored positional index that
+    * is a pushed `In(term, …)` — only the phrase's posting lists are
+    * ever read), then each adjacency is one (doc, pos)-keyed join of
+    * those lists with the position shifted — k−1 narrow joins for a
+    * k-term phrase, cost ∝ the posting lists, never the corpus. The
+    * filtered lists are scanned k times, so they sit behind a persist
+    * barrier. */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms: $phrase")
+    require(phrase.forall(w => w.nonEmpty && w == w.toLowerCase),
+      s"phrase terms must be normalized lowercase tokens: $phrase")
+    val pp = graft.ManagedCache.swap("TextSearch.phrase",
+      positionalPostings(df, idCol, textCol)
+        .where(col("term").isin(phrase.distinct: _*)))
+    val base = pp.where(col("term") === phrase.head)
+      .select(col("doc"), col("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(base) { case (acc, (w, i)) =>
+        acc.join(pp.where(col("term") === w)
+            .select(col("doc"), (col("pos") - i).as("pos")),
+          Seq("doc", "pos"))
+      }
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus term statistics: document frequency and collection
     * frequency per term. */
   def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

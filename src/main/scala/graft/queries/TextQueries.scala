@@ -245,6 +245,16 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("len"),
           round(col("mean_nll"), 6).as("mean_nll"))),
 
+    // t17 (r13): exact PHRASE search — consecutive-position match over
+    // positional postings (TextSearch.phraseMatch), the capability the
+    // bag-of-words BM25 family can't express. Each adjacency is one
+    // (doc, pos)-keyed join of the phrase terms' posting lists.
+    // Deterministic integers -> exact oracle.
+    "t17_phrase_search" -> ((s, dir) =>
+      graft.operators.TextSearch.phraseMatch(
+        t(s, dir, "documents"), "doc_id", "text", Seq("fast", "table"))
+        .select(col("doc").as("doc_id"), col("n_hits"))),
+
     // Bigram-LM surprisal (r12): the sequence-aware quality signal —
     // add-one-smoothed mean −ln P(w_i | w_{i−1}) over the corpus's own
     // bigram distribution (TextSearch.bigramSurprisal). Catches
@@ -513,6 +523,22 @@ object TextQueries {
         |    AS mean_nll
         |FROM post JOIN stats USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the t13 tokenizer as a LIST, adjacency checked directly on the
+    // 1-based positions (the operator's pos convention)
+    "t17_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id
+        |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE ws[i] = 'fast' AND ws[i+1] = 'table')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY doc_id""".stripMargin,
 
     // the t13 tokenizer as a LIST (empties filtered before pairing),
     // bigrams via the t12 range/list_transform pattern, two count

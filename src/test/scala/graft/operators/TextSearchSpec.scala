@@ -429,4 +429,43 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
     assert(sc(1L) < sc(21L),
       s"template ${sc(1L)} must score below scrambled ${sc(21L)}")
   }
+
+  test("phraseMatch: adjacency, overlap counting, normalization") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),          // two "a b" occurrences
+      (2L, "a c b"),              // both terms, never adjacent
+      (3L, "A, b! then A-b"),     // punctuation/case normalize away
+      (4L, "a a a"),              // overlapping "a a" twice
+      (5L, "")).toDF("doc_id", "text")
+    def run(phrase: String*) =
+      TextSearch.phraseMatch(docs, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("a", "b") == Map(1L -> 2L, 3L -> 2L))
+    assert(run("a", "a") == Map(4L -> 2L))
+    assert(run("a", "b", "c") == Map(1L -> 1L))
+    assert(run("b", "c", "a") == Map(1L -> 1L))
+    assert(run("c", "a", "b") == Map(1L -> 1L))
+    assert(run("x", "y").isEmpty)
+  }
+
+  test("phraseMatch guards: short or unnormalized phrases are rejected") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextSearch.phraseMatch(docs, "doc_id", "text", Seq("a")))
+    intercept[IllegalArgumentException](
+      TextSearch.phraseMatch(docs, "doc_id", "text", Seq("A", "b")))
+  }
+
+  test("positionalPostings: 1-based dense positions, postings-consistent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "The quick, quick dog")).toDF("doc_id", "text")
+    val got = TextSearch.positionalPostings(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(2), r.getString(1))).sorted.toSeq
+    assert(got == Seq(1 -> "the", 2 -> "quick", 3 -> "quick", 4 -> "dog"))
+  }
 }
