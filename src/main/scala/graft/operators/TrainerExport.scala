@@ -171,6 +171,28 @@ object TrainerExport {
       .where(col("shard_id") >= fromShard && col("shard_id") < untilShard)
   }
 
+  /** Per-EPOCH read plan over the immutable shard files — how a loader
+    * consumes the exported artifact shuffled differently every epoch
+    * WITHOUT rewriting a byte of it. Each pack gets its epoch-e address
+    * from [[Splits.epochShuffle]] (read_shard, pos — a pure function of
+    * (salt, epoch, pack_id)), alongside the FILE shard that physically
+    * holds it (the [[withShard]] assignment): a loader streams
+    * read_shards 0..n−1 in pos order and fetches each pack from its
+    * file_shard partition (the [[readShardRange]] pruned read). The
+    * plan is manifest-sized (|packs| rows, one hash partition + an
+    * in-shard rank), replays bit-for-bit on any engine, and a new epoch
+    * is a new salt fold — same cost, zero state, zero data movement.
+    * `packs` must carry `pack_id`. */
+  def epochReadManifest(packs: DataFrame, packsPerShard: Int,
+      salt: String, epoch: Int, readShards: Int): DataFrame = {
+    require(packsPerShard >= 1, s"packsPerShard must be >= 1: $packsPerShard")
+    val base = packs.select(col("pack_id"),
+      floor(col("pack_id") / packsPerShard).cast("long").as("file_shard"))
+    Splits.epochShuffle(base, "pack_id", salt, epoch, readShards)
+      .select(col("pack_id"), col("file_shard"),
+        col("shard").as("read_shard"), col("pos"))
+  }
+
   /** Recompute the manifest from a [[writeShards]] directory (shard_id
     * comes back as the partition column). Row-identical to the manifest
     * written alongside iff the artifact on disk is intact. */

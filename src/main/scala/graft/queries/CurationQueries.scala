@@ -300,6 +300,24 @@ object CurationQueries {
         Map("en" -> 3000L, "es" -> 1200L, "de" -> 600L))
     }),
 
+    // c21 (r13): the epoch shuffle composed over the TRAINER ARTIFACT —
+    // the per-epoch read plan a loader mounts: c15's packs addressed by
+    // c20's (read_shard, pos) permutation alongside the file shard that
+    // physically holds each pack (TrainerExport.epochReadManifest).
+    // Re-epoching rewrites nothing; the plan is manifest-sized. Oracle:
+    // the c15 pack CTEs feeding the c20 address CTEs.
+    "c21_epoch_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+      val packs = graft.operators.Packing
+        .assemblePacks(docs, "doc_id", "n_tokens", "text", budget = 2048L)
+      graft.operators.TrainerExport.epochReadManifest(packs,
+        packsPerShard = 4, salt = "epoch-read-r13", epoch = 1,
+        readShards = 8)
+    }),
+
     // c20 (r13): deterministic EPOCH SHUFFLE — the between-epoch global
     // reshuffle a training loader applies, emitted as a portable
     // (shard, pos) address (md5 of salt:epoch:id -> hash-bucket shard,
@@ -1104,6 +1122,35 @@ object CurationQueries {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 3000
         |                             WHEN 'es' THEN 1200
         |                             ELSE 600 END""".stripMargin,
+
+    // the c15 pack-id CTEs feeding the c20 address CTEs over pack_id
+    "c21_epoch_read" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |         END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      / 2048) AS BIGINT) AS pack_id
+        |  FROM tok),
+        |pk AS (SELECT DISTINCT pack_id FROM c),
+        |k AS (SELECT pack_id,
+        |        CAST(floor(CAST(pack_id AS DOUBLE) / 4) AS BIGINT)
+        |          AS file_shard,
+        |        md5('epoch-read-r13:1:' || CAST(pack_id AS VARCHAR)) AS hk
+        |      FROM pk),
+        |a AS (SELECT pack_id, file_shard, hk,
+        |        CAST(CAST('0x' || substring(hk, 1, 6) AS BIGINT) % 8 AS INT)
+        |          AS read_shard
+        |      FROM k)
+        |SELECT pack_id, file_shard, read_shard,
+        |  CAST(row_number() OVER (PARTITION BY read_shard
+        |                          ORDER BY hk, pack_id) AS BIGINT) AS pos
+        |FROM a""".stripMargin,
 
     // the operator's address arithmetic verbatim: same md5 key, shard
     // from the first 6 hex digits (DuckDB's 0x-cast == Spark's conv),

@@ -184,4 +184,34 @@ class TrainerExportSpec extends SparkTestBase {
     assert(m1.forall { case (k, v) => m2(k) == v },
       "append must be monotone: existing shards unchanged")
   }
+
+  test("epochReadManifest: every pack addressed once, dense per-shard") {
+    val p = packs()
+    val nPacks = p.count()
+    val plan = TrainerExport.epochReadManifest(p, packsPerShard = 2,
+        salt = "er-spec", epoch = 0, readShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(plan.length == nPacks.toInt &&
+      plan.map(_._1).distinct.length == nPacks.toInt)
+    // file_shard is the withShard assignment
+    plan.foreach { case (pid, fs, _, _) => assert(fs == pid / 2) }
+    // positions dense 1..count within each read shard
+    plan.groupBy(_._3).foreach { case (rs, rows) =>
+      assert(rs >= 0 && rs < 4)
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"read shard $rs positions not dense")
+    }
+  }
+
+  test("epochReadManifest: epochs re-permute, data layout untouched") {
+    val p = packs()
+    def run(epoch: Int) = TrainerExport.epochReadManifest(p, 2,
+        "er-spec", epoch, readShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    val (e0, e1) = (run(0), run(1))
+    assert(e0.keySet == e1.keySet) // same packs, same files
+    assert(e0 != e1, "epoch change must re-permute the read order")
+  }
 }
