@@ -401,6 +401,81 @@ class ScaleCanarySpec extends SparkTestBase {
     assert(served == live, "index-served IVF-PQ diverged from the live composite")
   }
 
+  test("epoch shuffle addresses 500k ids exactly once, dense, balanced", Slow) {
+    val s = spark
+    import s.implicits._
+    val n = 500000L
+    val addressed = graft.operators.Splits.epochShuffle(
+      s.range(n).toDF("id"), "id", "canary-epoch", epoch = 3,
+      nShards = 64)
+    // exactly one address per id
+    assert(addressed.count() == n)
+    // dense per-shard positions + balanced shards, checked DISTRIBUTED
+    // (max pos == count == distinct pos per shard; no driver collect of
+    // 500k rows)
+    val perShard = addressed.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        count_distinct(col("pos")).as("dp"))
+      .collect()
+    assert(perShard.length == 64)
+    perShard.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        s"shard ${r.getInt(0)} positions not dense: $r")
+      assert(math.abs(r.getLong(1) - n / 64) < 1000,
+        s"shard ${r.getInt(0)} unbalanced: ${r.getLong(1)}")
+    }
+  }
+
+  test("KMV sketches at 1M rows: per-group error inside the bound", Slow) {
+    val s = spark
+    import s.implicits._
+    // 4 groups × 250k rows each with known distinct cardinalities
+    // 1e3 / 1e4 / 1e5 / 2e5 (the in-group row index i/4 runs 0..250k-1,
+    // so `(i/4) mod card` covers every residue)
+    val card = Map("a" -> 1000L, "b" -> 10000L, "c" -> 100000L,
+      "d" -> 200000L)
+    val rows = s.range(1000000L).toDF("i").select(
+      element_at(array(card.keys.toSeq.sorted.map(lit): _*),
+        (pmod(col("i"), lit(4)) + 1).cast("int")).as("grp"),
+      pmod(floor(col("i") / 4),
+        element_at(array(card.toSeq.sortBy(_._1).map(c => lit(c._2)): _*),
+          (pmod(col("i"), lit(4)) + 1).cast("int"))).as("key"))
+    val got = graft.operators.Sketches
+      .kmvDistinct(rows, Seq("grp"), "key", k = 256)
+      .select(col("grp"), col("est_distinct")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    card.foreach { case (g, truth) =>
+      // 4/sqrt(k-2) ≈ 25% at k=256 — the SketchesSpec bound at scale
+      val rel = math.abs(got(g) - truth) / truth
+      assert(rel < 0.25, s"group $g: est ${got(g)} vs $truth (rel $rel)")
+    }
+  }
+
+  test("phrase search on 100k docs finds exactly the planted phrases", Slow) {
+    val s = spark
+    import s.implicits._
+    // every 97th doc carries "needle alpha omega" once; every 5000th
+    // twice (overlap-free); everyone shares the noise vocabulary
+    val docs = s.range(100000L).toDF("doc_id").select(col("doc_id"),
+      concat(
+        lit("noise words everywhere alpha omega needle spread "),
+        when(col("doc_id") % 97 === 0, lit("needle alpha omega "))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5000 === 0,
+          lit("needle alpha omega needle alpha omega "))
+          .otherwise(lit("")),
+        lit("tail filler tokens")).as("text"))
+    val hits = graft.operators.TextSearch.phraseMatch(
+        docs, "doc_id", "text", Seq("needle", "alpha", "omega"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 100000L).flatMap { i =>
+      val n = (if (i % 97 == 0) 1 else 0) + (if (i % 5000 == 0) 2 else 0)
+      if (n > 0) Some(i -> n.toLong) else None
+    }.toMap
+    assert(hits == want,
+      s"phrase hits diverged: ${hits.size} vs ${want.size} docs")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
