@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Retrieval evaluation — recall@k of an approximate result set against
+  * an exact baseline, as a first-class operator instead of ad-hoc gate
+  * code. Every approximate family here (LSH/IVF/PQ ANN, text-kNN,
+  * filtered search) carries recall contracts; this is the shared
+  * machinery those contracts compute, exposed so a user can score THEIR
+  * index configuration the same way the gate scores ours.
+  *
+  * Scale shape: both inputs are retrieval OUTPUTS (|queries|·k rows —
+  * output-sized, never corpus-sized), so the (query, item) equi-join
+  * and the per-query rollups are trivial at any corpus scale; the
+  * expensive part is producing the inputs, which is the retrieval
+  * operators' own (audited) cost. */
+object Eval {
+
+  /** Per-query recall@k → (q, n_exact, n_hit, recall). Rows with
+    * rank > k in either frame are ignored; queries present in `exact`
+    * but absent from `approx` score 0 (never silently dropped — an
+    * approximate index that LOSES a query is the failure recall must
+    * surface). recall = n_hit / n_exact rounded to 6 (n_exact can be
+    * < k when the corpus is small — recall is against what exact
+    * actually returned). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = approx.where(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(itemCol).as("i"))
+    val x = exact.where(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(itemCol).as("i"))
+    val nx = x.groupBy("q").agg(count(lit(1)).as("n_exact"))
+    val hits = x.join(a, Seq("q", "i"))
+      .groupBy("q").agg(count(lit(1)).as("n_hit"))
+    nx.join(hits, Seq("q"), "left")
+      .select(col("q"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class EvalSpec extends SparkTestBase {
+
+  private def df(rows: Seq[(String, Long, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("q", "item", "rank")
+  }
+
+  test("hand-computed recall: partial hits, lost queries, rank cutoff") {
+    val exact = df(Seq(
+      ("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 7L, 1), ("B", 8L, 2),
+      ("C", 9L, 1)))
+    val approx = df(Seq(
+      ("A", 2L, 1), ("A", 9L, 2), ("A", 3L, 4),   // rank 4 > k: ignored
+      ("B", 7L, 1), ("B", 8L, 2)))                 // perfect
+    // C absent from approx entirely -> recall 0, NOT dropped
+    val got = Eval.recallAtK(approx, exact, "q", "item", "rank", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "A" -> ((3L, 1L, 0.333333)),
+      "B" -> ((2L, 2L, 1.0)),
+      "C" -> ((1L, 0L, 0.0))))
+  }
+
+  test("recall is against what exact returned, not k") {
+    val exact = df(Seq(("A", 1L, 1)))              // n_exact = 1 < k
+    val approx = df(Seq(("A", 1L, 1), ("A", 2L, 2)))
+    val got = Eval.recallAtK(approx, exact, "q", "item", "rank", k = 5)
+      .collect()
+    assert(got.length == 1 && got.head.getDouble(3) == 1.0)
+  }
+
+  test("k guard") {
+    val d = df(Seq(("A", 1L, 1)))
+    intercept[IllegalArgumentException](
+      Eval.recallAtK(d, d, "q", "item", "rank", k = 0))
+  }
+}
