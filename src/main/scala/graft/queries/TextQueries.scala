@@ -382,6 +382,51 @@ object TextQueries {
     // posting-shaped (query terms pushed into the stored index scan),
     // the positive set is output-sized (|Q|·3), the anti-join
     // broadcast-sized — nothing corpus-quadratic.
+    // h6 (r13): RAG context assembly END-TO-END — the serving-side
+    // composition a retrieval pipeline actually runs per query: BM25
+    // top-8 from the persisted index (t10 machinery, self excluded),
+    // relevance normalized per query, MMR-diversified to 3 over the
+    // STORED TF-IDF vectors (a17 machinery), then the context string
+    // assembled in mmr_rank order with its token bill. Every stage is
+    // a proven kernel -> full oracle (the h5 lex CTEs + dense-vector
+    // reconstruction + the a17 greedy unroll + a string_agg roll-up).
+    "h6_rag_context" -> ((s, dir) => {
+      val (post, dlen, n, avg) =
+        graft.pipeline.SilverIndex.bm25Index(s, bm25IndexPath(s, dir))
+      val queries = t(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"),
+          coalesce(col("text"), lit("")).as("qtext"))
+      val lex = graft.operators.TextSearch
+        .scoreBatchFromPostings(post, dlen, n, avg, queries,
+          "query_id", "qtext", k1 = 1.2, b = 0.75)
+        .where(col("query_id") =!= col("doc"))
+        .select(col("query_id"), col("doc"),
+          round(col("score"), 6).as("rscore"))
+      val top = graft.operators.AnnSearch
+        .rankedTopK(lex, "query_id", "doc", "rscore", 8)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+      val cands = top
+        .withColumn("rel",
+          round(col("rscore") / max(col("rscore")).over(wq), 6))
+        .join(s.read.parquet(tfidfVectorsPath(s, dir)), "doc")
+      val sel = graft.operators.Mmr.rerank(cands, "query_id", "doc",
+        "rel", "vec", k = 3, lambda = 0.7)
+      val docsTx = t(s, dir, "documents")
+        .select(col("doc_id").as("doc"),
+          coalesce(col("text"), lit("")).as("dtext"))
+      sel.join(docsTx, "doc")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_ctx"),
+          sum(graft.functions.TextFunctions.tokenCount(col("dtext")))
+            .cast("long").as("context_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("mmr_rank"),
+              col("dtext")))),
+            x => x.getField("dtext")), " ").as("context_text"))
+    }),
+
     "h5_hard_negatives" -> ((s, dir) => {
       val (post, dlen, n, avg) =
         graft.pipeline.SilverIndex.bm25Index(s, bm25IndexPath(s, dir))
@@ -632,6 +677,129 @@ object TextQueries {
     // own text as the query set (lex top-10), the h2 dense CTEs for
     // the positives (cosine top-3), anti-join + self-exclusion, then
     // the hardest-first re-rank to 5 negatives per query
+    // the serving composition replayed end-to-end: the h5 lex CTEs
+    // (self-excluded top-8), per-query relevance normalization, the
+    // t15 bucket weights rebuilt as DENSE 64-vectors (so the cosines
+    // are the same dense folds the operator computes — the a17
+    // parity), the 3-pick greedy unroll, then the ordered string_agg
+    "h6_rag_context" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
+        |qs AS (SELECT doc_id AS query_id, coalesce(text, '') AS qtext
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |qterm AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, unnest(string_split_regex(trim(
+        |             regexp_replace(regexp_replace(lower(qtext),
+        |               '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |               '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM qs) WHERE term <> ''),
+        |qp AS (SELECT * FROM post
+        |       WHERE term IN (SELECT DISTINCT term FROM qterm)),
+        |dft AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+        |w AS (SELECT qp.doc_id, qp.term,
+        |        (ln(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0)))
+        |          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len) / avglen)) AS w
+        |      FROM qp JOIN dft USING (term) JOIN dlen USING (doc_id)
+        |        CROSS JOIN gstats),
+        |qw AS (SELECT qt.query_id, w.doc_id, w.w
+        |       FROM w JOIN qterm qt USING (term)),
+        |lsc AS (SELECT query_id, doc_id, round(sum(w), 6) AS rscore
+        |        FROM qw GROUP BY query_id, doc_id),
+        |lr AS (SELECT query_id, doc_id, rscore, row_number() OVER
+        |         (PARTITION BY query_id
+        |          ORDER BY rscore DESC, doc_id ASC) AS rank
+        |       FROM lsc WHERE query_id <> doc_id),
+        |lex AS (SELECT query_id, doc_id, rscore FROM lr WHERE rank <= 8),
+        |rel AS (SELECT query_id, doc_id,
+        |          round(rscore / max(rscore) OVER (PARTITION BY query_id), 6)
+        |            AS rel
+        |        FROM lex),
+        |hb AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 64 AS bucket,
+        |    tf
+        |  FROM post),
+        |bt AS (SELECT doc_id, bucket, CAST(sum(tf) AS BIGINT) AS btf
+        |       FROM hb GROUP BY doc_id, bucket),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM post),
+        |dfb AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+        |        FROM bt GROUP BY bucket),
+        |dw AS (
+        |  SELECT doc_id, bucket,
+        |    btf * (ln((n + 1.0) / (dfb + 1.0)) + 1.0) AS w
+        |  FROM bt JOIN dfb USING (bucket) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM dw GROUP BY doc_id),
+        |wn AS (SELECT doc_id, bucket, w / nm AS wt
+        |       FROM dw JOIN nrm USING (doc_id)),
+        |cd AS (SELECT DISTINCT doc_id FROM lex),
+        |grid AS (SELECT cd.doc_id, gs.b
+        |         FROM cd, unnest(generate_series(0, 63)) AS gs(b)),
+        |dv AS (SELECT g.doc_id, list(coalesce(wn.wt, 0) ORDER BY g.b) AS v
+        |       FROM grid g LEFT JOIN wn ON wn.doc_id = g.doc_id
+        |         AND wn.bucket = g.b
+        |       GROUP BY g.doc_id),
+        |cand AS (SELECT r.query_id, r.doc_id, r.rel, dv.v
+        |         FROM rel r JOIN dv ON dv.doc_id = r.doc_id),
+        |lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+        |               CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE) AS il),
+        |m1 AS (SELECT query_id, doc_id, v,
+        |         round(lam.l * rel - lam.il * CAST(0 AS DOUBLE), 9) AS mmr
+        |       FROM cand CROSS JOIN lam),
+        |p1 AS (SELECT query_id, doc_id, v, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, doc_id) AS rn FROM m1) WHERE rn = 1),
+        |r2 AS (SELECT c.query_id, c.doc_id, c.rel, c.v FROM cand c
+        |       LEFT JOIN p1 ON c.query_id = p1.query_id AND c.doc_id = p1.doc_id
+        |       WHERE p1.doc_id IS NULL),
+        |m2 AS (SELECT r.query_id, r.doc_id, r.v,
+        |         round(lam.l * r.rel -
+        |               lam.il * list_cosine_similarity(r.v, p1.v), 9) AS mmr
+        |       FROM r2 r JOIN p1 ON r.query_id = p1.query_id CROSS JOIN lam),
+        |p2 AS (SELECT query_id, doc_id, v, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, doc_id) AS rn FROM m2) WHERE rn = 1),
+        |sel2 AS (SELECT query_id, doc_id, v FROM p1
+        |         UNION ALL SELECT query_id, doc_id, v FROM p2),
+        |r3 AS (SELECT c.query_id, c.doc_id, c.rel, c.v FROM cand c
+        |       LEFT JOIN sel2 ON c.query_id = sel2.query_id
+        |         AND c.doc_id = sel2.doc_id
+        |       WHERE sel2.doc_id IS NULL),
+        |m3 AS (SELECT r.query_id, r.doc_id,
+        |         round(lam.l * r.rel -
+        |               lam.il * max(list_cosine_similarity(r.v, s.v)), 9) AS mmr
+        |       FROM r3 r JOIN sel2 s ON r.query_id = s.query_id CROSS JOIN lam
+        |       GROUP BY r.query_id, r.doc_id, r.rel, lam.l, lam.il),
+        |p3 AS (SELECT query_id, doc_id, mmr FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY mmr DESC, doc_id) AS rn FROM m3) WHERE rn = 1),
+        |sel AS (SELECT query_id, doc_id, 1 AS mmr_rank FROM p1
+        |        UNION ALL SELECT query_id, doc_id, 2 FROM p2
+        |        UNION ALL SELECT query_id, doc_id, 3 FROM p3)
+        |SELECT s.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_ctx,
+        |  CAST(sum(CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(coalesce(d.text, '')),
+        |                    '\s+')) END) AS BIGINT) AS context_tokens,
+        |  string_agg(coalesce(d.text, ''), ' ' ORDER BY s.mmr_rank)
+        |    AS context_text
+        |FROM sel s JOIN documents d ON d.doc_id = s.doc_id
+        |GROUP BY s.query_id""".stripMargin,
+
     "h5_hard_negatives" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(
