@@ -394,7 +394,7 @@ object TextQueries {
       val (post, dlen, n, avg) =
         graft.pipeline.SilverIndex.bm25Index(s, bm25IndexPath(s, dir))
       val queries = t(s, dir, "documents")
-        .where(col("doc_id") % 10 === 0)
+        .where(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("query_id"),
           coalesce(col("text"), lit("")).as("qtext"))
       val lex = graft.operators.TextSearch
@@ -695,7 +695,7 @@ object TextQueries {
         |dlen AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
         |gstats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dlen),
         |qs AS (SELECT doc_id AS query_id, coalesce(text, '') AS qtext
-        |       FROM documents WHERE doc_id % 10 = 0),
+        |       FROM documents WHERE doc_id % 20 = 0),
         |qterm AS (
         |  SELECT DISTINCT query_id, term FROM (
         |    SELECT query_id, unnest(string_split_regex(trim(
