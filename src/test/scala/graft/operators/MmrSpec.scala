@@ -54,6 +54,38 @@ class MmrSpec extends SparkTestBase {
     assert(got(("Q", 1))._1 == 4L)
   }
 
+  test("kernel path ≡ relational path on randomized candidates") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = for {
+      q <- 0 until 12
+      c <- 0 until (3 + rng.nextInt(8))
+    } yield (s"q$q", (c * 7 + q).toLong, rng.nextDouble(),
+      Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val df = rows.toDF("q", "id", "rel", "vec")
+    // relational path: drive it directly on the prepared base frame
+    val base = df.select(org.apache.spark.sql.functions.col("q"),
+      org.apache.spark.sql.functions.col("id").as("cid"),
+      org.apache.spark.sql.functions.col("rel").cast("double"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("vec"),
+        x => x.cast("double")).as("v"))
+    val rel = Mmr.relationalPath(base, k = 4, lambda = 0.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3),
+        r.getDouble(4))).toSet
+    // public path dispatches to the kernel for long ids... but q is a
+    // string key — dispatch keys on the ID column (long here), so this
+    // exercises the kernel
+    val ker = Mmr.rerank(df, "q", "id", "rel", "vec", k = 4, lambda = 0.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(ker == rel,
+      "kernel and relational MMR paths diverged on identical input")
+  }
+
   test("parameter guards") {
     val s = spark
     import s.implicits._
