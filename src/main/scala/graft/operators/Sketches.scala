@@ -204,6 +204,17 @@ object Sketches {
         Splits.hashKey(idCol, salt) < lit(Splits.thresholdHex(rate)))
       .select(g :+ col(valCol).as("__v") :+
         Splits.hashKey(idCol, salt).as("__hk"): _*)
+    rankSelect(sample, groupCols, qs)
+  }
+
+  /** The rank-exact selection half of [[sampleQuantiles]] over an
+    * ALREADY-DRAWN sample frame (`groupCols ++ (__v, __hk)`) — shared
+    * with the streaming-maintained sample ([[graft.pipeline
+    * .SilverIndex.refreshQuantileSample]]), whose stored rows ARE this
+    * frame. */
+  private[graft] def rankSelect(sample: DataFrame,
+      groupCols: Seq[String], qs: Seq[Double]): DataFrame = {
+    val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"), col("__hk"))
     val ranked = sample.withColumn("__rn", row_number().over(w))

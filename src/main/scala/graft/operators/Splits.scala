@@ -29,7 +29,7 @@ object Splits {
     * cumulative fraction; sampleByHash special-cases r >= 1.0), and this
     * require keeps a future caller from reintroducing the silent
     * mis-split. */
-  private[operators] def thresholdHex(f: Double): String = {
+  private[graft] def thresholdHex(f: Double): String = {
     require(f >= 0.0 && f < 1.0,
       s"thresholdHex is defined on [0, 1): got $f — compare against a " +
         "full-range fraction with a constant-true predicate instead")

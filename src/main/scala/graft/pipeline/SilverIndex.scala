@@ -775,6 +775,53 @@ object SilverIndex {
     Refresh(groups, groups)
   }
 
+  /** Quantile-SAMPLE maintenance: fold a batch into the deterministic
+    * hash sample behind [[graft.operators.Sketches.sampleQuantiles]]
+    * (the k3 sketch). Membership is a pure per-row function of
+    * (salt, id) — a batch contributes exactly its qualifying rows —
+    * and the id anti-join makes an at-least-once REPLAY append zero
+    * (the [[streamingRefresh]] discipline), so the stored sample is
+    * row-identical to the batch gate over everything that arrived and
+    * [[graft.operators.Sketches.rankSelect]] serves the identical
+    * quantiles. Scale: each fold appends rate·|batch| narrow rows;
+    * quantile serving sorts only the stored sample. */
+  def refreshQuantileSample(batch: DataFrame, idCol: String,
+      valCol: String, groupCols: Seq[String], salt: String, rate: Double,
+      path: String): Refresh = {
+    val spark = batch.sparkSession
+    val samplePath = s"$path/sample"
+    val sample = batch
+      .where(col(valCol).isNotNull && col(idCol).isNotNull &&
+        graft.operators.Splits.hashKey(col(idCol), salt) <
+          lit(graft.operators.Splits.thresholdHex(rate)))
+      .select(groupCols.map(col) ++ Seq(col(idCol).as("__id"),
+        col(valCol).as("__v"),
+        graft.operators.Splits.hashKey(col(idCol), salt).as("__hk")): _*)
+    val newRows = readIfData(spark, samplePath)
+      .fold(sample)(ix => sample.join(ix.select(col("__id")),
+        Seq("__id"), "left_anti"))
+      .localCheckpoint(true)
+    newRows.write.mode("append").parquet(samplePath)
+    val appended = newRows.count()
+    Refresh(appended, appended)
+  }
+
+  /** [[streamingRefresh]] pre-wired to [[refreshQuantileSample]]. */
+  def streamingRefreshQuantileSample(rows: DataFrame, idCol: String,
+      valCol: String, groupCols: Seq[String], salt: String, rate: Double,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(rows, path)(
+      refreshQuantileSample(_, idCol, valCol, groupCols, salt, rate, path))
+
+  /** Quantiles served from the stored sample — [[graft.operators
+    * .Sketches.rankSelect]] over the maintained rows. */
+  def quantilesFromSample(spark: SparkSession, path: String,
+      groupCols: Seq[String], qs: Seq[Double]): DataFrame =
+    graft.operators.Sketches.rankSelect(
+      spark.read.parquet(s"$path/sample")
+        .select(groupCols.map(col) :+ col("__v") :+ col("__hk"): _*),
+      groupCols, qs)
+
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
       keyCol: String, k: Int, path: String)

@@ -91,7 +91,47 @@ object StreamQueries {
       ()
     }
 
+  /** The k3 quantile sample maintained by REAL Structured Streaming
+    * (once per JVM + sf dir): events arrive as three MemoryStream
+    * micro-batches; each fold appends its hash-qualifying rows behind
+    * the id anti-join ([[graft.pipeline.SilverIndex
+    * .refreshQuantileSample]]). */
+  private[graft] def streamQuantPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamquant:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("event_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val q = graft.pipeline.SilverIndex.streamingRefreshQuantileSample(
+        source.toDF().toDF("event_id", "event_type", "value"),
+        "event_id", "value", Seq("event_type"), "squant-r13",
+        rate = 0.25, path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s8 (r13): STREAMING quantile-sample maintenance — k3's sketch
+    // under micro-batch arrival. The hash gate is a pure per-row
+    // function, the id anti-join absorbs replays, so the stored sample
+    // is row-identical to the batch gate and the served quantiles
+    // replay exactly in SQL.
+    "s8_stream_quantiles" -> ((s, dir) =>
+      graft.pipeline.SilverIndex.quantilesFromSample(
+        s, streamQuantPath(s, dir), Seq("event_type"),
+        Seq(0.5, 0.9))),
+
     // s7 (r13): STREAMING distinct-count sketch — k1's KMV semantics
     // under micro-batch arrival. The union-truncate fold is order- and
     // duplicate-insensitive, so the maintained sketch is bit-identical
@@ -169,6 +209,32 @@ object StreamQueries {
 
     // the maintained sketch ≡ the batch sketch — k1's oracle verbatim
     "s7_stream_kmv" -> RelationalQueries.oracles("k1_kmv_distinct"),
+
+    // the maintained sample ≡ the batch gate — the k3 CTEs over events
+    // (threshold(0.25) = '400000000000')
+    "s8_stream_quantiles" ->
+      """WITH sm AS (
+        |  SELECT event_type, value AS v,
+        |    substring(md5('squant-r13:' || CAST(event_id AS VARCHAR)),
+        |              1, 12) AS hk
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND substring(md5('squant-r13:' || CAST(event_id AS VARCHAR)),
+        |              1, 12) < '400000000000'),
+        |r AS (SELECT event_type, v, hk,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY v, hk) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS n
+        |      FROM sm),
+        |t AS (SELECT DISTINCT event_type, n FROM r),
+        |tq AS (SELECT event_type, n AS n_sample,
+        |         unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q
+        |       FROM t)
+        |SELECT tq.event_type, tq.q, tq.n_sample, r.v AS est_value
+        |FROM tq JOIN r ON r.event_type = tq.event_type
+        |  AND r.rn = CAST(ceil(tq.q * tq.n_sample) AS INT)""".stripMargin,
 
     // the t11 lexical CTEs at the s5 term set — the streaming-built
     // index is semantically the live corpus score

@@ -192,4 +192,37 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(sketchSet(SilverIndex.kmvIndex(spark, path)) == streamed,
       "replayed fold mutated the sketch (duplicate-insensitivity broken)")
   }
+
+  test("streamed quantile sample == batch gate; replay appends zero") {
+    val path = tmp("stream-quant")
+    val rows = (0L until 2000L).map(i =>
+      (i, s"g${i % 2}", (i * 13 % 997).toDouble))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = SilverIndex.streamingRefreshQuantileSample(
+      input.toDF().toDF("id", "grp", "v"), "id", "v", Seq("grp"),
+      "sq-stream-spec", rate = 0.3, path = path)
+    try {
+      input.addData(rows.take(1200): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // served quantiles == the one-shot batch operator on the same rows
+    def qset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val served = qset(SilverIndex.quantilesFromSample(spark, path,
+      Seq("grp"), Seq(0.25, 0.5, 0.9)))
+    val batch = qset(graft.operators.Sketches.sampleQuantiles(
+      rows.toDF("id", "grp", "v"), col("id"), "v", Seq("grp"),
+      "sq-stream-spec", rate = 0.3, qs = Seq(0.25, 0.5, 0.9)))
+    assert(served == batch,
+      "streamed quantile sample diverged from the batch gate")
+
+    // replay: re-folding an already-folded batch appends zero rows
+    val r = SilverIndex.refreshQuantileSample(
+      rows.take(1200).toDF("id", "grp", "v"), "id", "v", Seq("grp"),
+      "sq-stream-spec", rate = 0.3, path = path)
+    assert(r.appended == 0, s"replay appended ${r.appended} rows")
+  }
 }
