@@ -40,4 +40,47 @@ object Eval {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact"), 6).as("recall"))
   }
+
+  /** Per-class classification report → (clazz, n_true, n_pred,
+    * n_correct, precision, recall, f1) from (label, prediction) rows —
+    * the eval a classifier pipeline (language-ID, quality buckets,
+    * topic routing) reports per class. Classes appearing only as a
+    * label OR only as a prediction still get a row (n_pred/n_true 0 →
+    * the missing-side metric is 0, never a dropped class). F1 is
+    * computed from the round-6 precision/recall (so the whole report
+    * is a pure function of the integer counts). Null labels or
+    * predictions drop.
+    *
+    * Scale shape: three class-cardinality aggregations over one scan
+    * of (label, pred) pairs, joined on the class — output-sized
+    * (|classes| rows) at any input volume. */
+  def classReport(df: DataFrame, labelCol: String, predCol: String)
+      : DataFrame = {
+    val pairs = df.select(col(labelCol).as("label"), col(predCol).as("pred"))
+      .where(col("label").isNotNull && col("pred").isNotNull)
+    val t = pairs.groupBy(col("label").as("clazz"))
+      .agg(count(lit(1)).as("n_true"))
+    val p = pairs.groupBy(col("pred").as("clazz"))
+      .agg(count(lit(1)).as("n_pred"))
+    val c = pairs.where(col("label") === col("pred"))
+      .groupBy(col("label").as("clazz"))
+      .agg(count(lit(1)).as("n_correct"))
+    val base = t.join(p, Seq("clazz"), "full")
+      .join(c, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val withPr = base
+      .withColumn("precision", when(col("n_pred") === 0, lit(0.0))
+        .otherwise(round(col("n_correct").cast("double") /
+          col("n_pred"), 6)))
+      .withColumn("recall", when(col("n_true") === 0, lit(0.0))
+        .otherwise(round(col("n_correct").cast("double") /
+          col("n_true"), 6)))
+    withPr.withColumn("f1",
+      when(col("precision") + col("recall") === 0.0, lit(0.0))
+        .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6)))
+  }
 }

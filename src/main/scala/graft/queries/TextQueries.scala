@@ -111,6 +111,17 @@ object TextQueries {
         langId(col("text")).as("lang_guess"),
         langHits(col("text"), langProfiles.head._2).as("en_hits"))),
 
+    // t18 (r13): the language-ID heuristic EVALUATED — t3's per-doc
+    // guesses scored against the stored labels as a per-class
+    // precision/recall/F1 report (operators/Eval.classReport), the
+    // confusion summary a classifier pipeline actually publishes.
+    // Integer counts + round-6 divisions -> exact oracle.
+    "t18_lang_eval" -> ((s, dir) =>
+      graft.operators.Eval.classReport(
+        t(s, dir, "documents").select(col("lang"),
+          langId(col("text")).as("guess")),
+        "lang", "guess")),
+
     "t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
@@ -1034,6 +1045,49 @@ object TextQueries {
         |       ELSE 'und' END AS lang_guess,
         |  en AS en_hits
         |FROM h""".stripMargin,
+
+    // t3's guess CASE feeding three class-cardinality count CTEs;
+    // f1 from the round-6 precision/recall, classes never dropped
+    "t18_lang_eval" ->
+      """WITH h AS (
+        |  SELECT lang AS label,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|una)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht|ein)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|des|est|une)\b')) AS fr
+        |  FROM documents WHERE lang IS NOT NULL),
+        |pairs AS (
+        |  SELECT label,
+        |    CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |         WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+        |         ELSE 'und' END AS pred
+        |  FROM h),
+        |t AS (SELECT label AS clazz, CAST(count(*) AS BIGINT) AS n_true
+        |      FROM pairs GROUP BY label),
+        |p AS (SELECT pred AS clazz, CAST(count(*) AS BIGINT) AS n_pred
+        |      FROM pairs GROUP BY pred),
+        |c AS (SELECT label AS clazz, CAST(count(*) AS BIGINT) AS n_correct
+        |      FROM pairs WHERE label = pred GROUP BY label),
+        |b AS (SELECT coalesce(t.clazz, p.clazz) AS clazz,
+        |        coalesce(n_true, 0) AS n_true,
+        |        coalesce(n_pred, 0) AS n_pred
+        |      FROM t FULL JOIN p ON t.clazz = p.clazz),
+        |m AS (SELECT b.clazz, b.n_true, b.n_pred,
+        |        coalesce(c.n_correct, 0) AS n_correct,
+        |        CASE WHEN b.n_pred = 0 THEN 0.0
+        |             ELSE round(CAST(coalesce(c.n_correct, 0) AS DOUBLE)
+        |                        / b.n_pred, 6) END AS precision,
+        |        CASE WHEN b.n_true = 0 THEN 0.0
+        |             ELSE round(CAST(coalesce(c.n_correct, 0) AS DOUBLE)
+        |                        / b.n_true, 6) END AS recall
+        |      FROM b LEFT JOIN c ON b.clazz = c.clazz)
+        |SELECT clazz, n_true, n_pred, n_correct, precision, recall,
+        |  CASE WHEN precision + recall = 0.0 THEN 0.0
+        |       ELSE round(2.0 * precision * recall
+        |                  / (precision + recall), 6) END AS f1
+        |FROM m""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,

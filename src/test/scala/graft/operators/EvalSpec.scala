@@ -36,6 +36,35 @@ class EvalSpec extends SparkTestBase {
     assert(got.length == 1 && got.head.getDouble(3) == 1.0)
   }
 
+  test("classReport: hand-computed per-class metrics, no class dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "a"), ("a", "b"),           // a: 2 true, 1 correct
+      ("b", "b"), ("b", "b"),           // b: 2 true, 3 predicted, 2 ok
+      ("c", "d"))                        // c never predicted; d never true
+      .toDF("label", "pred")
+    val got = Eval.classReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("a") == ((2L, 1L, 1L, 1.0, 0.5, 0.666667)))
+    assert(got("b") == ((2L, 3L, 2L, 0.666667, 1.0, 0.8)))
+    assert(got("c") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(got("d") == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("classReport: null labels/preds drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "a"), (null, "a"), ("a", null))
+      .toDF("label", "pred")
+    val got = Eval.classReport(df, "label", "pred").collect()
+    assert(got.length == 1 && got.head.getString(0) == "a" &&
+      got.head.getLong(1) == 1L && got.head.getLong(2) == 1L)
+  }
+
   test("k guard") {
     val d = df(Seq(("A", 1L, 1)))
     intercept[IllegalArgumentException](
