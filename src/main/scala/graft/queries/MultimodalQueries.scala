@@ -50,6 +50,35 @@ object MultimodalQueries {
     // the hot set broadcasts size-guarded, the frame bytes never
     // shuffle. Deterministic md5 keys -> full DuckDB oracle (the m2
     // slicing CTE + a distinct-count filter).
+    // m5 (r13): CROSS-MODAL caption→frame alignment — the pairing step
+    // a multimodal trainer runs to attach each caption window to the
+    // frame on screen when it starts (byte offsets stand in for
+    // presentation timestamps; the real pipeline aligns pts the same
+    // way). Captions are 48-byte windows every 96 bytes, frames m2's
+    // 64-byte samples; the alignment is the x1 backward as-of join
+    // keyed on the doc — docs long enough for a caption but shorter
+    // than one frame exercise the no-frame sentinel. Deterministic
+    // integers -> exact oracle.
+    "m5_caption_align" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      val frames = Multimodal.sampleFrames(docs, "bin",
+          frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 64).cast("long").as("frame_off"))
+      val captions = Multimodal.sampleFrames(docs, "bin",
+          frameBytes = 48, stride = 2)
+        .select(col("doc_id"), col("frame_idx").as("caption_idx"),
+          (col("frame_idx") * 48).cast("long").as("caption_off"))
+      graft.operators.TemporalJoins.asofJoin(
+          captions, frames, keys = Seq("doc_id"),
+          leftTs = "caption_off", rightTs = "frame_off",
+          rightCols = Seq("frame_idx"))
+        .select(col("doc_id"), col("caption_idx"), col("caption_off"),
+          coalesce(col("asof_frame_idx"), lit(-1)).as("frame_idx"),
+          coalesce(col("asof_frame_off"), lit(-1L)).as("frame_off"))
+    }),
+
     "m4_frame_dedup" -> ((s, dir) => {
       val frames = Multimodal.sampleFrames(
         t(s, dir, "documents")
@@ -78,6 +107,36 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |       hex(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_hex
         |FROM f""".stripMargin,
+
+    // both samplings replayed (the m2 slicing CTE at 64- and 48-byte
+    // windows), as-of = the max frame offset at or before the caption
+    // offset (a conditional-max left join; frame_idx back from the
+    // offset since frames sit at idx·64)
+    "m5_caption_align" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |         CAST(fi * 64 AS BIGINT) AS frame_off
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, CAST(floor(octet_length(encode(text)) / 64)
+        |                               AS BIGINT), 2)) AS fi
+        |        FROM documents)),
+        |cp AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS caption_idx,
+        |         CAST(ci * 48 AS BIGINT) AS caption_off
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, CAST(floor(octet_length(encode(text)) / 48)
+        |                               AS BIGINT), 2)) AS ci
+        |        FROM documents)),
+        |al AS (
+        |  SELECT c.doc_id, c.caption_idx, c.caption_off,
+        |         max(f.frame_off) AS mo
+        |  FROM cp c LEFT JOIN fr f
+        |    ON f.doc_id = c.doc_id AND f.frame_off <= c.caption_off
+        |  GROUP BY c.doc_id, c.caption_idx, c.caption_off)
+        |SELECT doc_id, caption_idx, caption_off,
+        |  CAST(coalesce(mo / 64, -1) AS INT) AS frame_idx,
+        |  coalesce(mo, -1) AS frame_off
+        |FROM al""".stripMargin,
 
     // the m2 slicing CTE, md5 frame keys, then the d12 semantics: keep
     // a frame occurrence iff its corpus-wide DISTINCT-doc frequency is

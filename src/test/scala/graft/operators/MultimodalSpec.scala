@@ -73,4 +73,31 @@ class MultimodalSpec extends SparkTestBase {
     // both; every unique frame survives
     assert(kept == Set((1L, 1), (2L, 1), (3L, 0), (3L, 1)), s"got $kept")
   }
+
+  test("caption→frame as-of alignment: backward match, no-frame sentinel") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 200 bytes -> frames at offsets 0, 128 (idx 0, 2);
+    //        captions at offsets 0, 96 (idx 0, 2)
+    // doc 2: 50 bytes -> one caption (offset 0), NO frame (needs 64)
+    val docs = Seq((1L, ("x" * 200).getBytes("UTF-8")),
+        (2L, ("y" * 50).getBytes("UTF-8")))
+      .toDF("doc_id", "bin")
+    val frames = Multimodal.sampleFrames(docs, "bin", 64, 2)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 64).cast("long").as("frame_off"))
+    val captions = Multimodal.sampleFrames(docs, "bin", 48, 2)
+      .select(col("doc_id"), col("frame_idx").as("caption_idx"),
+        (col("frame_idx") * 48).cast("long").as("caption_off"))
+    val got = TemporalJoins.asofJoin(captions, frames, Seq("doc_id"),
+        "caption_off", "frame_off", Seq("frame_idx"))
+      .select(col("doc_id"), col("caption_idx"),
+        coalesce(col("asof_frame_idx"), lit(-1)).as("f"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2))
+      .toMap
+    assert(got == Map(
+      (1L, 0) -> 0,   // caption at 0 -> frame at 0
+      (1L, 2) -> 0,   // caption at 96 -> still frame 0 (128 is after)
+      (2L, 0) -> -1)) // no frame exists for a 50-byte doc
+  }
 }
