@@ -877,4 +877,66 @@ object Dedup {
         (col("__graft_rank") === col("__graft_best")).cast("long"))
       .drop("__graft_rank", "__graft_best")
   }
+
+  /** Exact shingle-CONTAINMENT ≥ θ pairs — the asymmetric near-dup
+    * criterion symmetric Jaccard misses: a short doc quoted nearly
+    * verbatim inside a long one has C(A,B) = |A∩B|/|A| ≈ 1 while its
+    * Jaccard ≈ |A|/|B| ≈ 0 sails under every [[jaccardPairs]]
+    * threshold (press-release laundering, quote farms, template
+    * embedding).
+    *
+    * Candidate generation is the ASYMMETRIC prefix filter — lossless:
+    * if C(A,B) ≥ θ then A∩B misses at most (1−θ)·|A| of A's shingles,
+    * so at least one of A's ⌊(1−θ)·|A|⌋+1 globally-RAREST shingles is
+    * in B. Only the smaller side contributes a prefix; the larger side
+    * posts all its shingles — never all pairs, and the prefix keys are
+    * xxhash64 longs (the d2/d10 discipline: 8-byte hashes for
+    * blocking, TRUE shingle sets for verification, so a collision
+    * costs a spurious candidate, never a wrong pair). Verification is
+    * one exact set intersection per surviving candidate; containment
+    * is an int/int ratio → engine-exact.
+    *
+    * Output: (doc_small, doc_big, n_shared, containment) with the
+    * smaller side defined by (|sh|, id) so equal-size pairs appear
+    * exactly once. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0,
+      s"theta must be in (0, 1]: $theta")
+    val sets = graft.ManagedCache.swap("Dedup.containmentPairs",
+      Par.spread(df, col(idCol))
+        .select(col(idCol).as("doc"),
+          graft.functions.word_shingles(col(textCol), n).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .where(col("sz") > 0))
+    val ex = sets
+      .select(col("doc"), col("sz"), explode(col("sh")).as("g"))
+      .select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"))
+    val freq = ex.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("gdf"), col("gh"))
+    val prefix = ex.join(freq, "gh")
+      .withColumn("__rk", row_number().over(rkW))
+      .where(col("__rk") <=
+        floor(lit(1.0 - theta) * col("sz")).cast("int") + 1)
+      .select(col("doc").as("doc_s"), col("sz").as("sz_s"), col("gh"))
+    val full = ex.select(col("doc").as("doc_b"), col("sz").as("sz_b"),
+      col("gh"))
+    val cands = prefix.join(full, "gh")
+      .where(col("sz_s") < col("sz_b") ||
+        (col("sz_s") === col("sz_b") && col("doc_s") < col("doc_b")))
+      .select("doc_s", "doc_b").distinct()
+    cands
+      .join(sets.select(col("doc").as("doc_s"), col("sh").as("sh_s"),
+        col("sz").as("sz_s")), "doc_s")
+      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("sh_s"), col("sh_b"))).cast("long"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("sz_s"))
+      .where(col("containment") >= theta)
+      .select(col("doc_s").as("doc_small"), col("doc_b").as("doc_big"),
+        col("n_shared"), col("containment"))
+  }
 }

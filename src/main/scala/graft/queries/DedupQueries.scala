@@ -39,6 +39,14 @@ object DedupQueries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 2, numHashes = 64, rowsPerBand = 4, theta = 0.5)),
 
+    // d14 (r13): asymmetric CONTAINMENT pairs — the quoted-inside
+    // criterion symmetric Jaccard misses (C = |A∩B|/|A| over 3-gram
+    // sets). Asymmetric prefix filter for candidates, exact set
+    // intersection for verification; int/int ratio -> exact oracle.
+    "d14_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, theta = 0.5)),
+
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 7, shingleN = 2)),
@@ -241,6 +249,28 @@ object DedupQueries {
       """SELECT text, min(doc_id) AS kept_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> exactJaccardSql,
+
+    // brute-force containment over the same distinct 3-gram sets the
+    // operator verifies with; smaller side by (size, id)
+    "d14_containment" ->
+      """WITH d AS (SELECT doc_id,
+        |             string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |      FROM d),
+        |z AS (SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+        |          AS n_shared,
+        |        a.sz AS sza
+        |      FROM z a, z b
+        |      WHERE (a.sz < b.sz)
+        |         OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+        |SELECT doc_small, doc_big, n_shared,
+        |  CAST(n_shared AS DOUBLE) / sza AS containment
+        |FROM p WHERE CAST(n_shared AS DOUBLE) / sza >= 0.5""".stripMargin,
     // LSH with 16 bands × 4 rows: the corpus's near-dups all sit at
     // j ≥ 0.9 (miss probability (1-j⁴)¹⁶ < 1e-8) while the j≈0.025
     // baseline generates ~zero noise candidates — recall is total here

@@ -603,4 +603,53 @@ class DedupSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("keep"))
   }
+
+  test("containmentPairs: a quoted short doc scores 1.0 where Jaccard fails") {
+    val s = spark
+    import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val article = s"intro words here $quote and then a very long tail " +
+      "of completely different content stretching on and on with many " +
+      "more unique tokens than the quote itself contains overall today"
+    val df = Seq((1L, quote), (2L, article),
+      (3L, "unrelated text about sailing ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        theta = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 == 1.0, s"containment ${got.head._3}")
+    // the same pair is INVISIBLE to symmetric Jaccard at any useful θ
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 3,
+      theta = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs: prefix filter is lossless vs brute force") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "fox", "dog", "ship", "tree",
+      "rock", "wind", "rain", "leaf")
+    val docs = (1L to 40L).map { i =>
+      val len = 5 + rng.nextInt(20)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+        theta = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute force over the same distinct-shingle sets
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+      shared = (sa & sb).size
+      if shared.toDouble / sa.size >= 0.6
+    } yield (ia, ib, shared.toLong)).toSet
+    assert(got == want, s"got ${got.size} vs brute ${want.size}")
+  }
 }
