@@ -822,6 +822,63 @@ object SilverIndex {
         .select(groupCols.map(col) :+ col("__v") :+ col("__hk"): _*),
       groupCols, qs)
 
+  /** Count-Min sketch maintenance under streaming arrival — the THIRD
+    * maintenance discipline, for ADDITIVE state: [[refreshKmv]]'s
+    * union-truncate merge absorbs replays by construction,
+    * [[refreshQuantileSample]]'s append dedupes on row ids — but CMS
+    * counts can do neither (a replayed batch would double-count, and
+    * the sketch keeps no ids to anti-join). Exactly-once here is the
+    * standard foreachBatch TRANSACTIONAL guard: every fold writes the
+    * micro-batch id it committed alongside the counters, and a replay
+    * of batch ≤ the stored id is a no-op. foreachBatch delivers batch
+    * ids monotonically, so one stored long is the whole transaction
+    * log. Fold cost: the stored side is depth·width rows, the batch
+    * side its map-side-combined partial counts — O(sketch) per batch,
+    * never O(events). */
+  def refreshCms(batch: DataFrame, batchId: Long, keyCol: String,
+      width: Int, depth: Int, path: String): Refresh = {
+    val spark = batch.sparkSession
+    val sketchPath = s"$path/sketch"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed_batch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId <= last) return Refresh(0, last)
+    val part = graft.operators.Sketches
+      .cmsBuild(batch, keyCol, width, depth)
+    val next = readIfData(spark, sketchPath)
+      .fold(part)(ix => part.unionByName(ix)
+        .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt")))
+      .localCheckpoint(true)
+    next.write.mode("overwrite").parquet(sketchPath)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+    Refresh(batchId, batchId)
+  }
+
+  /** [[refreshCms]] driven by Structured Streaming (the batch id comes
+    * from foreachBatch itself). */
+  def streamingRefreshCms(rows: DataFrame, keyCol: String, width: Int,
+      depth: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        refreshCms(batch, id, keyCol, width, depth, path); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
+  /** The maintained counter table: (row, bucket, cnt). */
+  def cmsIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch")
+
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
       keyCol: String, k: Int, path: String)

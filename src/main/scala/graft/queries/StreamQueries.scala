@@ -121,7 +121,56 @@ object StreamQueries {
       ()
     }
 
+  /** A Count-Min sketch maintained by REAL Structured Streaming (once
+    * per JVM + sf dir): the k2 item stream arrives as three
+    * MemoryStream micro-batches folded by [[graft.pipeline.SilverIndex
+    * .refreshCms]] under the batch-id exactly-once guard. */
+  private[graft] def streamCmsPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamcms:$dir") { p =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+        .as[Int].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      val q = graft.pipeline.SilverIndex.streamingRefreshCms(
+        source.toDF().toDF("item"), "item", width = 32, depth = 4,
+        path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s9 (r13): STREAMING Count-Min maintenance — k2's sketch under
+    // micro-batch arrival with the batch-id exactly-once guard (counts
+    // are additive: neither s7's merge-idempotence nor s8's id
+    // anti-join applies). The maintained counter table equals the
+    // batch build, so k2's oracle applies verbatim.
+    "s9_stream_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sk = graft.pipeline.SilverIndex.cmsIndex(s, streamCmsPath(s, dir))
+      val items = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+      val est = graft.operators.Sketches
+        .cmsEstimate(sk, items, "item", 32, 4)
+      val exact = items.groupBy("item")
+        .agg(count(lit(1)).cast("long").as("exact_n"))
+      est.join(exact, est("key") === exact("item"))
+        .select(col("item"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+    }),
+
     // s8 (r13): STREAMING quantile-sample maintenance — k3's sketch
     // under micro-batch arrival. The hash gate is a pure per-row
     // function, the id anti-join absorbs replays, so the stored sample
@@ -209,6 +258,9 @@ object StreamQueries {
 
     // the maintained sketch ≡ the batch sketch — k1's oracle verbatim
     "s7_stream_kmv" -> RelationalQueries.oracles("k1_kmv_distinct"),
+
+    // the maintained counter table ≡ the batch build — k2's oracle
+    "s9_stream_cms" -> RelationalQueries.oracles("k2_cms_freq"),
 
     // the maintained sample ≡ the batch gate — the k3 CTEs over events
     // (threshold(0.25) = '400000000000')

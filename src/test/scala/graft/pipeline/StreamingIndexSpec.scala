@@ -225,4 +225,41 @@ class StreamingIndexSpec extends SparkTestBase {
       "sq-stream-spec", rate = 0.3, path = path)
     assert(r.appended == 0, s"replay appended ${r.appended} rows")
   }
+
+  test("streamed CMS == batch build; batch-id guard makes replays no-ops") {
+    val path = tmp("stream-cms")
+    val rows = (0L until 1000L).map(i => (i % 37).toInt)
+    val input = MemoryStream[Int]
+    val q = SilverIndex.streamingRefreshCms(
+      input.toDF().toDF("k"), "k", width = 16, depth = 3, path = path)
+    try {
+      input.addData(rows.take(600): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(600): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val streamed = counters(SilverIndex.cmsIndex(spark, path))
+    val batch = counters(graft.operators.Sketches.cmsBuild(
+      rows.toDF("k"), "k", width = 16, depth = 3)
+      .select(col("row"), col("bucket"), col("cnt")))
+    assert(streamed == batch,
+      "streamed CMS counters diverged from the batch build")
+
+    // a REPLAY of an already-committed batch id must not double-count
+    val replay = SilverIndex.refreshCms(rows.take(600).toDF("k"),
+      batchId = 1L, "k", width = 16, depth = 3, path = path)
+    assert(replay.appended == 0, "replayed batch id was folded again")
+    assert(counters(SilverIndex.cmsIndex(spark, path)) == streamed)
+
+    // a NEW batch id folds (counts strictly grow)
+    SilverIndex.refreshCms(rows.take(10).toDF("k"), batchId = 2L,
+      "k", width = 16, depth = 3, path = path)
+    val after = counters(SilverIndex.cmsIndex(spark, path))
+    assert(after.values.sum == streamed.values.sum + 10 * 3,
+      "new batch did not fold its counts")
+  }
 }
