@@ -915,10 +915,18 @@ object Dedup {
     val freq = ex.groupBy("gh").agg(count(lit(1)).as("gdf"))
     val rkW = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("gdf"), col("gh"))
+    // +2, not the textbook +1: the verification predicate is the IEEE
+    // compare shared/sz >= θ, and both floor((1−θ)·sz) here and that
+    // compare can each sit one ulp off the exact rational boundary
+    // (e.g. θ = 0.3, sz = 10: (1−0.3) rounds BELOW 0.7, the floor
+    // lands at 6 where the exact bound needs 7). One extra prefix
+    // shingle per doc provably covers both one-unit shortfalls;
+    // DedupSpec's brute-force losslessness case runs the θ = 0.3
+    // boundary.
     val prefix = ex.join(freq, "gh")
       .withColumn("__rk", row_number().over(rkW))
       .where(col("__rk") <=
-        floor(lit(1.0 - theta) * col("sz")).cast("int") + 1)
+        floor(lit(1.0 - theta) * col("sz")).cast("int") + 2)
       .select(col("doc").as("doc_s"), col("sz").as("sz_s"), col("gh"))
     val full = ex.select(col("doc").as("doc_b"), col("sz").as("sz_b"),
       col("gh"))

@@ -48,10 +48,14 @@ object KMeans {
       df.select(col(idCol).as("id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .where(col("v").isNotNull && size(col("v")) > 0))
-    val rankW = Window.orderBy("__hk")
+    // id tie-break alongside the hash (the epochShuffle/rankSelect
+    // discipline): a 48-bit hash-prefix collision — ~n²/2⁴⁹, material
+    // at corpus scale — must not make the init order engine- or
+    // partitioning-dependent
+    val rankW = Window.orderBy(col("__hk"), col("id"))
     var cents = data
       .withColumn("__hk", Splits.hashKey(col("id"), "kmeans-init"))
-      .orderBy("__hk").limit(k)
+      .orderBy(col("__hk"), col("id")).limit(k)
       .withColumn("c", row_number().over(rankW) - 1)
       .select(col("c"), col("v").as("cv"))
       .localCheckpoint(true)

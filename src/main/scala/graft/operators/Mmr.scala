@@ -43,10 +43,15 @@ object Mmr {
     require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
     require(lambda > 0.0 && lambda <= 1.0,
       s"lambda must be in (0, 1]: $lambda")
+    // null rel drops alongside null vectors — a candidate with no
+    // score can never be a defensible pick, and the two paths must
+    // agree on it (the kernel would otherwise NPE where the relational
+    // path null-sorts)
     val base = cands.select(col(queryCol).as("q"), col(idCol).as("cid"),
         col(relCol).cast("double").as("rel"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .where(col("v").isNotNull && size(col("v")) > 0)
+      .where(col("v").isNotNull && size(col("v")) > 0 &&
+        col("rel").isNotNull)
     val integralId = cands.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
@@ -90,7 +95,8 @@ object Mmr {
       .empty[Array[Double]]
     val taken = scala.collection.mutable.Set.empty[Long]
     var rank = 1
-    while (rank <= k && taken.size < cands.length) {
+    var exhausted = false
+    while (rank <= k && !exhausted) {
       var bestCid = 0L; var bestMmr = 0.0; var bestV: Array[Double] = null
       var found = false
       cands.foreach { case (cid, rel, v) =>
@@ -105,10 +111,17 @@ object Mmr {
           }
         }
       }
-      picks += MmrPick(bestCid, rank, bestMmr)
-      selected += bestV
-      taken += bestCid
-      rank += 1
+      // `found` is the loop condition, NOT a count comparison:
+      // duplicate (query, id) candidate rows would otherwise keep the
+      // loop alive past the distinct-id supply and emit fabricated
+      // (cid 0, score 0) picks
+      if (!found) exhausted = true
+      else {
+        picks += MmrPick(bestCid, rank, bestMmr)
+        selected += bestV
+        taken += bestCid
+        rank += 1
+      }
     }
     picks.toSeq
   }

@@ -835,30 +835,47 @@ object SilverIndex {
     * log. Fold cost: the stored side is depth·width rows, the batch
     * side its map-side-combined partial counts — O(sketch) per batch,
     * never O(events). */
+  /** The committed CMS versions under `path`: directory `v<batchId>`
+    * per committed fold. The directory NAME carries the batch id, so
+    * one atomic rename commits the counters AND the transaction record
+    * together — a separate marker file would leave a window where one
+    * is durable without the other (double-count on replay, or a
+    * truncated marker wedging every later batch). */
+  private def cmsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+  }
+
   def refreshCms(batch: DataFrame, batchId: Long, keyCol: String,
       width: Int, depth: Int, path: String): Refresh = {
     val spark = batch.sparkSession
-    val sketchPath = s"$path/sketch"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed_batch")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last: Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = cmsVersions(fs, path)
+    val last = if (committed.isEmpty) -1L else committed.max
     if (batchId <= last) return Refresh(0, last)
     val part = graft.operators.Sketches
       .cmsBuild(batch, keyCol, width, depth)
-    val next = readIfData(spark, sketchPath)
-      .fold(part)(ix => part.unionByName(ix)
+    val next = (if (last < 0) part
+      else part.unionByName(spark.read.parquet(s"$path/v$last"))
         .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt")))
       .localCheckpoint(true)
-    next.write.mode("overwrite").parquet(sketchPath)
-    val out = fs.create(marker, true)
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
+    // stage then RENAME: the rename is the commit point. A crash
+    // before it leaves an orphan _tmp the replay overwrites; a crash
+    // after it makes the replay a no-op (batchId <= last above).
+    val tmp = s"$path/_tmp_v$batchId"
+    next.write.mode("overwrite").parquet(tmp)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/v$batchId"))
+    // best-effort retirement of superseded versions (single-writer
+    // foreachBatch; gate reads happen after the stream stops)
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
     Refresh(batchId, batchId)
   }
 
@@ -875,9 +892,15 @@ object SilverIndex {
       .option("checkpointLocation", s"$path/_checkpoint")
       .start()
 
-  /** The maintained counter table: (row, bucket, cnt). */
-  def cmsIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sketch")
+  /** The maintained counter table: (row, bucket, cnt) — the highest
+    * committed version. */
+  def cmsIndex(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = cmsVersions(fs, path)
+    require(vs.nonEmpty, s"no committed CMS version under $path")
+    spark.read.parquet(s"$path/v${vs.max}")
+  }
 
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
@@ -925,18 +948,47 @@ object SilverIndex {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val ids = batch.select(col(idCol).as("doc")).distinct()
-        val newIds = readIfData(spark, sigPath)
-          .fold(ids)(ix =>
-            ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
-          .localCheckpoint(true)
-        refreshMinhash(batch, idCol, textCol, n, numHashes, sigPath)
+        // TRANSACTION INTENT: the batch's new-id set, persisted before
+        // any table mutates. The two mutations below (signature append,
+        // pair write) are not atomic together — a crash between them
+        // would otherwise lose the batch's pairs forever, because a
+        // replay's anti-join against the ALREADY-APPENDED signatures
+        // finds nothing new. The stored intent makes the replay reuse
+        // the original new-id set instead of re-deriving it against
+        // mutated state. One tiny file per batch, kept (deleting it
+        // would reopen the same window).
+        val intentDir = s"$sigPath/_intent/batch$batchId"
+        val fs = new org.apache.hadoop.fs.Path(sigPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val newIds =
+          if (fs.exists(new org.apache.hadoop.fs.Path(intentDir)))
+            spark.read.parquet(intentDir)
+          else {
+            val ids = batch.select(col(idCol).as("doc")).distinct()
+            val fresh = readIfData(spark, sigPath)
+              .fold(ids)(ix =>
+                ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
+              .localCheckpoint(true)
+            fresh.write.mode("overwrite").parquet(intentDir)
+            fresh
+          }
+        // the batch is pre-filtered to the intent so refreshMinhash's
+        // interior anti-join (kept: it is the append's own replay
+        // guard) runs on the already-new side only
+        refreshMinhash(
+          batch.join(newIds.withColumnRenamed("doc", idCol), Seq(idCol),
+            "left_semi"),
+          idCol, textCol, n, numHashes, sigPath)
+        // per-batch partition + OVERWRITE = idempotent pair emission:
+        // the replay recomputes the identical pairs (same stored
+        // intent, same post-append signature table) into the same
+        // partition — a plain append would duplicate them
         graft.operators.Dedup
           .minhashPairsDelta(minhashIndex(spark, sigPath), newIds,
             rowsPerBand, theta)
-          .write.mode("append").parquet(pairsPath)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         ()
       }
       .option("checkpointLocation", s"$sigPath/_checkpoint")

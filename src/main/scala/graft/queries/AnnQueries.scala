@@ -635,8 +635,8 @@ object AnnQueries {
         |h AS (SELECT id, v,
         |        substring(md5('kmeans-init:' || CAST(id AS VARCHAR)), 1, 12) AS hk
         |      FROM data),
-        |c0 AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, v AS cv
-        |       FROM h ORDER BY hk LIMIT 8),
+        |c0 AS (SELECT row_number() OVER (ORDER BY hk, id) - 1 AS c, v AS cv
+        |       FROM h ORDER BY hk, id LIMIT 8),
         |s0 AS (SELECT d.id, c0.c,
         |         round(list_sum(list_transform(list_zip(d.v, c0.cv),
         |               s -> (s[1] - s[2]) * (s[1] - s[2]))), 9) AS rd2

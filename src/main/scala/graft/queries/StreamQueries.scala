@@ -211,8 +211,14 @@ object StreamQueries {
     // table is row-identical to the batch run and d3's exact-Jaccard
     // oracle applies verbatim (recall is total at these params, the d3
     // adjudication).
-    "s6_stream_neardup" -> ((s, dir) =>
-      s.read.parquet(s"${streamNearDupPath(s, dir)}/pairs")),
+    "s6_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the accumulated pairs live in per-batch partitions (the r13
+      // exactly-once rework); the batch id is a transport detail, not
+      // part of the pair semantics
+      s.read.parquet(s"${streamNearDupPath(s, dir)}/pairs")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
 
     // BM25 served from the STREAMING-maintained index: semantically the
     // live-corpus score (delta≡scratch — the oracle neither knows nor

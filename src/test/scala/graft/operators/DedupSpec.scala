@@ -636,20 +636,25 @@ class DedupSpec extends SparkTestBase {
       (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
     }
     val df = docs.toDF("doc_id", "text")
-    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
-        theta = 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSet
     // brute force over the same distinct-shingle sets
     def shingles(t: String): Set[String] =
       t.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
     val sets = docs.map { case (id, t) => id -> shingles(t) }
-    val want = (for {
-      (ia, sa) <- sets; (ib, sb) <- sets
-      if sa.size < sb.size || (sa.size == sb.size && ia < ib)
-      shared = (sa & sb).size
-      if shared.toDouble / sa.size >= 0.6
-    } yield (ia, ib, shared.toLong)).toSet
-    assert(got == want, s"got ${got.size} vs brute ${want.size}")
+    // θ = 0.3 exercises the IEEE boundary ((1−0.3)·sz floors one unit
+    // below the exact rational bound) the +2 prefix margin covers
+    for (theta <- Seq(0.6, 0.3)) {
+      val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+          theta = theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+        shared = (sa & sb).size
+        if shared.toDouble / sa.size >= theta
+      } yield (ia, ib, shared.toLong)).toSet
+      assert(got == want,
+        s"theta=$theta: got ${got.size} vs brute ${want.size}")
+    }
   }
 }

@@ -86,6 +86,33 @@ class MmrSpec extends SparkTestBase {
       "kernel and relational MMR paths diverged on identical input")
   }
 
+  test("duplicate candidate ids never fabricate picks; null rel drops") {
+    val s = spark
+    import s.implicits._
+    // two distinct ids, one duplicated, k = 3 > distinct supply
+    val dup = Seq(
+      ("Q", 1L, 0.9, Array(1f, 0f)), ("Q", 1L, 0.9, Array(1f, 0f)),
+      ("Q", 2L, 0.5, Array(0f, 1f)))
+      .toDF("q", "id", "rel", "vec")
+    val got = Mmr.rerank(dup, "q", "id", "rel", "vec", k = 3,
+        lambda = 0.7)
+      .collect().map(r => r.getLong(1))
+    assert(got.sorted.toSeq == Seq(1L, 2L),
+      s"fabricated or duplicated picks: ${got.toSeq}")
+
+    val withNull = Seq(
+      ("Q", java.lang.Double.valueOf(0.9), 1L),
+      ("Q", null.asInstanceOf[java.lang.Double], 2L))
+      .toDF("q", "rel", "id")
+      .withColumn("vec",
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1f)))
+    val got2 = Mmr.rerank(withNull, "q", "id", "rel", "vec", k = 2,
+        lambda = 0.7)
+      .collect().map(r => r.getLong(1))
+    assert(got2.toSeq == Seq(1L), s"null-rel candidate leaked: ${got2.toSeq}")
+  }
+
   test("parameter guards") {
     val s = spark
     import s.implicits._
