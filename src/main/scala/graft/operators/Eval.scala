@@ -27,10 +27,14 @@ object Eval {
   def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       itemCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // distinct BOTH sides: duplicate (q, i) rows within rank <= k —
+    // legal in a caller's frame even though our retrievers never emit
+    // them — would otherwise multiply through the count join and let
+    // recall exceed 1.0 (or inflate n_exact) silently
     val a = approx.where(col(rankCol) <= k)
-      .select(col(queryCol).as("q"), col(itemCol).as("i"))
+      .select(col(queryCol).as("q"), col(itemCol).as("i")).distinct()
     val x = exact.where(col(rankCol) <= k)
-      .select(col(queryCol).as("q"), col(itemCol).as("i"))
+      .select(col(queryCol).as("q"), col(itemCol).as("i")).distinct()
     val nx = x.groupBy("q").agg(count(lit(1)).as("n_exact"))
     val hits = x.join(a, Seq("q", "i"))
       .groupBy("q").agg(count(lit(1)).as("n_hit"))

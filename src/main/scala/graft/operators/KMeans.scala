@@ -48,6 +48,17 @@ object KMeans {
       df.select(col(idCol).as("id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .where(col("v").isNotNull && size(col("v")) > 0))
+    // uniform-dimension gate (the refreshMinhash width discipline): a
+    // ragged vector makes zip_with null-pad, rd2 go NULL, and the
+    // ascending argmin (NULLS FIRST) CROWN the garbage distance — an
+    // error beats a silent wrong assignment. One 1-row agg over the
+    // frame the iterations cache anyway.
+    val dims = data.agg(min(size(col("v"))).as("lo"),
+      max(size(col("v"))).as("hi")).head()
+    require(dims.getInt(0) == dims.getInt(1),
+      s"ragged vector input: size($vecCol) ranges " +
+        s"[${dims.getInt(0)}, ${dims.getInt(1)}] — k-means needs one " +
+        "uniform dimension")
     // id tie-break alongside the hash (the epochShuffle/rankSelect
     // discipline): a 48-bit hash-prefix collision — ~n²/2⁴⁹, material
     // at corpus scale — must not make the init order engine- or

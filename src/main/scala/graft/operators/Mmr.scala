@@ -78,8 +78,14 @@ object Mmr {
   private[operators] def greedy(cands: Array[(Long, Double, Array[Double])],
       k: Int, lambda: Double): Seq[MmrPick] = {
     val invl = 1.0 - lambda
+    // NaN/Infinite pass through, matching Spark Round's semantics (its
+    // double branch returns non-finite inputs unchanged) — BigDecimal
+    // would throw NumberFormatException, diverging the two documented-
+    // identical paths when a caller feeds a NaN relevance or vector
     def round9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
     def dot(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)
       var acc = 0.0; var i = 0

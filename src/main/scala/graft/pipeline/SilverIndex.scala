@@ -754,23 +754,44 @@ object SilverIndex {
     * batch-distinct) narrow rows, never historical raw keys (the whole
     * point of maintaining the sketch instead of the key set). The new
     * sketch is eagerly materialized (localCheckpoint) BEFORE the
-    * overwrite, since the lazy plan reads the table being replaced. */
+    * commit, since the lazy plan reads the table being replaced.
+    *
+    * The commit uses the [[refreshCms]] stage-then-rename discipline
+    * (versioned `v<n>` dirs under `path`/sketch, one atomic rename per
+    * fold, superseded versions retired AFTER the rename): an in-place
+    * overwrite would delete the directory before the job commits, so a
+    * crash mid-write would lose the ONLY copy of the accumulated
+    * k-minima (raw keys are never stored) and every later estimate
+    * would be silently low. Unlike CMS the version number carries no
+    * transaction meaning — the fold is duplicate-insensitive, so a
+    * replay folding into an already-folded sketch is a no-op by
+    * construction — it only orders the copies so readers take max. */
   def refreshKmv(batch: DataFrame, groupCol: String, keyCol: String,
       k: Int, path: String): Refresh = {
     val spark = batch.sparkSession
-    val sketchPath = s"$path/sketch"
+    val root = s"$path/sketch"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, root)
     val batchHashes = batch
       .where(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol).as("grp"),
         graft.operators.Sketches.kmvHash(col(keyCol)).as("hk"))
       .distinct()
-    val all = readIfData(spark, sketchPath)
-      .map(_.select(col("grp"), explode(col("kmins")).as("hk")))
+    val all = (if (committed.isEmpty) None
+      else Some(spark.read.parquet(s"$root/v${committed.max}")
+        .select(col("grp"), explode(col("kmins")).as("hk"))))
       .fold(batchHashes)(batchHashes.unionByName(_).distinct())
     val agg = udaf(new graft.operators.Sketches.KmvAgg(k))
     val next = all.groupBy("grp").agg(agg(col("hk")).as("kmins"))
       .localCheckpoint(true)
-    next.write.mode("overwrite").parquet(sketchPath)
+    val nv = if (committed.isEmpty) 0L else committed.max + 1
+    val tmp = s"$root/_tmp_v$nv"
+    next.write.mode("overwrite").parquet(tmp)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$root/v$nv"))
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
     val groups = next.count()
     Refresh(groups, groups)
   }
@@ -835,13 +856,14 @@ object SilverIndex {
     * log. Fold cost: the stored side is depth·width rows, the batch
     * side its map-side-combined partial counts — O(sketch) per batch,
     * never O(events). */
-  /** The committed CMS versions under `path`: directory `v<batchId>`
-    * per committed fold. The directory NAME carries the batch id, so
-    * one atomic rename commits the counters AND the transaction record
-    * together — a separate marker file would leave a window where one
-    * is durable without the other (double-count on replay, or a
-    * truncated marker wedging every later batch). */
-  private def cmsVersions(fs: org.apache.hadoop.fs.FileSystem,
+  /** The committed sketch versions under `path`: one `v<n>` directory
+    * per committed fold (CMS: n = batch id; KMV: a plain sequence).
+    * For CMS the directory NAME carries the batch id, so one atomic
+    * rename commits the counters AND the transaction record together —
+    * a separate marker file would leave a window where one is durable
+    * without the other (double-count on replay, or a truncated marker
+    * wedging every later batch). */
+  private def versionsUnder(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
@@ -856,7 +878,7 @@ object SilverIndex {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = cmsVersions(fs, path)
+    val committed = versionsUnder(fs, path)
     val last = if (committed.isEmpty) -1L else committed.max
     if (batchId <= last) return Refresh(0, last)
     val part = graft.operators.Sketches
@@ -897,7 +919,7 @@ object SilverIndex {
   def cmsIndex(spark: SparkSession, path: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = cmsVersions(fs, path)
+    val vs = versionsUnder(fs, path)
     require(vs.nonEmpty, s"no committed CMS version under $path")
     spark.read.parquet(s"$path/v${vs.max}")
   }
@@ -908,9 +930,16 @@ object SilverIndex {
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamingRefresh(rows, path)(refreshKmv(_, groupCol, keyCol, k, path))
 
-  /** The sketch table as stored: (grp, kmins). */
-  def kmvIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sketch")
+  /** The sketch table as stored: (grp, kmins) — the highest committed
+    * version under `path`/sketch. */
+  def kmvIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = s"$path/sketch"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, root)
+    require(vs.nonEmpty, s"no committed KMV sketch under $root")
+    spark.read.parquet(s"$root/v${vs.max}")
+  }
 
   /** [[streamingRefresh]] pre-wired to [[refreshPostings]]. */
   def streamingRefreshPostings(docs: DataFrame, idCol: String,
@@ -949,6 +978,21 @@ object SilverIndex {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
+        nearDupBatch(batch.toDF(), batchId, idCol, textCol, n,
+          numHashes, rowsPerBand, theta, sigPath, pairsPath)
+      }
+      .option("checkpointLocation", s"$sigPath/_checkpoint")
+      .start()
+
+  /** One micro-batch of [[streamingNearDupPairs]] — the foreachBatch
+    * body, factored out so a spec can drive the RECOVERY path directly
+    * over a hand-built half-committed directory (crash after the
+    * intent commit, crash after the signature append, partial intent
+    * write) instead of only observing the happy path end-to-end. */
+  private[pipeline] def nearDupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int, theta: Double, sigPath: String,
+      pairsPath: String): Unit = {
         val spark = batch.sparkSession
         // TRANSACTION INTENT: the batch's new-id set, persisted before
         // any table mutates. The two mutations below (signature append,
@@ -960,10 +1004,15 @@ object SilverIndex {
         // mutated state. One tiny file per batch, kept (deleting it
         // would reopen the same window).
         val intentDir = s"$sigPath/_intent/batch$batchId"
-        val fs = new org.apache.hadoop.fs.Path(sigPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // guard on COMMITTED data files, not bare existence: the dir
+        // exists as soon as the intent write STARTS, so a crash mid-
+        // write leaves only _temporary under it — fs.exists would send
+        // the replay down the read branch into a failing (or empty)
+        // read. hasDataFiles skips hidden subtrees, so a partial
+        // intent re-derives (nothing mutated before the intent commit)
+        // and mode("overwrite") below clears the debris.
         val newIds =
-          if (fs.exists(new org.apache.hadoop.fs.Path(intentDir)))
+          if (hasDataFiles(spark, intentDir))
             spark.read.parquet(intentDir)
           else {
             val ids = batch.select(col(idCol).as("doc")).distinct()
@@ -990,9 +1039,7 @@ object SilverIndex {
             rowsPerBand, theta)
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         ()
-      }
-      .option("checkpointLocation", s"$sigPath/_checkpoint")
-      .start()
+  }
 
   /** [[streamingRefresh]] pre-wired to [[refreshIvf]] (first batch
     * trains and freezes the quantizer, later batches assign-and-append

@@ -65,6 +65,20 @@ class EvalSpec extends SparkTestBase {
       got.head.getLong(1) == 1L && got.head.getLong(2) == 1L)
   }
 
+  test("duplicate (q, item) rows within rank<=k never inflate recall") {
+    // the same hit listed twice in approx, and the same exact row
+    // twice: without the distinct both counts multiply through the
+    // join and recall can exceed 1.0
+    val exact = df(Seq(("A", 1L, 1), ("A", 1L, 2), ("A", 2L, 3)))
+    val approx = df(Seq(("A", 1L, 1), ("A", 1L, 2)))
+    val got = Eval.recallAtK(approx, exact, "q", "item", "rank", k = 3)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getDouble(3) == 0.5)
+  }
+
   test("k guard") {
     val d = df(Seq(("A", 1L, 1)))
     intercept[IllegalArgumentException](

@@ -60,6 +60,17 @@ class KMeansSpec extends SparkTestBase {
       5L -> 1L, 6L -> 1L))
   }
 
+  test("ragged vector dimensions are an error, not a garbage cluster") {
+    val s = spark
+    import s.implicits._
+    val ragged = blobs.unionByName(
+      Seq((7L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      KMeans.fixedIter(ragged, "id", "v", k = 2, iters = 1)
+    }
+    assert(ex.getMessage.contains("ragged"), ex.getMessage)
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       KMeans.fixedIter(blobs, "id", "v", k = 1, iters = 2)

@@ -113,6 +113,18 @@ class MmrSpec extends SparkTestBase {
     assert(got2.toSeq == Seq(1L), s"null-rel candidate leaked: ${got2.toSeq}")
   }
 
+  test("NaN relevance doesn't crash the kernel path") {
+    // round9 used to throw NumberFormatException on non-finite input
+    // (BigDecimal(NaN)) while the relational path propagated NaN via
+    // Spark's round — the kernel must survive a caller's NaN rel and
+    // still emit the finite picks
+    val got = run(Seq(
+      ("Q", 1L, Double.NaN, Array(1f, 0f)),
+      ("Q", 2L, 0.8, Array(0f, 1f)),
+      ("Q", 3L, 0.5, Array(1f, 1f))), k = 2, lambda = 0.7)
+    assert(got.size == 2, got.toString)
+  }
+
   test("parameter guards") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.{Dedup, Sketches}
+
+/** CRASH INJECTION for the two exactly-once commit protocols, plus the
+  * KMV versioned commit that reuses the second one. The end-to-end
+  * streaming specs prove replay idempotence on the happy path; these
+  * hand-build the HALF-COMMITTED directory a crash would leave at each
+  * window and drive the recovery (replay) path directly:
+  *
+  *  - s6 transaction intent ([[SilverIndex.nearDupBatch]]): crash after
+  *    the intent commit but before the signature append; crash after
+  *    the append but before the pair write (the window the intent file
+  *    exists for); crash MID-intent-write (dir exists, only hidden
+  *    `_temporary` debris inside — the fs.exists-vs-hasDataFiles bug).
+  *  - s9 versioned rename ([[SilverIndex.refreshCms]]): crash after
+  *    staging `_tmp_v<id>` but before the rename; crash after the
+  *    rename but before retiring superseded versions.
+  *  - [[SilverIndex.refreshKmv]] (same stage-then-rename discipline):
+  *    an orphan `_tmp_v` never corrupts the fold, and a committed
+  *    version survives every window (the in-place-overwrite bug lost
+  *    the sole copy on a crash mid-write).
+  */
+class CrashRecoverySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ----------------------------------------------------------- s6 intent
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+    (3L, "totally different words here nothing shared at all"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (5L, "one more unrelated document with its own tokens"))
+
+  private def runBatch(root: String, id: Long, rows: Seq[(Long, String)])
+      : Unit =
+    SilverIndex.nearDupBatch(rows.toDF("doc_id", "text"), id,
+      "doc_id", "text", n = 2, numHashes = 64, rowsPerBand = 4,
+      theta = 0.5, s"$root/sig", s"$root/pairs")
+
+  private def pairsAt(root: String): Set[(Long, Long)] =
+    spark.read.parquet(s"$root/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val scratchPairs: Set[(Long, Long)] =
+    Dedup.minhashLshPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, numHashes = 64, rowsPerBand = 4, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** The intent frame exactly as the operator derives it: the batch's
+    * ids anti-joined against the current signature table. */
+  private def intentFor(root: String, rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").select(col("doc_id").as("doc")).distinct()
+      .join(spark.read.parquet(s"$root/sig").select("doc"),
+        Seq("doc"), "left_anti")
+
+  test("s6 crash after intent commit, before signature append: replay completes") {
+    val root = tmp("crash-s6-a")
+    runBatch(root, 0L, docs.take(3))
+    // hand-built crash state: batch 1's intent is durable, NOTHING else
+    // of batch 1 happened
+    intentFor(root, docs.drop(3))
+      .write.parquet(s"$root/sig/_intent/batch1")
+    runBatch(root, 1L, docs.drop(3)) // the replay
+    assert(pairsAt(root) == scratchPairs)
+    assert(spark.read.parquet(s"$root/sig").count() == docs.size)
+  }
+
+  test("s6 crash after signature append, before pair write: intent saves the pairs") {
+    val root = tmp("crash-s6-b")
+    runBatch(root, 0L, docs.take(3))
+    // hand-built crash state: intent durable AND signatures appended,
+    // pairs never written — without the stored intent the replay's
+    // anti-join against the already-appended signatures would find
+    // nothing new and batch 1's pairs would be lost forever
+    intentFor(root, docs.drop(3))
+      .write.parquet(s"$root/sig/_intent/batch1")
+    SilverIndex.refreshMinhash(docs.drop(3).toDF("doc_id", "text"),
+      "doc_id", "text", 2, 64, s"$root/sig")
+    runBatch(root, 1L, docs.drop(3)) // the replay
+    assert(pairsAt(root) == scratchPairs,
+      "batch 1's pairs were lost across the append/emit crash window")
+    assert(spark.read.parquet(s"$root/sig").count() == docs.size,
+      "replay duplicated signatures")
+  }
+
+  test("s6 crash MID-intent-write: hidden debris re-derives, never reads") {
+    val root = tmp("crash-s6-c")
+    runBatch(root, 0L, docs.take(3))
+    // hand-built crash state: the intent dir exists but holds only the
+    // writer's hidden _temporary subtree — no committed data files.
+    // An existence check would read this as a durable intent and fail
+    // (or read an empty id set, silently dropping the batch).
+    val debris = java.nio.file.Paths
+      .get(root, "sig", "_intent", "batch1", "_temporary", "0")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.createFile(debris.resolve("task-attempt.tmp"))
+    runBatch(root, 1L, docs.drop(3)) // the replay
+    assert(pairsAt(root) == scratchPairs)
+    assert(spark.read.parquet(s"$root/sig/_intent/batch1")
+      .collect().map(_.getLong(0)).toSet == Set(4L, 5L),
+      "partial intent was not rewritten with the derived id set")
+  }
+
+  // ------------------------------------------------------- s9 versioned
+
+  private def cmsCounters(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("s9 crash after staging _tmp, before rename: orphan is overwritten") {
+    val path = tmp("crash-s9-a") + "/cms"
+    val b0 = (0 until 600).map(i => i % 37).toDF("k")
+    val b1 = (600 until 1000).map(i => i % 37).toDF("k")
+    SilverIndex.refreshCms(b0, 0L, "k", width = 16, depth = 3, path)
+    // hand-built crash state: batch 1 staged its version dir but died
+    // before the rename — an orphan _tmp_v1 with plausible content
+    spark.read.parquet(s"$path/v0")
+      .write.parquet(s"$path/_tmp_v1")
+    val r = SilverIndex.refreshCms(b1, 1L, "k", 16, 3, path) // replay
+    assert(r.appended == 1L)
+    val all = ((0 until 600) ++ (600 until 1000)).map(i => i % 37).toDF("k")
+    assert(cmsCounters(SilverIndex.cmsIndex(spark, path)) ==
+      cmsCounters(Sketches.cmsBuild(all, "k", 16, 3)
+        .select(col("row"), col("bucket"), col("cnt"))),
+      "orphan _tmp corrupted the fold")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tmp_v1")))
+  }
+
+  test("s9 crash after rename, before retirement: reader takes max, next fold retires") {
+    val path = tmp("crash-s9-b") + "/cms"
+    val b0 = (0 until 600).map(i => i % 37).toDF("k")
+    val b1 = (600 until 1000).map(i => i % 37).toDF("k")
+    val b2 = (0 until 50).map(i => i % 37).toDF("k")
+    SilverIndex.refreshCms(b0, 0L, "k", 16, 3, path)
+    val v0 = cmsCounters(spark.read.parquet(s"$path/v0"))
+    SilverIndex.refreshCms(b1, 1L, "k", 16, 3, path)
+    // hand-built crash state: v1's rename committed but v0 was never
+    // retired — recreate the stale version alongside the new one
+    v0.toSeq.map { case ((row, bucket), cnt) => (row, bucket, cnt) }
+      .toDF("row", "bucket", "cnt").write.parquet(s"$path/v0")
+    // the reader must serve the HIGHEST committed version
+    val all01 = ((0 until 600) ++ (600 until 1000)).map(i => i % 37).toDF("k")
+    assert(cmsCounters(SilverIndex.cmsIndex(spark, path)) ==
+      cmsCounters(Sketches.cmsBuild(all01, "k", 16, 3)
+        .select(col("row"), col("bucket"), col("cnt"))),
+      "stale surviving version shadowed the committed one")
+    // and the next fold reads max, commits, and retires BOTH old dirs
+    SilverIndex.refreshCms(b2, 2L, "k", 16, 3, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("v")).toSet
+    assert(versions == Set("v2"), s"stale versions survived: $versions")
+  }
+
+  // ------------------------------------------------------ KMV versioned
+
+  test("KMV fold survives an orphan _tmp and always keeps a committed copy") {
+    val path = tmp("crash-kmv")
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i % 97))
+    SilverIndex.refreshKmv(rows.take(200).toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    // a committed version exists the moment the first fold returns —
+    // the in-place overwrite had a window with ZERO copies on disk
+    val afterFirst = SilverIndex.kmvIndex(spark, path).count()
+    assert(afterFirst == 3L)
+    // hand-built crash state: the next fold staged but never renamed
+    SilverIndex.kmvIndex(spark, path)
+      .write.parquet(s"$path/sketch/_tmp_v1")
+    // the sole committed copy is still served
+    assert(SilverIndex.kmvIndex(spark, path).count() == 3L)
+    // and the replayed fold overwrites the orphan and commits cleanly
+    SilverIndex.refreshKmv(rows.toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    def sketchSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        r.getSeq[String](1).toVector).toMap
+    val batch = Sketches.kmvDistinct(rows.toDF("grp", "key"),
+        Seq("grp"), "key", k = 16)
+      .select(col("grp"), col("kmins"))
+    assert(sketchSet(SilverIndex.kmvIndex(spark, path)) ==
+      sketchSet(batch))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/sketch"))
+      .map(_.getPath.getName).toSet
+    assert(entries == Set("v1"), s"unexpected sketch dir contents: $entries")
+  }
+}
