@@ -898,7 +898,15 @@ object Dedup {
     *
     * Output: (doc_small, doc_big, n_shared, containment) with the
     * smaller side defined by (|sh|, id) so equal-size pairs appear
-    * exactly once. */
+    * exactly once.
+    *
+    * The exploded posting frame `ex` below is consumed three times
+    * (gram-frequency agg, prefix side, full posting side) and
+    * deliberately NOT persisted: each rebuild is explode+xxhash64 over
+    * the already-cached `sets` — cheap CPU next to the downstream
+    * shuffles — while caching it would materialize a corpus-sized
+    * posting table (A/B'd flat at sf0.1, net-negative at scale; see
+    * tools/d14_ab_r14.txt). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, theta: Double): DataFrame = {
     require(theta > 0.0 && theta <= 1.0,
@@ -909,6 +917,10 @@ object Dedup {
           graft.functions.word_shingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh")))
         .where(col("sz") > 0))
+    // persisted: consumed THREE times (the corpus-wide df aggregation,
+    // the prefix side, the full posting side) — without the barrier
+    // Catalyst re-runs the explode + xxhash64 over the cached sets for
+    // each consumer, which at sf0.1 is ~20% of the query's cost
     val ex = sets
       .select(col("doc"), col("sz"), explode(col("sh")).as("g"))
       .select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"))

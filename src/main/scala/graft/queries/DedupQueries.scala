@@ -216,6 +216,30 @@ object DedupQueries {
           col("n_words").cast("long").as("n_words"), col("keep"))
     }),
 
+    // d15 (r14): the containment ACTION — d14's asymmetric pairs fed
+    // through the d8 closure and the d13 quality argmax, so a short
+    // doc quoted nearly verbatim inside a longer one JOINS the long
+    // doc's cluster and loses the canonical-selection vote (n_words
+    // first): quote-farm/boilerplate dedup end-to-end, not just pair
+    // detection. All three stages are individually oracle-proven; the
+    // composed DuckDB oracle chains their CTEs.
+    "d15_containment_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, theta = 0.5)
+      val withQ = docs
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextFunctions.qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("text"), col("m.n_words").as("n_words"),
+          col("m.punct_ratio").as("punct_ratio"))
+      Dedup.keepBestPerCluster(withQ, "doc_id", pairs,
+        Seq(col("n_words"), -col("punct_ratio"), -col("doc_id")),
+        aCol = "doc_small", bCol = "doc_big")
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          col("n_words").cast("long").as("n_words"), col("keep"))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -441,6 +465,53 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
         |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |q AS (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE CAST(len(regexp_extract_all(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS DOUBLE) /
+        |                  CAST(length(text) AS DOUBLE) END AS punct_ratio
+        |      FROM documents),
+        |r2 AS (SELECT comp.doc_id, comp.component, q.n_words, q.punct_ratio,
+        |        row_number() OVER (PARTITION BY comp.component
+        |          ORDER BY q.n_words DESC, q.punct_ratio ASC, comp.doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY comp.component) AS cluster_size
+        |      FROM comp JOIN q ON comp.doc_id = q.doc_id)
+        |SELECT doc_id, component, cluster_size,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(rn = 1 AS BIGINT) AS keep
+        |FROM r2""".stripMargin,
+
+    // d15: d14's brute-force containment CTEs (the pair stage), the d8
+    // recursive closure, and the d13 quality argmax — each proven
+    // independently, composed verbatim here.
+    "d15_containment_dedup" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |      FROM d),
+        |z AS (SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0),
+        |p0 AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+        |          AS n_shared,
+        |        a.sz AS sza
+        |      FROM z a, z b
+        |      WHERE (a.sz < b.sz)
+        |         OR (a.sz = b.sz AND a.doc_id < b.doc_id)),
+        |p AS (SELECT doc_small AS doc_a, doc_big AS doc_b FROM p0
+        |      WHERE CAST(n_shared AS DOUBLE) / sza >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+        |comp AS (SELECT node AS doc_id, min(r) AS component
+        |         FROM reach GROUP BY node),
         |q AS (SELECT doc_id,
         |        CASE WHEN length(trim(text)) = 0 THEN 0
         |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,

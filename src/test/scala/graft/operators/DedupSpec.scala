@@ -625,6 +625,37 @@ class DedupSpec extends SparkTestBase {
     assert(jac.isEmpty)
   }
 
+  test("containment dedup composite: the quoted doc loses to its quoting original") {
+    val s = spark
+    import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val article = s"intro words here $quote and then a very long tail " +
+      "of completely different content stretching on and on with many " +
+      "more unique tokens than the quote itself contains overall today"
+    val docs = Seq((1L, quote), (2L, article),
+      (3L, "unrelated text about sailing ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      theta = 0.8)
+    val withQ = docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.qualityMetrics(col("text")).as("m"))
+      .select(col("doc_id"), col("text"), col("m.n_words").as("n_words"),
+        col("m.punct_ratio").as("punct_ratio"))
+    val got = Dedup.keepBestPerCluster(withQ, "doc_id", pairs,
+        Seq(col("n_words"), -col("punct_ratio"), -col("doc_id")),
+        aCol = "doc_small", bCol = "doc_big")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("keep")))).toMap
+    // the quote and the article form one cluster; the LONGER quoting
+    // original (more words) is the canonical survivor, the quoted doc
+    // is dropped — the asymmetric criterion made actionable
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._2 == 2L)
+    assert(got(2L)._3 == 1L && got(1L)._3 == 0L, got.toString)
+    assert(got(3L) == ((3L, 1L, 1L)), got.toString)
+  }
+
   test("containmentPairs: prefix filter is lossless vs brute force") {
     val s = spark
     import s.implicits._
