@@ -55,6 +55,8 @@ object GraftFunctions {
     "simhash64" -> checked("simhash64", 1) { args => SimHash64(args(0)) },
     "bpe_token_count" -> checked("bpe_token_count", 1) { args =>
       BpeTokenCount(args(0)) },
+    "bpe_shingles" -> checked("bpe_shingles", 2) { args =>
+      BpeShingles(args(0), litInt(args(1), "bpe_shingles", "n")) },
     "bitset_inter_count" -> checked("bitset_inter_count", 2) { args =>
       BitsetInterCount(args(0), args(1)) },
     "bitset_jaccard" -> checked("bitset_jaccard", 4) { args =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic byte-pair-encoding token counting — the GPT-2 merge
@@ -92,6 +92,58 @@ object BpeKernel {
     syms
   }
 
+  /** The document's full BPE token SEQUENCE: Spark-semantics trim +
+    * `\s+` pre-tokenization, then per-word [[encodeWord]] outputs
+    * concatenated in word order — the flat sequence a trainer's
+    * tokenizer emits, which token-denominated n-gram operators (the
+    * GPT-3 appendix-C 13-gram decontamination rule counts TOKENIZER
+    * grams, not whitespace words) slide their windows over, crossing
+    * word boundaries. Empty/blank text → empty array. */
+  def encodeText(text: UTF8String): Array[String] = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return Array.empty
+    val words = WS.split(trimmed, -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) out ++= encodeWord(words(i))
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct n-grams of [[encodeText]]'s token sequence, joined by a
+    * single space (symbols never contain whitespace — they are
+    * fragments of whitespace-split pre-tokens), first-occurrence
+    * order — the BPE-denominated sibling of
+    * [[TextKernel.wordShingles]]. Shorter-than-n sequences → empty. */
+  def shingles(text: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = encodeText(text)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Total BPE token count of a text: Spark-semantics trim + `\s+`
     * pre-tokenization (the [[TextKernel]] discipline), then the sum of
     * per-word symbol counts. Empty/blank text → 0. */
@@ -130,6 +182,34 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.BpeKernel.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_shingles(text, n)` — see [[BpeKernel.shingles]]: distinct
+  * n-grams of the BPE token sequence (windows cross word boundaries),
+  * the token-denominated gram column for
+  * [[graft.operators.Dedup.ngramOverlap]]'s Bpe mode. */
+case class BpeShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_shingles requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    BpeKernel.shingles(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeKernel.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

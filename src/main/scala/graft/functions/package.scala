@@ -43,6 +43,12 @@ package object functions {
     * denominator for packing / budget sampling / data cards. */
   def bpe_token_count(text: Column): Column = col(BpeTokenCount(expr(text)))
 
+  /** Distinct n-grams of the BPE TOKEN sequence (windows cross word
+    * boundaries — see [[BpeKernel.shingles]]): the tokenizer-denominated
+    * gram column for decontamination / overlap operators. */
+  def bpe_shingles(text: Column, n: Int): Column =
+    col(BpeShingles(expr(text), n))
+
   /** Distinct word n-gram shingles, single compiled pass (see [[TextKernel]]). */
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 

@@ -418,20 +418,42 @@ object Dedup {
     * corpus never shuffles its text. Gram sets come from
     * [[graft.functions.word_shingles]] (trim, `\s+` split, distinct),
     * so the overlap count is exact and integer → full DuckDB oracle.
-    * Output: doc_id, n_shared_grams (train docs with ≥ 1 shared gram). */
+    * Output: doc_id, n_shared_grams (train docs with ≥ 1 shared gram).
+    *
+    * `gram` selects the denominator: [[GramMode.Words]] slides over
+    * whitespace words; [[GramMode.Bpe]] slides over the BPE TOKEN
+    * sequence ([[graft.functions.bpe_shingles]], windows crossing word
+    * boundaries) — the unit the published rule actually counts (GPT-3
+    * counted tokenizer grams). The distinction is not cosmetic: an
+    * eval span of fewer than n WORDS has zero word n-grams and sails
+    * through Words mode, but its ≥ n BPE tokens still produce interior
+    * token grams that Bpe mode catches (DedupSpec pins the shape). */
   def ngramOverlap(train: DataFrame, trainId: String, trainText: String,
-      eval: DataFrame, evalText: String, n: Int): DataFrame = {
+      eval: DataFrame, evalText: String, n: Int,
+      gram: GramMode = GramMode.Words): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
+    def grams(text: Column): Column = gram match {
+      case GramMode.Words => graft.functions.word_shingles(text, n)
+      case GramMode.Bpe => graft.functions.bpe_shingles(text, n)
+    }
     val evalGrams = eval
-      .select(explode(graft.functions.word_shingles(col(evalText), n))
-        .as("gram"))
+      .select(explode(grams(col(evalText))).as("gram"))
       .distinct()
     train
       .select(col(trainId).as("doc_id"),
-        explode(graft.functions.word_shingles(col(trainText), n)).as("gram"))
+        explode(grams(col(trainText))).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Gram denominator for [[ngramOverlap]]: whitespace words, or BPE
+    * tokens under the fixed [[graft.functions.BpeKernel]] merge
+    * table. */
+  sealed trait GramMode
+  object GramMode {
+    case object Words extends GramMode
+    case object Bpe extends GramMode
   }
 
   /** Exact-substring shared spans — the dedup criterion of Lee et al.

@@ -413,6 +413,36 @@ object CurationQueries {
         train, "doc_id", "text", evalDf, "text", n = 13)
     }),
 
+    // c22 (r14): BPE-DENOMINATED 13-gram decontamination — the unit the
+    // published rule actually counts (GPT-3 appx. C counts TOKENIZER
+    // grams, not whitespace words; c10 is the word-gram approximation).
+    // The planted spans here are deliberately SHORT in words (4+(g%3)
+    // 'leak<g>w<p>' words, far under 13) so word-13-gram decontam sees
+    // NOTHING inside them, but each word BPE-encodes to ~6 symbols
+    // under the fixed merge table, so the span's ≥24-token sequence
+    // carries interior BPE 13-grams that token-mode catches — the
+    // tokenization-boundary divergence, in the gate. Oracle = the c12
+    // merge-replay CTEs (per-word terminal symbol sequences via
+    // arg_min) threaded into the c10 gram/overlap CTEs, token windows
+    // crossing word boundaries exactly as BpeKernel.shingles does.
+    "c22_bpe_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = col("doc_id") % 5
+      val span = array_join(
+        transform(sequence(lit(1), lit(4) + g % 3),
+          p => concat(lit("leak"), g, lit("w"), p)), " ")
+      val withSpan = concat(col("text"), lit(" "), span)
+      val evalDf = docs.where(col("doc_id") % 97 === 0)
+        .select(withSpan.as("text"))
+      val train = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 0, withSpan)
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.ngramOverlap(
+        train, "doc_id", "text", evalDf, "text", n = 13,
+        gram = graft.operators.Dedup.GramMode.Bpe)
+    }),
+
     // decontamination: training docs whose word-2-gram sets overlap a
     // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —
     // the benchmark side broadcasts, the corpus never shuffles
@@ -509,6 +539,84 @@ object CurationQueries {
         |           AS gram
         |  FROM tr
         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 13)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM tg JOIN eg USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+
+    // c22: the short-span contamination construction, then the c12
+    // merge-table replay (recursive first-occurrence fuse; terminal
+    // symbol sequence per word via arg_min) flattened into per-doc
+    // token sequences in word order, then the c10 distinct-13-gram
+    // overlap CTEs over TOKEN windows (crossing word boundaries).
+    "c22_bpe_decontam" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id,
+        |    text || ' ' || array_to_string(list_transform(
+        |      range(1, 5 + doc_id % 5 % 3),
+        |      p -> 'leak' || CAST(doc_id % 5 AS VARCHAR) || 'w' ||
+        |           CAST(p AS VARCHAR)), ' ') AS spanned,
+        |    text
+        |  FROM documents),
+        |ev AS (SELECT doc_id, spanned AS text FROM base WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 23 = 0 THEN spanned ELSE text END AS text
+        |       FROM base WHERE doc_id % 97 <> 0),
+        |allw AS (
+        |  SELECT 't' AS side, doc_id, i, ws[i] AS word
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM tr WHERE length(trim(text)) > 0) x,
+        |       unnest(generate_series(1, len(ws))) AS u(i)
+        |  UNION ALL
+        |  SELECT 'e', doc_id, i, ws[i]
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM ev WHERE length(trim(text)) > 0) x,
+        |       unnest(generate_series(1, len(ws))) AS u(i)),
+        |uw AS (SELECT DISTINCT word FROM allw WHERE word <> ''),
+        |enc AS (
+        |  SELECT word, string_split(word, '') AS syms FROM uw
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:at-1] || [syms[at] || syms[at+1]] || syms[at+2:len(syms)]
+        |      AS syms
+        |  FROM (
+        |    SELECT word, syms, list_position(rk, best) AS at, best
+        |    FROM (
+        |      SELECT word, syms,
+        |        list_transform(range(1, len(syms)),
+        |          i -> coalesce(map_extract(mm.m,
+        |                 syms[i] || ' ' || syms[i+1])[1], 999999)) AS rk
+        |      FROM enc CROSS JOIN (SELECT MAP {
+        |        't h':0,'i n':1,'a n':2,'e r':3,'o n':4,'r e':5,'h e':6,
+        |        'a t':7,'o r':8,'e n':9,'a l':10,'e s':11,'o u':12,
+        |        'i t':13,'s t':14,'e d':15,'i s':16,'a r':17,'l e':18,
+        |        'o m':19,'th e':20,'an d':21,'in g':22,'er s':23,
+        |        'ou r':24,'re s':25,'at e':26,'it y':27,'al l':28,
+        |        'st r':29,'on e':30,'en t':31,'ar e':32,'le s':33,
+        |        'om e':34,'the r':35,'ing s':36,'ate s':37,'str a':38}
+        |        AS m) mm) t1
+        |    CROSS JOIN LATERAL (SELECT list_min(rk) AS best) t2) t3
+        |  WHERE best IS NOT NULL AND best < 999999),
+        |wsym AS (SELECT word, arg_min(syms, len(syms)) AS syms
+        |         FROM enc GROUP BY word),
+        |seq AS (
+        |  SELECT side, doc_id, flatten(list(s.syms ORDER BY i)) AS toks
+        |  FROM allw a JOIN wsym s ON a.word = s.word
+        |  WHERE a.word <> ''
+        |  GROUP BY side, doc_id),
+        |eg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |             range(1, len(toks) - 11),
+        |             i -> array_to_string(toks[i : i + 12], ' '))))
+        |             AS gram
+        |    FROM seq WHERE side = 'e' AND len(toks) >= 13)),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(toks) - 11),
+        |           i -> array_to_string(toks[i : i + 12], ' '))))
+        |           AS gram
+        |  FROM seq WHERE side = 't' AND len(toks) >= 13)
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM tg JOIN eg USING (gram)
         |GROUP BY doc_id""".stripMargin,

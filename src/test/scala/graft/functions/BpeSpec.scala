@@ -112,4 +112,34 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(withNull.toSeq == Seq(Some(1L), None))
   }
+
+  test("encodeText concatenates per-word sequences in word order") {
+    def enc(t: String) = BpeKernel.encodeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)).toSeq
+    // the -> [the]; cat -> [c, at]  (a t is rank 7; c at not a merge)
+    assert(enc("the cat") == Seq("the", "c", "at"))
+    assert(enc("  the   cat ") == Seq("the", "c", "at"))
+    assert(enc("") == Seq.empty && enc(" \t ") == Seq.empty)
+  }
+
+  test("bpe_shingles windows CROSS word boundaries; SQL registration agrees") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the cat")).toDF("id", "text")
+    val got = df.select(
+        graft.functions.bpe_shingles(col("text"), 2).as("g"))
+      .head().getSeq[String](0)
+    // token sequence [the, c, at]: the 2-gram "the c" spans the word
+    // boundary — the whole point of the tokenizer denomination
+    assert(got == Seq("the c", "c at"), got.toString)
+    df.createOrReplaceTempView("bpe_sh_in")
+    val viaSql = spark
+      .sql("SELECT bpe_shingles(text, 2) AS g FROM bpe_sh_in")
+      .head().getSeq[String](0)
+    assert(viaSql == got)
+    // shorter-than-n sequence -> empty, not null
+    assert(Seq((1L, "the")).toDF("id", "text")
+      .select(graft.functions.bpe_shingles(col("text"), 2).as("g"))
+      .head().getSeq[String](0).isEmpty)
+  }
 }

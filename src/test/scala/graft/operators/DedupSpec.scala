@@ -262,6 +262,35 @@ class DedupSpec extends SparkTestBase {
       s"eval grams were not broadcast:\n$plan")
   }
 
+  test("ngramOverlap Bpe mode catches contamination word grams MISS") {
+    val s = spark
+    import s.implicits._
+    // a 4-WORD leaked span: zero word-13-grams exist inside it, but
+    // each word BPE-encodes to 5 symbols (leakw1 -> le a k w 1), so
+    // its 20-token sequence carries 20-12 = 8 interior BPE 13-grams
+    val span = (1 to 4).map(i => s"leakw$i").mkString(" ")
+    val evalDf = Seq("benchmark context before " + span).toDF("text")
+    val train = Seq(
+      (1L, "wholly unrelated preamble here " + span),
+      (2L, "clean doc sharing nothing with the benchmark"))
+      .toDF("doc_id", "text")
+    // word mode: the span is < 13 words and the contexts differ ->
+    // nothing to flag
+    assert(Dedup.ngramOverlap(train, "doc_id", "text", evalDf, "text",
+      n = 13).count() == 0)
+    // token mode: the interior token grams match exactly
+    val got = Dedup.ngramOverlap(train, "doc_id", "text", evalDf, "text",
+        n = 13, gram = Dedup.GramMode.Bpe)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected = the shared interior windows, computed independently
+    // from the kernel's own token sequence for the span
+    val spanToks = graft.functions.BpeKernel.encodeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(span)).length
+    assert(spanToks >= 13, s"span only $spanToks tokens")
+    assert(got == Map(1L -> (spanToks - 12).toLong),
+      s"token-mode contamination accounting: $got (span $spanToks toks)")
+  }
+
   test("sharedSpans recovers planted verbatim spans maximally, incl. the one-word-edit shape") {
     val s = spark
     import s.implicits._
