@@ -97,6 +97,80 @@ object Splits {
       .drop("__hk")
   }
 
+  /** Per-stratum ROW cap — web curation's standard anti-spam pass ("at
+    * most N documents per registered domain"): keep each stratum's
+    * first `maxRows` rows in the deterministic (salt, id) md5-hash
+    * order ([[assignSplit]]'s portability contract — reruns, engine
+    * migrations, and unrelated corpus edits reproduce the same
+    * survivors; id ASC breaks hash ties). Returns the surviving input
+    * rows plus `cap_rank` (1-based position in the stratum's hash
+    * order).
+    *
+    * Scale shape: the rank is NOT a per-stratum window (a hot domain —
+    * the exact thing the cap exists for — would sort corpus-sized in
+    * one task) but the bounded [[graft.functions.TopKByKey]] aggregate
+    * over the hash's negated numeric image: map-side partials cap at
+    * maxRows entries per (task, stratum), the exchange is output-sized,
+    * and the survivor set joins back to the input on (stratum, id) —
+    * ≤ maxRows·|strata| rows, broadcastable. */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String, maxRows: Int): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    require(!df.columns.contains("cap_rank"),
+      "input already has a cap_rank column — rename it first")
+    // hash ASC == DESC of the negated numeric image (12 hex digits =
+    // 48 bits, exact in a long); rankedTopK ties break id ASC
+    val scored = df
+      .select(col(stratumCol).as("__s"), col(idCol).as("__i"))
+      .withColumn("__neg",
+        -conv(hashKey(col("__i"), salt), 16, 10).cast("long"))
+    val kept = AnnSearch.rankedTopK(scored, "__s", "__i", "__neg", maxRows)
+      .select(col("__s").as(stratumCol), col("__i").as(idCol),
+        col("rank").cast("long").as("cap_rank"))
+    df.join(kept, Seq(stratumCol, idCol))
+  }
+
+  /** TEMPERATURE-scaled per-stratum token budgets — the standard
+    * multilingual/domain reweighting (Devlin et al. 2019 app.;
+    * XLM-R/mT5 use the same recipe, public): stratum i's share of the
+    * total budget is p_i^(1/T) / Σ_j p_j^(1/T), where p_i is the
+    * stratum's OBSERVED token mass in the corpus — T = 1 reproduces the
+    * corpus proportions, T → ∞ flattens toward uniform, in between
+    * up-weights the tail without drowning the head. Feed the result to
+    * [[sampleByTokenBudget]]; c5/c8/c17 fix budgets by hand, this
+    * computes them FROM the corpus.
+    *
+    * Deterministic cross-engine: shares are rounded HALF_UP to 12
+    * decimals BEFORE the budget multiply (the x4/a16 round-absorbs-ulp
+    * discipline — Σ over doubles and pow may differ by an ulp between
+    * engines), budgets are floor(share·total) floored at 1 so no
+    * observed stratum silently vanishes (a zero budget would violate
+    * [[sampleByTokenBudget]]'s positivity contract). NULL strata drop.
+    * Driver-side Map: the aggregation is |strata|-sized — the bounded
+    * quantizer-training-style collect, never corpus rows. */
+  def temperatureBudgets(df: DataFrame, stratumCol: String,
+      tokensCol: String, totalBudget: Long,
+      temperature: Double): Map[String, Long] = {
+    require(totalBudget > 0, s"totalBudget must be > 0: $totalBudget")
+    require(temperature > 0.0 && java.lang.Double.isFinite(temperature),
+      s"temperature must be positive and finite: $temperature")
+    val masses = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("s"))
+      .agg(sum(col(tokensCol)).cast("double").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    require(masses.nonEmpty,
+      s"no non-null '$stratumCol' strata to budget")
+    val ws = masses.map { case (s, m) =>
+      s -> math.pow(m, 1.0 / temperature) }
+    val tot = ws.map(_._2).sum
+    ws.map { case (s, w) =>
+      val share = BigDecimal(w / tot)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s -> math.max(1L, math.floor(share * totalBudget).toLong)
+    }.toMap
+  }
+
   /** The stratum → budget constant as one CASE column. */
   private def budgetCase(stratumCol: String,
       budgets: Map[String, Long]): Column =

@@ -468,6 +468,23 @@ object CurationQueries {
         "doc_id", "lang", "n_tokens", "budget-r6",
         Map("en" -> 4000L, "es" -> 1500L, "de" -> 800L))),
 
+    // c23 (r14): TEMPERATURE-scaled mixing — c8's hash-ordered budget
+    // selection, but the per-language budgets are COMPUTED from the
+    // corpus (share_i ∝ mass_i^(1/T), T = 2 up-weights tail languages)
+    // instead of hand-fixed. The budget aggregation is |strata|-sized;
+    // shares round HALF_UP to 12 decimals before the multiply so the
+    // oracle's pow/sum ulps cannot flip a floor. Oracle = the weight
+    // CTEs + the proven c8 window.
+    "c23_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"))
+      val budgets = graft.operators.Splits.temperatureBudgets(
+        docs, "lang", "n_tokens", totalBudget = 8000L, temperature = 2.0)
+      graft.operators.Splits.sampleByTokenBudget(docs, "doc_id", "lang",
+        "n_tokens", "temp-mix-r14", budgets)
+    }),
+
     // Bloom semi-join reduction decontamination: exact anti-join of the
     // corpus against a "seen" reference key set (every 7th doc's text),
     // with the corpus-side join input pruned by a distributively-built
@@ -1124,6 +1141,35 @@ object CurationQueries {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 4000
         |                             WHEN 'es' THEN 1500
         |                             ELSE 800 END""".stripMargin,
+
+    // c23: the temperature weight CTEs (observed mass -> pow(1/T) ->
+    // round-12 share -> floor budget, min 1), then the c8 window with
+    // the budget JOINED instead of CASE'd
+    "c23_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    substring(md5('temp-mix-r14:' || CAST(doc_id AS VARCHAR)), 1, 12) AS hk
+        |  FROM documents WHERE lang IS NOT NULL),
+        |m AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS mass
+        |      FROM d GROUP BY lang),
+        |q AS (SELECT lang, pow(mass, 1.0 / 2.0) AS w FROM m),
+        |b AS (SELECT lang,
+        |        greatest(CAST(1 AS BIGINT),
+        |          CAST(floor(round(w / (SELECT sum(w) FROM q), 12) * 8000)
+        |            AS BIGINT)) AS budget
+        |      FROM q),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_before
+        |FROM c JOIN b ON c.lang = b.lang
+        |WHERE c.cum_before < b.budget""".stripMargin,
 
     // the t12 scoring CTE (per-doc hashed-gram linear score), the
     // quartile-boundary bucket CASE, then c8's hash-ordered

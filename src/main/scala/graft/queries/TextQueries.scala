@@ -522,6 +522,30 @@ object TextQueries {
           count(lit(1)).as("n_urls"))
     }),
 
+    // t19 (r14): per-domain document CAP — the anti-spam pass domain
+    // extraction exists for: at most 10 docs per registered domain
+    // (t8's embedded construction; the doc's domain = its first URL's
+    // host, 20 domains of ~|corpus|/20 docs each so the cap BINDS),
+    // survivors deterministic in (salt, doc_id) md5-hash order. The
+    // operator ranks through the bounded TopKByKey aggregate (no
+    // per-domain window sort — a hot domain is the attack the cap
+    // guards against); the oracle is the window formulation, a
+    // genuinely independent ranking of the same order.
+    "t19_domain_cap" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val embedded = concat(
+        col("text"), lit(" see http://site"),
+        (col("doc_id") % 20).cast("string"), lit(".example.com/p/"), id,
+        lit(" and https://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/x"))
+      val withDomain = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(embedded, "https?://([A-Za-z0-9.-]+)", 1)
+            .as("domain"))
+      graft.operators.Splits.capPerStratum(withDomain, "doc_id",
+        "domain", "domain-cap-r14", maxRows = 10)
+    }),
+
     // Gopher-rule structural repetition (Rae et al. 2021 §A1.1):
     // duplicate-line fraction, duplicate-line CHARACTER fraction, and
     // the most-frequent word-2-gram's share — whole-line boilerplate
@@ -1332,6 +1356,32 @@ object TextQueries {
         |  FROM c4)
         |SELECT doc_id, t AS scrubbed, n_emails, n_ssns, n_phones, n_ips
         |FROM c5""".stripMargin,
+
+    // t19: the t8 embedded construction (first URL's host), the Splits
+    // hash key, then the cap as a row_number window — independent of
+    // the operator's bounded-aggregate ranking
+    "t19_domain_cap" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      text || ' see http://site' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |           || ' and https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.example.org/x',
+        |      'https?://([A-Za-z0-9.-]+)', 1) AS domain
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, domain,
+        |    substring(md5('domain-cap-r14:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS hk
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY hk, doc_id)
+        |      AS cap_rank
+        |  FROM h)
+        |SELECT domain, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 10""".stripMargin,
 
     "t8_url_domains" ->
       """WITH e AS (

@@ -108,6 +108,82 @@ class SplitsSpec extends SparkTestBase {
       Splits.epochShuffle(df, "id", "x", epoch = 0, nShards = 0))
   }
 
+  test("capPerStratum: binds only above N, hash-ordered, deterministic") {
+    val s = spark
+    import s.implicits._
+    // big.com has 30 docs (cap binds), small.org has 3 (all survive)
+    val docs = ((0L until 30L).map(i => (i, "big.com")) ++
+      (100L until 103L).map(i => (i, "small.org")))
+      .toDF("doc_id", "domain")
+    val got = Splits.capPerStratum(docs, "doc_id", "domain",
+      "cap-spec", maxRows = 10)
+    val byDomain = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // cap binds only above N
+    assert(byDomain("big.com").length == 10)
+    assert(byDomain("small.org").length == 3)
+    assert(byDomain("small.org").map(_._2).toSet == Set(100L, 101L, 102L))
+    // survivors are the hash-order head: equal to the window formulation
+    val expected = docs
+      .withColumn("__hk", Splits.hashKey(col("doc_id"), "cap-spec"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")
+          .orderBy(col("__hk"), col("doc_id"))))
+      .where(col("rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0),
+        r.getInt(3).toLong)).toSet
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expected)
+    // deterministic across reruns
+    val again = Splits.capPerStratum(docs, "doc_id", "domain",
+      "cap-spec", maxRows = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == expected)
+    // a different salt picks a different (still size-10) head
+    val other = Splits.capPerStratum(docs, "doc_id", "domain",
+      "cap-spec-2", maxRows = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(other.count(_._1 == "big.com") == 10)
+    assert(other != expected.map(e => (e._1, e._2)))
+    // guards
+    intercept[IllegalArgumentException](
+      Splits.capPerStratum(docs, "doc_id", "domain", "cap-spec", 0))
+  }
+
+  test("temperatureBudgets: T=1 proportional, T→∞ uniform, monotone between") {
+    val s = spark
+    import s.implicits._
+    // masses: en 6000, es 1500, de 500 (total 8000)
+    val docs = (Seq.fill(6)(("en", 1000L)) ++ Seq.fill(3)(("es", 500L)) ++
+      Seq(("de", 500L))).zipWithIndex
+      .map { case ((l, n), i) => (i.toLong, l, n) }
+      .toDF("doc_id", "lang", "n_tokens")
+    def budgets(t: Double) =
+      Splits.temperatureBudgets(docs, "lang", "n_tokens",
+        totalBudget = 8000L, temperature = t)
+    // T = 1: exactly the corpus proportions (shares .75/.1875/.0625)
+    assert(budgets(1.0) == Map("en" -> 6000L, "es" -> 1500L, "de" -> 500L))
+    // T huge: shares flatten to 1/3 each -> floor(8000/3) = 2666
+    val flat = budgets(1e9)
+    assert(flat.values.toSet == Set(2666L), flat.toString)
+    // monotone: raising T strictly shrinks the head, grows the tail
+    val mid = budgets(2.0)
+    assert(mid("en") < 6000L && mid("en") > 2666L, mid.toString)
+    assert(mid("de") > 500L && mid("de") < 2666L, mid.toString)
+    // floor at 1: a near-zero-mass stratum still gets a budget
+    val tiny = (docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq :+
+        ((99L, "fr", 1L))).toDF("doc_id", "lang", "n_tokens")
+    assert(Splits.temperatureBudgets(tiny, "lang", "n_tokens",
+      8000L, 1.0)("fr") == 1L)
+    // guards
+    intercept[IllegalArgumentException](budgets(0.0))
+    intercept[IllegalArgumentException](budgets(Double.PositiveInfinity))
+    intercept[IllegalArgumentException](
+      Splits.temperatureBudgets(docs, "lang", "n_tokens", 0L, 1.0))
+  }
+
   test("thresholdHex rejects f >= 1.0 (13-hex-char silent mis-split guard)") {
     assert(Splits.thresholdHex(0.0) == "000000000000")
     assert(Splits.thresholdHex(0.5) == "800000000000")
