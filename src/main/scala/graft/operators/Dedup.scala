@@ -456,6 +456,48 @@ object Dedup {
     case object Bpe extends GramMode
   }
 
+  /** CROSS-corpus containment decontamination — the asymmetric release
+    * question between [[ngramOverlap]] ("shares ANY eval gram") and
+    * [[crossJaccardPairs]] ("similar to an eval doc"): flag train docs
+    * that contain MOST of an eval document, C(e, t) = |grams(e) ∩
+    * grams(t)| / |grams(e)| ≥ θ — a benchmark question quoted whole
+    * inside a long crawled page has C ≈ 1 while its Jaccard vs the page
+    * is negligible and a one-gram overlap threshold drowns in noise.
+    * [[containmentPairs]] is the within-corpus sibling; here the small
+    * side is ALWAYS the eval doc, so no prefix filter is needed — the
+    * eval side is benchmark-sized and BROADCASTS whole.
+    *
+    * Scale shape: the corpus pays one narrow gram explode + broadcast
+    * join (never shuffles its text); the count aggregation is
+    * output-proportional (shared (train, eval, gram) triples). Distinct
+    * gram sets on both sides make n_shared exact → full DuckDB oracle.
+    * Output: (train_doc, eval_doc, n_shared, containment). */
+  def crossContainment(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String,
+      evalText: String, n: Int, theta: Double): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    require(theta > 0.0 && theta <= 1.0,
+      s"theta must be in (0, 1]: $theta")
+    val eg = eval
+      .select(col(evalId).as("eval_doc"),
+        graft.functions.word_shingles(col(evalText), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
+      .select(col("eval_doc"), col("sz"), explode(col("sh")).as("gram"))
+    val tg = train
+      .select(col(trainId).as("train_doc"),
+        explode(graft.functions.word_shingles(col(trainText), n))
+          .as("gram"))
+    tg.join(broadcast(eg), "gram")
+      .groupBy("train_doc", "eval_doc", "sz")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("sz"))
+      .where(col("containment") >= theta)
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        col("containment"))
+  }
+
   /** Exact-substring shared spans — the dedup criterion of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better",
     * public), which removes VERBATIM repeated spans of ≥ L tokens

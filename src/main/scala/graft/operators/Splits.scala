@@ -229,6 +229,28 @@ object Splits {
     df.withColumn(outCol, assigned)
   }
 
+  /** LEAKAGE-SAFE split assignment: near-dup CLUSTERS, not documents,
+    * are the split unit. [[assignSplit]] keyed on the document id lets
+    * a test doc keep a near-duplicate in train — the classic
+    * contamination-through-splitting bug (Lee et al. 2021 §6.2 measure
+    * exactly this leak in public benchmarks) — so here every doc is
+    * first resolved to its near-dup component
+    * ([[Components.nearDupComponents]] over caller-supplied pairs) and
+    * the split hash is keyed on the COMPONENT root: the whole cluster
+    * moves together by construction, and fractions still hold in
+    * expectation over clusters. Output: input rows + `component` +
+    * `split`.
+    *
+    * Scale shape: the pairs → closure is the audited d8 large-star/
+    * small-star O(log n) path; the assignment itself adds no shuffle
+    * (a pure hash of the component column). */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      salt: String, splits: Seq[(String, Double)],
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    assignSplit(
+      Components.nearDupComponents(docs, idCol, pairs, aCol, bCol),
+      "component", salt, splits)
+
   /** Deterministic EPOCH SHUFFLE — the between-epoch global reshuffle a
     * training loader applies, as a portable (shard, pos) ADDRESS instead
     * of an engine-private RNG permutation. Each row's address is a pure

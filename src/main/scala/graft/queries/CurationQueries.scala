@@ -367,6 +367,24 @@ object CurationQueries {
         t(s, dir, "documents").select(col("doc_id")), "doc_id", "graft-r3",
         Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))),
 
+    // c24 (r14): LEAKAGE-SAFE splits — c3's deterministic assignment,
+    // but the split unit is the d8 near-dup CLUSTER (hash keyed on the
+    // component root), so a test doc can never keep a near-duplicate
+    // in train: the contamination-through-splitting bug (Lee et al.
+    // 2021 §6.2) fixed at the assignment, not patched downstream. The
+    // corpus's planted near-dup pairs make the guarantee non-vacuous
+    // at every sf. Oracle = the d8 closure CTEs + the c3 CASE over the
+    // component instead of the doc id.
+    "c24_leakfree_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id",
+        "text", n = 2, theta = 0.5)
+      graft.operators.Splits.leakFreeSplit(
+          docs.select(col("doc_id")), "doc_id", pairs,
+          "leakfree-r14", Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
+
     // sliding-window chunking: 48-token context windows with 8-token
     // overlap — shuffle-free per-row array work (Packing.chunkTokens)
     "c4_chunking" -> ((s, dir) =>
@@ -441,6 +459,31 @@ object CurationQueries {
       graft.operators.Dedup.ngramOverlap(
         train, "doc_id", "text", evalDf, "text", n = 13,
         gram = graft.operators.Dedup.GramMode.Bpe)
+    }),
+
+    // c25 (r14): CROSS-corpus containment decontamination — the
+    // quoted-whole release question c6 (similarity) and c10 (any-gram)
+    // sit either side of: eval docs here are SHORT standalone spans
+    // (13+(g%5) 'quote<g>w<p>' words), and every 23rd train doc embeds
+    // its group's span verbatim inside its own text — Jaccard vs the
+    // long train doc is negligible, but C(eval, train) = 1.0. The eval
+    // side broadcasts; the corpus pays one narrow explode. Integer
+    // n_shared / int sz -> exact oracle (brute-force list_intersect).
+    "c25_containment_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = col("doc_id") % 5
+      val span = array_join(
+        transform(sequence(lit(1), lit(13) + g),
+          p => concat(lit("quote"), g, lit("w"), p)), " ")
+      val evalDf = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_doc"), span.as("text"))
+      val train = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 0,
+            concat(col("text"), lit(" "), span))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.crossContainment(train, "doc_id", "text",
+        evalDf, "eval_doc", "text", n = 3, theta = 0.9)
     }),
 
     // decontamination: training docs whose word-2-gram sets overlap a
@@ -1120,6 +1163,75 @@ object CurationQueries {
         |            < '333333333333' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    // c25: the span construction verbatim, distinct 3-gram sets, then
+    // brute-force containment of each eval set in each train set
+    "c25_containment_decontam" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, 14 + doc_id % 5),
+        |      p -> 'quote' || CAST(doc_id % 5 AS VARCHAR) || 'w' ||
+        |           CAST(p AS VARCHAR)), ' ') AS span,
+        |    text
+        |  FROM documents),
+        |ev AS (SELECT doc_id AS eval_doc, span AS text FROM sp
+        |       WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc,
+        |         CASE WHEN doc_id % 23 = 0 THEN text || ' ' || span
+        |              ELSE text END AS text
+        |       FROM sp WHERE doc_id % 97 <> 0),
+        |es AS (SELECT eval_doc,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |       FROM ev
+        |       WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |ts AS (SELECT train_doc,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |       FROM tr
+        |       WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |p AS (SELECT t.train_doc, e.eval_doc,
+        |        CAST(len(list_intersect(e.sh, t.sh)) AS BIGINT) AS n_shared,
+        |        len(e.sh) AS sz
+        |      FROM ts t, es e)
+        |SELECT train_doc, eval_doc, n_shared,
+        |  CAST(n_shared AS DOUBLE) / sz AS containment
+        |FROM p WHERE CAST(n_shared AS DOUBLE) / sz >= 0.9""".stripMargin,
+
+    // c24: the d8 recursive-closure CTEs verbatim, then the c3 split
+    // CASE keyed on the COMPONENT
+    "c24_leakfree_split" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+        |      FROM d),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+        |comp AS (SELECT node AS doc_id, min(r) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT doc_id, component,
+        |  CASE WHEN substring(md5('leakfree-r14:' || CAST(component AS VARCHAR)), 1, 12)
+        |            < '199999999999' THEN 'val'
+        |       WHEN substring(md5('leakfree-r14:' || CAST(component AS VARCHAR)), 1, 12)
+        |            < '333333333333' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM comp""".stripMargin,
 
     // the window states what cumSumBeforeBy distributes; hash order and
     // thresholds mirror Splits (md5 'salt:id', 12 hex digits)

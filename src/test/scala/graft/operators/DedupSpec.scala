@@ -685,6 +685,36 @@ class DedupSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 1L)), got.toString)
   }
 
+  test("crossContainment: a benchmark question quoted whole inside a page") {
+    val s = spark
+    import s.implicits._
+    val question = "what is the boiling point of water at sea level"
+    val page = s"crawled page preamble content $question and then a long " +
+      "tail of unrelated site navigation text footer links copyright " +
+      "notices and much more filler stretching far beyond the question"
+    val evalDf = Seq((100L, question),
+      (101L, "unrelated benchmark item about astronomy facts"))
+      .toDF("eval_doc", "text")
+    val train = Seq((1L, page),
+      (2L, "a clean page about cooking pasta recipes entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossContainment(train, "doc_id", "text",
+        evalDf, "eval_doc", "text", n = 3, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 100L)
+    assert(got.head._3 == 1.0, s"containment ${got.head._3}")
+    // the same leak is INVISIBLE to symmetric cross-Jaccard
+    val jac = Dedup.crossJaccardPairs(train, "doc_id",
+      evalDf.withColumnRenamed("eval_doc", "doc_id"), "doc_id",
+      graft.functions.word_shingles(col("text"), 3), theta = 0.5)
+    assert(jac.collect().isEmpty)
+    // the eval side is the broadcast build side
+    val plan = Dedup.crossContainment(train, "doc_id", "text", evalDf,
+      "eval_doc", "text", n = 3, theta = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("containmentPairs: prefix filter is lossless vs brute force") {
     val s = spark
     import s.implicits._

@@ -108,6 +108,36 @@ class SplitsSpec extends SparkTestBase {
       Splits.epochShuffle(df, "id", "x", epoch = 0, nShards = 0))
   }
 
+  test("leakFreeSplit: a near-dup cluster never straddles splits") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    // pairs 1-2 and 5-6-7 form clusters; everything else is singleton
+    val pairs = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    // salt 'y' is CHOSEN so the naive doc-keyed split separates the
+    // 1-2 pair (md5('y:1') -> train, md5('y:2') -> test) — the leak
+    // this operator exists to prevent
+    val naive = Splits.assignSplit(docs, "doc_id", "y",
+        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(naive(1L) != naive(2L),
+      "salt 'y' no longer demonstrates the doc-keyed leak — pick another")
+    val got = Splits.leakFreeSplit(docs, "doc_id", pairs, "y",
+        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bySplit = got.map(t => t._1 -> t._3).toMap
+    // the clusters move together under the SAME salt that leaked above
+    assert(bySplit(1L) == bySplit(2L))
+    assert(bySplit(5L) == bySplit(6L) && bySplit(6L) == bySplit(7L))
+    // every cluster maps to exactly one split
+    got.groupBy(_._2).foreach { case (comp, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"component $comp straddles splits: ${rows.toSeq}")
+    }
+    // all three splits exist over 38 clusters (sanity, not a contract)
+    assert(got.map(_._3).distinct.length == 3)
+  }
+
   test("capPerStratum: binds only above N, hash-ordered, deterministic") {
     val s = spark
     import s.implicits._
