@@ -98,6 +98,17 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x8 (r14): gap-based SESSIONIZATION — 30-minute inactivity splits
+    // a user's (ts, event_id)-ordered events into visits, each rolled
+    // up to (start, end, n_events, duration). The gap compares exact
+    // integer epoch-MICROseconds (unix_micros ≡ DuckDB epoch_us — the
+    // corpus carries µs precision, so second/ms truncation would flip
+    // boundary events between engines; operators/Sessions scaladoc).
+    "x8_sessionize" -> ((s, dir) =>
+      graft.operators.Sessions.sessionize(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapMicros = 30L * 60 * 1000000)),
+
     // x7 (r13): first-order Markov transition matrix over per-user
     // event-type sequences (ts order, event_id tie-break) — next-event
     // statistics, t16's bigram-LM shape applied to behavior
@@ -226,6 +237,30 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // x8: lag over (ts, event_id) per user in epoch-µs, boundary flag
+    // at gap > 1 800 000 000 µs, running-sum session index, rollup
+    "x8_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS pus
+        |  FROM o),
+        |b AS (
+        |  SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |sx AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM b)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM sx GROUP BY user_id, session_idx""".stripMargin,
 
     // the operator's window verbatim: lead over (ts, event_id) per
     // user, pair counts, window-normalized conditional probability
