@@ -981,10 +981,9 @@ object Dedup {
           graft.functions.word_shingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh")))
         .where(col("sz") > 0))
-    // persisted: consumed THREE times (the corpus-wide df aggregation,
-    // the prefix side, the full posting side) — without the barrier
-    // Catalyst re-runs the explode + xxhash64 over the cached sets for
-    // each consumer, which at sf0.1 is ~20% of the query's cost
+    // consumed three times (frequency agg, prefix side, full posting
+    // side) and deliberately NOT persisted — see the scaladoc note and
+    // tools/d14_ab_r14.txt for the measured rejection
     val ex = sets
       .select(col("doc"), col("sz"), explode(col("sh")).as("g"))
       .select(col("doc"), col("sz"), xxhash64(col("g")).as("gh"))

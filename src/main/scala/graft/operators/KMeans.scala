@@ -55,10 +55,15 @@ object KMeans {
     // frame the iterations cache anyway.
     val dims = data.agg(min(size(col("v"))).as("lo"),
       max(size(col("v"))).as("hi")).head()
-    require(dims.getInt(0) == dims.getInt(1),
-      s"ragged vector input: size($vecCol) ranges " +
-        s"[${dims.getInt(0)}, ${dims.getInt(1)}] — k-means needs one " +
-        "uniform dimension")
+    // NULL aggregates = zero usable rows after the null/empty-vector
+    // filter: fall through to the (empty) assignment like pre-gate
+    // code did, instead of NPE-ing inside the gate
+    if (!dims.isNullAt(0)) {
+      require(dims.getInt(0) == dims.getInt(1),
+        s"ragged vector input: size($vecCol) ranges " +
+          s"[${dims.getInt(0)}, ${dims.getInt(1)}] — k-means needs one " +
+          "uniform dimension")
+    }
     // id tie-break alongside the hash (the epochShuffle/rankSelect
     // discipline): a 48-bit hash-prefix collision — ~n²/2⁴⁹, material
     // at corpus scale — must not make the init order engine- or

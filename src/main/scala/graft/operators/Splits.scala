@@ -112,15 +112,21 @@ object Splits {
     * over the hash's negated numeric image: map-side partials cap at
     * maxRows entries per (task, stratum), the exchange is output-sized,
     * and the survivor set joins back to the input on (stratum, id) —
-    * ≤ maxRows·|strata| rows, broadcastable. */
+    * ≤ maxRows·|strata| rows, broadcastable. NULL strata drop (the
+    * [[sampleByHash]]/[[temperatureBudgets]] convention — an unowned
+    * domain has no cap to count against). */
   def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
       salt: String, maxRows: Int): DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
     require(!df.columns.contains("cap_rank"),
       "input already has a cap_rank column — rename it first")
     // hash ASC == DESC of the negated numeric image (12 hex digits =
-    // 48 bits, exact in a long); rankedTopK ties break id ASC
+    // 48 bits, exact in a long); rankedTopK ties break id ASC. NULL
+    // strata are filtered BEFORE ranking — the join-back's
+    // null-rejecting equality would drop them anyway, but they'd pay
+    // shuffle cost grouped under the NULL key first
     val scored = df
+      .where(col(stratumCol).isNotNull)
       .select(col(stratumCol).as("__s"), col(idCol).as("__i"))
       .withColumn("__neg",
         -conv(hashKey(col("__i"), salt), 16, 10).cast("long"))
@@ -154,9 +160,12 @@ object Splits {
     require(totalBudget > 0, s"totalBudget must be > 0: $totalBudget")
     require(temperature > 0.0 && java.lang.Double.isFinite(temperature),
       s"temperature must be positive and finite: $temperature")
+    // coalesce: a stratum whose every row has NULL tokens sums to SQL
+    // NULL — it budgets as zero mass (floor-at-1 still keeps it alive)
+    // instead of NPE-ing on the collect
     val masses = df.where(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("s"))
-      .agg(sum(col(tokensCol)).cast("double").as("m"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("double").as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1))
       .sortBy(_._1)
     require(masses.nonEmpty,
@@ -164,6 +173,11 @@ object Splits {
     val ws = masses.map { case (s, m) =>
       s -> math.pow(m, 1.0 / temperature) }
     val tot = ws.map(_._2).sum
+    // all-zero masses would make every share 0/0 = NaN (which the
+    // BigDecimal rounding rejects with an opaque error) — surface the
+    // real problem instead
+    require(tot > 0.0,
+      s"no positive '$tokensCol' mass in any '$stratumCol' stratum")
     ws.map { case (s, w) =>
       val share = BigDecimal(w / tot)
         .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble

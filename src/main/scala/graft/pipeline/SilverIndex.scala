@@ -766,6 +766,19 @@ object SilverIndex {
     * transaction meaning — the fold is duplicate-insensitive, so a
     * replay folding into an already-folded sketch is a no-op by
     * construction — it only orders the copies so readers take max. */
+  /** Visible (non-hidden) plain FILES directly under `dir` — the
+    * pre-versioned flat sketch layout's data files; version subdirs
+    * don't match (they are directories). */
+  private def flatDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+  }
+
   def refreshKmv(batch: DataFrame, groupCol: String, keyCol: String,
       k: Int, path: String): Refresh = {
     val spark = batch.sparkSession
@@ -773,26 +786,45 @@ object SilverIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = versionsUnder(fs, root)
+    // one-time migration from the pre-versioned layout (parquet files
+    // directly under root): fold it in as the stored side, retire the
+    // flat files only AFTER the versioned commit lands — silently
+    // ignoring them would restart the sketch from the batch alone, the
+    // exact silent undercount this commit protocol exists to prevent
+    val flat = if (committed.isEmpty) flatDataFiles(fs, root) else Seq.empty
     val batchHashes = batch
       .where(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol).as("grp"),
         graft.operators.Sketches.kmvHash(col(keyCol)).as("hk"))
       .distinct()
-    val all = (if (committed.isEmpty) None
-      else Some(spark.read.parquet(s"$root/v${committed.max}")
-        .select(col("grp"), explode(col("kmins")).as("hk"))))
+    val stored =
+      if (committed.nonEmpty)
+        Some(spark.read.parquet(s"$root/v${committed.max}"))
+      else if (flat.nonEmpty) Some(spark.read.parquet(root))
+      else None
+    val all = stored
+      .map(_.select(col("grp"), explode(col("kmins")).as("hk")))
       .fold(batchHashes)(batchHashes.unionByName(_).distinct())
     val agg = udaf(new graft.operators.Sketches.KmvAgg(k))
     val next = all.groupBy("grp").agg(agg(col("hk")).as("kmins"))
       .localCheckpoint(true)
+    val groups = next.count()
+    // empty fold (first batch with no usable rows): committing an
+    // empty v0 would leave a version dir spark.read can't infer a
+    // schema from, wedging every later fold — skip, state is unchanged
+    if (groups == 0) return Refresh(0, 0)
     val nv = if (committed.isEmpty) 0L else committed.max + 1
     val tmp = s"$root/_tmp_v$nv"
     next.write.mode("overwrite").parquet(tmp)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$root/v$nv"))
+    // rename failures REPORT false rather than throw — proceeding to
+    // the retirement below on a failed rename would delete the only
+    // durable copies of the accumulated k-minima
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/v$nv")),
+      s"KMV commit rename failed: $tmp -> $root/v$nv (old versions kept)")
     committed.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
-    val groups = next.count()
+    flat.foreach(f => fs.delete(f, false))
     Refresh(groups, groups)
   }
 
@@ -892,8 +924,12 @@ object SilverIndex {
     // after it makes the replay a no-op (batchId <= last above).
     val tmp = s"$path/_tmp_v$batchId"
     next.write.mode("overwrite").parquet(tmp)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/v$batchId"))
+    // rename failures REPORT false rather than throw (e.g. destination
+    // left by a duplicate writer) — proceeding to the retirement below
+    // on a failed rename would delete the only committed counters
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/v$batchId")),
+      s"CMS commit rename failed: $tmp -> $path/v$batchId (old versions kept)")
     // best-effort retirement of superseded versions (single-writer
     // foreachBatch; gate reads happen after the stream stops)
     committed.foreach(v =>
@@ -931,14 +967,20 @@ object SilverIndex {
     streamingRefresh(rows, path)(refreshKmv(_, groupCol, keyCol, k, path))
 
   /** The sketch table as stored: (grp, kmins) — the highest committed
-    * version under `path`/sketch. */
+    * version under `path`/sketch (or the pre-versioned flat layout if
+    * no version has been committed yet — see [[refreshKmv]]'s
+    * migration note). */
   def kmvIndex(spark: SparkSession, path: String): DataFrame = {
     val root = s"$path/sketch"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versionsUnder(fs, root)
-    require(vs.nonEmpty, s"no committed KMV sketch under $root")
-    spark.read.parquet(s"$root/v${vs.max}")
+    if (vs.nonEmpty) spark.read.parquet(s"$root/v${vs.max}")
+    else {
+      require(flatDataFiles(fs, root).nonEmpty,
+        s"no committed KMV sketch under $root")
+      spark.read.parquet(root)
+    }
   }
 
   /** [[streamingRefresh]] pre-wired to [[refreshPostings]]. */
@@ -1005,12 +1047,18 @@ object SilverIndex {
         // would reopen the same window).
         val intentDir = s"$sigPath/_intent/batch$batchId"
         // guard on COMMITTED data files, not bare existence: the dir
-        // exists as soon as the intent write STARTS, so a crash mid-
-        // write leaves only _temporary under it — fs.exists would send
-        // the replay down the read branch into a failing (or empty)
-        // read. hasDataFiles skips hidden subtrees, so a partial
-        // intent re-derives (nothing mutated before the intent commit)
-        // and mode("overwrite") below clears the debris.
+        // exists as soon as a write STARTS — fs.exists would send the
+        // replay down the read branch into a failing (or empty) read
+        // over leftover debris. hasDataFiles skips hidden subtrees.
+        // The intent itself commits by STAGE-THEN-RENAME (one file via
+        // coalesce(1), staged under _tmp_, one atomic dir rename): a
+        // direct multi-file write commits part files one rename at a
+        // time, so a crash MID-job-commit could leave a readable but
+        // INCOMPLETE id set — the replay would then silently drop the
+        // missing ids' signatures and pairs forever. The dir rename
+        // makes the intent all-or-nothing; any pre-rename crash leaves
+        // no committed data files and the replay re-derives (nothing
+        // has mutated before the intent commit).
         val newIds =
           if (hasDataFiles(spark, intentDir))
             spark.read.parquet(intentDir)
@@ -1020,7 +1068,14 @@ object SilverIndex {
               .fold(ids)(ix =>
                 ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
               .localCheckpoint(true)
-            fresh.write.mode("overwrite").parquet(intentDir)
+            val fs = new org.apache.hadoop.fs.Path(sigPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val tmp = s"$sigPath/_intent/_tmp_batch$batchId"
+            fresh.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val dst = new org.apache.hadoop.fs.Path(intentDir)
+            if (fs.exists(dst)) fs.delete(dst, true) // pre-fix debris
+            require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+              s"intent commit rename failed: $tmp -> $intentDir")
             fresh
           }
         // the batch is pre-filtered to the intent so refreshMinhash's

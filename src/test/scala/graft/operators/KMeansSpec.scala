@@ -60,6 +60,18 @@ class KMeansSpec extends SparkTestBase {
       5L -> 1L, 6L -> 1L))
   }
 
+  test("empty / all-filtered input yields an empty assignment, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assert(KMeans.fixedIter(empty, "id", "v", k = 2, iters = 1)
+      .count() == 0)
+    val allBad = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.empty[Float])).toDF("id", "v")
+    assert(KMeans.fixedIter(allBad, "id", "v", k = 2, iters = 1)
+      .count() == 0)
+  }
+
   test("ragged vector dimensions are an error, not a garbage cluster") {
     val s = spark
     import s.implicits._

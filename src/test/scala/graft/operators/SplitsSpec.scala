@@ -179,6 +179,12 @@ class SplitsSpec extends SparkTestBase {
     // guards
     intercept[IllegalArgumentException](
       Splits.capPerStratum(docs, "doc_id", "domain", "cap-spec", 0))
+    // NULL strata drop (documented convention), others unaffected
+    val withNull = Seq((1L, Option("a.com")), (2L, None: Option[String]))
+      .toDF("doc_id", "domain")
+    val kept = Splits.capPerStratum(withNull, "doc_id", "domain",
+      "cap-spec", 5).collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L), kept.toString)
   }
 
   test("temperatureBudgets: T=1 proportional, T→∞ uniform, monotone between") {
@@ -212,6 +218,24 @@ class SplitsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](budgets(Double.PositiveInfinity))
     intercept[IllegalArgumentException](
       Splits.temperatureBudgets(docs, "lang", "n_tokens", 0L, 1.0))
+  }
+
+  test("temperatureBudgets degenerate strata: null-token mass is 0, all-zero errors") {
+    val s = spark
+    import s.implicits._
+    // a stratum whose every row has NULL tokens budgets as zero mass
+    // (floor-at-1 keeps it alive), not an NPE
+    val withNull = Seq((1L, "en", Option(100L)),
+      (2L, "xx", None: Option[Long])).toDF("doc_id", "lang", "n_tokens")
+    val b = Splits.temperatureBudgets(withNull, "lang", "n_tokens",
+      1000L, 1.0)
+    assert(b == Map("en" -> 1000L, "xx" -> 1L), b.toString)
+    // all-zero total mass is a clear error, not BigDecimal(NaN)
+    val zeros = Seq((1L, "en", 0L), (2L, "es", 0L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val ex = intercept[IllegalArgumentException](
+      Splits.temperatureBudgets(zeros, "lang", "n_tokens", 1000L, 1.0))
+    assert(ex.getMessage.contains("mass"), ex.getMessage)
   }
 
   test("thresholdHex rejects f >= 1.0 (13-hex-char silent mis-split guard)") {

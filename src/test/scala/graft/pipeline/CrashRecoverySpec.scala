@@ -110,6 +110,22 @@ class CrashRecoverySpec extends SparkTestBase {
       "partial intent was not rewritten with the derived id set")
   }
 
+  test("s6 crash after intent STAGED, before rename: replay re-derives") {
+    val root = tmp("crash-s6-d")
+    runBatch(root, 0L, docs.take(3))
+    // hand-built crash state: the intent's stage dir was written but
+    // the atomic rename never happened — and worse, the staged content
+    // is STALE (only id 4, not the true {4, 5}), as if the crashed
+    // attempt raced a partial state. The replay must ignore the stage
+    // dir entirely (only the renamed dir is the commit) and re-derive.
+    Seq(4L).toDF("doc").write.parquet(s"$root/sig/_intent/_tmp_batch1")
+    runBatch(root, 1L, docs.drop(3)) // the replay
+    assert(pairsAt(root) == scratchPairs)
+    assert(spark.read.parquet(s"$root/sig/_intent/batch1")
+      .collect().map(_.getLong(0)).toSet == Set(4L, 5L),
+      "replay trusted the un-renamed stage dir")
+  }
+
   // ------------------------------------------------------- s9 versioned
 
   private def cmsCounters(df: org.apache.spark.sql.DataFrame) =
@@ -165,6 +181,53 @@ class CrashRecoverySpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------ KMV versioned
+
+  test("KMV: an empty first fold commits nothing instead of an unreadable v0") {
+    val path = tmp("crash-kmv-empty")
+    val r = SilverIndex.refreshKmv(
+      Seq.empty[(String, Long)].toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    assert(r.appended == 0)
+    // no version dir exists — the next (non-empty) fold starts clean
+    intercept[IllegalArgumentException](SilverIndex.kmvIndex(spark, path))
+    SilverIndex.refreshKmv(
+      (0L until 50L).map(i => ("g", i)).toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    assert(SilverIndex.kmvIndex(spark, path).count() == 1L)
+  }
+
+  test("KMV: pre-versioned flat layout is folded in, not silently dropped") {
+    val path = tmp("crash-kmv-flat")
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i % 97))
+    // hand-built legacy state: the sketch as the PRE-versioned code
+    // stored it — parquet files directly under $path/sketch
+    graft.operators.Sketches.kmvDistinct(
+        rows.take(200).toDF("grp", "key"), Seq("grp"), "key", k = 16)
+      .select(col("grp"), col("kmins"))
+      .write.parquet(s"$path/sketch")
+    // the reader serves the flat layout as-is
+    assert(SilverIndex.kmvIndex(spark, path).count() == 3L)
+    // the next fold uses it as the stored side and commits versioned
+    SilverIndex.refreshKmv(rows.drop(100).toDF("grp", "key"),
+      "grp", "key", k = 16, path = path)
+    def sketchSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        r.getSeq[String](1).toVector).toMap
+    val whole = graft.operators.Sketches.kmvDistinct(
+        rows.toDF("grp", "key"), Seq("grp"), "key", k = 16)
+      .select(col("grp"), col("kmins"))
+    assert(sketchSet(SilverIndex.kmvIndex(spark, path)) ==
+      sketchSet(whole),
+      "flat-layout state was dropped from the fold")
+    // the flat files were retired after the versioned commit
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/sketch"))
+      .map(_.getPath.getName).filterNot(n =>
+        n.startsWith("_") || n.startsWith(".")).toSet
+    assert(entries == Set("v0"), s"leftovers: $entries")
+  }
 
   test("KMV fold survives an orphan _tmp and always keeps a committed copy") {
     val path = tmp("crash-kmv")
