@@ -98,6 +98,18 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x9 (r14): hourly rate-BURST detection — each event type's hourly
+    // count vs the mean of its previous 24 OBSERVED hourly buckets
+    // (ROWS frame: calendar gaps don't dilute the baseline), flagged
+    // at 2× (operators/Burst). Ratio-to-baseline, deliberately NOT a
+    // z-score: stddev's accumulation order float-drifts cross-engine,
+    // the integer-sum mean doesn't. First-hour buckets emit NULL
+    // baseline and flag 0 in both engines.
+    "x9_burst_detect" -> ((s, dir) =>
+      graft.operators.Burst.hourlyBursts(
+        t(s, dir, "events"), "event_type", "ts",
+        trailingHours = 24, threshold = 2.0)),
+
     // x8 (r14): gap-based SESSIONIZATION — 30-minute inactivity splits
     // a user's (ts, event_id)-ordered events into visits, each rolled
     // up to (start, end, n_events, duration). The gap compares exact
@@ -237,6 +249,27 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // x9: the hourly bucket aggregation, the trailing ROWS-frame
+    // average, ratio + threshold CASE — round 6 at the output only
+    "x9_burst_detect" ->
+      """WITH h AS (
+        |  SELECT event_type AS etype, date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT etype, hour, n_events,
+        |    avg(n_events) OVER (PARTITION BY etype ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ta
+        |  FROM h)
+        |SELECT etype, CAST(hour AS TIMESTAMP) AS hour, n_events,
+        |  round(ta, 6) AS trailing_avg,
+        |  round(n_events / ta, 6) AS burst_ratio,
+        |  CAST(CASE WHEN n_events / ta >= 2.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_burst
+        |FROM t""".stripMargin,
 
     // x8: lag over (ts, event_id) per user in epoch-µs, boundary flag
     // at gap > 1 800 000 000 µs, running-sum session index, rollup
