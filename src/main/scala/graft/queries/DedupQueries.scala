@@ -240,6 +240,40 @@ object DedupQueries {
           col("n_words").cast("long").as("n_words"), col("keep"))
     }),
 
+    // d16 (r14): per-SOURCE duplication diagnostics — the curation
+    // report that turns pair detection into a source-quality ranking:
+    // per registered domain (t19's construction — the doc's first
+    // URL's host), how many docs, how many participate in ≥ 1
+    // exact-Jaccard near-dup pair, and the rate. The pair side is
+    // pair-graph-sized (its distinct members broadcast into the
+    // domain join); integer counts + one round-6 division -> exact
+    // oracle composing the d2 pair CTEs with the t8 extraction.
+    "d16_domain_dup_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val embedded = concat(
+        col("text"), lit(" see http://site"),
+        (col("doc_id") % 20).cast("string"), lit(".example.com/p/"), id,
+        lit(" and https://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/x"))
+      val withDomain = docs.select(col("doc_id"),
+        regexp_extract(embedded, "https?://([A-Za-z0-9.-]+)", 1)
+          .as("domain"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 2, theta = 0.5)
+      val dupDocs = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("__dup", lit(1L))
+      withDomain.join(broadcast(dupDocs), Seq("doc_id"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__dup")), lit(0L)).as("n_dup_docs"))
+        .withColumn("dup_rate",
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+    }),
+
     "d7_incr_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the 80% base build happens once per (JVM, sf dir) — the a6/t11
@@ -481,6 +515,37 @@ object DedupQueries {
         |       CAST(n_words AS BIGINT) AS n_words,
         |       CAST(rn = 1 AS BIGINT) AS keep
         |FROM r2""".stripMargin,
+
+    // d16: the d2 exact-Jaccard pair CTEs, distinct pair members, the
+    // t8 domain extraction, then per-domain counts + round-6 rate
+    "d16_domain_dup_rate" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+        |      FROM d),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |dup AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM p
+        |  UNION ALL SELECT doc_b AS doc_id FROM p)),
+        |dom AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      text || ' see http://site' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |           || ' and https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.example.org/x',
+        |      'https?://([A-Za-z0-9.-]+)', 1) AS domain
+        |  FROM documents)
+        |SELECT domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+        |  round(CAST(count(dup.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM dom LEFT JOIN dup ON dom.doc_id = dup.doc_id
+        |GROUP BY domain""".stripMargin,
 
     // d15: d14's brute-force containment CTEs (the pair stage), the d8
     // recursive closure, and the d13 quality argmax — each proven

@@ -685,6 +685,33 @@ class DedupSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 1L)), got.toString)
   }
 
+  test("domain dup-rate shape: pair members count once, clean domains rate 0") {
+    val s = spark
+    import s.implicits._
+    // spam.com: docs 1,2,3 where 1-2 are near-dups; clean.org: 4,5
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs2 = Seq(
+      (1L, "spam.com", dup), (2L, "spam.com", dup + " iota"),
+      (3L, "spam.com", "totally different words here nothing shared"),
+      (4L, "clean.org", "first unique document about rivers and stone"),
+      (5L, "clean.org", "second unique document about clouds and wind"))
+      .toDF("doc_id", "domain", "text")
+    val pairs = Dedup.jaccardPairs(docs2, "doc_id", "text", n = 2,
+      theta = 0.5)
+    val dupDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("__dup", lit(1L))
+    val got = docs2.select(col("doc_id"), col("domain"))
+      .join(dupDocs, Seq("doc_id"), "left")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("spam.com" -> ((3L, 2L)),
+      "clean.org" -> ((2L, 0L))), got.toString)
+  }
+
   test("crossContainment: a benchmark question quoted whole inside a page") {
     val s = spark
     import s.implicits._
