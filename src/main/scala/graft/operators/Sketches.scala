@@ -152,6 +152,59 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
+  // ------------------------------------------------- k4: Bloom filter
+
+  /** Portable BLOOM FILTER (Bloom 1970, public) under the family
+    * contract: bit positions are md5-derived ([[cmsHash]] — a Bloom is
+    * structurally a bit-valued CMS row set), so any engine rebuilds
+    * the IDENTICAL bit set and membership answers replay exactly. The
+    * filter is stored as distinct `pos` ROWS, not a packed bitmap:
+    * row-shape makes it mergeable by plain UNION + DISTINCT —
+    * associative, commutative, DUPLICATE-INSENSITIVE, the same
+    * replay-absorbing merge algebra as the KMV sketch (shard sketches
+    * union to the whole-corpus sketch; an at-least-once replayed batch
+    * folds to a no-op). Standard guarantees: NO false negatives ever;
+    * false-positive rate ≈ (1 − e^(−kn/m))^k.
+    *
+    * Scale: the stored side is ≤ m rows (bits set), the build shuffles
+    * the map-side-DISTINCTed positions — O(min(k·distinct, m)), never
+    * the key bag; membership probes join against the BROADCAST bit
+    * set. */
+  def bloomBuild(df: DataFrame, keyCol: String, numHashes: Int,
+      mBits: Int): DataFrame = {
+    require(numHashes >= 1 && mBits >= 2,
+      s"bad Bloom shape: $numHashes hashes x $mBits bits")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array((0 until numHashes).map(r =>
+        cmsHash(col(keyCol), r, mBits)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Membership answers for `probes` (deduped) against a filter built
+    * with the same (numHashes, mBits): (key, n_pos, n_hit,
+    * might_contain). A key CONTAINS iff every one of its DISTINCT
+    * positions is set (two of a key's hashes may collide onto one
+    * position — counting matched rows against the constant k would
+    * then report a false NEGATIVE, so both sides count distinct
+    * positions). */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame,
+      keyCol: String, numHashes: Int, mBits: Int): DataFrame = {
+    require(numHashes >= 1 && mBits >= 2,
+      s"bad Bloom shape: $numHashes hashes x $mBits bits")
+    val pp = probes.select(col(keyCol).as("key"))
+      .where(col("key").isNotNull).distinct()
+      .select(col("key"), explode(array((0 until numHashes).map(r =>
+        cmsHash(col("key"), r, mBits)): _*)).as("pos"))
+      .distinct()
+    pp.join(broadcast(bloom.withColumn("__hit", lit(1L))), Seq("pos"),
+        "left")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pos"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("might_contain",
+        (col("n_pos") === col("n_hit")).cast("long"))
+  }
+
   /** Per-group KMV sketch + estimate over `keyCol`. Output:
     * `groupCols ++ (n_kept, kth_hash, kmins, est_distinct)` — `kmins`
     * is the mergeable sketch itself (store it; union + re-aggregate

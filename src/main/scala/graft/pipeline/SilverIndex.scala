@@ -828,6 +828,63 @@ object SilverIndex {
     Refresh(groups, groups)
   }
 
+  /** Bloom BIT-SET maintenance: fold a batch of keys into the stored
+    * distinct-position table — the streaming half of
+    * [[graft.operators.Sketches.bloomBuild]] (the k4 sketch). The fold
+    * is UNION + DISTINCT over positions — associative, commutative,
+    * DUPLICATE-INSENSITIVE (the [[refreshKmv]] merge algebra), so a
+    * replayed at-least-once micro-batch folds to the identical bit set
+    * and the final table equals the from-scratch batch build
+    * regardless of arrival order or chunking (the s10 gate contract).
+    * Commits by the same stage-then-rename versioned protocol as the
+    * KMV sketch (crash-window rationale there); each fold shuffles
+    * O(bits-set + batch-distinct-positions) narrow long rows, never
+    * the historical key bag. */
+  def refreshBloom(batch: DataFrame, keyCol: String, numHashes: Int,
+      mBits: Int, path: String): Refresh = {
+    val spark = batch.sparkSession
+    val root = s"$path/bloom"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, root)
+    val batchBits = graft.operators.Sketches
+      .bloomBuild(batch, keyCol, numHashes, mBits)
+    val next = (if (committed.isEmpty) batchBits
+      else batchBits
+        .unionByName(spark.read.parquet(s"$root/v${committed.max}"))
+        .distinct())
+      .localCheckpoint(true)
+    val bits = next.count()
+    if (bits == 0) return Refresh(0, 0)
+    val nv = if (committed.isEmpty) 0L else committed.max + 1
+    val tmp = s"$root/_tmp_v$nv"
+    next.write.mode("overwrite").parquet(tmp)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/v$nv")),
+      s"Bloom commit rename failed: $tmp -> $root/v$nv (old versions kept)")
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    Refresh(bits, bits)
+  }
+
+  /** [[streamingRefresh]] pre-wired to [[refreshBloom]]. */
+  def streamingRefreshBloom(rows: DataFrame, keyCol: String,
+      numHashes: Int, mBits: Int, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(rows, path)(
+      refreshBloom(_, keyCol, numHashes, mBits, path))
+
+  /** The maintained bit set: distinct `pos` rows — the highest
+    * committed version under `path`/bloom. */
+  def bloomIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = s"$path/bloom"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, root)
+    require(vs.nonEmpty, s"no committed Bloom bit set under $root")
+    spark.read.parquet(s"$root/v${vs.max}")
+  }
+
   /** Quantile-SAMPLE maintenance: fold a batch into the deterministic
     * hash sample behind [[graft.operators.Sketches.sampleQuantiles]]
     * (the k3 sketch). Membership is a pure per-row function of

@@ -286,7 +286,42 @@ object RelationalQueries {
         t(s, dir, "lineitem"),
         concat_ws("-", col("l_orderkey"), col("l_linenumber")),
         "l_extendedprice", Seq("l_returnflag"), "quantile-r13",
-        rate = 0.2, qs = Seq(0.25, 0.5, 0.75, 0.95)))
+        rate = 0.2, qs = Seq(0.25, 0.5, 0.75, 0.95))),
+
+    // Bloom membership sketch (r14): the fourth portable sketch — k1
+    // distincts, k2 frequencies, k3 quantiles, k4 MEMBERSHIP. The bit
+    // set is md5-derived (any engine rebuilds it identically) and
+    // stored as distinct pos ROWS, mergeable by UNION+DISTINCT (the
+    // KMV duplicate-insensitive algebra). Built over the custkeys that
+    // HAVE orders, probed with every customer: present keys must all
+    // answer 1 (no false negatives — visible in the output as
+    // present=1 ⇒ might_contain=1), absent keys show the measured
+    // false-positive rate at 5 hashes × 8192 bits.
+    "k4_bloom_filter" -> ((s, dir) => {
+      val sk = graft.operators.Sketches
+      val present = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck")).where(col("ck").isNotNull)
+      val bloom = sk.bloomBuild(present, "ck", numHashes = 5,
+        mBits = 8192)
+      // probe a SUPERSET: every customer plus a shifted guaranteed-
+      // absent twin per customer — makes both contract halves visible
+      // in the output (present rows must all answer 1; absent rows
+      // measure the fp rate)
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"))
+      val probes = cust.unionByName(
+        cust.select((col("ck") + 1000000L).as("ck")))
+      val truth = present.distinct()
+        .withColumnRenamed("ck", "key").withColumn("present", lit(1L))
+      sk.bloomMightContain(bloom, probes, "ck", numHashes = 5,
+          mBits = 8192)
+        .join(truth, Seq("key"), "left")
+        .select(col("key"), col("n_pos"), col("n_hit"),
+          col("might_contain"),
+          coalesce(col("present"), lit(0L)).as("present"),
+          (col("might_contain") === 1L &&
+            coalesce(col("present"), lit(0L)) === 0L)
+            .cast("long").as("false_positive"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,6 +546,48 @@ object RelationalQueries {
         |SELECT ex.item, ex.exact_n, est.est_n,
         |  est.est_n - ex.exact_n AS overcount
         |FROM est JOIN ex USING (item)""".stripMargin,
+
+    // k4: the bit set rebuilt in SQL from the same md5s (the k2
+    // rolling hex parse), distinct (key, pos) on the probe side so a
+    // key's colliding hashes can't fake a false negative
+    "k4_bloom_filter" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE o_custkey IS NOT NULL),
+        |rws AS (SELECT unnest(range(0, 5)) AS r),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    list_reduce(list_transform(string_split(substring(
+        |      md5(CAST(rws.r AS VARCHAR) || ':' ||
+        |          CAST(pres.ck AS VARCHAR)), 1, 12), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) % 8192 AS pos
+        |  FROM pres CROSS JOIN rws),
+        |pr AS (SELECT DISTINCT key FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  WHERE c_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key FROM customer
+        |  WHERE c_custkey IS NOT NULL)),
+        |pp AS (
+        |  SELECT DISTINCT key,
+        |    list_reduce(list_transform(string_split(substring(
+        |      md5(CAST(rws.r AS VARCHAR) || ':' ||
+        |          CAST(pr.key AS VARCHAR)), 1, 12), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) % 8192 AS pos
+        |  FROM pr CROSS JOIN rws),
+        |agg AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_pos,
+        |         CAST(count(b.pos) AS BIGINT) AS n_hit
+        |  FROM pp LEFT JOIN bits b USING (pos)
+        |  GROUP BY key)
+        |SELECT a.key, a.n_pos, a.n_hit,
+        |  CAST(a.n_pos = a.n_hit AS BIGINT) AS might_contain,
+        |  CAST(p2.ck IS NOT NULL AS BIGINT) AS present,
+        |  CAST(a.n_pos = a.n_hit AND p2.ck IS NULL AS BIGINT)
+        |    AS false_positive
+        |FROM agg a LEFT JOIN pres p2 ON a.key = p2.ck""".stripMargin,
 
     // the sketch rebuilt in SQL: same md5 sample gate (threshold(0.2)
     // = '333333333333'), same (value, hash) rank order, same ⌈q·n⌉

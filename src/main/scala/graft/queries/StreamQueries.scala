@@ -64,6 +64,33 @@ object StreamQueries {
       ()
     }
 
+  /** The Bloom bit set maintained by REAL Structured Streaming (once
+    * per JVM + sf dir): the ordering customers' keys arrive as three
+    * MemoryStream micro-batches folded by [[graft.pipeline.SilverIndex
+    * .streamingRefreshBloom]]'s duplicate-insensitive UNION+DISTINCT
+    * merge. */
+  private[graft] def streamBloomPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streambloom:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .where(col("o_custkey").isNotNull)
+        .select("o_custkey").as[Long].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = graft.pipeline.SilverIndex.streamingRefreshBloom(
+        source.toDF().toDF("o_custkey"), "o_custkey",
+        numHashes = 5, mBits = 8192, path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** KMV sketches maintained by REAL Structured Streaming (once per
     * JVM + sf dir): (event_type, user_id) pairs arrive as three
     * MemoryStream micro-batches folded into the sketch table by
@@ -181,6 +208,35 @@ object StreamQueries {
         s, streamQuantPath(s, dir), Seq("event_type"),
         Seq(0.5, 0.9))),
 
+    // s10 (r14): STREAMING membership sketch — k4's Bloom semantics
+    // under micro-batch arrival. The UNION+DISTINCT position fold is
+    // order- and duplicate-insensitive (s7's merge family), so the
+    // maintained bit set is row-identical to the from-scratch batch
+    // build and k4's oracle applies verbatim (same probe superset,
+    // same output shape).
+    "s10_stream_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sk = graft.operators.Sketches
+      val bloom = graft.pipeline.SilverIndex
+        .bloomIndex(s, streamBloomPath(s, dir))
+      val present = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck")).where(col("ck").isNotNull)
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"))
+      val probes = cust.unionByName(
+        cust.select((col("ck") + 1000000L).as("ck")))
+      val truth = present.distinct()
+        .withColumnRenamed("ck", "key").withColumn("present", lit(1L))
+      sk.bloomMightContain(bloom, probes, "ck", numHashes = 5,
+          mBits = 8192)
+        .join(truth, Seq("key"), "left")
+        .select(col("key"), col("n_pos"), col("n_hit"),
+          col("might_contain"),
+          coalesce(col("present"), lit(0L)).as("present"),
+          (col("might_contain") === 1L &&
+            coalesce(col("present"), lit(0L)) === 0L)
+            .cast("long").as("false_positive"))
+    }),
+
     // s7 (r13): STREAMING distinct-count sketch — k1's KMV semantics
     // under micro-batch arrival. The union-truncate fold is order- and
     // duplicate-insensitive, so the maintained sketch is bit-identical
@@ -264,6 +320,9 @@ object StreamQueries {
 
     // the maintained sketch ≡ the batch sketch — k1's oracle verbatim
     "s7_stream_kmv" -> RelationalQueries.oracles("k1_kmv_distinct"),
+
+    // the maintained bit set ≡ the batch build — k4's oracle verbatim
+    "s10_stream_bloom" -> RelationalQueries.oracles("k4_bloom_filter"),
 
     // the maintained counter table ≡ the batch build — k2's oracle
     "s9_stream_cms" -> RelationalQueries.oracles("k2_cms_freq"),

@@ -51,6 +51,44 @@ class SketchesSpec extends SparkTestBase {
     assert(fp <= fpp * 3, s"bloom fp rate $fp far beyond target $fpp")
   }
 
+  test("portable bloom: no false negatives, shard-merge ≡ whole, JVM md5 replay") {
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 400L).map(_ * 7L)
+    val df = keys.toDF("k")
+    val bloom = Sketches.bloomBuild(df, "k", numHashes = 5, mBits = 4096)
+    // every built key answers might_contain = 1 — the hard contract
+    val ans = Sketches.bloomMightContain(bloom, df, "k", 5, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(keys.forall(k => ans(k) == 1L), "portable bloom false negative")
+    // absent keys: fp rate sane for 5 x 4096 bits over 400 keys
+    val absent = (1L to 1000L).map(_ * 7L + 3L).toDF("k")
+    val fp = Sketches.bloomMightContain(bloom, absent, "k", 5, 4096)
+      .where(col("might_contain") === 1L).count().toDouble / 1000
+    assert(fp < 0.15, s"fp rate $fp out of family")
+    // shard sketches UNION+DISTINCT to the whole — the KMV merge algebra
+    val shardA = Sketches.bloomBuild(keys.take(200).toDF("k"), "k", 5, 4096)
+    val shardB = Sketches.bloomBuild(keys.drop(150).toDF("k"), "k", 5, 4096)
+    val merged = shardA.unionByName(shardB).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == bloom.collect().map(_.getLong(0)).toSet,
+      "overlapping shard merge diverged from the whole-corpus build")
+    // portability: positions replay from plain JVM md5 arithmetic
+    val jvm = (for { k <- keys; r <- 0 until 5 } yield {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }).toSet
+    assert(bloom.collect().map(_.getLong(0)).toSet == jvm,
+      "stored bit set diverged from the md5 definition")
+    // shape guards
+    intercept[IllegalArgumentException](
+      Sketches.bloomBuild(df, "k", 0, 4096))
+    intercept[IllegalArgumentException](
+      Sketches.bloomMightContain(bloom, df, "k", 5, 1))
+  }
+
   test("KMV: exact below k, unbiased-estimator error within 4/sqrt(k-2) at k") {
     val s = spark
     import s.implicits._

@@ -193,6 +193,35 @@ class StreamingIndexSpec extends SparkTestBase {
       "replayed fold mutated the sketch (duplicate-insensitivity broken)")
   }
 
+  test("streamed Bloom == batch bit set; replayed batch folds to itself") {
+    val path = tmp("stream-bloom")
+    val keys = (0L until 500L).map(i => i * 3L)
+    val input = MemoryStream[Long]
+    val q = SilverIndex.streamingRefreshBloom(
+      input.toDF().toDF("k"), "k", numHashes = 5, mBits = 4096,
+      path = path)
+    try {
+      // adversarial chunking: overlapping duplicates across batches
+      input.addData(keys.take(300): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val streamed = bits(SilverIndex.bloomIndex(spark, path))
+    val batch = bits(graft.operators.Sketches.bloomBuild(
+      keys.toDF("k"), "k", numHashes = 5, mBits = 4096))
+    assert(streamed == batch,
+      "streamed bit set diverged from the from-scratch batch build")
+
+    // explicit replay: folding an already-folded batch changes nothing
+    SilverIndex.refreshBloom(keys.take(300).toDF("k"), "k", 5, 4096, path)
+    assert(bits(SilverIndex.bloomIndex(spark, path)) == streamed,
+      "replayed fold mutated the bit set (duplicate-insensitivity broken)")
+  }
+
   test("streamed quantile sample == batch gate; replay appends zero") {
     val path = tmp("stream-quant")
     val rows = (0L until 2000L).map(i =>
