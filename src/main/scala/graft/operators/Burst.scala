@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * any engine, unlike a RANGE-over-calendar formulation that would
   * need gap filling).
   *
+  * Timezone contract (the ASCII/BMP-note discipline): `date_trunc`
+  * buckets in the SESSION timezone (`spark.sql.session.timeZone`), so
+  * cross-engine parity is pinned for UTC sessions — the harness
+  * default — while a half-hour-offset session zone would shift bucket
+  * boundaries relative to an engine truncating naive timestamps.
+  * Results remain deterministic for any fixed session zone.
+  *
   * Engine parity: the baseline is an average of integer counts (exact
   * integer sum ÷ count — bit-identical cross-engine), the ratio is one
   * double division, and both round HALF_UP to 6 only at the OUTPUT;

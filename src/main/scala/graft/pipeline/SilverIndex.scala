@@ -738,6 +738,19 @@ object SilverIndex {
       .option("checkpointLocation", s"$path/_checkpoint")
       .start()
 
+  /** Visible (non-hidden) plain FILES directly under `dir` — the
+    * pre-versioned flat sketch layout's data files; version subdirs
+    * don't match (they are directories). */
+  private def flatDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+  }
+
   /** KMV sketch maintenance: fold a batch of (group, key) rows into the
     * per-group sketch table at `path`/sketch — the streaming half of
     * [[graft.operators.Sketches.kmvDistinct]] (the k1 sketch). The fold
@@ -766,19 +779,6 @@ object SilverIndex {
     * transaction meaning — the fold is duplicate-insensitive, so a
     * replay folding into an already-folded sketch is a no-op by
     * construction — it only orders the copies so readers take max. */
-  /** Visible (non-hidden) plain FILES directly under `dir` — the
-    * pre-versioned flat sketch layout's data files; version subdirs
-    * don't match (they are directories). */
-  private def flatDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[org.apache.hadoop.fs.Path] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getPath)
-  }
-
   def refreshKmv(batch: DataFrame, groupCol: String, keyCol: String,
       k: Int, path: String): Refresh = {
     val spark = batch.sparkSession
@@ -787,11 +787,14 @@ object SilverIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = versionsUnder(fs, root)
     // one-time migration from the pre-versioned layout (parquet files
-    // directly under root): fold it in as the stored side, retire the
-    // flat files only AFTER the versioned commit lands — silently
-    // ignoring them would restart the sketch from the batch alone, the
-    // exact silent undercount this commit protocol exists to prevent
-    val flat = if (committed.isEmpty) flatDataFiles(fs, root) else Seq.empty
+    // directly under root): fold it in as the stored side WHEN no
+    // version exists yet — silently ignoring it would restart the
+    // sketch from the batch alone, the exact silent undercount this
+    // commit protocol exists to prevent. Retirement below runs on
+    // EVERY successful commit (not just the migrating one), so a crash
+    // between a past rename and its retirement can't orphan stale flat
+    // files forever.
+    val flat = flatDataFiles(fs, root)
     val batchHashes = batch
       .where(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol).as("grp"),

@@ -297,32 +297,41 @@ object RelationalQueries {
     // answer 1 (no false negatives — visible in the output as
     // present=1 ⇒ might_contain=1), absent keys show the measured
     // false-positive rate at 5 hashes × 8192 bits.
-    "k4_bloom_filter" -> ((s, dir) => {
-      val sk = graft.operators.Sketches
-      val present = t(s, dir, "orders")
-        .select(col("o_custkey").as("ck")).where(col("ck").isNotNull)
-      val bloom = sk.bloomBuild(present, "ck", numHashes = 5,
-        mBits = 8192)
-      // probe a SUPERSET: every customer plus a shifted guaranteed-
-      // absent twin per customer — makes both contract halves visible
-      // in the output (present rows must all answer 1; absent rows
-      // measure the fp rate)
-      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"))
-      val probes = cust.unionByName(
-        cust.select((col("ck") + 1000000L).as("ck")))
-      val truth = present.distinct()
-        .withColumnRenamed("ck", "key").withColumn("present", lit(1L))
-      sk.bloomMightContain(bloom, probes, "ck", numHashes = 5,
-          mBits = 8192)
-        .join(truth, Seq("key"), "left")
-        .select(col("key"), col("n_pos"), col("n_hit"),
-          col("might_contain"),
-          coalesce(col("present"), lit(0L)).as("present"),
-          (col("might_contain") === 1L &&
-            coalesce(col("present"), lit(0L)) === 0L)
-            .cast("long").as("false_positive"))
-    })
+    "k4_bloom_filter" -> ((s, dir) =>
+      bloomProbeReport(s, dir,
+        graft.operators.Sketches.bloomBuild(
+          t(s, dir, "orders").select(col("o_custkey").as("ck"))
+            .where(col("ck").isNotNull),
+          "ck", numHashes = 5, mBits = 8192)))
   )
+
+  /** The shared k4/s10 probe report: membership answers for EVERY
+    * customer plus a shifted guaranteed-absent twin per customer —
+    * the superset makes both contract halves visible in the output
+    * (present rows must all answer 1; absent rows measure the fp rate)
+    * — labelled with the ground truth. ONE definition so the batch
+    * (k4) and streamed (s10) gates can never drift apart; only the
+    * bit-set SOURCE differs between them. */
+  private[queries] def bloomProbeReport(s: SparkSession, dir: String,
+      bloom: DataFrame): DataFrame = {
+    val present = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck")).where(col("ck").isNotNull)
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"))
+    val probes = cust.unionByName(
+      cust.select((col("ck") + 1000000L).as("ck")))
+    val truth = present.distinct()
+      .withColumnRenamed("ck", "key").withColumn("present", lit(1L))
+    graft.operators.Sketches
+      .bloomMightContain(bloom, probes, "ck", numHashes = 5,
+        mBits = 8192)
+      .join(truth, Seq("key"), "left")
+      .select(col("key"), col("n_pos"), col("n_hit"),
+        col("might_contain"),
+        coalesce(col("present"), lit(0L)).as("present"),
+        (col("might_contain") === 1L &&
+          coalesce(col("present"), lit(0L)) === 0L)
+          .cast("long").as("false_positive"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->

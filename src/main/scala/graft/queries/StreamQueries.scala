@@ -214,28 +214,12 @@ object StreamQueries {
     // maintained bit set is row-identical to the from-scratch batch
     // build and k4's oracle applies verbatim (same probe superset,
     // same output shape).
-    "s10_stream_bloom" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val sk = graft.operators.Sketches
-      val bloom = graft.pipeline.SilverIndex
-        .bloomIndex(s, streamBloomPath(s, dir))
-      val present = t(s, dir, "orders")
-        .select(col("o_custkey").as("ck")).where(col("ck").isNotNull)
-      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"))
-      val probes = cust.unionByName(
-        cust.select((col("ck") + 1000000L).as("ck")))
-      val truth = present.distinct()
-        .withColumnRenamed("ck", "key").withColumn("present", lit(1L))
-      sk.bloomMightContain(bloom, probes, "ck", numHashes = 5,
-          mBits = 8192)
-        .join(truth, Seq("key"), "left")
-        .select(col("key"), col("n_pos"), col("n_hit"),
-          col("might_contain"),
-          coalesce(col("present"), lit(0L)).as("present"),
-          (col("might_contain") === 1L &&
-            coalesce(col("present"), lit(0L)) === 0L)
-            .cast("long").as("false_positive"))
-    }),
+    "s10_stream_bloom" -> ((s, dir) =>
+      // the SHARED k4 probe report over the STREAMED bit set — one
+      // definition, so the batch and streamed gates can't drift
+      RelationalQueries.bloomProbeReport(s, dir,
+        graft.pipeline.SilverIndex
+          .bloomIndex(s, streamBloomPath(s, dir)))),
 
     // s7 (r13): STREAMING distinct-count sketch — k1's KMV semantics
     // under micro-batch arrival. The union-truncate fold is order- and
