@@ -79,6 +79,38 @@ object MultimodalQueries {
           coalesce(col("asof_frame_off"), lit(-1L)).as("frame_off"))
     }),
 
+    // m6 (r14): multimodal PAIR PACKING — the batch-assembly step after
+    // m5's alignment: each (caption, frame) pair costs its byte bill
+    // (48 caption bytes + 64 frame bytes when a frame is attached, 48
+    // alone under the no-frame sentinel), pairs pack into 1024-byte
+    // examples in (doc, caption) order via the c2 distributed prefix
+    // sum — the multimodal sibling of token packing, denominated in
+    // the bytes a multimodal trainer actually ships. Oracle = the m5
+    // alignment CTEs + the byte CASE + the c2 window.
+    "m6_pair_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      val frames = Multimodal.sampleFrames(docs, "bin",
+          frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 64).cast("long").as("frame_off"))
+      val captions = Multimodal.sampleFrames(docs, "bin",
+          frameBytes = 48, stride = 2)
+        .select(col("doc_id"), col("frame_idx").as("caption_idx"),
+          (col("frame_idx") * 48).cast("long").as("caption_off"))
+      val aligned = graft.operators.TemporalJoins.asofJoin(
+          captions, frames, keys = Seq("doc_id"),
+          leftTs = "caption_off", rightTs = "frame_off",
+          rightCols = Seq("frame_idx"))
+        .select(col("doc_id"), col("caption_idx"),
+          (lit(48L) + when(col("asof_frame_idx").isNotNull, lit(64L))
+            .otherwise(lit(0L))).as("pair_bytes"))
+      graft.operators.Packing.packByTokenBudget(aligned,
+          Seq("doc_id", "caption_idx"), "pair_bytes", budget = 1024L)
+        .select(col("doc_id"), col("caption_idx"), col("pair_bytes"),
+          col("cum_before"), col("pack_id"))
+    }),
+
     "m4_frame_dedup" -> ((s, dir) => {
       val frames = Multimodal.sampleFrames(
         t(s, dir, "documents")
@@ -137,6 +169,43 @@ object MultimodalQueries {
         |  CAST(coalesce(mo / 64, -1) AS INT) AS frame_idx,
         |  coalesce(mo, -1) AS frame_off
         |FROM al""".stripMargin,
+
+    // m6: the m5 alignment CTEs, the byte-bill CASE, then the c2
+    // running-sum window ordered by (doc, caption)
+    "m6_pair_packing" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |         CAST(fi * 64 AS BIGINT) AS frame_off
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, CAST(floor(octet_length(encode(text)) / 64)
+        |                               AS BIGINT), 2)) AS fi
+        |        FROM documents)),
+        |cp AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS caption_idx,
+        |         CAST(ci * 48 AS BIGINT) AS caption_off
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, CAST(floor(octet_length(encode(text)) / 48)
+        |                               AS BIGINT), 2)) AS ci
+        |        FROM documents)),
+        |al AS (
+        |  SELECT c.doc_id, c.caption_idx,
+        |         max(f.frame_off) AS mo
+        |  FROM cp c LEFT JOIN fr f
+        |    ON f.doc_id = c.doc_id AND f.frame_off <= c.caption_off
+        |  GROUP BY c.doc_id, c.caption_idx),
+        |pb AS (
+        |  SELECT doc_id, caption_idx,
+        |    CAST(48 + CASE WHEN mo IS NOT NULL THEN 64 ELSE 0 END
+        |      AS BIGINT) AS pair_bytes
+        |  FROM al)
+        |SELECT doc_id, caption_idx, pair_bytes,
+        |  CAST(coalesce(sum(pair_bytes) OVER (ORDER BY doc_id, caption_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(CAST(coalesce(sum(pair_bytes) OVER (ORDER BY doc_id, caption_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 1024) AS BIGINT) AS pack_id
+        |FROM pb""".stripMargin,
 
     // the m2 slicing CTE, md5 frame keys, then the d12 semantics: keep
     // a frame occurrence iff its corpus-wide DISTINCT-doc frequency is
