@@ -176,7 +176,77 @@ object StreamQueries {
       ()
     }
 
+  /** Closed visits accumulated by REAL Structured Streaming (once per
+    * JVM + sf dir): the event log arrives as three TIME-ORDERED
+    * MemoryStream micro-batches through [[graft.streaming.EventsStream
+    * .sessionizeStatefulStream]] — `flatMapGroupsWithState` keyed by
+    * user, one OpenVisit row of state each, visits emitted on gap
+    * break and flushed by EVENT-TIME TIMEOUT. Two sentinel ticks end
+    * the replay: the first advances the watermark past every armed
+    * timeout, the second's batch fires them (timeouts evaluate against
+    * the PREVIOUS batch's watermark). Each batch's closed visits
+    * commit to a `batch=<id>` partition with overwrite — the s6
+    * idempotent-emission discipline: a replayed batch id recomputes
+    * the identical rows from the checkpointed state version. */
+  private[graft] def streamSessionsPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamsessions:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select("user_id", "ts", "event_id")
+        .orderBy(col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val gapUs = 30L * 60 * 1000000
+      val q = graft.streaming.EventsStream.sessionizeStatefulStream(
+          s, source.toDF().toDF("user_id", "ts", "event_id"),
+          gapMicros = gapUs, flushUser = -1L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.EventsStream.Visit], id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$p/sessions/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", s"$p/_checkpoint")
+        .start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val lastMs = rows.last._2.getTime
+        Seq(1L, 2L).foreach { k =>
+          source.addData(Seq((-1L,
+            new java.sql.Timestamp(lastMs + gapUs / 1000 + k * 3600000L),
+            -1L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s11 (r14): STREAMING sessionization with CUSTOM KEYED STATE —
+    // x8's gap semantics under micro-batch arrival via
+    // flatMapGroupsWithState + event-time-timeout flush (the one
+    // Structured Streaming surface the s-family didn't yet prove on
+    // the gate: arbitrary user state, not an aggregation/sketch fold).
+    // The accumulated closed visits equal the batch operator's output,
+    // so x8's oracle applies verbatim.
+    "s11_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      s.read.parquet(s"${streamSessionsPath(s, dir)}/sessions")
+        .select(col("user_id"), col("session_idx"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end"),
+          col("n_events"),
+          (col("end_us") - col("start_us")).as("duration_us"))
+    }),
+
     // s9 (r13): STREAMING Count-Min maintenance — k2's sketch under
     // micro-batch arrival with the batch-id exactly-once guard (counts
     // are additive: neither s7's merge-idempotence nor s8's id
@@ -299,6 +369,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the accumulated closed visits ≡ the batch sessionizer — x8's
+    // oracle verbatim
+    "s11_stream_sessions" -> TemporalQueries.oracles("x8_sessionize"),
+
     // the streaming accumulation ≡ the batch pair set — d3's oracle
     "s6_stream_neardup" -> DedupQueries.exactJaccardSql,
 

@@ -100,6 +100,112 @@ object EventsStream {
     * (note: with the as-fast-as-possible test trigger, a processing-time
     * timeout spins continuous no-data batches and
     * `processAllAvailable` never settles — hence the parameter). */
+  /** One incoming event for [[sessionizeStatefulStream]]. */
+  final case class VisitEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long)
+  /** One CLOSED visit: the stream's append-only output row. Bounds are
+    * exact epoch-microseconds (the x8 precision contract) — the serve
+    * layer reconstructs timestamps with `timestamp_micros`. */
+  final case class Visit(user_id: Long, session_idx: Long, start_us: Long,
+      end_us: Long, n_events: Long)
+  /** Keyed state: the user's one OPEN visit plus its 1-based index.
+    * `n == 0` is the CLOSED-HISTORY tombstone — no open visit, `idx`
+    * visits emitted so far. The tombstone is what keeps session
+    * numbering global across an idle gap: an event-time timeout closes
+    * the visit, but the NEXT visit of the same user must number
+    * `idx + 1`, so the counter survives the close (x8's per-user
+    * running index has no expiry). One row of 4 longs per ever-seen
+    * user; a deployment that numbers visits by start time instead may
+    * `remove()` on timeout and hold state for active users only. */
+  final case class OpenVisit(startUs: Long, lastUs: Long, n: Long, idx: Long)
+
+  /** Exact epoch-µs of a Timestamp: epoch seconds × 10⁶ plus the full
+    * sub-second nanos field (adding µs to `getTime` directly would
+    * double-count the millisecond part, which lives in both). */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Gap-based sessionization under STREAMING arrival with explicit
+    * keyed state — the stateful face of
+    * [[graft.operators.Sessions.sessionize]] (x8), semantics-identical
+    * so the accumulated output passes x8's DuckDB oracle verbatim:
+    * per user, (ts, event_id)-ordered events split where the exact
+    * epoch-µs gap EXCEEDS `gapMicros` (a gap of exactly `gapMicros`
+    * stays in-session), sessions numbered 1-based in time order.
+    *
+    * Mechanics: `flatMapGroupsWithState` in Append mode. A visit is
+    * emitted when a later event of the same user breaks the gap; the
+    * final open visit per user flushes via EVENT-TIME TIMEOUT — state
+    * arms a timeout at `last_event + gap`, and when the 0-delay
+    * watermark passes it (any later input, or `flushUser` sentinel
+    * rows in a finite replay) the visit closes with no further data
+    * for that user. State per user is ONE OpenVisit (4 longs) — at
+    * 100 TB the state store holds |active users| tiny rows, the
+    * watermark retires idle ones, and no window/sort over history
+    * exists anywhere (contrast the batch face's per-user sort: here
+    * each micro-batch sorts only its own rows per user).
+    *
+    * In-order contract: rows arrive in non-decreasing event time per
+    * user ACROSS micro-batches (the 0-delay watermark admits no late
+    * data; within a batch the fold sorts). `flushUser` rows advance
+    * the watermark without creating state. */
+  def sessionizeStatefulStream(spark: SparkSession, events: DataFrame,
+      gapMicros: Long, flushUser: Long = -1L): Dataset[Visit] = {
+    require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
+    import spark.implicits._
+    val gapMs = gapMicros / 1000L
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"))
+      .withWatermark("ts", "0 seconds")
+      .as[VisitEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVisit, Visit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[OpenVisit]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            // keep the counter (tombstone, no timeout re-armed): the
+            // user's next visit must number idx + 1
+            state.update(o.copy(n = 0))
+            Iterator.single(Visit(user, o.idx, o.startUs, o.lastUs, o.n))
+          } else if (user == flushUser) {
+            // sentinel: consume, never create state — its event time
+            // already advanced the watermark at the source
+            Iterator.empty
+          } else {
+            val sorted = it.map(e => (micros(e.ts), e.event_id))
+              .toIndexedSeq.sorted
+            val st = state.getOption
+            var open = st.filter(_.n > 0)
+            val doneIdx = st.map(_.idx).getOrElse(0L)
+            val closed = Vector.newBuilder[Visit]
+            sorted.foreach { case (t, _) =>
+              open = open match {
+                case Some(o) if t - o.lastUs <= gapMicros =>
+                  Some(o.copy(lastUs = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += Visit(user, o.idx, o.startUs, o.lastUs, o.n)
+                  Some(OpenVisit(t, t, 1, o.idx + 1))
+                case None =>
+                  // doneIdx > 0 when a timeout already closed earlier
+                  // visits — numbering continues, never restarts
+                  Some(OpenVisit(t, t, 1, doneIdx + 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // timeouts clear on every invocation — re-arm at
+              // last + gap (+1 ms: the timeout clock is ms-grained,
+              // floor alone could fire one µs-fraction early)
+              state.setTimeoutTimestamp(
+                math.floorDiv(o.lastUs, 1000L) + gapMs + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionizeWithState(spark: SparkSession, events: DataFrame,
       gapMillis: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[SessionAgg] = {

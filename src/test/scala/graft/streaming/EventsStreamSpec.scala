@@ -99,6 +99,102 @@ class EventsStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionizeStatefulStream equals the batch sessionizer, numbering " +
+      "across timeout-closed visits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // user 1's visit A spans the batch-1/2 boundary, then user 1 goes
+    // idle: user 2's later data advances the watermark past visit A's
+    // timeout, so the EVENT-TIME TIMEOUT closes it mid-stream (no user-1
+    // data in that batch) — and when user 1 returns in batch 4, the
+    // tombstone makes the new visit number 2, never restarting at 1.
+    val gapUs = 30L * 60 * 1000000
+    val b1 = Seq((1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 00:20:00"), 11L),
+      (2L, ts("2024-01-01 00:05:00"), 20L))
+    val b2 = Seq((1L, ts("2024-01-01 00:45:00"), 12L), // visit A continues
+      (2L, ts("2024-01-01 05:00:00"), 21L))            // watermark → 05:00
+    val b3 = Seq((2L, ts("2024-01-01 06:00:00"), 22L)) // u1 timeout fires here
+    val b4 = Seq((1L, ts("2024-01-01 10:00:00"), 13L)) // u1 returns: visit 2
+    val all = b1 ++ b2 ++ b3 ++ b4
+
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val query = EventsStream.sessionizeStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_id"),
+        gapMicros = gapUs, flushUser = -1L)
+      .writeStream.format("memory").queryName("sfs_out")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      // user 1 had NO data in batch 3 — visit A must have closed via
+      // the event-time timeout (batch 3 runs against batch 2's 05:00
+      // watermark, past visit A's 01:15 timeout)
+      val afterB3 = s.table("sfs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB3.contains((1L, 1L)))
+
+      input.addData(b4); query.processAllAvailable()
+      // flush: tick 1 advances the watermark, tick 2's batch fires the
+      // remaining timeouts (evaluated against the PREVIOUS watermark)
+      input.addData(Seq((-1L, ts("2024-01-01 20:00:00"), -1L)))
+      query.processAllAvailable()
+      input.addData(Seq((-1L, ts("2024-01-01 21:00:00"), -1L)))
+      query.processAllAvailable()
+
+      val streamed = s.table("sfs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val batch = graft.operators.Sessions.sessionize(
+          all.toDF("user_id", "ts", "event_id"),
+          "user_id", "ts", "event_id", gapMicros = gapUs)
+        .select(col("user_id"), col("session_idx"),
+          unix_micros(col("session_start")), unix_micros(col("session_end")),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed == batch)
+      // the returning user's visit numbered 2 (the tombstone carried
+      // the counter across the timeout close)
+      assert(streamed.exists { case (u, idx, _, _, _) => u == 1L && idx == 2L })
+      assert(streamed.size == 5) // u1: 2 visits, u2: 3 visits
+    } finally query.stop()
+  }
+
+  test("sessionizeStatefulStream: a gap of exactly gapMicros stays " +
+      "in-session (µs boundary)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val gapUs = 1000000L // 1 second
+    val t0 = ts("2024-01-01 00:00:00")
+    val exactly = new Timestamp(t0.getTime + 1000) // +gap: stays
+    val over = new Timestamp(t0.getTime + 2000)
+    over.setNanos(1000) // +gap + 1 µs past `exactly`: breaks
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val query = EventsStream.sessionizeStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_id"),
+        gapMicros = gapUs, flushUser = -1L)
+      .writeStream.format("memory").queryName("sfs_us_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, t0, 1L), (1L, exactly, 2L), (1L, over, 3L)))
+      query.processAllAvailable()
+      val rows = s.table("sfs_us_out").collect()
+      assert(rows.length == 1)
+      // the closed visit is (t0, exactly) with 2 events — `over` broke
+      // the gap by exactly one microsecond
+      assert(rows.head.getLong(1) == 1L)
+      assert(rows.head.getLong(3) ==
+        EventsStream.micros(exactly))
+      assert(rows.head.getLong(4) == 2L)
+    } finally query.stop()
+  }
+
   test("dedupStream keeps one arrival per key across at-least-once replays") {
     val s = spark
     import s.implicits._
