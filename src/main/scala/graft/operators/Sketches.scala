@@ -205,6 +205,98 @@ object Sketches {
         (col("n_pos") === col("n_hit")).cast("long"))
   }
 
+  // ------------------------------------------------ k5: HyperLogLog
+
+  /** HLL precision: p = 10 → m = 1024 registers per group,
+    * rel. std. error ≈ 1.04/√m ≈ 3.3%. */
+  val HllP = 10
+  val HllM: Int = 1 << HllP
+
+  /** Register values cap at 40 so the indicator sum Σ 2^(40−reg) stays
+    * an EXACT BIGINT ≤ 2⁵⁰ (m·2⁴⁰) — exactly representable in a
+    * double, so the estimate replays bit-for-bit in any engine
+    * regardless of summation order. P[any rho > 40] ≈ m·2⁻⁴⁰ per
+    * group: the cap never binds in practice, it only bounds the
+    * arithmetic. */
+  val HllRegCap = 40
+
+  /** α₁₀₂₄ · m² — the bias constant of Flajolet, Fusy, Gandouet &
+    * Meunier 2007 (§4: α_m = 0.7213/(1 + 1.079/m) for m ≥ 128),
+    * evaluated in the same IEEE sequence the DuckDB oracle writes:
+    * 0.7213 / (1 + 1.079/1024) * 1048576. */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+
+  /** Portable HYPERLOGLOG (Flajolet et al. 2007) under the family
+    * contract: the 52-bit hash is the 13-hex md5 prefix (the k1/k2
+    * rolling-parse discipline), the register index its low p bits, and
+    * rho the position of the highest set bit in the remaining 42-bit
+    * window — computed as 43 − bitlength(w) via the engine's exact
+    * binary-string `bin()` (NEVER floor(log2): libm rounding at exact
+    * powers of two would flip registers between engines). Any engine
+    * rebuilds the IDENTICAL register table from the same md5s — vs the
+    * built-in `approx_count_distinct`, whose HLL++ register layout is
+    * an engine implementation detail (SketchesSpec pins its error
+    * contract; this is the auditable/mergeable-across-engines variant,
+    * the same positioning as the KMV sketch at ~9× less state per
+    * group for comparable error).
+    *
+    * Registers MERGE by per-bucket max — associative, commutative,
+    * duplicate-insensitive — so sketches union across partitions,
+    * shards, days, or engines, and the s7 streaming-maintenance
+    * discipline (merge-idempotent fold, versioned commit) applies
+    * unchanged. Scale: one groupBy(group, bucket) max — map-side
+    * combine bounds each partition's contribution at m rows per group,
+    * so the shuffle is O(groups·m), never O(distinct keys).
+    *
+    * Output: `groupCols ++ (bucket, reg)` — nonempty registers only
+    * (absent bucket ≡ register 0). */
+  def hllBuild(df: DataFrame, groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "hllBuild needs grouping columns")
+    val h = conv(substring(md5(col(keyCol).cast("string")
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+    df.where(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("__h"): _*)
+      .withColumn("bucket", col("__h").bitwiseAND(lit((HllM - 1).toLong)))
+      .withColumn("__w", shiftright(col("__h"), HllP))
+      .withColumn("__rho", least(
+        when(col("__w") === 0L, lit(43))
+          .otherwise(lit(43) - length(bin(col("__w")))),
+        lit(HllRegCap)))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).cast("int").as("reg"))
+  }
+
+  /** The HLL estimate from a register table: raw harmonic-mean
+    * estimate α_m·m²/S with S = Σ_buckets 2^(−reg) computed EXACTLY
+    * (integer Σ 2^(40−reg) over nonempty registers + 2⁴⁰ per empty
+    * one, then one exact scale-down), plus the small-range
+    * linear-counting correction m·ln(m/V) when raw ≤ 2.5m and zero
+    * registers remain (the published regime switch — ln is the one
+    * non-exact step, absorbed by the caller's round(…,6)).
+    *
+    * Output: `groupCols ++ (n_buckets, n_zero, t_fingerprint, est_raw,
+    * est_hll)` — `t_fingerprint` is the exact BIGINT indicator sum,
+    * the register table's portable digest. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val scale = (1L << HllRegCap).toDouble
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRegCap - reg)"))
+          .as("__t_non"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_buckets"))
+      .withColumn("t_fingerprint",
+        col("__t_non") + col("n_zero") * lit(1L << HllRegCap))
+      .withColumn("est_raw",
+        lit(HllAlphaM2) / (col("t_fingerprint").cast("double") / lit(scale)))
+      .withColumn("est_hll",
+        when(col("est_raw") <= lit(2.5 * HllM) && col("n_zero") > 0,
+          lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("est_raw")))
+      .drop("__t_non")
+  }
+
   /** Per-group KMV sketch + estimate over `keyCol`. Output:
     * `groupCols ++ (n_kept, kth_hash, kmins, est_distinct)` — `kmins`
     * is the mergeable sketch itself (store it; union + re-aggregate

@@ -302,7 +302,33 @@ object RelationalQueries {
         graft.operators.Sketches.bloomBuild(
           t(s, dir, "orders").select(col("o_custkey").as("ck"))
             .where(col("ck").isNotNull),
-          "ck", numHashes = 5, mBits = 8192)))
+          "ck", numHashes = 5, mBits = 8192))),
+
+    // HyperLogLog distinct sketch (r14): the fifth portable sketch —
+    // k1's KMV answers the same question with k·12-char state; HLL
+    // answers it in 1024 small registers (~3.3% error) that merge by
+    // per-bucket MAX across engines/shards/days. Registers are
+    // md5-derived, rho comes from the exact binary-string bitlength
+    // (never floor(log2)), and the indicator sum is an exact BIGINT,
+    // so raw estimates replay bit-for-bit; the linear-counting branch
+    // is the one ln() and rides round(…,6). Same input as k1 so the
+    // two sketches' errors are directly comparable in the gate output.
+    "k5_hll_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+      val sk = graft.operators.Sketches
+      val est = sk.hllEstimate(
+        sk.hllBuild(ev, Seq("event_type"), "user_id"), Seq("event_type"))
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_d"), col("n_buckets"),
+          col("n_zero"), col("t_fingerprint"),
+          round(col("est_raw"), 6).as("est_raw"),
+          round(col("est_hll"), 6).as("est_hll"),
+          round(abs(col("est_hll") - col("exact_d")) / col("exact_d"), 6)
+            .as("rel_err"))
+    })
   )
 
   /** The shared k4/s10 probe report: membership answers for EVERY
@@ -597,6 +623,62 @@ object RelationalQueries {
         |  CAST(a.n_pos = a.n_hit AND p2.ck IS NULL AS BIGINT)
         |    AS false_positive
         |FROM agg a LEFT JOIN pres p2 ON a.key = p2.ck""".stripMargin,
+
+    // k5: the register table rebuilt in SQL — 13-hex md5 prefix via
+    // the rolling parse, low 10 bits the bucket, rho = 43 − length of
+    // bin(high 42 bits) capped at 40, per-bucket max; the indicator
+    // sum stays an exact BIGINT so the raw estimate's doubles agree
+    // bit-for-bit (every decimal literal CAST to DOUBLE — DuckDB would
+    // otherwise run DECIMAL arithmetic)
+    "k5_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(string_split(substring(
+        |      md5(CAST(user_id AS VARCHAR)), 1, 13), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hv % 1024 AS bucket,
+        |    least(CASE WHEN hv // 1024 = 0 THEN 43
+        |               ELSE 43 - length(bin(hv // 1024)) END, 40) AS rho
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS reg
+        |         FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(1::BIGINT << (40 - reg)) AS BIGINT) AS t_non
+        |  FROM regs GROUP BY 1),
+        |fp AS (
+        |  SELECT event_type, n_buckets,
+        |    CAST(1024 - n_buckets AS BIGINT) AS n_zero,
+        |    t_non + (1024 - n_buckets) * (1::BIGINT << 40)
+        |      AS t_fingerprint
+        |  FROM agg),
+        |est AS (
+        |  SELECT *,
+        |    (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024)
+        |      * 1048576) /
+        |      (CAST(t_fingerprint AS DOUBLE)
+        |        / CAST(1::BIGINT << 40 AS DOUBLE)) AS raw
+        |  FROM fp),
+        |fin AS (
+        |  SELECT *, CASE WHEN raw <= 2560 AND n_zero > 0
+        |    THEN 1024 * ln(CAST(1024 AS DOUBLE) / n_zero)
+        |    ELSE raw END AS esth
+        |  FROM est),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT f.event_type, ex.exact_d, f.n_buckets, f.n_zero,
+        |  f.t_fingerprint, round(raw, 6) AS est_raw,
+        |  round(esth, 6) AS est_hll,
+        |  round(abs(esth - exact_d) / exact_d, 6) AS rel_err
+        |FROM fin f JOIN ex USING (event_type)""".stripMargin,
 
     // the sketch rebuilt in SQL: same md5 sample gate (threshold(0.2)
     // = '333333333333'), same (value, hash) rank order, same ⌈q·n⌉

@@ -134,6 +134,64 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == whole, "merged shard sketches must equal the whole")
   }
 
+  test("HLL: duplicate-insensitive, shard-merge ≡ whole, error within 4/sqrt(m)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).map(i => ("g", i % 6000)).toDF("g", "key")
+
+    def regs(d: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Sketches.hllBuild(d, Seq("g"), "key")
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+
+    val whole = regs(df)
+    // duplicate-insensitive: the distinct key set builds the identical
+    // register table (register = max over per-key rhos)
+    assert(regs(df.distinct()) == whole)
+    assert(regs(df.repartition(13, col("key"))) == whole,
+      "registers must not depend on partitioning")
+
+    // shard sketches MERGE by per-bucket max to the whole-corpus table
+    val shards = Sketches.hllBuild(df.where(col("key") % 2 === 0),
+        Seq("g"), "key")
+      .unionByName(Sketches.hllBuild(df.where(col("key") % 2 =!= 0),
+        Seq("g"), "key"))
+    val merged = shards.groupBy("g", "bucket")
+      .agg(max(col("reg")).cast("int").as("reg"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(merged == whole, "max-merged shard registers must equal the whole")
+
+    val est = Sketches.hllEstimate(
+        Sketches.hllBuild(df, Seq("g"), "key"), Seq("g"))
+      .select("est_hll").head().getDouble(0)
+    val err = math.abs(est - 6000.0) / 6000.0
+    info(s"m=${Sketches.HllM} est=$est err=$err")
+    assert(err <= 4.0 * 1.04 / math.sqrt(Sketches.HllM.toDouble),
+      s"HLL error $err beyond 4 sigma")
+  }
+
+  test("HLL: linear counting below 2.5m, exact indicator-sum fingerprint") {
+    val s = spark
+    import s.implicits._
+    // 50 distinct keys: raw << 2.5m with zero registers → the
+    // linear-counting branch must be the served estimate
+    val df = (0L until 200L).map(i => ("g", i % 50)).toDF("g", "key")
+    val row = Sketches.hllEstimate(
+        Sketches.hllBuild(df, Seq("g"), "key"), Seq("g"))
+      .select("n_buckets", "n_zero", "t_fingerprint", "est_raw", "est_hll")
+      .head()
+    val (nb, nz) = (row.getLong(0), row.getLong(1))
+    assert(nb + nz == Sketches.HllM.toLong)
+    val lin = Sketches.HllM *
+      math.log(Sketches.HllM.toDouble / nz.toDouble)
+    assert(row.getDouble(4) == lin, "small range must serve linear counting")
+    assert(math.abs(lin - 50.0) / 50.0 < 0.2)
+    // the fingerprint is the exact indicator sum: empty buckets
+    // contribute 2^40 each, so it is bounded by m·2^40 and strictly
+    // below it whenever any register is set
+    assert(row.getLong(2) < Sketches.HllM.toLong * (1L << 40))
+    assert(row.getLong(2) > nz * (1L << 40))
+  }
+
   test("portable CMS: overcount-only, per-row mass conservation, partition-invariant") {
     val s = spark
     import s.implicits._
