@@ -45,6 +45,43 @@ object Eval {
           col("n_exact"), 6).as("recall"))
   }
 
+  /** Per-query RECIPROCAL RANK → (q, n_rel, first_rank, rr, hit) —
+    * recall@k asks "how much of the truth did the index return";
+    * MRR asks "how FAR DOWN the list was the first true answer", the
+    * serving-latency-facing metric (a recall-1.0 index that ranks the
+    * true neighbor 5th still costs a reranker 5 candidates). Relevance
+    * = `exact`'s rank ≤ `relK` items; per query, `first_rank` is the
+    * best `approx` rank (≤ k) holding a relevant item, `rr` its exact
+    * reciprocal (one IEEE division — portable), `hit` the hit@k
+    * indicator. Queries `exact` knows but `approx` lost score 0 with
+    * `first_rank` −1 (the recallAtK never-drop discipline); duplicate
+    * (q, i) rows keep their best rank. Mean-MRR is one avg over the
+    * output — kept per-query here so the report composes (slice by
+    * query cohort, join per-query latencies, feed regressions).
+    *
+    * Scale shape: both inputs retrieval outputs (|queries|·k rows);
+    * one equi-join + two output-sized rollups. */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int, relK: Int): DataFrame = {
+    require(k >= 1 && relK >= 1, s"k and relK must be >= 1: $k, $relK")
+    val rel = exact.where(col(rankCol) <= relK)
+      .select(col(queryCol).as("q"), col(itemCol).as("i")).distinct()
+    val a = approx.where(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("r"))
+      .groupBy("q", "i").agg(min(col("r")).as("r"))
+    val firsts = rel.join(a, Seq("q", "i"))
+      .groupBy("q").agg(min(col("r")).as("first_rank"))
+    val nRel = rel.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(firsts, Seq("q"), "left")
+      .select(col("q"), col("n_rel"),
+        coalesce(col("first_rank"), lit(-1L)).as("first_rank"),
+        when(col("first_rank").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rank"), 6)).as("rr"),
+        when(col("first_rank").isNull, lit(0L)).otherwise(lit(1L))
+          .as("hit"))
+  }
+
   /** Per-class classification report → (clazz, n_true, n_pred,
     * n_correct, precision, recall, f1) from (label, prediction) rows —
     * the eval a classifier pipeline (language-ID, quality buckets,

@@ -120,6 +120,25 @@ object AnnQueries {
           col("recall"))
     }),
 
+    // a19 (r14): MRR/hit@k EVALUATION — a18's recall asks "how much of
+    // the truth came back"; this asks "how far DOWN the list was the
+    // first true answer" (operators/Eval.mrrAtK), scoring a8's
+    // SQ8-quantized top-5 against a1's exact top-3 as the relevance
+    // set. Integer ranks + one exact reciprocal -> full oracle (the
+    // a8 CTEs ∘ the a1 CTEs ∘ a min-rank rollup).
+    "a19_mrr_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+      val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 5)
+      val approx = AnnSearch.quantizedTopK(q, emb, "vec_id", "embedding",
+        k = 5, levels = 127, rescoreMult = 4)
+      graft.operators.Eval.mrrAtK(approx, exact,
+          "query_id", "neighbor_id", "rank", k = 5, relK = 3)
+        .select(col("q").as("query_id"), col("n_rel"), col("first_rank"),
+          col("rr"), col("hit"))
+    }),
+
     // a17 (r13): MMR diversity re-ranking over a1's exact top-10 — the
     // redundancy-suppression pass retrieval pipelines run before
     // serving k results (operators/Mmr). Greedy trajectory pinned
@@ -568,6 +587,55 @@ object AnnQueries {
         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nx.n_exact, 6)
         |    AS recall
         |FROM nx LEFT JOIN h USING (query_id)""".stripMargin,
+
+    // a18's approx CTEs with the rank kept, the exact CTEs cut at
+    // rank ≤ 3 (the relevance set), then first_rank = min approx rank
+    // over relevant hits and one exact reciprocal
+    "a19_mrr_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q8 AS (SELECT vec_id,
+        |         CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(greatest(least(
+        |                     floor(x / nrm * 127), 127), -127) AS BIGINT)) END AS qv
+        |       FROM n),
+        |qq AS (SELECT vec_id AS query_id, qv AS qcodes FROM q8 WHERE vec_id % 50 = 0),
+        |cand AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |           CAST(list_inner_product(qcodes, c.qv) AS BIGINT) AS qscore
+        |         FROM qq, q8 c WHERE c.vec_id <> query_id),
+        |topc AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qscore DESC, neighbor_id ASC) AS crank FROM cand),
+        |resc AS (SELECT t.query_id, t.neighbor_id,
+        |           list_cosine_similarity(q.v, c.v) AS cosine
+        |         FROM topc t
+        |         JOIN e q ON q.vec_id = t.query_id
+        |         JOIN e c ON c.vec_id = t.neighbor_id
+        |         WHERE t.crank <= 20),
+        |ar AS (SELECT query_id, neighbor_id, rank FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM resc)
+        |       WHERE rank <= 5),
+        |xq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |xs AS (SELECT query_id, e2.vec_id AS neighbor_id,
+        |         list_cosine_similarity(qv, CAST(e2.embedding AS DOUBLE[])) AS cosine
+        |       FROM xq, embeddings e2 WHERE e2.vec_id <> query_id),
+        |xr AS (SELECT query_id, neighbor_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM xs)
+        |       WHERE rank <= 3),
+        |f AS (SELECT xr.query_id, min(ar.rank) AS first_rank
+        |      FROM xr JOIN ar ON xr.query_id = ar.query_id
+        |        AND xr.neighbor_id = ar.neighbor_id
+        |      GROUP BY xr.query_id),
+        |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |       FROM xr GROUP BY query_id)
+        |SELECT nr.query_id, nr.n_rel,
+        |  CAST(coalesce(f.first_rank, -1) AS BIGINT) AS first_rank,
+        |  CASE WHEN f.first_rank IS NULL THEN CAST(0 AS DOUBLE)
+        |       ELSE round(CAST(1 AS DOUBLE) / f.first_rank, 6) END AS rr,
+        |  CAST(f.first_rank IS NOT NULL AS BIGINT) AS hit
+        |FROM nr LEFT JOIN f USING (query_id)""".stripMargin,
 
     // the greedy trajectory unrolled: a1's top-10 CTEs, then three
     // picks — each an argmax over round(λ·rel − (1−λ)·maxSim, 9) with

@@ -36,6 +36,34 @@ class EvalSpec extends SparkTestBase {
     assert(got.length == 1 && got.head.getDouble(3) == 1.0)
   }
 
+  test("mrrAtK: hand-computed first ranks, lost query, duplicate keeps best") {
+    val exact = df(Seq(
+      ("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),   // relevance = top-2
+      ("B", 7L, 1), ("B", 8L, 2),
+      ("C", 9L, 1)))
+    val approx = df(Seq(
+      ("A", 5L, 1), ("A", 2L, 3), ("A", 2L, 4),   // dup (A,2): best rank 3
+      ("B", 8L, 2), ("B", 7L, 5),                  // first relevant at 2
+      ("C", 1L, 1)))                               // no relevant hit
+    val got = Eval.mrrAtK(approx, exact, "q", "item", "rank",
+        k = 5, relK = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 3L, 0.333333, 1L)),
+      "B" -> ((2L, 2L, 0.5, 1L)),
+      "C" -> ((1L, -1L, 0.0, 0L))))
+  }
+
+  test("mrrAtK: rank cutoff — a relevant item beyond k does not count") {
+    val exact = df(Seq(("A", 1L, 1)))
+    val approx = df(Seq(("A", 2L, 1), ("A", 1L, 4)))
+    val got = Eval.mrrAtK(approx, exact, "q", "item", "rank",
+        k = 3, relK = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == -1L && got.head.getLong(4) == 0L)
+  }
+
   test("classReport: hand-computed per-class metrics, no class dropped") {
     val s = spark
     import s.implicits._
