@@ -431,6 +431,35 @@ object TextSearch {
         (col("__w") / col("__n")).as("weight"))
   }
 
+  /** Per-document TOP-K KEYWORDS by smoothed TF-IDF — the
+    * document-tagging face of the postings index (the "top tf-idf
+    * terms per doc" summarization every corpus-exploration stack
+    * ships): each doc's terms ranked by `tf·(ln((N+1)/(df+1))+1)`
+    * (the t15 smoothing), rounded to 6 with the term tie-break so the
+    * ranking is engine-portable (the h1 discipline — ulp noise in ln
+    * can't flip an order the tie-break doesn't then fix).
+    *
+    * Postings-shaped: term document frequencies (vocabulary-sized),
+    * one join back, and a per-doc top-k window over each doc's own
+    * |distinct terms| rows — nothing corpus-wide but the one count.
+    * Output: (doc, rank, term, tf, doc_freq, tfidf). */
+  def keywordsFromPostings(post: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val p = graft.ManagedCache.swap("TextSearch.keywordPostings", post)
+    val n = p.select(col("doc")).distinct().count()
+    val dft = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = p.join(dft, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (log(lit(n + 1.0) / (col("doc_freq") + 1.0))
+          + 1.0), 6))
+    val win = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    w.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("term"), col("tf"),
+        col("doc_freq"), col("tfidf"))
+  }
+
   /** [[hashingTfIdf]] as dense `array<double>` vectors (doc, vec) —
     * the [[AnnSearch]] input shape. Dense is only sane at small dim
     * (the classic LSA/LSH regime); keep the sparse triples otherwise. */

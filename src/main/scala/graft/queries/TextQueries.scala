@@ -292,6 +292,18 @@ object TextQueries {
           round(col("log_w"), 6).as("log_w"))
     }),
 
+    // t20 (r14): per-doc top-3 KEYWORDS by smoothed tf-idf — the
+    // corpus-exploration tagging pass, served from the SAME persisted
+    // postings index as t11/t15 (one stored artifact, many serving
+    // shapes). Round-6 scores with the term tie-break (the h1
+    // discipline) -> exact oracle over the t6 tokenizer CTEs.
+    "t20_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.TextSearch.keywordsFromPostings(
+          graft.pipeline.SilverIndex.postingsIndex(s, bm25IndexPath(s, dir)),
+          k = 3)
+        .select(col("doc").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("doc_freq"), col("tfidf"))),
+
     // Hashing TF-IDF vectorization (sklearn HashingVectorizer →
     // TfidfTransformer shape): terms → 64 buckets by the t4 rolling
     // fingerprint, smoothed tf-idf weights, per-doc L2 normalization —
@@ -924,6 +936,32 @@ object TextQueries {
         |       FROM neg)
         |SELECT query_id, doc_id AS negative_id, rscore, rank
         |FROM rr WHERE rank <= 5""".stripMargin,
+
+    // the t6 tokenizer/postings CTEs; smoothed idf, round-6 score,
+    // (score desc, term asc) window cut at 3
+    "t20_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM post),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+        |        FROM post GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, term, tf, doc_freq,
+        |    round(tf * (ln((n + 1.0) / (doc_freq + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM post JOIN dft USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term ASC) AS rank FROM w)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, doc_freq,
+        |  tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // the t13 tokenizer/postings CTEs; per-term bucket = the t12 fp31
     // list_reduce fold mod 64; smoothed idf + per-doc L2 norm

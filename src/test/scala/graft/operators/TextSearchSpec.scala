@@ -213,6 +213,31 @@ class TextSearchSpec extends SparkTestBase with graft.PropHelper {
     }
   }
 
+  test("keywordsFromPostings: hand-computed top terms, term tie-break, k cut") {
+    val s = spark
+    import s.implicits._
+    // 3 docs: "rare" appears only in doc 1 (df=1) so it must beat the
+    // everywhere-word "common" (df=3) at equal tf; doc 3's equal-score
+    // terms order alphabetically
+    val df = Seq(
+      (1L, "rare common common"),
+      (2L, "common alpha"),
+      (3L, "beta alpha common")).toDF("doc_id", "text")
+    val post = TextSearch.postings(df, "doc_id", "text")
+    val got = TextSearch.keywordsFromPostings(post, k = 2)
+      .orderBy("doc", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: common tf=2 df=3 → 2·(ln(4/4)+1) = 2.0 beats
+    // rare tf=1 df=1 → 1·(ln(4/2)+1) ≈ 1.693147
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "common"), (2, "rare")))
+    // doc 3: alpha and beta both tf=1 df-distinct — alpha(df=2) scores
+    // below beta(df=1); common(df=3) scores last and falls off at k=2
+    val d3 = got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq
+    assert(d3 == Seq((1, "beta"), (2, "alpha")))
+    assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 2)
+  }
+
   test("unigramSurprisal matches an independent reimplementation; ordering is sane") {
     val s = spark
     import s.implicits._
