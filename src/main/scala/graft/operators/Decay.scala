@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recency-DECAYED engagement scores — the feature-store staple
+  * (recommendation/user-model pipelines weight recent activity above
+  * stale activity): each event contributes `2^−(age/halfLife)` to its
+  * (user, event_type) score, halving per half-life elapsed.
+  *
+  * Determinism is the whole design: the decay base is 2 and the
+  * exponent an INTEGER (elapsed whole half-lives, day-granular from a
+  * data-derived reference date — the corpus max, never wall-clock), so
+  * every weight is an exact power of two (one exact IEEE division by
+  * `1L << k`) and the score is a sum of multiples of 2^−cap that fits
+  * a double's 53-bit mantissa EXACTLY (cap 30 + group counts < 2²³) —
+  * the sum is order-independent and replays bit-for-bit in any engine,
+  * where `pow(0.5, age/half)` with a fractional exponent would float-
+  * drift. The cap floors weights at 2⁻³⁰ ≈ 1e−9 — operationally zero,
+  * and events that old all weigh the same instead of underflowing.
+  *
+  * Scale shape: one output-sized reference aggregate (broadcast as a
+  * 1-row cross join — the x3 discipline), then a single
+  * map-side-combined groupBy over the events scan. Nothing per-user
+  * but the rollup row. */
+object Decay {
+
+  /** Exponent cap: weights floor at 2⁻³⁰ so Σ(multiples of 2⁻³⁰) stays
+    * exact for up to 2²³ events per group. */
+  val CapHalfLives = 30
+
+  /** (user, event_type, n_events, last_age_days, score) — score =
+    * Σ events 2^−min(age_days DIV halfLifeDays, 30), age in whole days
+    * before the corpus' newest event date. */
+  def halfLifeScores(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    val base = events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), col(typeCol).as("etype"),
+        to_date(col(tsCol)).as("d"))
+    val ref = base.agg(max(col("d")).as("ref"))
+    base.crossJoin(broadcast(ref))
+      .withColumn("age", datediff(col("ref"), col("d")))
+      .withColumn("w", expr(
+        s"CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), " +
+          s"least(age DIV $halfLifeDays, $CapHalfLives))"))
+      .groupBy(col("user"), col("etype"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        sum(col("w")).as("score"))
+      .select(col("user").as(userCol), col("etype").as(typeCol),
+        col("n_events"), col("last_age_days"), col("score"))
+  }
+}

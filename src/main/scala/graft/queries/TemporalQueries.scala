@@ -98,6 +98,18 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x10 (r14): recency-DECAYED engagement — per (user, event_type),
+    // each event weighs 2^-(whole half-lives old), half-life 7 days
+    // against the corpus-max reference date (operators/Decay). Exact
+    // powers of two summed within the mantissa -> the score doubles
+    // replay bit-for-bit, no rounding needed (pow(0.5, fractional)
+    // would drift cross-engine; this is the drift-free formulation,
+    // the x9 ratio-not-zscore discipline applied to decay).
+    "x10_decay_engagement" -> ((s, dir) =>
+      graft.operators.Decay.halfLifeScores(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        halfLifeDays = 7)),
+
     // x9 (r14): hourly rate-BURST detection — each event type's hourly
     // count vs the mean of its previous 24 OBSERVED hourly buckets
     // (ROWS frame: calendar gaps don't dilute the baseline), flagged
@@ -249,6 +261,30 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // x10: day ages against the corpus-max date, exact 2^-k weights
+    // (one IEEE division by a shifted BIGINT), order-free exact sum
+    "x10_decay_engagement" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |mx AS (SELECT max(d) AS ref FROM b),
+        |e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(datediff('day', d, ref) AS INT) AS age
+        |  FROM b CROSS JOIN mx),
+        |w AS (
+        |  SELECT user_id, event_type, age,
+        |    CAST(1 AS DOUBLE) /
+        |      (1::BIGINT << least(age // 7, 30)) AS w
+        |  FROM e)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(age) AS INT) AS last_age_days,
+        |  sum(w) AS score
+        |FROM w GROUP BY user_id, event_type""".stripMargin,
 
     // x9: the hourly bucket aggregation, the trailing ROWS-frame
     // average, ratio + threshold CASE — round 6 at the output only
