@@ -33,6 +33,7 @@ object SparkEntry {
       (TemporalQueries.queries, TemporalQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
       (CurationQueries.queries, CurationQueries.oracles),
+      (PrivacyQueries.queries, PrivacyQueries.oracles),
     )
 
   /** Queries with no DuckDB-expressible oracle — the driver gate checks

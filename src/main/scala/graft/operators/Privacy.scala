@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / disclosure-risk operators — the compliance pass a
+  * government-records platform (the reference publishes NYC hiring
+  * data) runs before releasing a table: quasi-identifier re-identification
+  * risk (k-anonymity, Sweeney 2002), sensitive-attribute homogeneity
+  * (l-diversity, Machanavajjhala et al. 2007), and reproducible
+  * noisy-count release (ε-differential privacy via the Laplace
+  * mechanism, Dwork et al. 2006 — seeded here so a release is
+  * AUDITABLE: the md5-derived uniforms make the same release replay in
+  * any engine, the [[Sketches]] portability discipline applied to
+  * noise; a production release under a strict DP threat model draws
+  * fresh randomness instead and gives up replayability).
+  *
+  * Scale shape: every report is one map-side-combined groupBy over the
+  * table scan (output = |quasi groups| rows); [[suppress]] joins the
+  * at-risk group list back as a broadcast anti-join side when small,
+  * an ordinary co-keyed join otherwise. Nothing is ever all-pairs. */
+object Privacy {
+
+  private def grp(quasiCols: Seq[String]): Seq[Column] = quasiCols.map(col)
+
+  /** Per-group k-anonymity report: (quasi..., group_n, at_risk) —
+    * `at_risk = 1` when fewer than k rows share the quasi-identifier
+    * combination (each is re-identifiable within < k candidates).
+    * NULL quasi values form their own groups (NULL is a disclosure
+    * too: "the one row with no listed agency" singles a person out). */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityReport needs quasi columns")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(grp(quasiCols): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", (col("group_n") < k).cast("long"))
+  }
+
+  /** The release action: rows whose quasi-identifier group reaches k,
+    * at-risk rows SUPPRESSED (the standard minimal-distortion release
+    * when generalization hierarchies aren't available). */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    val safe = kAnonymityReport(df, quasiCols, k)
+      .where(col("at_risk") === 0).select(grp(quasiCols): _*)
+    df.join(safe, quasiCols, "left_semi")
+  }
+
+  /** Per-group l-diversity report: (quasi..., group_n, n_sensitive,
+    * diverse) — a k-anonymous group whose members all share one
+    * sensitive value still discloses it ("all 12 applicants in that
+    * group were rejected"); `diverse = 1` needs ≥ l DISTINCT sensitive
+    * values. NULL sensitive values drop from the distinct count (an
+    * absent value disperses nothing). */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityReport needs quasi columns")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(grp(quasiCols): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", (col("n_sensitive") >= l).cast("long"))
+  }
+
+  /** ε-DP noisy counts per group, SEEDED: noise is Laplace(1/ε) via
+    * the inverse CDF over a uniform derived from
+    * md5(salt:group-values) — the 13-hex prefix over 16¹³, shifted to
+    * the open interval by u' = (h + 0.5)/16¹³ so neither CDF tail hits
+    * log(0). Count queries have sensitivity 1, so b = 1/ε. Output:
+    * (quasi..., true_n, noise, dp_n) with noise and dp_n rounded to 6
+    * (ln is the one libm step — the k5 discipline). Callers releasing
+    * externally must drop `true_n`; it is emitted for the gate's
+    * noise-accounting only. */
+  def dpCounts(df: DataFrame, quasiCols: Seq[String], epsilon: Double,
+      salt: String): DataFrame = {
+    require(quasiCols.nonEmpty, "dpCounts needs quasi columns")
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    val space = 4503599627370496.0 // 16^13 = 2^52
+    val keyStr = concat_ws("|",
+      lit(salt) +: quasiCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(keyStr.cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val b = 1.0 / epsilon
+    df.groupBy(grp(quasiCols): _*)
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("__u", (h.cast("double") + lit(0.5)) / lit(space))
+      .withColumn("noise", round(
+        when(col("__u") < 0.5, lit(b) * log(lit(2.0) * col("__u")))
+          .otherwise(lit(-b) *
+            log(lit(2.0) * (lit(1.0) - col("__u")))), 6))
+      .withColumn("dp_n", round(col("true_n") + col("noise"), 6))
+      .drop("__u")
+  }
+}
