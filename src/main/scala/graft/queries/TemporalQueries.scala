@@ -98,6 +98,24 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x11 (r14): fixed-iteration LABEL PROPAGATION over x4's
+    // user↔item graph — community detection as the clustering sibling
+    // of d8's components and x4's PageRank (operators/LabelProp).
+    // Synchronous rounds, most-frequent neighbor label, min-label tie
+    // break: integer counts + string mins, no float anywhere -> exact
+    // oracle as 3 unrolled argmax CTEs.
+    "x11_label_prop" -> ((s, dir) => {
+      val inc = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("user_id").isNotNull && col("item").isNotNull)
+      val fwd = inc.select(
+        concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("i:"), col("item").cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.LabelProp.fixedIter(edges, "src", "dst", iters = 3)
+    }),
+
     // x10 (r14): recency-DECAYED engagement — per (user, event_type),
     // each event weighs 2^-(whole half-lives old), half-life 7 days
     // against the corpus-max reference date (operators/Decay). Exact
@@ -261,6 +279,46 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // x11: the x4 edge CTEs, then three synchronous vote/argmax rounds
+    // — (count desc, label asc) row_number picks the winner, a LEFT
+    // JOIN keeps isolated nodes' labels
+    "x11_label_prop" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+        |    'i:' || CAST(TRY_CAST(regexp_extract(props, '[0-9]+') AS INT)
+        |                 AS VARCHAR) AS dst
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) IS NOT NULL),
+        |e AS (SELECT src, dst FROM inc
+        |      UNION SELECT dst AS src, src AS dst FROM inc),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |v1 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst, l.label),
+        |w1 AS (SELECT dst AS node, label FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY dst
+        |           ORDER BY c DESC, label ASC) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(w1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN w1 USING (node)),
+        |v2 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst, l.label),
+        |w2 AS (SELECT dst AS node, label FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY dst
+        |           ORDER BY c DESC, label ASC) AS rn FROM v2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT l1.node, coalesce(w2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN w2 USING (node)),
+        |v3 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst, l.label),
+        |w3 AS (SELECT dst AS node, label FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY dst
+        |           ORDER BY c DESC, label ASC) AS rn FROM v3)
+        |       WHERE rn = 1)
+        |SELECT l2.node, coalesce(w3.label, l2.label) AS label
+        |FROM l2 LEFT JOIN w3 USING (node)""".stripMargin,
 
     // x10: day ages against the corpus-max date, exact 2^-k weights
     // (one IEEE division by a shifted BIGINT), order-free exact sum
