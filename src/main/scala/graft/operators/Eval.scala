@@ -82,6 +82,46 @@ object Eval {
           .as("hit"))
   }
 
+  /** Per-query nDCG@k → (q, dcg, idcg, ndcg) — the graded completion
+    * of the eval trio: recall@k counts what came back, MRR where the
+    * first answer sat, nDCG how well the WHOLE returned order matches
+    * the true order (a list with the right set in reverse order passes
+    * recall and loses here). Graded relevance from `exact`: rank j ∈
+    * [1, k] carries gain k−j+1, everything else 0; DCG sums
+    * gain/log₂(rank+1) over the approx positions, IDCG over the exact
+    * (= ideal) positions, both rounded to 6 alongside their ratio
+    * (log₂ is libm — the k5/p3 discipline). Lost queries score 0;
+    * duplicate (q, i) rows keep their best rank on either side.
+    *
+    * Scale shape: one output-sized equi-join + two per-query rollups,
+    * like the rest of the family. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val x = exact.where(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("xr"))
+      .groupBy("q", "i").agg(min(col("xr")).as("xr"))
+      .withColumn("rel", (lit(k.toLong) - col("xr") + 1L).cast("double"))
+    val a = approx.where(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("ar"))
+      .groupBy("q", "i").agg(min(col("ar")).as("ar"))
+    val dcg = x.join(a, Seq("q", "i"))
+      .groupBy("q")
+      .agg(sum(col("rel") / log2(col("ar").cast("double") + 1.0))
+        .as("dcg"))
+    val idcg = x.groupBy("q")
+      .agg(sum(col("rel") / log2(col("xr").cast("double") + 1.0))
+        .as("idcg"))
+    idcg.join(dcg, Seq("q"), "left")
+      .select(col("q"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)
+          .as("ndcg"))
+  }
+
   /** Per-class classification report → (clazz, n_true, n_pred,
     * n_correct, precision, recall, f1) from (label, prediction) rows —
     * the eval a classifier pipeline (language-ID, quality buckets,

@@ -139,6 +139,24 @@ object AnnQueries {
           col("rr"), col("hit"))
     }),
 
+    // a20 (r14): nDCG@5 EVALUATION — the graded completion of the eval
+    // trio (a18 recall: what came back; a19 MRR: where the first
+    // answer sat; nDCG: how well the whole ORDER matches). Gains are
+    // integers (k−rank+1), log2 rides round(…,6) -> full oracle over
+    // the same a8∘a1 CTEs.
+    "a20_ndcg_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+      val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 5)
+      val approx = AnnSearch.quantizedTopK(q, emb, "vec_id", "embedding",
+        k = 5, levels = 127, rescoreMult = 4)
+      graft.operators.Eval.ndcgAtK(approx, exact,
+          "query_id", "neighbor_id", "rank", k = 5)
+        .select(col("q").as("query_id"), col("dcg"), col("idcg"),
+          col("ndcg"))
+    }),
+
     // a17 (r13): MMR diversity re-ranking over a1's exact top-10 — the
     // redundancy-suppression pass retrieval pipelines run before
     // serving k results (operators/Mmr). Greedy trajectory pinned
@@ -636,6 +654,57 @@ object AnnQueries {
         |       ELSE round(CAST(1 AS DOUBLE) / f.first_rank, 6) END AS rr,
         |  CAST(f.first_rank IS NOT NULL AS BIGINT) AS hit
         |FROM nr LEFT JOIN f USING (query_id)""".stripMargin,
+
+    // the a19 approx CTEs (rank kept), the exact top-5 with graded
+    // integer gains 6−rank, DCG/IDCG as log2-discounted sums under the
+    // round-6 discipline
+    "a20_ndcg_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q8 AS (SELECT vec_id,
+        |         CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(greatest(least(
+        |                     floor(x / nrm * 127), 127), -127) AS BIGINT)) END AS qv
+        |       FROM n),
+        |qq AS (SELECT vec_id AS query_id, qv AS qcodes FROM q8 WHERE vec_id % 50 = 0),
+        |cand AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |           CAST(list_inner_product(qcodes, c.qv) AS BIGINT) AS qscore
+        |         FROM qq, q8 c WHERE c.vec_id <> query_id),
+        |topc AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qscore DESC, neighbor_id ASC) AS crank FROM cand),
+        |resc AS (SELECT t.query_id, t.neighbor_id,
+        |           list_cosine_similarity(q.v, c.v) AS cosine
+        |         FROM topc t
+        |         JOIN e q ON q.vec_id = t.query_id
+        |         JOIN e c ON c.vec_id = t.neighbor_id
+        |         WHERE t.crank <= 20),
+        |ar AS (SELECT query_id, neighbor_id, rank FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM resc)
+        |       WHERE rank <= 5),
+        |xq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |xs AS (SELECT query_id, e2.vec_id AS neighbor_id,
+        |         list_cosine_similarity(qv, CAST(e2.embedding AS DOUBLE[])) AS cosine
+        |       FROM xq, embeddings e2 WHERE e2.vec_id <> query_id),
+        |xg AS (SELECT query_id, neighbor_id, rank AS xr,
+        |         CAST(5 - rank + 1 AS DOUBLE) AS rel FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM xs)
+        |       WHERE rank <= 5),
+        |d AS (SELECT xg.query_id,
+        |        sum(xg.rel / log2(CAST(ar.rank + 1 AS DOUBLE))) AS dcg
+        |      FROM xg JOIN ar ON xg.query_id = ar.query_id
+        |        AND xg.neighbor_id = ar.neighbor_id
+        |      GROUP BY xg.query_id),
+        |i AS (SELECT query_id,
+        |        sum(rel / log2(CAST(xr + 1 AS DOUBLE))) AS idcg
+        |      FROM xg GROUP BY query_id)
+        |SELECT i.query_id,
+        |  round(coalesce(d.dcg, CAST(0 AS DOUBLE)), 6) AS dcg,
+        |  round(i.idcg, 6) AS idcg,
+        |  round(coalesce(d.dcg, CAST(0 AS DOUBLE)) / i.idcg, 6) AS ndcg
+        |FROM i LEFT JOIN d USING (query_id)""".stripMargin,
 
     // the greedy trajectory unrolled: a1's top-10 CTEs, then three
     // picks — each an argmax over round(λ·rel − (1−λ)·maxSim, 9) with

@@ -64,6 +64,29 @@ class EvalSpec extends SparkTestBase {
     assert(got.head.getLong(2) == -1L && got.head.getLong(4) == 0L)
   }
 
+  test("ndcgAtK: perfect order scores 1, right set in reverse order less") {
+    val exact = df(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3)))
+    val perfect = df(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3)))
+    val reversed = df(Seq(("A", 3L, 1), ("A", 2L, 2), ("A", 1L, 3)))
+    def ndcg(a: org.apache.spark.sql.DataFrame): Double =
+      Eval.ndcgAtK(a, exact, "q", "item", "rank", k = 3)
+        .select("ndcg").head().getDouble(0)
+    assert(ndcg(perfect) == 1.0)
+    val rev = ndcg(reversed)
+    // recall@3 of the reversed list is 1.0 — nDCG is the metric that
+    // sees the order: hand value (1/log2(2)+2/log2(3)+3/log2(4)) /
+    // (3/log2(2)+2/log2(3)+1/log2(4)) = 3.76186/4.76186 ≈ 0.789998
+    assert(rev < 1.0 && math.abs(rev - 0.789998) < 1e-6)
+  }
+
+  test("ndcgAtK: lost query scores 0, not dropped") {
+    val exact = df(Seq(("A", 1L, 1), ("B", 2L, 1)))
+    val approx = df(Seq(("A", 1L, 1)))
+    val got = Eval.ndcgAtK(approx, exact, "q", "item", "rank", k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == Map("A" -> 1.0, "B" -> 0.0))
+  }
+
   test("classReport: hand-computed per-class metrics, no class dropped") {
     val s = spark
     import s.implicits._
