@@ -136,19 +136,19 @@ object EventsStream {
     * Mechanics: `flatMapGroupsWithState` in Append mode. A visit is
     * emitted when a later event of the same user breaks the gap; the
     * final open visit per user flushes via EVENT-TIME TIMEOUT — state
-    * arms a timeout at `last_event + gap`, and when the 0-delay
-    * watermark passes it (any later input, or `flushUser` sentinel
-    * rows in a finite replay) the visit closes with no further data
-    * for that user. State per user is ONE OpenVisit (4 longs) — at
+    * arms a timeout at `last_event + gap`, and when the watermark
+    * (1 s of slack — see the inline note) passes it (any later input,
+    * or `flushUser` sentinel rows in a finite replay) the visit closes
+    * with no further data for that user. State per user is ONE OpenVisit (4 longs) — at
     * 100 TB the state store holds |active users| tiny rows, the
     * watermark retires idle ones, and no window/sort over history
     * exists anywhere (contrast the batch face's per-user sort: here
     * each micro-batch sorts only its own rows per user).
     *
     * In-order contract: rows arrive in non-decreasing event time per
-    * user ACROSS micro-batches (the 0-delay watermark admits no late
-    * data; within a batch the fold sorts). `flushUser` rows advance
-    * the watermark without creating state. */
+    * user ACROSS micro-batches (the watermark admits at most 1 s of
+    * disorder; within a batch the fold sorts). `flushUser` rows
+    * advance the watermark without creating state. */
   def sessionizeStatefulStream(spark: SparkSession, events: DataFrame,
       gapMicros: Long, flushUser: Long = -1L): Dataset[Visit] = {
     require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
@@ -157,7 +157,13 @@ object EventsStream {
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_id").cast("long"))
-      .withWatermark("ts", "0 seconds")
+      // 1 s of slack, not 0: a row whose ts EQUALS the previous batch's
+      // max sits exactly on a 0-delay watermark, where the late-row
+      // filter's boundary convention decides its fate — the slack keeps
+      // boundary-tied arrivals (legal under the in-order contract)
+      // strictly ahead of the watermark. Timeouts are armed at
+      // last + gap + 1ms, far above any 1 s slack effect.
+      .withWatermark("ts", "1 second")
       .as[VisitEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenVisit, Visit](
@@ -183,7 +189,11 @@ object EventsStream {
             sorted.foreach { case (t, _) =>
               open = open match {
                 case Some(o) if t - o.lastUs <= gapMicros =>
-                  Some(o.copy(lastUs = t, n = o.n + 1))
+                  // min/max keep the bounds monotonic if an arrival
+                  // lands inside the watermark's 1 s slack window
+                  // (in-order feeds never exercise this)
+                  Some(o.copy(startUs = math.min(o.startUs, t),
+                    lastUs = math.max(o.lastUs, t), n = o.n + 1))
                 case Some(o) =>
                   closed += Visit(user, o.idx, o.startUs, o.lastUs, o.n)
                   Some(OpenVisit(t, t, 1, o.idx + 1))
