@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * drift. The cap floors weights at 2⁻³⁰ ≈ 1e−9 — operationally zero,
   * and events that old all weigh the same instead of underflowing.
   *
+  * Timezone contract (the Burst discipline): `to_date` derives day
+  * ages in the SESSION timezone (`spark.sql.session.timeZone`), so
+  * cross-engine parity is pinned for UTC sessions — the harness
+  * default — while an offset session zone would shift day boundaries
+  * relative to an engine truncating naive timestamps. Results remain
+  * deterministic for any fixed session zone.
+  *
   * Scale shape: one output-sized reference aggregate (broadcast as a
   * 1-row cross join — the x3 discipline), then a single
   * map-side-combined groupBy over the events scan. Nothing per-user

@@ -43,7 +43,12 @@ object Privacy {
   def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     val safe = kAnonymityReport(df, quasiCols, k)
       .where(col("at_risk") === 0).select(grp(quasiCols): _*)
-    df.join(safe, quasiCols, "left_semi")
+    // null-SAFE equality: the report counts a NULL quasi value as its
+    // own group, so a NULL group that reaches k must survive the
+    // release too — a plain equi-join would silently suppress every
+    // NULL row regardless of its group's size
+    val cond = quasiCols.map(c => df(c) <=> safe(c)).reduce(_ && _)
+    df.join(safe, cond, "left_semi")
   }
 
   /** Per-group l-diversity report: (quasi..., group_n, n_sensitive,

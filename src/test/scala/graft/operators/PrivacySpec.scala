@@ -47,6 +47,11 @@ class PrivacySpec extends SparkTestBase {
         ((r.getLong(1), r.getLong(2)))).toMap
     assert(rep(None) == ((2L, 0L)))
     assert(rep(Some("parks")) == ((1L, 1L)))
+    // and suppress must agree with the report: the NULL group reached
+    // k, so its rows SURVIVE the release (null-safe join, not equi)
+    val released = Privacy.suppress(df, Seq("agency"), k = 2)
+      .collect().map(r => Option(r.getString(0)))
+    assert(released.length == 2 && released.forall(_.isEmpty))
   }
 
   test("lDiversityReport: homogeneous k-anonymous group is not diverse") {

@@ -476,6 +476,63 @@ class ScaleCanarySpec extends SparkTestBase {
       s"phrase hits diverged: ${hits.size} vs ${want.size} docs")
   }
 
+  test("stateful streaming sessionization at 120k events ≡ the batch operator",
+      Slow) {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 12k users × 10 events; per-user minute offsets 25k + 20·⌊k/2⌋
+    // alternate gaps of 25 min (stays) and 45 min (splits) at the
+    // 30-min threshold → exactly 5 two-event visits per user. Users
+    // stagger by 7 s so micro-batch boundaries cut mid-visit all over.
+    val nUsers = 12000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val gapUs = 30L * 60 * 1000000
+    val events = s.range(nUsers * 10).toDF("i").select(
+      (col("i") % nUsers).as("user_id"),
+      timestamp_millis(lit(base) + (col("i") % nUsers) * 7000L +
+        (expr(s"i DIV $nUsers") * 25L +
+          expr(s"i DIV $nUsers DIV 2") * 20L) * 60000L).as("ts"),
+      col("i").as("event_id"))
+
+    val rows = events.orderBy(col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = graft.streaming.EventsStream.sessionizeStatefulStream(
+        s, source.toDF().toDF("user_id", "ts", "event_id"),
+        gapMicros = gapUs, flushUser = -1L)
+      .writeStream.format("memory").queryName("canary_sessions")
+      .outputMode("append").start()
+    val streamed = try {
+      rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq); out.processAllAvailable()
+      }
+      val lastMs = rows.last._2.getTime
+      Seq(1L, 2L).foreach { k =>
+        source.addData(Seq((-1L,
+          new java.sql.Timestamp(lastMs + gapUs / 1000 + k * 3600000L),
+          -1L)))
+        out.processAllAvailable()
+      }
+      s.table("canary_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    } finally out.stop()
+
+    assert(streamed.size == nUsers * 5,
+      s"expected ${nUsers * 5} visits, got ${streamed.size}")
+    val batch = graft.operators.Sessions.sessionize(events,
+        "user_id", "ts", "event_id", gapMicros = gapUs)
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("session_start")), unix_micros(col("session_end")),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch, "streamed visits diverged from the batch operator")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
