@@ -888,6 +888,63 @@ object SilverIndex {
     spark.read.parquet(s"$root/v${vs.max}")
   }
 
+  /** HyperLogLog register maintenance under streaming arrival — the
+    * s7 merge-idempotent discipline verbatim: the per-bucket MAX fold
+    * is associative, commutative, and duplicate-insensitive, so an
+    * at-least-once replay of any batch is a no-op by construction and
+    * the maintained register table is row-identical to the
+    * from-scratch batch build (the s12 gate contract — k5's oracle
+    * applies verbatim). Commits by the stage-then-rename versioned
+    * protocol (crash rationale at refreshKmv). Fold cost: the stored
+    * side is ≤ groups·m register rows, the batch side its
+    * map-combined partial maxima — O(sketch) per batch, never
+    * O(events). */
+  def refreshHll(batch: DataFrame, groupCols: Seq[String],
+      keyCol: String, path: String): Refresh = {
+    val spark = batch.sparkSession
+    val root = s"$path/hll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, root)
+    val batchRegs = graft.operators.Sketches
+      .hllBuild(batch, groupCols, keyCol)
+    val next = (if (committed.isEmpty) batchRegs
+      else batchRegs
+        .unionByName(spark.read.parquet(s"$root/v${committed.max}"))
+        .groupBy((groupCols :+ "bucket").map(col): _*)
+        .agg(max(col("reg")).cast("int").as("reg")))
+      .localCheckpoint(true)
+    val n = next.count()
+    if (n == 0) return Refresh(0, 0)
+    val nv = if (committed.isEmpty) 0L else committed.max + 1
+    val tmp = s"$root/_tmp_v$nv"
+    next.write.mode("overwrite").parquet(tmp)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/v$nv")),
+      s"HLL commit rename failed: $tmp -> $root/v$nv (old versions kept)")
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    Refresh(n, n)
+  }
+
+  /** [[streamingRefresh]] pre-wired to [[refreshHll]]. */
+  def streamingRefreshHll(rows: DataFrame, groupCols: Seq[String],
+      keyCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingRefresh(rows, path)(
+      refreshHll(_, groupCols, keyCol, path))
+
+  /** The maintained register table — the highest committed version
+    * under `path`/hll. */
+  def hllIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = s"$path/hll"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, root)
+    require(vs.nonEmpty, s"no committed HLL register table under $root")
+    spark.read.parquet(s"$root/v${vs.max}")
+  }
+
   /** Quantile-SAMPLE maintenance: fold a batch into the deterministic
     * hash sample behind [[graft.operators.Sketches.sampleQuantiles]]
     * (the k3 sketch). Membership is a pure per-row function of

@@ -313,23 +313,33 @@ object RelationalQueries {
     // so raw estimates replay bit-for-bit; the linear-counting branch
     // is the one ln() and rides round(…,6). Same input as k1 so the
     // two sketches' errors are directly comparable in the gate output.
-    "k5_hll_distinct" -> ((s, dir) => {
-      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
-      val sk = graft.operators.Sketches
-      val est = sk.hllEstimate(
-        sk.hllBuild(ev, Seq("event_type"), "user_id"), Seq("event_type"))
-      val exact = ev.where(col("user_id").isNotNull)
-        .groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_d"))
-      est.join(exact, "event_type")
-        .select(col("event_type"), col("exact_d"), col("n_buckets"),
-          col("n_zero"), col("t_fingerprint"),
-          round(col("est_raw"), 6).as("est_raw"),
-          round(col("est_hll"), 6).as("est_hll"),
-          round(abs(col("est_hll") - col("exact_d")) / col("exact_d"), 6)
-            .as("rel_err"))
-    })
+    "k5_hll_distinct" -> ((s, dir) =>
+      hllReport(s, dir,
+        graft.operators.Sketches.hllBuild(
+          t(s, dir, "events").where(col("event_type").isNotNull),
+          Seq("event_type"), "user_id")))
   )
+
+  /** The shared k5/s12 register report: the estimate + the exact
+    * countDistinct it stands in for, from a REGISTER TABLE — one
+    * definition so the batch (k5) and streamed (s12) gates can never
+    * drift apart; only the register SOURCE differs between them. */
+  private[queries] def hllReport(s: SparkSession, dir: String,
+      regs: DataFrame): DataFrame = {
+    val est = graft.operators.Sketches
+      .hllEstimate(regs, Seq("event_type"))
+    val exact = t(s, dir, "events")
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_d"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_d"), col("n_buckets"),
+        col("n_zero"), col("t_fingerprint"),
+        round(col("est_raw"), 6).as("est_raw"),
+        round(col("est_hll"), 6).as("est_hll"),
+        round(abs(col("est_hll") - col("exact_d")) / col("exact_d"), 6)
+          .as("rel_err"))
+  }
 
   /** The shared k4/s10 probe report: membership answers for EVERY
     * customer plus a shifted guaranteed-absent twin per customer —

@@ -229,7 +229,44 @@ object StreamQueries {
       ()
     }
 
+  /** HLL registers maintained by REAL Structured Streaming (once per
+    * JVM + sf dir): k5's (event_type, user_id) rows arrive as three
+    * MemoryStream micro-batches folded by [[graft.pipeline.SilverIndex
+    * .refreshHll]]'s per-bucket-max merge — order- and
+    * duplicate-insensitive (the s7 family), so the maintained register
+    * table equals the from-scratch batch build. */
+  private[graft] def streamHllPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamhll:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_type", "user_id").as[(String, Long)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = graft.pipeline.SilverIndex.streamingRefreshHll(
+        source.toDF().toDF("event_type", "user_id"),
+        Seq("event_type"), "user_id", path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s12 (r14): STREAMING HyperLogLog maintenance — k5's registers
+    // under micro-batch arrival. The per-bucket-max fold is order- and
+    // duplicate-insensitive (the s7 merge family), so the maintained
+    // register table is row-identical to the batch build and k5's
+    // oracle applies verbatim through the shared report.
+    "s12_stream_hll" -> ((s, dir) =>
+      RelationalQueries.hllReport(s, dir,
+        graft.pipeline.SilverIndex.hllIndex(s, streamHllPath(s, dir)))),
+
     // s11 (r14): STREAMING sessionization with CUSTOM KEYED STATE —
     // x8's gap semantics under micro-batch arrival via
     // flatMapGroupsWithState + event-time-timeout flush (the one
@@ -381,6 +418,9 @@ object StreamQueries {
 
     // the maintained bit set ≡ the batch build — k4's oracle verbatim
     "s10_stream_bloom" -> RelationalQueries.oracles("k4_bloom_filter"),
+
+    // the maintained register table ≡ the batch build — k5's oracle
+    "s12_stream_hll" -> RelationalQueries.oracles("k5_hll_distinct"),
 
     // the maintained counter table ≡ the batch build — k2's oracle
     "s9_stream_cms" -> RelationalQueries.oracles("k2_cms_freq"),

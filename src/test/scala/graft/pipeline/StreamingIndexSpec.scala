@@ -222,6 +222,36 @@ class StreamingIndexSpec extends SparkTestBase {
       "replayed fold mutated the bit set (duplicate-insensitivity broken)")
   }
 
+  test("streamed HLL == batch registers; replayed batch folds to itself") {
+    val path = tmp("stream-hll")
+    val rows = (0L until 900L).map(i => (s"g${i % 3}", i % 211))
+    val input = MemoryStream[(String, Long)]
+    val q = SilverIndex.streamingRefreshHll(
+      input.toDF().toDF("g", "k"), Seq("g"), "k", path = path)
+    try {
+      // adversarial chunking: overlapping duplicates across batches
+      input.addData(rows.take(600): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(300): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = regs(SilverIndex.hllIndex(spark, path))
+    val batch = regs(graft.operators.Sketches.hllBuild(
+      rows.toDF("g", "k"), Seq("g"), "k"))
+    assert(streamed == batch,
+      "streamed registers diverged from the from-scratch batch build")
+
+    // explicit replay: max-folding an already-folded batch is a no-op
+    SilverIndex.refreshHll(rows.take(600).toDF("g", "k"), Seq("g"), "k",
+      path)
+    assert(regs(SilverIndex.hllIndex(spark, path)) == streamed,
+      "replayed fold mutated the registers (max-merge idempotence broken)")
+  }
+
   test("streamed quantile sample == batch gate; replay appends zero") {
     val path = tmp("stream-quant")
     val rows = (0L until 2000L).map(i =>
