@@ -51,6 +51,73 @@ object Privacy {
     df.join(safe, cond, "left_semi")
   }
 
+  /** Generalize-then-suppress release (LOCAL RECODING over a two-level
+    * hierarchy) — [[suppress]] loses every at-risk row; generalization
+    * keeps most of them at coarser granularity, the standard
+    * utility-preserving k-anonymization: a row releases at the FINEST
+    * level whose (quasi, rest...) group reaches k —
+    * level 0 the fine value itself, level 1 the hierarchy's coarse
+    * value (counted over the rows level 0 could NOT release — local
+    * recoding, so a fine group of k−1 rows still pools into its coarse
+    * group), level 2 suppressed. Deterministic: levels are pure group
+    * counts, no ordering anywhere.
+    *
+    * Output: (idCol, rest..., level (0/1/2), released — the fine value
+    * as string, "c:" + coarse value, or "SUPPRESSED"). `hierarchy` is
+    * a (fine, coarse) dimension — dimension-sized, broadcast.
+    *
+    * Scale shape: two group-count aggregations (fine and coarse
+    * spaces, both output-sized) joined back onto the scan; the
+    * hierarchy broadcasts. One pass over the data per level. */
+  def generalizeSuppress(df: DataFrame, idCol: String, fineCol: String,
+      hierarchy: DataFrame, hFineCol: String, hCoarseCol: String,
+      rest: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val restC = rest.map(col)
+    // null-SAFE (<=>) joins throughout: a NULL quasi value is its own
+    // group (the kAnonymityReport/suppress discipline) — plain
+    // equi-joins would strand NULL rows at "suppressed" regardless of
+    // their group's size
+    // every rollup/dimension joins back under FRESH key aliases: the
+    // right sides derive from (or could alias) the left, and reusing
+    // the attribute names both trips DetectAmbiguousSelfJoin and
+    // leaves correctness to the analyzer's relation-dedup heuristics
+    val g0 = df.groupBy(col(fineCol) +: restC: _*)
+      .agg(count(lit(1)).as("__n0"))
+      .select(col(fineCol).as("__f0") +:
+        rest.zipWithIndex.map { case (c, i) => col(c).as(s"__q$i") } :+
+        col("__n0"): _*)
+    val cond0 = (df(fineCol) <=> g0("__f0")) +: rest.zipWithIndex
+      .map { case (c, i) => df(c) <=> g0(s"__q$i") }
+    val withN0 = df.join(g0, cond0.reduce(_ && _), "left")
+      .select(df.col("*"), col("__n0"))
+    val dim = broadcast(hierarchy
+      .select(col(hFineCol).as("__fdim"), col(hCoarseCol).as("__coarse"))
+      .distinct())
+    val base = withN0.join(dim, withN0(fineCol) <=> dim("__fdim"), "left")
+      .select(withN0.col("*"), col("__coarse"))
+    val rem = base.where(col("__n0") < k)
+    // fresh aliases on the rollup keys: g1 derives from base, and a
+    // direct join-back would be an ambiguous self-join (shared
+    // attribute ids) — renaming mints new ones
+    val g1 = rem.groupBy(col("__coarse") +: restC: _*)
+      .agg(count(lit(1)).as("__n1"))
+      .select(col("__coarse").as("__c1") +:
+        rest.zipWithIndex.map { case (c, i) => col(c).as(s"__r$i") } :+
+        col("__n1"): _*)
+    val cond = (base("__coarse") <=> g1("__c1")) +: rest.zipWithIndex
+      .map { case (c, i) => base(c) <=> g1(s"__r$i") }
+    base.join(g1, cond.reduce(_ && _), "left")
+      .select(base.col(idCol) +: rest.map(base.col) :+
+        when(base.col("__n0") >= k, lit(0L))
+          .when(col("__n1") >= k, lit(1L))
+          .otherwise(lit(2L)).as("level") :+
+        when(base.col("__n0") >= k, base.col(fineCol).cast("string"))
+          .when(col("__n1") >= k,
+            concat(lit("c:"), base.col("__coarse").cast("string")))
+          .otherwise(lit("SUPPRESSED")).as("released"): _*)
+  }
+
   /** Per-group l-diversity report: (quasi..., group_n, n_sensitive,
     * diverse) — a k-anonymous group whose members all share one
     * sensitive value still discloses it ("all 12 applicants in that

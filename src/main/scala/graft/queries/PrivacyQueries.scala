@@ -30,6 +30,17 @@ object PrivacyQueries {
         t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment",
         l = 5)),
 
+    // p4 (r14): GENERALIZE-then-suppress release (local recoding) —
+    // the utility-preserving k-anonymization: each customer releases
+    // at the finest level whose group reaches k=13 (nation → region →
+    // suppressed), counting level 1 over the rows level 0 could not
+    // place. Pure group counts -> exact row-level oracle.
+    "p4_generalize" -> ((s, dir) =>
+      graft.operators.Privacy.generalizeSuppress(
+        t(s, dir, "customer"), "c_custkey", "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey", "n_regionkey",
+        Seq("c_mktsegment"), k = 13)),
+
     // p3 (r14): ε-DP noisy segment counts, SEEDED — Laplace(1/ε) by
     // inverse CDF over the md5-derived uniform, ε=0.5 so b=2 is an
     // exact double. The release replays in any engine (auditable); ln
@@ -53,6 +64,32 @@ object PrivacyQueries {
         |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
         |  CAST(count(DISTINCT c_mktsegment) >= 5 AS BIGINT) AS diverse
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // level 0 = fine group count, level 1 counted over the level-0
+    // leftovers (local recoding), else suppressed — all pure counts
+    "p4_generalize" ->
+      """WITH g0 AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM customer GROUP BY 1, 2),
+        |b AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey, g0.n0,
+        |    n.n_regionkey AS coarse
+        |  FROM customer c
+        |  JOIN g0 USING (c_nationkey, c_mktsegment)
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g1 AS (
+        |  SELECT coarse, c_mktsegment, CAST(count(*) AS BIGINT) AS n1
+        |  FROM b WHERE n0 < 13 GROUP BY 1, 2)
+        |SELECT b.c_custkey, b.c_mktsegment,
+        |  CAST(CASE WHEN b.n0 >= 13 THEN 0
+        |            WHEN g1.n1 >= 13 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS level,
+        |  CASE WHEN b.n0 >= 13 THEN CAST(b.c_nationkey AS VARCHAR)
+        |       WHEN g1.n1 >= 13 THEN 'c:' || CAST(b.coarse AS VARCHAR)
+        |       ELSE 'SUPPRESSED' END AS released
+        |FROM b LEFT JOIN g1 ON b.coarse = g1.coarse
+        |  AND b.c_mktsegment = g1.c_mktsegment""".stripMargin,
 
     // the noise replayed in SQL: the k2 rolling hex parse over
     // md5('dp-r14|' || segment), the +0.5/16^13 open-interval uniform,

@@ -143,6 +143,22 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("sum_qty"), col("cnt"))),
 
+    // q19 (r14): CUBE — q12's ROLLUP sibling, all 2^n grouping-set
+    // combinations in one pass (Spark expands to a single Expand +
+    // aggregation, one shuffle — never n separate GROUP BYs unioned).
+    // GROUPING() disambiguates a real NULL from a subtotal row, the
+    // reason coalesce-to-'ALL' alone is not a faithful CUBE consumer.
+    "q19_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("cnt"))),
+
     // LEFT SEMI + LEFT ANTI join (existence checks without row
     // multiplication — the join shapes a filter pipeline needs; both are
     // broadcast-able on the probe side at scale)
@@ -454,6 +470,16 @@ object RelationalQueries {
         |       count(*) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q19_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q13_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS tag FROM customer

@@ -66,6 +66,37 @@ class PrivacySpec extends SparkTestBase {
     assert(rep(("parks", "manager")) == ((2L, 1L, 0L)))
   }
 
+  test("generalizeSuppress: finest level that reaches k, local recoding") {
+    val s = spark
+    import s.implicits._
+    // hierarchy: nations a,b -> region R1; c -> R2
+    val hier = Seq(("a", "R1"), ("b", "R1"), ("c", "R2"))
+      .toDF("fine", "coarse")
+    // title "x": nation a has 3 rows (>= k=3, level 0); nations b and c
+    // have 2 each (< k) — b pools into R1 alone (2 < 3, suppressed?
+    // no: R1's LEFTOVERS are only b's 2 rows since a released at level
+    // 0 — local recoding), c's 2 rows pool into R2 (2 < 3, suppressed)
+    val rows = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "b", "x"), (5L, "b", "x"),
+      (6L, "c", "x"), (7L, "c", "x"),
+      // title "y": a,b have 2 rows each — neither reaches k alone, but
+      // their R1 leftovers pool to 4 >= 3 -> level 1
+      (8L, "a", "y"), (9L, "a", "y"),
+      (10L, "b", "y"), (11L, "b", "y"))
+      .toDF("id", "nation", "title")
+    val got = Privacy.generalizeSuppress(rows, "id", "nation",
+        hier, "fine", "coarse", Seq("title"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // level 0: nation a, title x
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) == ((0L, "a"))))
+    // level 2: b-x's R1 leftovers are 2 (< 3) and c-x's R2 leftovers 2
+    Seq(4L, 5L, 6L, 7L).foreach(i => assert(got(i) == ((2L, "SUPPRESSED"))))
+    // level 1: a-y + b-y pool to 4 in R1
+    Seq(8L, 9L, 10L, 11L).foreach(i => assert(got(i) == ((1L, "c:R1"))))
+  }
+
   test("dpCounts: seeded noise replays, responds to salt, stays Laplace-scaled") {
     val a = Privacy.dpCounts(people, Seq("agency"), epsilon = 0.5, "s1")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
