@@ -28,6 +28,27 @@ import graft.queries.Tables.t
   */
 object CurationQueries {
 
+  /** The shared c25/c26 corpus construction: planted per-group quote
+    * spans (13–17 words) as the eval set; every 23rd train doc embeds
+    * its group's span verbatim. ONE definition so the pair gate and
+    * the action gate can never drift apart. */
+  private def c25Corpora(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val g = col("doc_id") % 5
+    val span = array_join(
+      transform(sequence(lit(1), lit(13) + g),
+        p => concat(lit("quote"), g, lit("w"), p)), " ")
+    val evalDf = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_doc"), span.as("text"))
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit(" "), span))
+          .otherwise(col("text")).as("text"))
+    (train, evalDf)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_pipeline" -> ((s, dir) => {
       // spread the one-file scan across cores FIRST: the signal kernels
@@ -470,20 +491,31 @@ object CurationQueries {
     // side broadcasts; the corpus pays one narrow explode. Integer
     // n_shared / int sz -> exact oracle (brute-force list_intersect).
     "c25_containment_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val g = col("doc_id") % 5
-      val span = array_join(
-        transform(sequence(lit(1), lit(13) + g),
-          p => concat(lit("quote"), g, lit("w"), p)), " ")
-      val evalDf = docs.where(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("eval_doc"), span.as("text"))
-      val train = docs.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 23 === 0,
-            concat(col("text"), lit(" "), span))
-            .otherwise(col("text")).as("text"))
+      val (train, evalDf) = c25Corpora(s, dir)
       graft.operators.Dedup.crossContainment(train, "doc_id", "text",
         evalDf, "eval_doc", "text", n = 3, theta = 0.9)
+    }),
+
+    // c26 (r14): the containment-decontam ACTION — c25 emits the
+    // (train, eval) hit pairs; this is the release manifest a
+    // curation pass actually ships: EVERY train doc with its eval-hit
+    // count, worst containment, and the blocked/released verdict
+    // (the d15 make-pairs-actionable pattern applied to c25). Exact
+    // divisions + counts -> exact oracle (the c25 CTEs + one rollup).
+    "c26_decontam_action" -> ((s, dir) => {
+      val (train, evalDf) = c25Corpora(s, dir)
+      val hits = graft.operators.Dedup.crossContainment(train, "doc_id",
+          "text", evalDf, "eval_doc", "text", n = 3, theta = 0.9)
+        .groupBy("train_doc")
+        .agg(count(lit(1)).as("n_eval_hits"),
+          max(col("containment")).as("mc"))
+      train.select(col("doc_id").as("train_doc"))
+        .join(hits, Seq("train_doc"), "left")
+        .select(col("train_doc"),
+          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+          round(coalesce(col("mc"), lit(0.0)), 6).as("max_containment"),
+          when(col("n_eval_hits").isNotNull, lit("blocked"))
+            .otherwise(lit("released")).as("verdict"))
     }),
 
     // decontamination: training docs whose word-2-gram sets overlap a
@@ -1203,6 +1235,53 @@ object CurationQueries {
         |SELECT train_doc, eval_doc, n_shared,
         |  CAST(n_shared AS DOUBLE) / sz AS containment
         |FROM p WHERE CAST(n_shared AS DOUBLE) / sz >= 0.9""".stripMargin,
+
+    // c26: the c25 CTEs + the per-train-doc rollup and verdict CASE —
+    // every train doc gets a manifest row
+    "c26_decontam_action" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, 14 + doc_id % 5),
+        |      p -> 'quote' || CAST(doc_id % 5 AS VARCHAR) || 'w' ||
+        |           CAST(p AS VARCHAR)), ' ') AS span,
+        |    text
+        |  FROM documents),
+        |ev AS (SELECT doc_id AS eval_doc, span AS text FROM sp
+        |       WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc,
+        |         CASE WHEN doc_id % 23 = 0 THEN text || ' ' || span
+        |              ELSE text END AS text
+        |       FROM sp WHERE doc_id % 97 <> 0),
+        |es AS (SELECT eval_doc,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |       FROM ev
+        |       WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |ts AS (SELECT train_doc,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |       FROM tr
+        |       WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |p AS (SELECT t.train_doc, e.eval_doc,
+        |        CAST(len(list_intersect(e.sh, t.sh)) AS BIGINT) AS n_shared,
+        |        len(e.sh) AS sz
+        |      FROM ts t, es e),
+        |h AS (SELECT train_doc, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |        max(CAST(n_shared AS DOUBLE) / sz) AS mc
+        |      FROM p WHERE CAST(n_shared AS DOUBLE) / sz >= 0.9
+        |      GROUP BY train_doc)
+        |SELECT tr.train_doc,
+        |  coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  round(coalesce(h.mc, CAST(0 AS DOUBLE)), 6) AS max_containment,
+        |  CASE WHEN h.n_eval_hits IS NOT NULL THEN 'blocked'
+        |       ELSE 'released' END AS verdict
+        |FROM tr LEFT JOIN h USING (train_doc)""".stripMargin,
 
     // c24: the d8 recursive-closure CTEs verbatim, then the c3 split
     // CASE keyed on the COMPONENT

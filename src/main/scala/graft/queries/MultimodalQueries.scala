@@ -120,6 +120,29 @@ object MultimodalQueries {
           md5(col("frame")).as("frame_md5"))
       graft.operators.Dedup.dropRepeatedUnits(
         frames, "doc_id", "frame_md5", maxDocFreq = 1)
+    }),
+
+    // m7 (r14): the multimodal CURATION COMPOSITE — m4's frame dedup
+    // feeding m6's byte-budget packing: only frames unique to their
+    // document survive, and the survivors pack into 1024-byte training
+    // examples in (doc, frame) order (64 bytes each). The m-family's
+    // c1-style end-to-end: sample → dedup → pack, every stage already
+    // independently oracle-proven.
+    "m7_mm_pipeline" -> ((s, dir) => {
+      val frames = Multimodal.sampleFrames(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "bin", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+      val kept = graft.operators.Dedup.dropRepeatedUnits(
+          frames, "doc_id", "frame_md5", maxDocFreq = 1)
+        .select(col("doc_id"), col("frame_idx"),
+          lit(64L).as("frame_bytes"))
+      graft.operators.Packing.packByTokenBudget(kept,
+          Seq("doc_id", "frame_idx"), "frame_bytes", budget = 1024L)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("cum_before"), col("pack_id"))
     })
   )
 
@@ -222,6 +245,29 @@ object MultimodalQueries {
         |       FROM fr GROUP BY frame_md5)
         |SELECT fr.doc_id, fr.frame_idx, fr.frame_md5
         |FROM fr JOIN df USING (frame_md5) WHERE d <= 1""".stripMargin,
+
+    // m7: the m4 CTEs, a flat 64-byte bill, then the c2 running-sum
+    // window in (doc, frame) order
+    "m7_mm_pipeline" ->
+      """WITH f AS (SELECT doc_id, text,
+        |        unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 2)) AS fi
+        |      FROM documents),
+        |fr AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |         md5(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_md5
+        |       FROM f),
+        |df AS (SELECT frame_md5, count(DISTINCT doc_id) AS d
+        |       FROM fr GROUP BY frame_md5),
+        |kept AS (SELECT fr.doc_id, fr.frame_idx,
+        |           CAST(64 AS BIGINT) AS frame_bytes
+        |         FROM fr JOIN df USING (frame_md5) WHERE d <= 1)
+        |SELECT doc_id, frame_idx, frame_bytes,
+        |  CAST(coalesce(sum(frame_bytes) OVER (ORDER BY doc_id, frame_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(CAST(coalesce(sum(frame_bytes) OVER (ORDER BY doc_id, frame_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 1024) AS BIGINT) AS pack_id
+        |FROM kept""".stripMargin,
 
     // stub decoder = normalized byte histogram over 8 buckets; corpus is
     // pure ASCII so per-char code points equal per-byte values
