@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    query params expose the pagination fetch_single_dataset already
   *    takes, fetch_data.py:28).
   *  - `GET /dashboard`, `GET /dashboard/data` → the viewer ([[Dashboard]]).
+  *  - `GET /privacy/k-anonymity?id=N&quasi=c1,c2&k=10` → the p1
+  *    disclosure-risk report over a registered gold table (summary +
+  *    a bounded riskiest-first page) — the pre-release check the
+  *    reference's public hiring data never runs.
   *
   * Status mapping follows fetch_data.py:72-80: malformed/unknown id and
   * bad parameters (negative offsets, half-specified ranges, undecodable
@@ -118,6 +122,47 @@ object HttpApi {
           send(ex, 200,
             s"""{"total":${s.total},"filtered":${s.filtered},""" +
               s""""stats":$statsJson,"rows":${s.rows.mkString("[", ",", "]")}}""")
+        case "/privacy/k-anonymity" =>
+          // the p1 disclosure-risk report over a REGISTERED gold table:
+          // quasi columns are client input, resolved case-insensitively
+          // against the table's real columns (a typo or a probe is a
+          // 400, never an AnalysisException-turned-500)
+          import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+          val p = queryParams(ex)
+          val id = p.get("id").flatMap(_.toIntOption)
+            .getOrElse(throw new BadRequest("id must be an integer"))
+          val ds = Serve.registry.find(_.id == id)
+            .getOrElse(throw new BadRequest(s"Invalid dataset_id: $id"))
+          val cols = spark.table(ds.table).columns
+          val quasi = p.get("quasi")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .filter(_.nonEmpty)
+            .getOrElse(throw new BadRequest(
+              "quasi must name at least one column"))
+            .map(q => cols.find(_.equalsIgnoreCase(q))
+              .getOrElse(throw new BadRequest(s"Invalid quasi column: $q")))
+          val k = p.get("k")
+            .map(_.toIntOption.filter(_ >= 2)
+              .getOrElse(throw new BadRequest("k must be an integer >= 2")))
+            .getOrElse(10)
+          val rep = graft.operators.Privacy
+            .kAnonymityReport(spark.table(ds.table), quasi, k)
+          val sm = rep.agg(count(lit(1)).as("g"),
+              sum(col("at_risk")).as("rg"),
+              sum(when(col("at_risk") === 1, col("group_n"))
+                .otherwise(lit(0L))).as("rr"))
+            .head()
+          // riskiest groups first, quasi tie-break: a stable, bounded page
+          val rows = rep
+            .orderBy(col("group_n").asc +: quasi.map(col(_).asc): _*)
+            .limit(maxPageRows).toJSON.collect()
+          send(ex, 200,
+            s"""{"k":$k,"quasi":${quasi.map(q => "\"" + q + "\"")
+              .mkString("[", ",", "]")},""" +
+              s""""groups":${sm.getLong(0)},""" +
+              s""""at_risk_groups":${Option(sm.get(1)).getOrElse(0L)},""" +
+              s""""at_risk_rows":${Option(sm.get(2)).getOrElse(0L)},""" +
+              s""""rows":${rows.mkString("[", ",", "]")}}""")
         case ReportPath(idStr) =>
           val params = queryParams(ex)
           val id = idStr.toIntOption

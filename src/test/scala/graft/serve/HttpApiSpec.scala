@@ -141,6 +141,38 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("privacy endpoint: k-anonymity report, summary, and 400 guards") {
+    val s = spark
+    import s.implicits._
+    replaceTable("nyc_salary_matches") { t =>
+      // 5 rows of "Clerk" (safe at k=3), 2 of "Analyst" (at risk)
+      ((1 to 5).map(_ => ("Clerk", 90)) ++ Seq(("Analyst", 80),
+        ("Analyst", 81))).toDF("posted_job_title", "match_score")
+        .write.saveAsTable(t)
+    }
+    val api = HttpApi.start(spark, port = 0)
+    try {
+      val (code, body) = get(api.port,
+        "/privacy/k-anonymity?id=0&quasi=POSTED_JOB_TITLE&k=3")
+      assert(code == 200, body)
+      assert(body.contains("\"groups\":2"))
+      assert(body.contains("\"at_risk_groups\":1"))
+      assert(body.contains("\"at_risk_rows\":2"))
+      // riskiest-first page: the at-risk Analyst group leads
+      assert(body.indexOf("Analyst") < body.indexOf("Clerk"))
+      assert(body.contains("\"quasi\":[\"posted_job_title\"]"))
+
+      // guards: unknown column, bad k, missing quasi, bad id → 400
+      assert(get(api.port,
+        "/privacy/k-anonymity?id=0&quasi=nope&k=3")._1 == 400)
+      assert(get(api.port,
+        "/privacy/k-anonymity?id=0&quasi=posted_job_title&k=1")._1 == 400)
+      assert(get(api.port, "/privacy/k-anonymity?id=0")._1 == 400)
+      assert(get(api.port,
+        "/privacy/k-anonymity?id=99&quasi=posted_job_title")._1 == 400)
+    } finally api.stop()
+  }
+
   test("bad client input maps to 400; error bodies are valid JSON") {
     withGold()
     val api = HttpApi.start(spark, port = 0)
