@@ -180,6 +180,51 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(versions == Set("v2"), s"stale versions survived: $versions")
   }
 
+  // ------------------------------------------------------ HLL versioned
+
+  private def hllRegs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("HLL fold survives an orphan _tmp, an unretired stale version, " +
+      "and commits nothing on an empty first fold") {
+    val path = tmp("crash-hll")
+    val b0 = (0 until 600).map(i => ("g", (i % 211).toLong)).toDF("g", "k")
+    val b1 = (600 until 1000).map(i => ("g", (i % 307).toLong)).toDF("g", "k")
+
+    // empty first fold: no unreadable v0 (the KMV r14 fix's contract)
+    SilverIndex.refreshHll(b0.where(lit(false)), Seq("g"), "k", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/hll/v0")),
+      "an empty fold must not commit an unreadable version")
+
+    SilverIndex.refreshHll(b0, Seq("g"), "k", path)
+    // v0's (b0-only) registers, kept to rebuild the stale version below
+    val v0Rows = spark.read.parquet(s"$path/hll/v0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // crash window 1: a later fold staged its dir but died pre-rename
+    spark.read.parquet(s"$path/hll/v0")
+      .write.parquet(s"$path/hll/_tmp_v1")
+    SilverIndex.refreshHll(b1, Seq("g"), "k", path)
+    val whole = hllRegs(Sketches.hllBuild(b0.unionByName(b1), Seq("g"), "k"))
+    assert(hllRegs(SilverIndex.hllIndex(spark, path)) == whole,
+      "orphan _tmp corrupted the max-merge fold")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/hll/_tmp_v1")))
+
+    // crash window 2: a superseded version was never retired — the
+    // reader must serve the MAX version (the recreated v0 carries the
+    // older, DIFFERENT b0-only registers, so a wrong read is visible)
+    v0Rows.toDF("g", "bucket", "reg").write.parquet(s"$path/hll/v0")
+    assert(hllRegs(SilverIndex.hllIndex(spark, path)) == whole,
+      "a stale surviving version shadowed the committed one")
+    SilverIndex.refreshHll(b0.limit(5), Seq("g"), "k", path)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/hll"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).toSet
+    assert(versions == Set("v2"), s"stale versions survived: $versions")
+    assert(hllRegs(SilverIndex.hllIndex(spark, path)) == whole,
+      "replaying already-folded rows changed the registers")
+  }
+
   // ------------------------------------------------------ KMV versioned
 
   test("KMV: an empty first fold commits nothing instead of an unreadable v0") {
