@@ -57,4 +57,37 @@ object Funnel {
       .cast("int")).reduce(_ + _)
     acc.withColumn("reached", reached)
   }
+
+  /** Time-to-convert distribution over COMPLETED funnels — the latency
+    * report product analytics serves next to the completion counts:
+    * per requested quantile, the rank-exact first-to-last-step duration
+    * (the k3 ⌈q·n⌉ selection over exact integer epoch-µs durations,
+    * user tie-break — pure row selection, no interpolation, so the
+    * whole report replays bit-for-bit in any engine).
+    *
+    * Scale shape: completed funnels are one row per converting user
+    * (output-sized), so the single global rank window sorts user-count
+    * rows, never events — the same bound every per-user rollup in the
+    * x-family carries. Output: (q, n_completed, dur_us). */
+  def latencyQuantiles(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    val last = s"t${steps.size}"
+    val done = earliestCompletion(events, userCol, typeCol, tsCol, steps)
+      .where(col(last).isNotNull)
+      .select(col("user"),
+        (unix_micros(col(last)) - unix_micros(col("t1"))).as("dur_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur_us").asc, col("user").asc)
+    val ranked = done.withColumn("__rn", row_number().over(w))
+    val targets = done.agg(count(lit(1)).as("n_completed"))
+      .select(col("n_completed"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("__rq",
+        ceil(col("q") * col("n_completed")).cast("int"))
+    targets.join(ranked, col("__rq") === col("__rn"))
+      .select(col("q"), col("n_completed"), col("dur_us"))
+  }
 }

@@ -297,6 +297,38 @@ object Sketches {
       .drop("__t_non")
   }
 
+  // ------------------------------------------- k6: portable MinHash
+
+  /** Portable MINHASH signature (Broder 1997) — the sixth portable
+    * sketch: set-SIMILARITY, where k1/k5 answer cardinality, k2
+    * frequency, k3 quantiles, k4 membership. Per seed i, the signature
+    * element is the lexicographically smallest 12-hex
+    * md5("i:element") over the set (hex order == numeric order — the
+    * k1 discipline), so ANY engine rebuilds the identical signature
+    * and two engines' signatures compare directly:
+    * P[sig_a(i) = sig_b(i)] = J(A, B), est = agreements / numHashes,
+    * rel. std. error ≈ √(J(1−J)/numHashes).
+    *
+    * This is the CROSS-ENGINE variant of the dedup family's
+    * xxhash64-kernel signatures ([[Dedup.minhashSignature]] — faster,
+    * but its hash family is a JVM implementation detail): store THESE
+    * when another system must reproduce, merge (per-seed min), or
+    * audit the sketch; use the kernel inside a single-engine LSH
+    * pipeline. Per-row cost is |set|·numHashes md5s — one narrow
+    * projection, no shuffle. */
+  def minhashPortable(sh: Column, numHashes: Int): Column = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, g =>
+        substring(md5(concat(i.cast("string"), lit(":"), g)
+          .cast("binary")), 1, HexDigits))))
+  }
+
+  /** Signature-agreement count between two equal-length portable
+    * signatures — `n_agree / numHashes` estimates the Jaccard. */
+  def minhashAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+
   /** Per-group KMV sketch + estimate over `keyCol`. Output:
     * `groupCols ++ (n_kept, kth_hash, kmins, est_distinct)` — `kmins`
     * is the mergeable sketch itself (store it; union + re-aggregate

@@ -333,7 +333,35 @@ object RelationalQueries {
       hllReport(s, dir,
         graft.operators.Sketches.hllBuild(
           t(s, dir, "events").where(col("event_type").isNotNull),
-          Seq("event_type"), "user_id")))
+          Seq("event_type"), "user_id"))),
+
+    // Portable MinHash fidelity (r14): the sixth portable sketch —
+    // set-SIMILARITY (k1/k5 cardinality, k2 frequency, k3 quantiles,
+    // k4 membership). Signatures are per-seed minima of 12-hex md5s,
+    // so any engine rebuilds them identically; the gate scores the
+    // estimate against d2's exact-Jaccard pairs (both sides exact
+    // int-ratio doubles — no rounding anywhere but the |err| display).
+    "k6_minhash_fidelity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = graft.operators.Sketches
+      val pairs = graft.operators.Dedup.jaccardPairs(
+        docs, "doc_id", "text", n = 2, theta = 0.5)
+      val sigs = docs.select(col("doc_id"),
+        sk.minhashPortable(
+          graft.functions.word_shingles(col("text"), 2), 16).as("sig"))
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .withColumn("n_agree",
+          sk.minhashAgreement(col("sig_a"), col("sig_b")).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          (col("n_agree").cast("double") / 16).as("est_jaccard"),
+          col("jaccard"),
+          round(abs(col("n_agree").cast("double") / 16 - col("jaccard")), 6)
+            .as("abs_err"))
+    })
   )
 
   /** The shared k5/s12 register report: the estimate + the exact
@@ -659,6 +687,39 @@ object RelationalQueries {
         |  CAST(a.n_pos = a.n_hit AND p2.ck IS NULL AS BIGINT)
         |    AS false_positive
         |FROM agg a LEFT JOIN pres p2 ON a.key = p2.ck""".stripMargin,
+
+    // k6: d2's exact-Jaccard pair CTEs + the signatures rebuilt in SQL
+    // (per-seed list_min of 12-hex md5("i:gram")), agreement counted
+    // positionally
+    "k6_minhash_fidelity" ->
+      """WITH d AS (SELECT doc_id,
+        |             string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS sh
+        |      FROM d),
+        |sg AS (SELECT doc_id,
+        |         list_transform(range(0, 16), i ->
+        |           list_min(list_transform(sh, g ->
+        |             substring(md5(CAST(i AS VARCHAR) || ':' || g),
+        |               1, 12)))) AS sig
+        |       FROM s),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) -
+        |             len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+        |        CAST(len(list_filter(range(1, 17),
+        |          i -> a.sig[i] = b.sig[i])) AS BIGINT) AS n_agree
+        |      FROM p JOIN sg a ON a.doc_id = p.doc_a
+        |        JOIN sg b ON b.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, n_agree,
+        |  CAST(n_agree AS DOUBLE) / 16 AS est_jaccard, jaccard,
+        |  round(abs(CAST(n_agree AS DOUBLE) / 16 - jaccard), 6) AS abs_err
+        |FROM e""".stripMargin,
 
     // k5: the register table rebuilt in SQL — 13-hex md5 prefix via
     // the rolling parse, low 10 bits the bucket, rho = 43 − length of

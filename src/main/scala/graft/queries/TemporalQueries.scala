@@ -98,6 +98,16 @@ object TemporalQueries {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // x12 (r14): funnel LATENCY quantiles — the time-to-convert report
+    // next to x5's completion counts: rank-exact p50/p90/p99 of the
+    // view→purchase duration over completed funnels (the k3 ⌈q·n⌉
+    // selection over exact integer epoch-µs — no interpolation, no
+    // float anywhere but the quantile label).
+    "x12_funnel_latency" -> ((s, dir) =>
+      graft.operators.Funnel.latencyQuantiles(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), qs = Seq(0.5, 0.9, 0.99))),
+
     // x11 (r14): fixed-iteration LABEL PROPAGATION over x4's
     // user↔item graph — community detection as the clustering sibling
     // of d8's components and x4's PageRank (operators/LabelProp).
@@ -279,6 +289,40 @@ object TemporalQueries {
         |    AS pr
         |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
         |SELECT node, round(pr, 6) AS pr FROM pr3""".stripMargin,
+
+    // x12: the x5 funnel CTEs cut to completed users, integer epoch-µs
+    // durations, the k3 ⌈q·n⌉ rank selection (q CAST to DOUBLE — the
+    // decimal-literal hazard)
+    "x12_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |   AND e.ts >= s1.t1
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |   AND e.ts >= s2.t2
+        |  GROUP BY s2.user_id, s2.t1, s2.t2),
+        |done AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(t3) - epoch_us(t1) AS BIGINT) AS dur_us
+        |  FROM s3 WHERE t3 IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dur_us, user_id)
+        |        AS rn FROM done),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_completed FROM done),
+        |t AS (SELECT n_completed, CAST(q AS DOUBLE) AS q,
+        |        CAST(ceil(CAST(q AS DOUBLE) * n_completed) AS INT) AS rq
+        |      FROM nn, unnest([0.5, 0.9, 0.99]) AS u(q))
+        |SELECT t.q, t.n_completed, r.dur_us
+        |FROM t JOIN r ON t.rq = r.rn""".stripMargin,
 
     // x11: the x4 edge CTEs, then three synchronous vote/argmax rounds
     // — (count desc, label asc) row_number picks the winner, a LEFT

@@ -55,6 +55,30 @@ class FunnelSpec extends SparkTestBase {
       2L -> ((Some(2), Some(4), Some(6), 3))))
   }
 
+  test("latencyQuantiles: rank-exact durations, incomplete funnels excluded") {
+    val s = spark
+    import s.implicits._
+    // four completing users with durations 10, 20, 30, 40 min; one
+    // stalled user (no purchase) that must not enter the distribution
+    val rows = (1 to 4).flatMap(u => Seq(
+      (u.toLong, "view", ts(0)), (u.toLong, "click", ts(1)),
+      (u.toLong, "purchase", ts(u * 10)))) ++
+      Seq((9L, "view", ts(0)), (9L, "click", ts(5)))
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val got = Funnel.latencyQuantiles(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), qs = Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // n=4: p50 -> rank ceil(2.0)=2 -> 20 min; p100 -> rank 4 -> 40 min
+    assert(got == Map(
+      0.5 -> ((4L, 20L * 60 * 1000000)),
+      1.0 -> ((4L, 40L * 60 * 1000000))))
+    intercept[IllegalArgumentException] {
+      Funnel.latencyQuantiles(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), qs = Seq(0.0))
+    }
+  }
+
   test("prefix-monotone: adding later events never moves earlier steps") {
     val base = Seq((1L, "view", 1), (1L, "click", 3))
     val more = base ++ Seq((1L, "view", 0), (1L, "purchase", 5))

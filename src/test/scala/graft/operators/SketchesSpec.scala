@@ -192,6 +192,36 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getLong(2) > nz * (1L << 40))
   }
 
+  test("portable MinHash: union merges by per-seed min; estimate near truth") {
+    val s = spark
+    import s.implicits._
+    // two sets with known Jaccard 50/150 = 1/3
+    val a = (0 until 100).map(i => s"g$i")
+    val b = (50 until 200).map(i => s"g$i")
+    val df = Seq(("a", a), ("b", b), ("ab", (a ++ b).distinct))
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"),
+        Sketches.minhashPortable(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // mergeability: sig(A ∪ B) = element-wise min of sig(A), sig(B)
+    val merged = sigs("a").zip(sigs("b")).map { case (x, y) =>
+      if (x <= y) x else y }
+    assert(sigs("ab") == merged,
+      "union signature must equal the per-seed min merge")
+    // estimate: agreements/64 within 4σ of J = 1/3
+    val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    val est = agree / 64.0
+    val sigma = math.sqrt((1.0 / 3) * (2.0 / 3) / 64)
+    assert(math.abs(est - 1.0 / 3) <= 4 * sigma,
+      s"minhash estimate $est too far from 1/3")
+    // identical sets agree everywhere
+    val self = Sketches.minhashAgreement(col("sig"), col("sig"))
+    val n = df.select(col("id"),
+        Sketches.minhashPortable(col("sh"), 8).as("sig"))
+      .select(self).head().getInt(0)
+    assert(n == 8)
+  }
+
   test("portable CMS: overcount-only, per-row mass conservation, partition-invariant") {
     val s = spark
     import s.implicits._
