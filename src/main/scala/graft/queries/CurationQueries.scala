@@ -496,6 +496,38 @@ object CurationQueries {
         evalDf, "eval_doc", "text", n = 3, theta = 0.9)
     }),
 
+    // c27 (r14): tokenizer FERTILITY report — the standard multilingual
+    // tokenizer eval (tokens per word, bytes per token, per language):
+    // a tokenizer that fragments one language 3× harder than another
+    // taxes that language's effective context and training budget, and
+    // this is the report that shows it BEFORE training. Per-doc BPE
+    // counts come from the proven c12 kernel; all sums are integers and
+    // each ratio is one IEEE division under round(…,6).
+    "c27_bpe_fertility" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+        .select(col("lang"),
+          graft.functions.bpe_token_count(col("text")).as("n_bpe"),
+          when(length(trim(col("text"))) === 0, lit(0))
+            .otherwise(size(split(trim(col("text")), "\\s+")))
+            .cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          sum(col("n_bytes")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_bytes"),
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(round(col("n_bpe_tokens").cast("double") /
+              col("n_words"), 6)).as("fertility"),
+          when(col("n_bpe_tokens") === 0, lit(0.0))
+            .otherwise(round(col("n_bytes").cast("double") /
+              col("n_bpe_tokens"), 6)).as("bytes_per_token"))
+    }),
+
     // c26 (r14): the containment-decontam ACTION — c25 emits the
     // (train, eval) hit pairs; this is the release manifest a
     // curation pass actually ships: EVERY train doc with its eval-hit
@@ -1235,6 +1267,69 @@ object CurationQueries {
         |SELECT train_doc, eval_doc, n_shared,
         |  CAST(n_shared AS DOUBLE) / sz AS containment
         |FROM p WHERE CAST(n_shared AS DOUBLE) / sz >= 0.9""".stripMargin,
+
+    // c27: the c12 merge-replay CTEs for per-doc BPE counts, plus
+    // whitespace word counts and UTF-8 byte lengths (NULL text
+    // coalesced identically), rolled up per language with one-division
+    // round-6 ratios
+    "c27_bpe_fertility" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |uw AS (SELECT DISTINCT word FROM wc),
+        |enc AS (
+        |  SELECT word, string_split(word, '') AS syms FROM uw
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:at-1] || [syms[at] || syms[at+1]] || syms[at+2:len(syms)]
+        |      AS syms
+        |  FROM (
+        |    SELECT word, syms, list_position(rk, best) AS at, best
+        |    FROM (
+        |      SELECT word, syms,
+        |        list_transform(range(1, len(syms)),
+        |          i -> coalesce(map_extract(mm.m,
+        |                 syms[i] || ' ' || syms[i+1])[1], 999999)) AS rk
+        |      FROM enc CROSS JOIN (SELECT MAP {
+        |        't h':0,'i n':1,'a n':2,'e r':3,'o n':4,'r e':5,'h e':6,
+        |        'a t':7,'o r':8,'e n':9,'a l':10,'e s':11,'o u':12,
+        |        'i t':13,'s t':14,'e d':15,'i s':16,'a r':17,'l e':18,
+        |        'o m':19,'th e':20,'an d':21,'in g':22,'er s':23,
+        |        'ou r':24,'re s':25,'at e':26,'it y':27,'al l':28,
+        |        'st r':29,'on e':30,'en t':31,'ar e':32,'le s':33,
+        |        'om e':34,'the r':35,'ing s':36,'ate s':37,'str a':38}
+        |        AS m) mm) t1
+        |    CROSS JOIN LATERAL (SELECT list_min(rk) AS best) t2) t3
+        |  WHERE best IS NOT NULL AND best < 999999),
+        |wtok AS (SELECT word, min(len(syms)) AS ntok FROM enc GROUP BY word),
+        |dtok AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(sum(wc.n * wtok.ntok), 0) AS BIGINT) AS n_bpe,
+        |    CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(coalesce(d.text, '')),
+        |                '\s+')) END AS n_words,
+        |    octet_length(encode(coalesce(d.text, ''))) AS n_bytes
+        |  FROM documents d
+        |  LEFT JOIN wc ON d.doc_id = wc.doc_id
+        |  LEFT JOIN wtok ON wc.word = wtok.word
+        |  GROUP BY d.doc_id, d.lang, d.text),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_words,
+        |    CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+        |  FROM dtok GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_bpe_tokens, n_bytes,
+        |  CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) END
+        |    AS fertility,
+        |  CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(n_bytes AS DOUBLE) / n_bpe_tokens, 6) END
+        |    AS bytes_per_token
+        |FROM agg""".stripMargin,
 
     // c26: the c25 CTEs + the per-train-doc rollup and verdict CASE —
     // every train doc gets a manifest row
