@@ -344,11 +344,22 @@ object RelationalQueries {
     "k6_minhash_fidelity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sk = graft.operators.Sketches
+      // the pair set is consumed three times (both member projections
+      // + the final join) — checkpoint the output-sized frame once
+      // instead of re-running the pair join per consumer
       val pairs = graft.operators.Dedup.jaccardPairs(
-        docs, "doc_id", "text", n = 2, theta = 0.5)
-      val sigs = docs.select(col("doc_id"),
-        sk.minhashPortable(
-          graft.functions.word_shingles(col("text"), 2), 16).as("sig"))
+          docs, "doc_id", "text", n = 2, theta = 0.5)
+        .localCheckpoint(true)
+      // sign only the PAIR MEMBERS (output-sized): the report needs
+      // |set|·16 md5s per doc it mentions, not per doc in the corpus —
+      // a stored k6 sketch would precompute all docs once, but a
+      // fidelity report over detected pairs should cost like its output
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sigs = docs.join(members, "doc_id")
+        .select(col("doc_id"),
+          sk.minhashPortable(
+            graft.functions.word_shingles(col("text"), 2), 16).as("sig"))
       pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
           "doc_a")
