@@ -134,6 +134,41 @@ object Privacy {
       .withColumn("diverse", (col("n_sensitive") >= l).cast("long"))
   }
 
+  /** Right-to-ERASURE audit (the GDPR/CCPA delete-propagation check):
+    * given the subjects to forget, report every keyed table's exposure
+    * — total rows, rows referencing a subject, and rows after the
+    * erasure anti-join — so the release ships with PROOF the deletion
+    * propagated everywhere (n_after + n_refs = n_total per table, and
+    * n_refs = 0 when re-audited post-erasure). [[erase]] is the
+    * action; NULL keys never match a subject and survive.
+    *
+    * Scale shape: the subject set broadcasts (people-sized); each
+    * table pays one scan with a broadcast semi/anti probe — no
+    * shuffle anywhere, and tables audit independently (parallel
+    * jobs at 100 TB). */
+  def erasureAudit(tables: Seq[(String, DataFrame, String)],
+      subjects: DataFrame, subjectCol: String): DataFrame = {
+    require(tables.nonEmpty, "erasureAudit needs at least one table")
+    val subj = broadcast(
+      subjects.select(col(subjectCol).as("__s")).distinct())
+    tables.map { case (name, df, keyCol) =>
+      val refs = df.join(subj, df(keyCol) === subj("__s"), "left_semi")
+      val after = df.join(subj, df(keyCol) === subj("__s"), "left_anti")
+      refs.agg(count(lit(1)).as("n_refs"))
+        .crossJoin(df.agg(count(lit(1)).as("n_total")))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .select(lit(name).as("table"), col("n_total"), col("n_refs"),
+          col("n_after"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The erasure action: drop every row referencing a subject. */
+  def erase(df: DataFrame, keyCol: String, subjects: DataFrame,
+      subjectCol: String): DataFrame =
+    df.join(broadcast(subjects.select(col(subjectCol).as("__s"))
+        .distinct()),
+      df(keyCol) === col("__s"), "left_anti")
+
   /** ε-DP noisy counts per group, SEEDED: noise is Laplace(1/ε) via
     * the inverse CDF over a uniform derived from
     * md5(salt:group-values) — the 13-hex prefix over 16¹³, shifted to

@@ -30,6 +30,24 @@ object PrivacyQueries {
         t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment",
         l = 5)),
 
+    // p5 (r14): right-to-ERASURE audit — the delete-propagation proof:
+    // for the subjects to forget (every 97th customer), each keyed
+    // table's total rows, referencing rows, and rows after the erasure
+    // anti-join, across the key mapping (c_custkey = o_custkey =
+    // events.user_id). Pure counts -> exact oracle; the spec pins
+    // n_total = n_refs + n_after and the re-audit-after-erase zero.
+    "p5_erasure_audit" -> ((s, dir) => {
+      val subjects = t(s, dir, "customer")
+        .where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("subject"))
+      graft.operators.Privacy.erasureAudit(
+        Seq(
+          ("customer", t(s, dir, "customer"), "c_custkey"),
+          ("orders", t(s, dir, "orders"), "o_custkey"),
+          ("events", t(s, dir, "events"), "user_id")),
+        subjects, "subject")
+    }),
+
     // p4 (r14): GENERALIZE-then-suppress release (local recoding) —
     // the utility-preserving k-anonymization: each customer releases
     // at the finest level whose group reaches k=13 (nation → region →
@@ -64,6 +82,34 @@ object PrivacyQueries {
         |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
         |  CAST(count(DISTINCT c_mktsegment) >= 5 AS BIGINT) AS diverse
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // p5: the subject set + three per-table count triples unioned
+    "p5_erasure_audit" ->
+      """WITH s AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |           WHERE c_custkey % 97 = 0)
+        |SELECT 'customer' AS "table",
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IN (SELECT k FROM s)) AS n_refs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IS NULL
+        |      OR c_custkey NOT IN (SELECT k FROM s)) AS n_after
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IN (SELECT k FROM s)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NULL
+        |      OR o_custkey NOT IN (SELECT k FROM s))
+        |UNION ALL
+        |SELECT 'events',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE user_id IN (SELECT k FROM s)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE user_id IS NULL
+        |      OR user_id NOT IN (SELECT k FROM s))""".stripMargin,
 
     // level 0 = fine group count, level 1 counted over the level-0
     // leftovers (local recoding), else suppressed — all pure counts

@@ -114,6 +114,31 @@ class PrivacySpec extends SparkTestBase {
     assert(a("parks")._1 == 5L && a("dot")._1 == 1L)
   }
 
+  test("erasureAudit: accounting identity, NULL keys survive, re-audit zero") {
+    val s = spark
+    import s.implicits._
+    val users = Seq(Some(1L), Some(2L), Some(3L), None)
+      .toDF("uid")
+    val orders = Seq(1L, 1L, 2L, 9L).toDF("ouid")
+    val subjects = Seq(1L).toDF("subject")
+    val rep = Privacy.erasureAudit(
+        Seq(("users", users, "uid"), ("orders", orders, "ouid")),
+        subjects, "subject")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // NULL uid never matches a subject: it counts in n_after
+    assert(rep("users") == ((4L, 1L, 3L)))
+    assert(rep("orders") == ((4L, 2L, 2L)))
+    rep.values.foreach { case (t, r, a) => assert(t == r + a) }
+
+    // the action + re-audit: zero remaining references
+    val erased = Privacy.erase(orders, "ouid", subjects, "subject")
+    val re = Privacy.erasureAudit(Seq(("orders", erased, "ouid")),
+        subjects, "subject")
+      .collect().head
+    assert(re.getLong(1) == 2L && re.getLong(2) == 0L)
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq(), k = 3)
