@@ -41,13 +41,19 @@ object Privacy {
     * at-risk rows SUPPRESSED (the standard minimal-distortion release
     * when generalization hierarchies aren't available). */
   def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
-    val safe = kAnonymityReport(df, quasiCols, k)
-      .where(col("at_risk") === 0).select(grp(quasiCols): _*)
     // null-SAFE equality: the report counts a NULL quasi value as its
     // own group, so a NULL group that reaches k must survive the
     // release too — a plain equi-join would silently suppress every
-    // NULL row regardless of its group's size
-    val cond = quasiCols.map(c => df(c) <=> safe(c)).reduce(_ && _)
+    // NULL row regardless of its group's size. Fresh key aliases on
+    // the safe-group side (it DERIVES from df — reusing the attribute
+    // names leaves disambiguation to the analyzer's relation-dedup
+    // heuristics, the generalizeSuppress discipline).
+    val safe = kAnonymityReport(df, quasiCols, k)
+      .where(col("at_risk") === 0)
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__q$i") }: _*)
+    val cond = quasiCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> safe(s"__q$i") }.reduce(_ && _)
     df.join(safe, cond, "left_semi")
   }
 
