@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * AUDITABLE: the md5-derived uniforms make the same release replay in
   * any engine, the [[Sketches]] portability discipline applied to
   * noise; a production release under a strict DP threat model draws
-  * fresh randomness instead and gives up replayability).
+  * fresh randomness instead and gives up replayability). One seed
+  * caveat: `concat_ws` skips NULL values, so with multiple quasi
+  * columns two groups differing only by a NULL column share a noise
+  * seed (correlated noise — counts unaffected); coalesce NULL-able
+  * quasi columns to a sentinel before [[dpCounts]].
   *
   * Scale shape: every report is one map-side-combined groupBy over the
   * table scan (output = |quasi groups| rows); [[suppress]] joins the

@@ -218,12 +218,17 @@ object StreamQueries {
           source.addData(chunk.toIndexedSeq)
           q.processAllAvailable()
         }
-        val lastMs = rows.last._2.getTime
-        Seq(1L, 2L).foreach { k =>
-          source.addData(Seq((-1L,
-            new java.sql.Timestamp(lastMs + gapUs / 1000 + k * 3600000L),
-            -1L)))
-          q.processAllAvailable()
+        // flush ticks anchor past the LAST event (rows arrive sorted);
+        // an empty corpus has nothing to flush — and rows.last would
+        // throw before the reader could return its empty result
+        if (rows.nonEmpty) {
+          val lastMs = rows.last._2.getTime
+          Seq(1L, 2L).foreach { k =>
+            source.addData(Seq((-1L,
+              new java.sql.Timestamp(lastMs + gapUs / 1000 + k * 3600000L),
+              -1L)))
+            q.processAllAvailable()
+          }
         }
       } finally q.stop()
       ()
