@@ -36,12 +36,26 @@ object Decay {
     * exact for up to 2²³ events per group. */
   val CapHalfLives = 30
 
+  /** The exact-replay bound: a sum of 2⁻³⁰-multiples stays inside the
+    * 53-bit mantissa only while a group holds < 2²³ events. */
+  val MaxExactEvents: Long = 1L << 23
+
   /** (user, event_type, n_events, last_age_days, score) — score =
     * Σ events 2^−min(age_days DIV halfLifeDays, 30), age in whole days
-    * before the corpus' newest event date. */
+    * before the corpus' newest event date.
+    *
+    * The bit-for-bit replay contract is ENFORCED, not advisory: a
+    * group reaching `maxExactEvents` (default 2²³, the mantissa bound
+    * above) raises at execution instead of silently degrading to an
+    * order-dependent approximate sum. The check rides the per-group
+    * output rows — free at scale. Callers that accept approximate
+    * scores for hotter groups pass `Long.MaxValue` explicitly. */
   def halfLifeScores(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, halfLifeDays: Int): DataFrame = {
+      tsCol: String, halfLifeDays: Int,
+      maxExactEvents: Long = MaxExactEvents): DataFrame = {
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(maxExactEvents >= 1,
+      s"maxExactEvents must be >= 1: $maxExactEvents")
     val base = events
       .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
         col(tsCol).isNotNull)
@@ -57,6 +71,13 @@ object Decay {
       .agg(count(lit(1)).as("n_events"),
         min(col("age")).as("last_age_days"),
         sum(col("w")).as("score"))
+      .withColumn("score",
+        when(col("n_events") >= lit(maxExactEvents), raise_error(concat(
+          lit("halfLifeScores: group holds "), col("n_events").cast("string"),
+          lit(s" events (>= $maxExactEvents) — the exact-replay mantissa " +
+            "bound is violated; pass maxExactEvents=Long.MaxValue to " +
+            "accept an order-dependent approximate sum"))))
+          .otherwise(col("score")))
       .select(col("user").as(userCol), col("etype").as(typeCol),
         col("n_events"), col("last_age_days"), col("score"))
   }

@@ -13,11 +13,7 @@ import org.apache.spark.sql.functions._
   * AUDITABLE: the md5-derived uniforms make the same release replay in
   * any engine, the [[Sketches]] portability discipline applied to
   * noise; a production release under a strict DP threat model draws
-  * fresh randomness instead and gives up replayability). One seed
-  * caveat: `concat_ws` skips NULL values, so with multiple quasi
-  * columns two groups differing only by a NULL column share a noise
-  * seed (correlated noise — counts unaffected); coalesce NULL-able
-  * quasi columns to a sentinel before [[dpCounts]].
+  * fresh randomness instead and gives up replayability).
   *
   * Scale shape: every report is one map-side-combined groupBy over the
   * table scan (output = |quasi groups| rows); [[suppress]] joins the
@@ -153,7 +149,9 @@ object Privacy {
     * action; NULL keys never match a subject and survive.
     *
     * Scale shape: the subject set broadcasts (people-sized); each
-    * table pays one scan with a broadcast semi/anti probe — no
+    * table pays ONE scan — a broadcast left join (the distinct subject
+    * side guarantees one output row per input row) aggregated into
+    * (count(*), sum of match flags), with n_after the difference — no
     * shuffle anywhere, and tables audit independently (parallel
     * jobs at 100 TB). */
   def erasureAudit(tables: Seq[(String, DataFrame, String)],
@@ -162,13 +160,12 @@ object Privacy {
     val subj = broadcast(
       subjects.select(col(subjectCol).as("__s")).distinct())
     tables.map { case (name, df, keyCol) =>
-      val refs = df.join(subj, df(keyCol) === subj("__s"), "left_semi")
-      val after = df.join(subj, df(keyCol) === subj("__s"), "left_anti")
-      refs.agg(count(lit(1)).as("n_refs"))
-        .crossJoin(df.agg(count(lit(1)).as("n_total")))
-        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+      df.join(subj, df(keyCol) === subj("__s"), "left")
+        .agg(count(lit(1)).as("n_total"),
+          coalesce(sum(when(col("__s").isNotNull, lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("n_refs"))
         .select(lit(name).as("table"), col("n_total"), col("n_refs"),
-          col("n_after"))
+          (col("n_total") - col("n_refs")).as("n_after"))
     }.reduce(_ unionByName _)
   }
 
@@ -187,14 +184,22 @@ object Privacy {
     * (quasi..., true_n, noise, dp_n) with noise and dp_n rounded to 6
     * (ln is the one libm step — the k5 discipline). Callers releasing
     * externally must drop `true_n`; it is emitted for the gate's
-    * noise-accounting only. */
+    * noise-accounting only.
+    *
+    * NULL quasi values seed as the sentinel `<null>` (grouping itself
+    * is unchanged — NULL still forms its own group): `concat_ws` skips
+    * NULLs, so without the coalesce two groups differing only by a
+    * NULL column would share a seed and draw CORRELATED noise — a real
+    * DP weakening. A literal `<null>` string still collides with an
+    * actual NULL by construction; don't use the sentinel as data. */
   def dpCounts(df: DataFrame, quasiCols: Seq[String], epsilon: Double,
       salt: String): DataFrame = {
     require(quasiCols.nonEmpty, "dpCounts needs quasi columns")
     require(epsilon > 0, s"epsilon must be > 0: $epsilon")
     val space = 4503599627370496.0 // 16^13 = 2^52
     val keyStr = concat_ws("|",
-      lit(salt) +: quasiCols.map(c => col(c).cast("string")): _*)
+      lit(salt) +: quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("<null>"))): _*)
     val h = conv(substring(md5(keyStr.cast("binary")), 1, 13), 16, 10)
       .cast("long")
     val b = 1.0 / epsilon

@@ -315,7 +315,15 @@ object Sketches {
     * when another system must reproduce, merge (per-seed min), or
     * audit the sketch; use the kernel inside a single-engine LSH
     * pipeline. Per-row cost is |set|·numHashes md5s — one narrow
-    * projection, no shuffle. */
+    * projection, no shuffle.
+    *
+    * EMPTY-set contract: `array_min` of an empty array is NULL, so an
+    * empty token set signs as an all-NULL signature, and
+    * [[minhashAgreement]] (null-rejecting `===`) then scores ANY pair
+    * involving one as 0 — including two identical empty sets, whose
+    * Jaccard is undefined, not 0. Filter empty sets before signing
+    * (the k6 gate keeps only `size(sh) > 0` pairs) or treat an
+    * all-NULL signature as "no estimate". */
   def minhashPortable(sh: Column, numHashes: Int): Column = {
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     transform(sequence(lit(0), lit(numHashes - 1)), i =>

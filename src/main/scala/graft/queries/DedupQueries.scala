@@ -244,10 +244,14 @@ object DedupQueries {
     // report that turns pair detection into a source-quality ranking:
     // per registered domain (t19's construction — the doc's first
     // URL's host), how many docs, how many participate in ≥ 1
-    // exact-Jaccard near-dup pair, and the rate. The pair side is
-    // pair-graph-sized (its distinct members broadcast into the
-    // domain join); integer counts + one round-6 division -> exact
-    // oracle composing the d2 pair CTEs with the t8 extraction.
+    // exact-Jaccard near-dup pair, and the rate. The dup-member side
+    // is pair-graph-sized — which in exactly the heavy-duplication
+    // regime this diagnostic exists for is a corpus FRACTION, not a
+    // dimension — so no broadcast hint: AQE picks broadcast from the
+    // runtime size when it fits and falls back to a shuffled join when
+    // it doesn't (r15, verdict #2). Integer counts + one round-6
+    // division -> exact oracle composing d2 pair CTEs with t8
+    // extraction.
     "d16_domain_dup_rate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
@@ -266,7 +270,7 @@ object DedupQueries {
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
         .withColumn("__dup", lit(1L))
-      withDomain.join(broadcast(dupDocs), Seq("doc_id"), "left")
+      withDomain.join(dupDocs, Seq("doc_id"), "left")
         .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("__dup")), lit(0L)).as("n_dup_docs"))

@@ -138,7 +138,10 @@ object PrivacyQueries {
         |  AND b.c_mktsegment = g1.c_mktsegment""".stripMargin,
 
     // the noise replayed in SQL: the k2 rolling hex parse over
-    // md5('dp-r14|' || segment), the +0.5/16^13 open-interval uniform,
+    // md5('dp-r14|' || coalesce(segment, '<null>')) — the seed
+    // coalesces NULL quasi values to the sentinel exactly as the
+    // operator does (r15: the NULL-seed-correlation fix lives IN
+    // dpCounts, mirrored here) — the +0.5/16^13 open-interval uniform,
     // the piecewise Laplace inverse CDF with b = 2
     "p3_dp_counts" ->
       """WITH g AS (
@@ -147,7 +150,9 @@ object PrivacyQueries {
         |h AS (
         |  SELECT *,
         |    (CAST(list_reduce(list_transform(string_split(substring(
-        |        md5('dp-r14|' || c_mktsegment), 1, 13), ''),
+        |        md5('dp-r14|' ||
+        |          coalesce(CAST(c_mktsegment AS VARCHAR), '<null>')),
+        |        1, 13), ''),
         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |        (a, c) -> a * 16 + c) AS DOUBLE) + CAST(0.5 AS DOUBLE))
         |      / 4503599627370496 AS u

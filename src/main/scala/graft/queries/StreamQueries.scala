@@ -204,7 +204,7 @@ object StreamQueries {
       val gapUs = 30L * 60 * 1000000
       val q = graft.streaming.EventsStream.sessionizeStatefulStream(
           s, source.toDF().toDF("user_id", "ts", "event_id"),
-          gapMicros = gapUs, flushUser = -1L)
+          gapMicros = gapUs, flushUser = Some(-1L))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             graft.streaming.EventsStream.Visit], id: Long) =>

@@ -147,10 +147,14 @@ object EventsStream {
     *
     * In-order contract: rows arrive in non-decreasing event time per
     * user ACROSS micro-batches (the watermark admits at most 1 s of
-    * disorder; within a batch the fold sorts). `flushUser` rows
-    * advance the watermark without creating state. */
+    * disorder; within a batch the fold sorts). `flushUser` names an
+    * OPT-IN sentinel user id whose rows advance the watermark without
+    * creating state (finite replays use it to fire the final
+    * timeouts); with the default `None` no id is special and every
+    * user's events sessionize — a feed whose real ids could collide
+    * with a sentinel simply picks a vacant one. */
   def sessionizeStatefulStream(spark: SparkSession, events: DataFrame,
-      gapMicros: Long, flushUser: Long = -1L): Dataset[Visit] = {
+      gapMicros: Long, flushUser: Option[Long] = None): Dataset[Visit] = {
     require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
     import spark.implicits._
     val gapMs = gapMicros / 1000L
@@ -175,7 +179,7 @@ object EventsStream {
             // user's next visit must number idx + 1
             state.update(o.copy(n = 0))
             Iterator.single(Visit(user, o.idx, o.startUs, o.lastUs, o.n))
-          } else if (user == flushUser) {
+          } else if (flushUser.contains(user)) {
             // sentinel: consume, never create state — its event time
             // already advanced the watermark at the source
             Iterator.empty

@@ -66,5 +66,34 @@ class DecaySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Decay.halfLifeScores(df, "user_id", "event_type", "ts", 0)
     }
+    intercept[IllegalArgumentException] {
+      Decay.halfLifeScores(df, "user_id", "event_type", "ts", 7,
+        maxExactEvents = 0L)
+    }
+  }
+
+  test("exact-replay bound is ENFORCED: a group at maxExactEvents raises") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 5).map(i =>
+      (1L, "click", new Timestamp(
+        ts("2024-03-01 00:00:00").getTime - i.toLong * 86400000L))) :+
+      ((2L, "view", ts("2024-03-01 00:00:00")))
+    val df = rows.toDF("user_id", "event_type", "ts")
+    // the hot group (5 events) trips a bound of 5; the cold group alone
+    // is fine — the guard is per group, not global
+    val e = intercept[Exception] {
+      Decay.halfLifeScores(df, "user_id", "event_type", "ts", 7,
+        maxExactEvents = 5L).collect()
+    }
+    assert(e.getMessage.contains("exact-replay") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact-replay")))
+    val ok = Decay.halfLifeScores(df, "user_id", "event_type", "ts", 7,
+      maxExactEvents = 6L).collect()
+    assert(ok.length == 2)
+    // and the explicit opt-out accepts any group size
+    val optOut = Decay.halfLifeScores(df, "user_id", "event_type", "ts", 7,
+      maxExactEvents = Long.MaxValue).collect()
+    assert(optOut.length == 2)
   }
 }

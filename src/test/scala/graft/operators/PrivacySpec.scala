@@ -114,6 +114,24 @@ class PrivacySpec extends SparkTestBase {
     assert(a("parks")._1 == 5L && a("dot")._1 == 1L)
   }
 
+  test("dpCounts: groups differing only by a NULL quasi column draw DIFFERENT noise") {
+    val s = spark
+    import s.implicits._
+    // pre-r15, concat_ws skipped NULLs so both groups seeded from
+    // "salt|parks" and drew CORRELATED (identical) noise; the operator
+    // now coalesces each quasi column to '<null>' in the seed
+    val df = Seq(
+      (Option("parks"), Option.empty[String]),
+      (Option.empty[String], Option("parks")))
+      .toDF("a", "b")
+    val noise = Privacy.dpCounts(df, Seq("a", "b"), epsilon = 0.5, "s1")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))
+        -> r.getDouble(3)).toMap
+    assert(noise.size == 2, "NULL still groups as its own value")
+    assert(noise((Some("parks"), None)) != noise((None, Some("parks"))),
+      "NULL-differing groups must not share a noise seed")
+  }
+
   test("erasureAudit: accounting identity, NULL keys survive, re-audit zero") {
     val s = spark
     import s.implicits._

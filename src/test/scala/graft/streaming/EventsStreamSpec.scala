@@ -123,7 +123,7 @@ class EventsStreamSpec extends SparkTestBase {
     val input = MemoryStream[(Long, Timestamp, Long)]
     val query = EventsStream.sessionizeStatefulStream(
         s, input.toDF().toDF("user_id", "ts", "event_id"),
-        gapMicros = gapUs, flushUser = -1L)
+        gapMicros = gapUs, flushUser = Some(-1L))
       .writeStream.format("memory").queryName("sfs_out")
       .outputMode("append").start()
     try {
@@ -178,7 +178,7 @@ class EventsStreamSpec extends SparkTestBase {
     val input = MemoryStream[(Long, Timestamp, Long)]
     val query = EventsStream.sessionizeStatefulStream(
         s, input.toDF().toDF("user_id", "ts", "event_id"),
-        gapMicros = gapUs, flushUser = -1L)
+        gapMicros = gapUs, flushUser = Some(-1L))
       .writeStream.format("memory").queryName("sfs_us_out")
       .outputMode("append").start()
     try {
@@ -192,6 +192,33 @@ class EventsStreamSpec extends SparkTestBase {
       assert(rows.head.getLong(3) ==
         EventsStream.micros(exactly))
       assert(rows.head.getLong(4) == 2L)
+    } finally query.stop()
+  }
+
+  test("sessionizeStatefulStream: no default sentinel — user_id -1 " +
+      "sessionizes like any other user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val gapUs = 1000000L
+    val t0 = ts("2024-01-01 00:00:00")
+    val later = new Timestamp(t0.getTime + 10000) // 10 s >> gap: breaks
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    // default flushUser = None: -1 is a REAL user id here (pre-r15 the
+    // -1L sentinel default silently swallowed these events)
+    val query = EventsStream.sessionizeStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_id"),
+        gapMicros = gapUs)
+      .writeStream.format("memory").queryName("sfs_neg_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((-1L, t0, 1L), (-1L, later, 2L)))
+      query.processAllAvailable()
+      val rows = s.table("sfs_neg_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == -1L)
+      assert(rows.head.getLong(1) == 1L)
+      assert(rows.head.getLong(4) == 1L)
     } finally query.stop()
   }
 

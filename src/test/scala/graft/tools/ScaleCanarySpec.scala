@@ -501,7 +501,7 @@ class ScaleCanarySpec extends SparkTestBase {
       .MemoryStream[(Long, java.sql.Timestamp, Long)]
     val out = graft.streaming.EventsStream.sessionizeStatefulStream(
         s, source.toDF().toDF("user_id", "ts", "event_id"),
-        gapMicros = gapUs, flushUser = -1L)
+        gapMicros = gapUs, flushUser = Some(-1L))
       .writeStream.format("memory").queryName("canary_sessions")
       .outputMode("append").start()
     val streamed = try {
