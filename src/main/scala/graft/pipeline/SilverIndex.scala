@@ -1232,6 +1232,154 @@ object SilverIndex {
     streamingRefresh(docs, path)(
       refreshIvfPq(_, idCol, vecCol, nlist, m, ksub, path))
 
+  // ------------------------------------------------------------- erasure
+
+  /** What an erasure fold did: rows removed / rows remaining. */
+  final case class Erased(removed: Long, remaining: Long)
+
+  /** Rewrite the table at `dirStr` through `transform` (an erasure
+    * anti-join) with the [[compactListTable]] staged-swap commit: the
+    * survivors land in a staging dir, then two renames swap them live —
+    * a crash leaves either the old or the new table, never a
+    * half-deleted one, and a RERUN restores the surviving copy before
+    * deleting anything. Both row counts ride Observations on the ONE
+    * rewrite job (no separate count jobs); the row-count sidecar is
+    * refreshed so post-erasure refreshes stay metadata-only.
+    *
+    * Scale shape: one scan + one broadcast anti-join + one write —
+    * the erasure rewrite is a compaction with a filter, so it batches
+    * (collect a compliance window's subjects, fold once) exactly like
+    * the weekly refresh. With a doc-bucketed layout only buckets
+    * holding subjects need rewriting; this fold rewrites the table
+    * wholesale, the correct default for the list-partitioned and flat
+    * artifacts here (subject docs scatter across every list/file). */
+  private def rewriteSwap(spark: SparkSession, dirStr: String,
+      partitionCols: Seq[String],
+      shape: DataFrame => DataFrame = identity)(
+      transform: DataFrame => DataFrame): Erased = {
+    val live = new Path(dirStr)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(dirStr + "__compacting")
+    val retired = new Path(dirStr + "__retired")
+    // crash recovery BEFORE any delete — the compactListTable
+    // discipline (rationale there): prefer the known-good retired
+    // copy, else a staging dir (valid only when the live table is
+    // gone, i.e. the first rename committed)
+    if (!fs.exists(live)) {
+      val src = if (fs.exists(retired)) retired
+        else if (fs.exists(staging)) staging
+        else throw new IllegalStateException(
+          s"erase: no table at $live and nothing to recover")
+      require(fs.rename(src, live),
+        s"erase: could not restore $src to $live")
+    }
+    fs.delete(staging, true); fs.delete(retired, true)
+    val obsB = org.apache.spark.sql.Observation()
+    val obsK = org.apache.spark.sql.Observation()
+    val src = spark.read.parquet(dirStr)
+      .observe(obsB, count(lit(1)).as("n"))
+    val out = shape(transform(src).observe(obsK, count(lit(1)).as("n")))
+    val w = out.write
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staging.toString)
+    require(fs.rename(live, retired), s"erase: could not retire $live")
+    require(fs.rename(staging, live),
+      s"erase: could not activate $staging — old table at $retired")
+    fs.delete(retired, true)
+    val before = obsB.get("n").asInstanceOf[Long]
+    val kept = obsK.get("n").asInstanceOf[Long]
+    writeMetaRows(fs, dirStr, kept)
+    Erased(before - kept, kept)
+  }
+
+  private def eraseKeyed(spark: SparkSession, dirStr: String,
+      keyCol: String, subjects: DataFrame, subjectCol: String,
+      partitionCols: Seq[String] = Nil,
+      shape: DataFrame => DataFrame = identity): Erased = {
+    val subj = broadcast(
+      subjects.select(col(subjectCol).as("__s")).distinct())
+    rewriteSwap(spark, dirStr, partitionCols, shape)(df =>
+      df.join(subj, df(keyCol) === col("__s"), "left_anti"))
+  }
+
+  /** Right-to-ERASURE for the postings index — the delete path the
+    * append-only [[refreshPostings]] lacks (GDPR asks "and the
+    * indexes?", not just the base tables: an erased subject's tokens
+    * otherwise sit in the postings forever). Drops every posting AND
+    * doc-length row whose doc is a subject, then rewrites the stats
+    * sidecar from the surviving doc lengths, so served BM25 scores
+    * (N, avgLen, df) immediately reflect the smaller corpus — exactly
+    * what a from-scratch build over the erased base would serve.
+    * Postings rewrite first: a crash before the doclen rewrite leaves
+    * the meta fingerprint stale and [[ensureBm25Aux]] rebuilds the
+    * companion from the already-erased postings — the recovery path
+    * that keeps the pair consistent under any interleaving. */
+  def erasePostings(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased = {
+    val r = eraseKeyed(spark, path, "doc", subjects, subjectCol,
+      shape = _.sortWithinPartitions(col("term")))
+    eraseKeyed(spark, doclenPath(path), "doc", subjects, subjectCol)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // readIfData: a FULL-corpus erasure leaves a dir with no data files
+    // (empty writes emit no part files), which schema inference rejects
+    val st = readIfData(spark, doclenPath(path)).fold(Bm25Stats(0L, 0L)) {
+      dl =>
+        val row = dl.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L)))
+          .head()
+        Bm25Stats(row.getLong(0), row.getLong(1))
+    }
+    writeBm25Meta(fs, path, st)
+    r
+  }
+
+  /** Erasure for the MinHash signature table: the subject's signature
+    * rows drop, so [[minhashPairs]] over the index can never emit a
+    * pair naming an erased doc again. */
+  def eraseMinhash(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased =
+    eraseKeyed(spark, path, "doc", subjects, subjectCol)
+
+  /** Erasure for the IVF assignment table (the frozen quantizer keeps
+    * only aggregate centroids — nothing per-subject survives there,
+    * the standard DP/GDPR aggregate carve-out; document it in the
+    * release): subject vectors leave every probe's candidate lists. */
+  def eraseIvf(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased =
+    eraseKeyed(spark, asgPath(path), "neighbor_id", subjects, subjectCol,
+      partitionCols = Seq("list_id"),
+      shape = _.repartition(col("list_id")))
+
+  /** Erasure for the IVF-PQ code table — as [[eraseIvf]] (the frozen
+    * codebooks, like the centroids, hold only k-means aggregates). */
+  def eraseIvfPq(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased =
+    eraseKeyed(spark, codesPath(path), "neighbor_id", subjects,
+      subjectCol, partitionCols = Seq("list_id"),
+      shape = _.repartition(col("list_id")))
+
+  /** REBUILD-FROM-CLEAN contract for the insert-only sketches. The
+    * maintained KMV minima, Bloom positions, and HLL registers are
+    * MONOTONE folds (truncated union / set union / per-bucket max) and
+    * CMS counters are additive without per-key attribution — none can
+    * subtract a subject's contribution, mathematically: the sketch does
+    * not know whether an erased key was the one that set a register.
+    * Erasure for these artifacts is therefore: (1) erase the BASE
+    * table ([[graft.operators.Privacy.erase]]), (2) `resetSketch` the
+    * maintained state (this call — one recursive delete of the sketch
+    * home, including its streaming checkpoint so a re-fold starts a
+    * fresh transaction log), (3) re-fold the CLEAN corpus through the
+    * same refresh. The rebuilt sketch is bit-identical to one that
+    * never saw the subject (every fold here is deterministic in its
+    * input set), which is a STRONGER guarantee than any subtraction
+    * could give. Cost is one corpus pass per compliance window —
+    * batch the window's subjects, reset once. */
+  def resetSketch(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
   // ----------------------------------------------------- compaction / stats
 
   /** Index-health report for an IVF assignment table: list/row/file

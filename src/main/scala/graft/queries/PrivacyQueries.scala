@@ -13,7 +13,72 @@ import graft.queries.Tables.t
   * portable-sketch discipline applied to randomness). */
 object PrivacyQueries {
 
+  /** The p6 erasure-propagation flow, once per (JVM, sf dir): build the
+    * three DELETABLE silver artifacts (BM25 postings, MinHash
+    * signatures, IVF assignments) from the corpus, audit them against
+    * the subject list (every 41st doc — the p5 construction over the
+    * document id space), ERASE the subjects from each
+    * ([[graft.pipeline.SilverIndex.erasePostings]]/eraseMinhash/
+    * eraseIvf — staged-swap anti-join rewrites), re-audit, and persist
+    * the combined report. The pre-audit is materialized to parquet
+    * BEFORE any erase (the lazy-read-against-mutated-path hazard); the
+    * post-audit measures the REWRITTEN artifacts, so a hash match
+    * against the oracle's base-table arithmetic proves the deletion
+    * propagated exactly (re_total = n_total − n_refs, re_refs = 0).
+    * Insert-only sketches are NOT here — their erasure is the
+    * rebuild-from-clean contract ([[graft.pipeline.SilverIndex
+    * .resetSketch]]), proven by construction, not by audit. */
+  private[graft] def p6Path(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"p6erasure:$dir") { p =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.SilverIndex.refreshPostings(
+        docs, "doc_id", "text", s"$p/post")
+      graft.pipeline.SilverIndex.refreshMinhash(
+        docs, "doc_id", "text", n = 2, numHashes = 8, s"$p/mh")
+      graft.pipeline.SilverIndex.refreshIvf(
+        emb, "vec_id", "embedding", nlist = 8, s"$p/ivf")
+      val subjects = docs.where(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("subject"))
+      def artifacts = Seq(
+        ("postings",
+          graft.pipeline.SilverIndex.postingsIndex(s, s"$p/post"), "doc"),
+        ("minhash",
+          graft.pipeline.SilverIndex.minhashIndex(s, s"$p/mh"), "doc"),
+        ("ivf",
+          graft.pipeline.SilverIndex.ivfAssigned(s, s"$p/ivf"),
+          "neighbor_id"))
+      graft.operators.Privacy.erasureAudit(artifacts, subjects, "subject")
+        .write.mode("overwrite").parquet(s"$p/pre")
+      graft.pipeline.SilverIndex.erasePostings(s, s"$p/post",
+        subjects, "subject")
+      graft.pipeline.SilverIndex.eraseMinhash(s, s"$p/mh",
+        subjects, "subject")
+      graft.pipeline.SilverIndex.eraseIvf(s, s"$p/ivf",
+        subjects, "subject")
+      val post = graft.operators.Privacy
+        .erasureAudit(artifacts, subjects, "subject")
+        .select(col("table").as("artifact"),
+          col("n_total").as("re_total"), col("n_refs").as("re_refs"))
+      s.read.parquet(s"$p/pre")
+        .select(col("table").as("artifact"), col("n_total"),
+          col("n_refs"), col("n_after"))
+        .join(post, Seq("artifact"))
+        .write.mode("overwrite").parquet(s"$p/report")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // p6 (r15): ERASURE PROPAGATION into the silver artifacts — p5
+    // proves deletion on base tables; this proves it on the engine's
+    // own persisted derived state, the question GDPR actually asks of
+    // a lakehouse ("and the indexes?"). Oracle = pure arithmetic over
+    // the artifacts' base-table row formulations (t6's tokenization
+    // for postings, d2's shingle construction for the signature rows,
+    // DISTINCT vec_id for the assignments): the re-audit columns must
+    // land exactly on n_total − n_refs and 0.
+    "p6_erasure_propagation" -> ((s, dir) =>
+      s.read.parquet(s"${p6Path(s, dir)}/report")),
+
     // p1 (r14): k-ANONYMITY report over (nation, segment) — group
     // sizes + the at-risk flag at k=10. Pure counts -> exact oracle.
     "p1_k_anonymity" -> ((s, dir) =>
@@ -70,6 +135,55 @@ object PrivacyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // p6: each artifact's rows re-derived from the base tables — the
+    // t6 token/postings formulation, the d2 shingle construction for
+    // signature rows (one row per doc with >= 1 bigram), DISTINCT
+    // vec_id for IVF assignments — with the subject set applied as
+    // pure count arithmetic. re_total/re_refs are the POST-erasure
+    // audit: the Spark side MEASURES the rewritten artifacts, the
+    // oracle states what exact propagation must produce.
+    "p6_erasure_propagation" ->
+      """WITH s AS (SELECT doc_id AS k FROM documents
+        |           WHERE doc_id % 41 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |mh AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(list_distinct(list_transform(
+        |      range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS nsh
+        |    FROM d) WHERE nsh > 0),
+        |ivf AS (SELECT DISTINCT vec_id FROM embeddings),
+        |c AS (
+        |  SELECT 'postings' AS artifact,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_total,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM post
+        |     WHERE doc_id IN (SELECT k FROM s)) AS n_refs
+        |  UNION ALL
+        |  SELECT 'minhash',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh
+        |     WHERE doc_id IN (SELECT k FROM s))
+        |  UNION ALL
+        |  SELECT 'ivf',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ivf),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ivf
+        |     WHERE vec_id IN (SELECT k FROM s)))
+        |SELECT artifact, n_total, n_refs,
+        |  n_total - n_refs AS n_after,
+        |  n_total - n_refs AS re_total,
+        |  CAST(0 AS BIGINT) AS re_refs
+        |FROM c""".stripMargin,
+
     "p1_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS group_n,

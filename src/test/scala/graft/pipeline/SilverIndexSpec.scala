@@ -418,6 +418,96 @@ class SilverIndexSpec extends SparkTestBase {
     assert(served == live)
   }
 
+  test("erasure: erased docs vanish from SERVED BM25, which equals the " +
+      "live operator over the clean corpus") {
+    val path = tmp("silver-erase-post")
+    SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+    val query = "spark vector stream join"
+    def normalized(df: DataFrame): Set[(Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6, r.getInt(2)))
+        .toSet
+    val before = SilverIndex.bm25TopKFromIndex(spark, path, query, k = 25)
+      .collect()
+    // make the vanishing observable: the PRE-erase top doc is a subject
+    val topDoc = before.map(r => (r.getInt(2), r.getLong(0)))
+      .minBy(_._1)._2
+    val subjects = docs
+      .where(col("doc_id") % 7 === 0 || col("doc_id") === topDoc)
+      .select(col("doc_id").as("s"))
+    val subjIds = subjects.collect().map(_.getLong(0)).toSet
+    assert(before.exists(r => subjIds(r.getLong(0))))
+
+    val r = SilverIndex.erasePostings(spark, path, subjects, "s")
+    assert(r.removed > 0 && r.remaining > 0)
+
+    val after = SilverIndex.bm25TopKFromIndex(spark, path, query, k = 25)
+    assert(!after.collect().exists(row => subjIds(row.getLong(0))),
+      "an erased doc must never serve again")
+    // N, avgLen, per-term df all reflect the smaller corpus: the served
+    // scores equal the live operator over the clean corpus exactly
+    // (bind the def once: docs("doc_id") on a fresh read is a foreign
+    // attribute to the join's left side)
+    val d = docs
+    val clean = d.join(subjects, d("doc_id") === col("s"), "left_anti")
+    val live = graft.operators.TextSearch.bm25TopK(clean, "doc_id",
+      "text", query, k = 25)
+    assert(normalized(after) == normalized(live))
+    // row-level identity with a from-scratch build over the clean base
+    assert(rowSet(SilverIndex.postingsIndex(spark, path)) ==
+      rowSet(graft.operators.TextSearch.postings(clean, "doc_id", "text")))
+    // and a refresh over the erased base finds nothing to re-add
+    val r2 = SilverIndex.refreshPostings(clean, "doc_id", "text", path)
+    assert(r2.appended == 0L)
+  }
+
+  test("erasure: ivf subject vectors leave the index; a rerun recovers " +
+      "the staged-swap crash window") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("silver-erase-ivf")
+    SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 16, path)
+    val subjects = emb.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("s"))
+    // materialize the expectation BEFORE the dirs mutate (lazy reads
+    // against a rewritten path are the known hazard)
+    val expected = rowSet(SilverIndex.ivfAssigned(spark, path)
+      .join(subjects, col("neighbor_id") === col("s"), "left_anti"))
+    val nBefore = SilverIndex.ivfAssigned(spark, path).count()
+
+    val r = SilverIndex.eraseIvf(spark, path, subjects, "s")
+    assert(r.removed == nBefore - expected.size)
+    assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == expected)
+
+    // crash window: live renamed away, only __retired survives — the
+    // rerun must restore it and re-apply the (idempotent) erasure
+    val asg = new Path(s"$path/assigned")
+    val fs = asg.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(asg, new Path(s"$path/assigned__retired")))
+    val r2 = SilverIndex.eraseIvf(spark, path, subjects, "s")
+    assert(r2.removed == 0L, "re-erasing erased state removes nothing")
+    assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == expected)
+  }
+
+  test("erasure: minhash pairs can never name an erased doc again") {
+    val path = tmp("silver-erase-mh")
+    SilverIndex.refreshMinhash(docs, "doc_id", "text",
+      n = 2, numHashes = 64, path = path)
+    val subjects = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("s"))
+    val subjIds = subjects.collect().map(_.getLong(0)).toSet
+    val r = SilverIndex.eraseMinhash(spark, path, subjects, "s")
+    assert(r.removed > 0)
+    val pairs = SilverIndex.minhashPairs(spark, path,
+      rowsPerBand = 4, theta = 0.5).collect()
+    assert(!pairs.exists(p =>
+      subjIds(p.getLong(0)) || subjIds(p.getLong(1))))
+    // the surviving signature table is the clean-corpus build exactly
+    val d = docs
+    val clean = d.join(subjects, d("doc_id") === col("s"), "left_anti")
+    assert(rowSet(SilverIndex.minhashIndex(spark, path)) ==
+      rowSet(Dedup.minhashSets(clean, "doc_id", "text", 2, 64)))
+  }
+
   test("ivf compaction: rerun after a crash between the renames recovers the table") {
     import org.apache.hadoop.fs.Path
     val path = tmp("silver-ivf-crash")
