@@ -152,6 +152,67 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
+  // ------------------------------------------- k7: heavy hitters (CMS)
+
+  /** HEAVY HITTERS (frequent items / "top talkers") — the seventh
+    * portable-sketch question, answered the portable way: the CMS is
+    * the sketch, the candidate set is every key whose CMS estimate
+    * reaches φ·N, and ONE exact semi-join recount verifies the
+    * candidates (Cormode & Muthukrishnan 2005 §4.2's CM-based
+    * frequent-items scheme; a Misra-Gries/SpaceSaving counter table
+    * would be a second, engine-resident state format — the CMS route
+    * reuses k2's already-replayable sketch). The two contract halves:
+    *
+    *  - NO FALSE NEGATIVES: CMS only ever overcounts, so est(x) ≥
+    *    f(x) — every truly-φ-heavy key is a candidate, always.
+    *  - candidates are VERIFIED: collision-inflated keys survive the
+    *    estimate gate but carry `heavy = 0` after the exact recount
+    *    (visible in the output, the k4 both-halves discipline).
+    *
+    * N derives from the sketch itself (any single row's counters sum
+    * to the stream length), so the report needs no extra corpus pass.
+    * Output: (key, n_total, est_n, exact_n, heavy), candidates only.
+    *
+    * Scale: the sketch is depth·width rows; the candidate pass is the
+    * k2 estimate shape (distinct keys × depth narrow rows against the
+    * broadcast sketch); the recount semi-join carries NO broadcast
+    * hint — the candidate set is ≤ 1/φ true heavies plus collision
+    * extras, usually tiny, but a hostile (width, φ) can inflate it and
+    * AQE should decide from the runtime size (the d16 lesson). Merge ≡
+    * whole: shard sketches sum per (row, bucket) into the corpus
+    * sketch, then [[heavyHittersFromSketch]] serves from the merge. */
+  def heavyHitters(df: DataFrame, keyCol: String, phi: Double,
+      width: Int, depth: Int): DataFrame = {
+    val keys = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"))
+    heavyHittersFromSketch(cmsBuild(keys, "key", width, depth),
+      keys, "key", phi, width, depth)
+  }
+
+  /** [[heavyHitters]] served from an already-built (or merged, or
+    * stream-maintained — [[graft.pipeline.SilverIndex.refreshCms]])
+    * sketch; `df`'s key bag is scanned only for the exact candidate
+    * recount. */
+  def heavyHittersFromSketch(sketch: DataFrame, df: DataFrame,
+      keyCol: String, phi: Double, width: Int, depth: Int): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0, 1): $phi")
+    val keys = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"))
+    // N from the sketch: each of the depth rows counts every
+    // occurrence exactly once, so row 0's counters sum to N
+    val n = sketch.where(col("row") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val thr = math.ceil(phi * n).toLong
+    val cand = cmsEstimate(sketch, keys, "key", width, depth)
+      .where(col("est_n") >= thr)
+    val exact = keys.join(cand.select("key"), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("exact_n"))
+    cand.join(exact, Seq("key"))
+      .select(col("key"), lit(n).as("n_total"), col("est_n"),
+        col("exact_n"),
+        (col("exact_n") >= thr).cast("long").as("heavy"))
+  }
+
   // ------------------------------------------------- k4: Bloom filter
 
   /** Portable BLOOM FILTER (Bloom 1970, public) under the family

@@ -335,6 +335,23 @@ object RelationalQueries {
           t(s, dir, "events").where(col("event_type").isNotNull),
           Seq("event_type"), "user_id"))),
 
+    // Heavy hitters (r15): the SEVENTH portable-sketch question —
+    // frequent items, answered as CMS candidates (est >= ceil(φ·N),
+    // N summed from the sketch's own row 0) verified by ONE exact
+    // semi-join recount. Both contract halves show in the output:
+    // every truly-φ-heavy item appears (CMS never undercounts — no
+    // false negatives), and collision-inflated candidates carry
+    // heavy = 0. k2's item stream at width 64 so some overcounts
+    // survive the min; deterministic integers -> exact oracle.
+    "k7_heavy_hitters" -> ((s, dir) => {
+      val items = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+      graft.operators.Sketches.heavyHitters(items, "item",
+        phi = 0.0115, width = 64, depth = 4)
+    }),
+
     // Portable MinHash fidelity (r14): the sixth portable sketch —
     // set-SIMILARITY (k1/k5 cardinality, k2 frequency, k3 quantiles,
     // k4 membership). Signatures are per-seed minima of 12-hex md5s,
@@ -656,6 +673,43 @@ object RelationalQueries {
         |SELECT ex.item, ex.exact_n, est.est_n,
         |  est.est_n - ex.exact_n AS overcount
         |FROM est JOIN ex USING (item)""".stripMargin,
+
+    // k7: the k2 counter CTEs at width 64, N as row 0's counter sum,
+    // threshold ceil(φ·N), candidates est >= thr, one exact recount —
+    // heavy = exact >= thr shows the verified-out false candidates
+    "k7_heavy_hitters" ->
+      """WITH it AS (
+        |  SELECT TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS item
+        |  FROM events
+        |  WHERE props IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT)
+        |        IS NOT NULL),
+        |rws AS (SELECT unnest(range(0, 4)) AS r),
+        |h AS (
+        |  SELECT it.item, rws.r,
+        |    list_reduce(list_transform(string_split(substring(
+        |      md5(CAST(rws.r AS VARCHAR) || ':' ||
+        |          CAST(it.item AS VARCHAR)), 1, 12), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) % 64 AS bucket
+        |  FROM it CROSS JOIN rws),
+        |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM h GROUP BY r, bucket),
+        |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+        |          CAST(ceil(0.0115 * coalesce(sum(cnt), 0)) AS BIGINT)
+        |            AS thr
+        |        FROM sk WHERE r = 0),
+        |qh AS (SELECT DISTINCT item, r, bucket FROM h),
+        |est AS (
+        |  SELECT qh.item, min(coalesce(sk.cnt, 0)) AS est_n
+        |  FROM qh LEFT JOIN sk ON qh.r = sk.r AND qh.bucket = sk.bucket
+        |  GROUP BY qh.item),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n
+        |       FROM it GROUP BY item)
+        |SELECT est.item AS key, tot.n AS n_total, est.est_n, ex.exact_n,
+        |  CAST(ex.exact_n >= tot.thr AS BIGINT) AS heavy
+        |FROM est CROSS JOIN tot JOIN ex USING (item)
+        |WHERE est.est_n >= tot.thr""".stripMargin,
 
     // k4: the bit set rebuilt in SQL from the same md5s (the k2
     // rolling hex parse), distinct (key, pos) on the probe side so a

@@ -257,6 +257,63 @@ class SketchesSpec extends SparkTestBase {
     assert(repart == base)
   }
 
+  test("heavy hitters: no false negatives above phi*N; candidates " +
+      "exact-verified; merged-shard sketch serves the same report") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: key 0 takes 30%, key 1 takes 12%, the rest of the
+    // mass spreads over 60 cold keys
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(900)(0L) ++ Seq.fill(360)(1L) ++
+      (0 until 1740).map(_ => 2L + rng.nextInt(60))
+    val df = rows.toDF("k")
+    val (w, d, phi) = (16, 4, 0.1)
+    val exact = rows.groupBy(identity).map { case (k, xs) =>
+      k -> xs.size.toLong }
+    val n = rows.size.toLong
+    val thr = math.ceil(phi * n).toLong
+    val trueHeavy = exact.filter(_._2 >= thr).keySet
+
+    val rep = Sketches.heavyHitters(df, "k", phi, w, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // contract half 1: every truly-heavy key is reported heavy
+    trueHeavy.foreach { k =>
+      assert(rep.contains(k) && rep(k)._4 == 1L,
+        s"false negative: $k has ${exact(k)} >= $thr but is not heavy")
+    }
+    // contract half 2: every candidate's exact count is exact, and
+    // heavy agrees with the true threshold test
+    rep.foreach { case (k, (total, est, ex, heavy)) =>
+      assert(total == n && ex == exact(k) && est >= ex)
+      assert((heavy == 1L) == (ex >= thr))
+    }
+
+    // merge ≡ whole: per-shard sketches sum per (row, bucket) into the
+    // corpus sketch, and the served report is identical
+    val (s1, s2) = (rows.take(1200), rows.drop(1200))
+    val merged = Sketches.cmsBuild(s1.toDF("k"), "k", w, d)
+      .unionByName(Sketches.cmsBuild(s2.toDF("k"), "k", w, d))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val repMerged = Sketches
+      .heavyHittersFromSketch(merged, df, "k", phi, w, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(repMerged == rep)
+  }
+
+  test("heavy hitters: parameter guard") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "k", phi = 0.0, 16, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "k", phi = 1.0, 16, 4)
+    }
+  }
+
   test("count-min sketch overestimates only, within epsilon of total mass") {
     val eps = 0.001
     val cms = orders.stat.countMinSketch(col("o_orderpriority"),
