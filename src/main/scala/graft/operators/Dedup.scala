@@ -862,13 +862,23 @@ object Dedup {
   /** SimHash near-dup pairs within Hamming distance `maxDist`, found via
     * pigeonhole banding into `maxDist + 1` chunks. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, shingleN: Int = 2): DataFrame = {
+      maxDist: Int, shingleN: Int = 2): DataFrame =
+    hammingPairs(simhashDocs(df, idCol, textCol, shingleN), maxDist)
+
+  /** The pigeonhole-banding half of [[simhashPairs]], runnable over ANY
+    * 64-bit signature frame (doc, simhash) — text SimHashes, perceptual
+    * frame fingerprints ([[Multimodal.dhashFingerprint]]), any keyed
+    * bit-signature. Two signatures within Hamming distance `maxDist`
+    * must agree EXACTLY on at least one of `maxDist + 1` disjoint bit
+    * chunks (pigeonhole), so the join keys on (chunk, chunk-value)
+    * buckets and never goes all-pairs; the exact Hamming bound filters
+    * inside the codegen'd join condition. */
+  def hammingPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     val numChunks = maxDist + 1
     val chunkBits = 64 / numChunks
     // chunkBits = 64 (maxDist = 0) would shift-wrap the mask to 0 and
     // send every doc to one bucket — use the full signature as the key
     val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
-    val docs = simhashDocs(df, idCol, textCol, shingleN)
     val chunked = docs.select(col("doc"), col("simhash"),
       posexplode(array((0 until numChunks).map { c =>
         shiftrightunsigned(col("simhash"), c * chunkBits)

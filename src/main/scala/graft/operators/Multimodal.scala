@@ -57,6 +57,30 @@ object Multimodal {
       }(Encoders.row(outSchema))
   }
 
+  /** Perceptual frame FINGERPRINT (dHash shape, r15): 63 bits over the
+    * frame's first 64 bytes, bit j = [byte_j < byte_{j+1}] — the
+    * adjacent-gradient comparison of the classic image dHash
+    * (difference hash; public domain technique, e.g. Krawetz 2013)
+    * applied to the stub byte grid: a REAL deployment computes the
+    * same comparisons over an 8×9 downsampled luma grid after decode,
+    * so swapping the decoder in changes only what the bytes are.
+    * Exact-hash keys (md5 — the m4 dedup) miss a re-encoded/resized
+    * frame entirely: ONE changed byte is a new md5, while here it
+    * flips at most its TWO adjacent comparisons — hamming ≤ 2 — so
+    * near-dup blocking ([[Dedup.hammingPairs]] pigeonhole banding)
+    * still pairs the variants. Pure deterministic byte arithmetic
+    * (hex-digit parse + compares), replayable in any engine.
+    * Frames shorter than 64 bytes contribute 0 for the missing
+    * comparisons (NULL-safe `when`); returns a non-negative LONG. */
+  def dhashFingerprint(frame: Column): Column = {
+    val hx = hex(frame)
+    def byteAt(j: Int): Column =
+      conv(substring(hx, j * 2 + 1, 2), 16, 10).cast("int")
+    (0 until 63).map { j =>
+      when(byteAt(j) < byteAt(j + 1), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Frame-sampling plumbing: pick every `stride`-th fixed-size frame from a
     * binary payload (video stand-in). Pure built-ins — `binary` slicing is
     * columnar. */

@@ -111,6 +111,50 @@ object MultimodalQueries {
           col("cum_before"), col("pack_id"))
     }),
 
+    // m8 (r15): perceptual frame NEAR-dup — the modality m4's exact
+    // md5 keys can't cover: a re-encoded/resized frame (one byte
+    // different) is a brand-new md5 but flips at most 2 bits of the
+    // dHash-shape fingerprint (adjacent-byte comparisons), so
+    // hamming-band blocking still pairs the variants. The query PLANTS
+    // a one-byte-perturbed twin of every doc's frame 0 (byte 0 →
+    // ((b+1−32) mod 95)+32, printable so the VARCHAR oracle replays
+    // byte-for-byte over the ASCII corpus) under a synthetic doc id;
+    // every planted pair then appears with same_md5 = 0 — the rows m4
+    // provably misses. Pure byte arithmetic -> exact oracle (brute
+    // hamming via bit_count(xor) in DuckDB vs the lossless pigeonhole
+    // banding here).
+    "m8_frame_neardup" -> ((s, dir) => {
+      val frames0 = Multimodal.sampleFrames(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "bin", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame"))
+      val b0 = conv(substring(hex(col("frame")), 1, 2), 16, 10)
+        .cast("int")
+      val nb = ((b0 - lit(31)) % lit(95)) + lit(32)
+      val planted = frames0.where(col("frame_idx") === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("frame_idx"),
+          concat(unhex(lpad(hex(nb), 2, "0")),
+            substring(col("frame"), 2, 63)).as("frame"))
+      val frames = frames0.unionByName(planted)
+      val keyed = frames.select(
+        (col("doc_id") * lit(100000L) + col("frame_idx")).as("fid"),
+        col("frame"))
+      val pairs = graft.operators.Dedup.hammingPairs(
+        keyed.select(col("fid").as("doc"),
+          Multimodal.dhashFingerprint(col("frame")).as("simhash")),
+        maxDist = 2)
+      val a = keyed.select(col("fid").as("doc_a"),
+        md5(col("frame")).as("md5_a"))
+      val b = keyed.select(col("fid").as("doc_b"),
+        md5(col("frame")).as("md5_b"))
+      pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a").as("fid_a"), col("doc_b").as("fid_b"),
+          col("hamming"),
+          (col("md5_a") === col("md5_b")).cast("long").as("same_md5"))
+    }),
+
     "m4_frame_dedup" -> ((s, dir) => {
       val frames = Multimodal.sampleFrames(
         t(s, dir, "documents")
@@ -229,6 +273,40 @@ object MultimodalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 1024) AS BIGINT) AS pack_id
         |FROM pb""".stripMargin,
+
+    // m8: the m2 slicing CTE in VARCHAR (ASCII corpus — char ==
+    // byte), the planted perturbed twins, the dHash rebuilt as a
+    // 63-term CASE sum, then BRUTE-force hamming (bit_count ∘ xor)
+    // against which the pigeonhole banding must be lossless
+    "m8_frame_neardup" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |         substring(text, CAST(fi * 64 + 1 AS INT), 64) AS fr
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0,
+        |            CAST(floor(octet_length(encode(text)) / 64) AS BIGINT),
+        |            2)) AS fi
+        |        FROM documents)),
+        |pl AS (
+        |  SELECT doc_id + 1000000 AS doc_id, frame_idx,
+        |         chr(((ascii(substring(fr, 1, 1)) - 31) % 95) + 32) ||
+        |           substring(fr, 2, 63) AS fr
+        |  FROM f0 WHERE frame_idx = 0),
+        |fr AS (SELECT * FROM f0 UNION ALL SELECT * FROM pl),
+        |sg AS (
+        |  SELECT doc_id * 100000 + frame_idx AS fid,
+        |    CAST(list_sum(list_transform(range(1, 64), j ->
+        |      CASE WHEN ascii(substring(fr, CAST(j AS INT), 1)) <
+        |                ascii(substring(fr, CAST(j + 1 AS INT), 1))
+        |           THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig,
+        |    md5(fr) AS m
+        |  FROM fr)
+        |SELECT a.fid AS fid_a, b.fid AS fid_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+        |  CAST(a.m = b.m AS BIGINT) AS same_md5
+        |FROM sg a, sg b
+        |WHERE a.fid < b.fid AND bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
 
     // the m2 slicing CTE, md5 frame keys, then the d12 semantics: keep
     // a frame occurrence iff its corpus-wide DISTINCT-doc frequency is

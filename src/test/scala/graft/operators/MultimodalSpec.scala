@@ -74,6 +74,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(kept == Set((1L, 1), (2L, 1), (3L, 0), (3L, 1)), s"got $kept")
   }
 
+  test("perceptual frame near-dup (m8): a one-byte-perturbed twin that " +
+      "md5 dedup provably misses pairs and drops on the dHash key") {
+    val s = spark
+    import s.implicits._
+    // two docs carry the same 64-byte frame except ONE byte — a
+    // re-encoded frame stand-in — plus an unrelated third frame
+    val base = ("the quick brown fox jumps over the lazy dog " +
+      "0123456789abcdefghij").take(64)
+    assert(base.length == 64)
+    // doc 2: byte0 't'→'T' FLIPS the first gradient sign (hamming 1 —
+    // the banding face catches it); doc 4: byte0 't'→'s' PRESERVES
+    // every gradient sign (identical fingerprint — the
+    // dropRepeatedUnits action face catches it); doc 3 is unrelated
+    val docs = Seq(
+      (1L, base.getBytes("UTF-8")),
+      (2L, ("T" + base.drop(1)).getBytes("UTF-8")),
+      (3L, ("z" * 64).getBytes("UTF-8")),
+      (4L, ("s" + base.drop(1)).getBytes("UTF-8")))
+      .toDF("doc_id", "bin")
+    val frames = Multimodal.sampleFrames(docs, "bin", 64, 1)
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+
+    // m4's exact path misses every twin: all four md5s are unique,
+    // so NOTHING is dropped
+    val m4 = Dedup.dropRepeatedUnits(
+      frames.withColumn("k", md5(col("frame"))), "doc_id", "k", 1)
+    assert(m4.count() == 4, "md5 keys must miss the perturbed twins")
+
+    // hamming banding pairs all three variants (1↔4 at distance 0,
+    // the sign-flip pairs at distance 1)
+    val sigs = frames.select(col("doc_id").as("doc"),
+      Multimodal.dhashFingerprint(col("frame")).as("simhash"))
+    val pairs = Dedup.hammingPairs(sigs, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"expected exactly the planted pairs, got $pairs")
+
+    // the action face: the fingerprint is INVARIANT to sign-preserving
+    // re-encoding noise, so dropRepeatedUnits on the perceptual key
+    // drops both equal-fingerprint carriers (1 and 4) from ALL docs
+    val m8 = Dedup.dropRepeatedUnits(
+      frames.withColumn("k",
+        Multimodal.dhashFingerprint(col("frame"))), "doc_id", "k", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m8 == Set(2L, 3L),
+      "the perceptual key must drop the equal-fingerprint carriers")
+  }
+
+  test("dhashFingerprint: deterministic, order-sensitive, short-frame safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("abab" * 16).getBytes("UTF-8"), // alternating gradient
+      ("baba" * 16).getBytes("UTF-8"), // inverted gradient
+      "ab".getBytes("UTF-8"),          // short frame: missing bytes = 0
+      Array.emptyByteArray)
+      .toDF("frame")
+    val got = df.select(Multimodal.dhashFingerprint(col("frame")))
+      .collect().map(_.getLong(0))
+    // a<b pattern: bits at even j (0,2,...62) -> sum of 4^k
+    val alternating = (0 until 63 by 2).map(1L << _).sum
+    assert(got(0) == alternating)
+    val inverted = (1 until 63 by 2).map(1L << _).sum
+    assert(got(1) == inverted)
+    assert(got(2) == 1L) // only byte0 < byte1 comparison exists
+    assert(got(3) == 0L)
+  }
+
   test("caption→frame as-of alignment: backward match, no-frame sentinel") {
     val s = spark
     import s.implicits._
