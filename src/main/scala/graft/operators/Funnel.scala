@@ -72,13 +72,23 @@ object Funnel {
   def latencyQuantiles(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, steps: Seq[String],
       qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
-      s"quantiles must be in (0, 1]: $qs")
     val last = s"t${steps.size}"
     val done = earliestCompletion(events, userCol, typeCol, tsCol, steps)
       .where(col(last).isNotNull)
       .select(col("user"),
         (unix_micros(col(last)) - unix_micros(col("t1"))).as("dur_us"))
+    quantilesOverDurations(done, qs)
+  }
+
+  /** The rank-exact selection half of [[latencyQuantiles]] over an
+    * ALREADY-DERIVED (user, dur_us) completion frame — shared with the
+    * streaming-accumulated completions ([[graft.streaming.EventsStream
+    * .funnelStatefulStream]], the s13 gate), so both faces serve the
+    * identical report. */
+  def quantilesOverDurations(done: DataFrame, qs: Seq[Double])
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("dur_us").asc, col("user").asc)
     val ranked = done.withColumn("__rn", row_number().over(w))

@@ -234,6 +234,49 @@ object StreamQueries {
       ()
     }
 
+  /** Funnel completions accumulated by REAL Structured Streaming (once
+    * per JVM + sf dir): the event log arrives as three TIME-ORDERED
+    * MemoryStream micro-batches through [[graft.streaming.EventsStream
+    * .funnelStatefulStream]] — one 2k-long state row per participating
+    * user, a Completion emitted exactly once when the final step's
+    * EVENT arrives. No timeouts and therefore NO flush ticks: an
+    * incomplete funnel never emits, matching the batch operator's
+    * completed-only selection. Each batch's completions commit to a
+    * `batch=<id>` partition with overwrite — the s6/s11 idempotent
+    * emission discipline. */
+  private[graft] def streamFunnelPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamfunnel:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "ts", "event_type")
+        .orderBy(col("ts"), col("user_id"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = graft.streaming.EventsStream.funnelStatefulStream(
+          s, source.toDF().toDF("user_id", "ts", "event_type"),
+          steps = Seq("view", "click", "purchase"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.EventsStream.Completion], id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$p/completions/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", s"$p/_checkpoint")
+        .start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** HLL registers maintained by REAL Structured Streaming (once per
     * JVM + sf dir): k5's (event_type, user_id) rows arrive as three
     * MemoryStream micro-batches folded by [[graft.pipeline.SilverIndex
@@ -287,6 +330,21 @@ object StreamQueries {
           timestamp_micros(col("end_us")).as("session_end"),
           col("n_events"),
           (col("end_us") - col("start_us")).as("duration_us"))
+    }),
+
+    // s13 (r15): funnel CONVERSION LATENCY under the streaming face —
+    // completions accumulate from the stateful fold (one emission per
+    // converting user, fired by the final step's EVENT, no timeout
+    // machinery), then the k3 rank selection runs over them via the
+    // SAME Funnel.quantilesOverDurations the batch x12 serves with —
+    // so x12's oracle applies verbatim.
+    "s13_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val done = s.read.parquet(s"${streamFunnelPath(s, dir)}/completions")
+        .select(col("user_id").as("user"),
+          (col("tk_us") - col("t1_us")).as("dur_us"))
+      graft.operators.Funnel.quantilesOverDurations(done,
+        qs = Seq(0.5, 0.9, 0.99))
     }),
 
     // s9 (r13): STREAMING Count-Min maintenance — k2's sketch under
@@ -414,6 +472,9 @@ object StreamQueries {
     // the accumulated closed visits ≡ the batch sessionizer — x8's
     // oracle verbatim
     "s11_stream_sessions" -> TemporalQueries.oracles("x8_sessionize"),
+
+    // the accumulated completions ≡ the batch funnel — x12's oracle
+    "s13_stream_funnel" -> TemporalQueries.oracles("x12_funnel_latency"),
 
     // the streaming accumulation ≡ the batch pair set — d3's oracle
     "s6_stream_neardup" -> DedupQueries.exactJaccardSql,

@@ -220,6 +220,98 @@ object EventsStream {
       }
   }
 
+  /** One incoming event for [[funnelStatefulStream]]. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      et: String)
+  /** Keyed funnel state: per step, the greedy-earliest completion time
+    * `t` (epoch-µs; Long.MinValue = unset) and the LAST seen event
+    * time `last` (the equal-timestamp rescue — see the fold). One row
+    * of 2k longs per user ever seen in the funnel's event types. */
+  final case class FunnelState(t: Seq[Long], last: Seq[Long])
+  /** One COMPLETED funnel: emitted exactly once, when the final step's
+    * time sets. Bounds are exact epoch-µs (the x8/x12 precision
+    * contract). */
+  final case class Completion(user_id: Long, t1_us: Long, tk_us: Long)
+
+  /** Ordered-funnel completion under STREAMING arrival — the stateful
+    * face of [[graft.operators.Funnel.earliestCompletion]] (x12's
+    * substrate), semantics-identical over in-order feeds so the
+    * accumulated completions reproduce the batch operator's completed
+    * set exactly (and x12's oracle applies verbatim once the k3 rank
+    * selection runs over them — the s13 gate).
+    *
+    * Mechanics: `flatMapGroupsWithState`, NO timeout — a funnel
+    * completes on an EVENT (the final step arriving), never on
+    * idleness, so nothing needs flushing and no sentinel exists.
+    * Greedy-earliest is prefix-monotone (a set tᵢ never changes), so
+    * the in-order fold sets each step's time at its first qualifying
+    * arrival and emits the Completion when step k sets. Within a batch
+    * the fold sorts by (ts, step index) so a same-timestamp chain
+    * (view,click,purchase all at t) completes in one pass; ACROSS
+    * batches the same tie needs the `last` maxima: a step-j event at
+    * ts v that arrived BEFORE step j−1 was set can only qualify if
+    * t_{j−1} later sets to exactly v (in-order arrival bounds the
+    * eventual t_{j−1} ≥ its ts), so when a step sets at v the fold
+    * cascades through later steps whose last-seen time equals v.
+    *
+    * In-order contract as [[sessionizeStatefulStream]]: non-decreasing
+    * event time per user across micro-batches. State is one 2k-long
+    * row per participating user; completed users keep a tombstone-like
+    * final state so a completion can never re-emit. */
+  def funnelStatefulStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): Dataset[Completion] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size,
+      s"repeated step types are ambiguous: $steps")
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val Unset = Long.MinValue
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_type").cast("string").as("et"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("et").isin(steps.map(x => x: Any): _*))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Completion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelState(Seq.fill(k)(Unset), Seq.fill(k)(Unset)))
+          val wasComplete = st0.t(k - 1) != Unset
+          if (wasComplete) Iterator.empty
+          else {
+            val t = st0.t.toArray
+            val last = st0.last.toArray
+            // (ts, step) sort: a same-ts chain advances in step order
+            val sorted = it.map(e => (micros(e.ts), stepIdx(e.et)))
+              .toIndexedSeq.sorted
+            def cascade(j: Int, v: Long): Unit = {
+              var i = j + 1
+              while (i < k && t(i) == Unset && last(i) == v) {
+                t(i) = v; i += 1
+              }
+            }
+            sorted.foreach { case (ts, j) =>
+              if (t(k - 1) == Unset) {
+                last(j) = ts // in-order: ts is the max seen for step j
+                if (j == 0) {
+                  if (t(0) == Unset) { t(0) = ts; cascade(0, ts) }
+                } else if (t(j) == Unset && t(j - 1) != Unset &&
+                    ts >= t(j - 1)) {
+                  t(j) = ts; cascade(j, ts)
+                }
+              }
+            }
+            state.update(FunnelState(t.toIndexedSeq, last.toIndexedSeq))
+            if (t(k - 1) != Unset)
+              Iterator.single(Completion(user, t(0), t(k - 1)))
+            else Iterator.empty
+          }
+      }
+  }
+
   def sessionizeWithState(spark: SparkSession, events: DataFrame,
       gapMillis: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[SessionAgg] = {

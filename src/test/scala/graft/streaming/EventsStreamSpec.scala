@@ -195,6 +195,115 @@ class EventsStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("funnelStatefulStream equals batch earliestCompletion under " +
+      "adversarial chunking, incl. equal-ts steps split across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // u1: clean conversion across batches; u2: stalls at click (never
+    // emits); u3: all three steps at the SAME timestamp, deliberately
+    // split so click+purchase arrive one batch BEFORE the view — only
+    // the last-seen cascade can complete it (the cross-batch tie the
+    // in-order contract allows); u4: purchase BEFORE view, never
+    // converts; u5: converts within one batch at one ts
+    val t0 = ts("2024-01-01 00:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val b1 = Seq((1L, at(0), "view"), (4L, at(0), "purchase"),
+      (3L, at(5), "click"), (3L, at(5), "purchase"))
+    val b2 = Seq((1L, at(3), "click"), (2L, at(4), "view"),
+      (3L, at(5), "view"),
+      (5L, at(6), "view"), (5L, at(6), "click"), (5L, at(6), "purchase"))
+    val b3 = Seq((1L, at(9), "purchase"), (2L, at(10), "click"),
+      (4L, at(11), "view"))
+    val all = b1 ++ b2 ++ b3
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = EventsStream.funnelStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_type"), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val streamed = try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      s.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally query.stop()
+
+    val batch = graft.operators.Funnel.earliestCompletion(
+        all.toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", steps)
+      .where(col("t3").isNotNull)
+      .select(col("user"), unix_micros(col("t1")), unix_micros(col("t3")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // the equal-ts cross-batch user DID convert (cascade), at one instant
+    assert(streamed.exists { case (u, a, b) => u == 3L && a == b })
+    assert(streamed.map(_._1) == Set(1L, 3L, 5L))
+
+    // a completion must emit exactly ONCE: replaying a later event of a
+    // completed user adds nothing
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = EventsStream.funnelStatefulStream(
+        s, input2.toDF().toDF("user_id", "ts", "event_type"), steps)
+      .writeStream.format("memory").queryName("funnel_once")
+      .outputMode("append").start()
+    try {
+      input2.addData(Seq((1L, at(0), "view"), (1L, at(1), "click"),
+        (1L, at(2), "purchase")))
+      q2.processAllAvailable()
+      input2.addData(Seq((1L, at(3), "purchase"), (1L, at(4), "view")))
+      q2.processAllAvailable()
+      assert(s.table("funnel_once").count() == 1)
+    } finally q2.stop()
+  }
+
+  test("funnelStatefulStream: randomized chunkings reproduce the batch " +
+      "completions on a generated event log") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val rng = new scala.util.Random(29)
+    val types = Vector("view", "click", "purchase", "scroll")
+    // 40 users × 12 events at COARSE timestamps (minute grid) so
+    // equal-ts collisions within and across chunks actually occur
+    val t0 = ts("2024-01-01 00:00:00")
+    val rows = (for {
+      u <- 1L to 40L
+      _ <- 0 until 12
+    } yield (u, new Timestamp(t0.getTime + rng.nextInt(10) * 60000L),
+      types(rng.nextInt(types.length)))).toIndexedSeq
+    val sorted = rows.sortBy(r => (r._2.getTime, r._1, r._3))
+    val batch = graft.operators.Funnel.earliestCompletion(
+        sorted.toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", steps)
+      .where(col("t3").isNotNull)
+      .select(col("user"), unix_micros(col("t1")), unix_micros(col("t3")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "generator must produce some conversions")
+
+    for (trial <- 0 until 3) {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = EventsStream.funnelStatefulStream(
+          s, input.toDF().toDF("user_id", "ts", "event_type"), steps)
+        .writeStream.format("memory")
+        .queryName(s"funnel_fuzz_$trial").outputMode("append").start()
+      val got = try {
+        var rest = sorted
+        while (rest.nonEmpty) {
+          val n = 1 + rng.nextInt(math.min(rest.length, 97))
+          input.addData(rest.take(n)); q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        s.table(s"funnel_fuzz_$trial").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+      assert(got == batch, s"trial $trial diverged from batch")
+    }
+  }
+
   test("sessionizeStatefulStream: no default sentinel — user_id -1 " +
       "sessionizes like any other user") {
     val s = spark
