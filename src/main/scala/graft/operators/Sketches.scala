@@ -203,8 +203,12 @@ object Sketches {
     val n = sketch.where(col("row") === 0)
       .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     val thr = math.ceil(phi * n).toLong
+    // candidates are consumed twice (the recount's semi-join probe AND
+    // the final join) — eagerly materialize the output-sized frame so
+    // the distinct-key estimate pass over the corpus runs once
     val cand = cmsEstimate(sketch, keys, "key", width, depth)
       .where(col("est_n") >= thr)
+      .localCheckpoint(true)
     val exact = keys.join(cand.select("key"), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("exact_n"))
     cand.join(exact, Seq("key"))

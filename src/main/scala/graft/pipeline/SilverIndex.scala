@@ -1316,6 +1316,10 @@ object SilverIndex {
     * that keeps the pair consistent under any interleaving. */
   def erasePostings(spark: SparkSession, path: String,
       subjects: DataFrame, subjectCol: String): Erased = {
+    // a legacy index (postings copied in, companion never built) has no
+    // doclen dir for the rewrite below to swap — materialize it first;
+    // idempotent and metadata-cheap when the sidecar is already fresh
+    ensureBm25Aux(spark, path)
     val r = eraseKeyed(spark, path, "doc", subjects, subjectCol,
       shape = _.sortWithinPartitions(col("term")))
     eraseKeyed(spark, doclenPath(path), "doc", subjects, subjectCol)
