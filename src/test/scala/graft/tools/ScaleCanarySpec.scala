@@ -476,6 +476,37 @@ class ScaleCanarySpec extends SparkTestBase {
       s"phrase hits diverged: ${hits.size} vs ${want.size} docs")
   }
 
+  test("erasure propagation at 100k docs: postings rewrite exact, " +
+      "served BM25 clean, clean-base refresh appends zero", Slow) {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-canary-erase").toString + "/post"
+    graft.pipeline.SilverIndex.refreshPostings(docs, "doc_id", "text", dir)
+    val subjects = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("s"))
+    val expectedRemoved = spark.read.parquet(dir)
+      .join(subjects, col("doc") === col("s"), "left_semi").count()
+    val t0 = System.nanoTime()
+    val r = graft.pipeline.SilverIndex
+      .erasePostings(spark, dir, subjects, "s")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.removed == expectedRemoved && r.removed > 0,
+      s"removed ${r.removed}, expected $expectedRemoved")
+    // the rewritten index serves: non-empty results, no subject ever
+    val subjIds = subjects.collect().map(_.getLong(0)).toSet
+    val served = graft.pipeline.SilverIndex.bm25TopKFromIndex(spark, dir,
+      "w10x10 w20x20 w30x30 w40x40", k = 100).collect()
+    assert(served.nonEmpty)
+    assert(!served.exists(row => subjIds(row.getLong(0))),
+      "an erased doc served from the rewritten index")
+    // and a refresh over the erased base finds nothing to re-add —
+    // the sidecars survived the swap (metadata-only refresh)
+    val d = docs
+    val clean = d.join(subjects, d("doc_id") === col("s"), "left_anti")
+    assert(graft.pipeline.SilverIndex
+      .refreshPostings(clean, "doc_id", "text", dir).appended == 0L)
+    assert(secs < 120.0, f"erasure rewrite took $secs%.1f s at 100k docs")
+  }
+
   test("stateful streaming sessionization at 120k events ≡ the batch operator",
       Slow) {
     val s = spark
