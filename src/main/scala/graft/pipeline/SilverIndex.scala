@@ -1354,7 +1354,11 @@ object SilverIndex {
       shape = _.repartition(col("list_id")))
 
   /** Erasure for the IVF-PQ code table — as [[eraseIvf]] (the frozen
-    * codebooks, like the centroids, hold only k-means aggregates). */
+    * codebooks, like the centroids, hold only k-means aggregates).
+    * [[ivfPqTopKFromIndex]]'s exact-rescore side reads the BASE corpus
+    * the caller passes — erase that table first
+    * ([[graft.operators.Privacy.erase]], step 1 of the protocol) and
+    * the rescore is clean by construction. */
   def eraseIvfPq(spark: SparkSession, path: String,
       subjects: DataFrame, subjectCol: String): Erased =
     eraseKeyed(spark, codesPath(path), "neighbor_id", subjects,
