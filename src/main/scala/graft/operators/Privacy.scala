@@ -140,6 +140,67 @@ object Privacy {
       .withColumn("diverse", (col("n_sensitive") >= l).cast("long"))
   }
 
+  /** Per-group t-CLOSENESS report (Li, Li & Venkatasubramanian 2007) —
+    * the third of the classic disclosure triple: k-anonymity bounds
+    * re-identification, l-diversity bounds homogeneity, t-closeness
+    * bounds what a group's sensitive DISTRIBUTION reveals relative to
+    * the global one (a group that is 95% "rejected" against a 50%
+    * baseline discloses plenty even with l distinct values). Distance
+    * is total variation over the categorical sensitive domain —
+    * TV(g) = ½ Σ_s |q_g(s) − p(s)| — the standard categorical
+    * instantiation (the paper's EMD over an unordered domain).
+    *
+    * Cross-engine exactness discipline (the x9 lesson — no float
+    * ACCUMULATION): the sum runs over the common denominator N·n_g as
+    * EXACT integer arithmetic, Σ_s |cnt_gs·N − cnt_s·n_g| in
+    * decimal(38,0) (products reach N·n_g ≈ 10²¹ at 100 TB — past
+    * int64), and pays exactly ONE double division + round(…,6) at the
+    * end, so the report replays bit-for-bit in any engine.
+    *
+    * Output: (quasi..., group_n, tv_dist, t_close = [tv_dist ≤ t]).
+    * NULL sensitive values drop (the l-diversity discipline); NULL
+    * quasi values form their own group.
+    *
+    * Scale shape: three map-side-combined group counts over the scan
+    * (per-group, per-value, per-(group, value)), then everything is
+    * output-sized: the |groups|×|values| grid (the sensitive-value
+    * dimension broadcasts), one null-safe join of the gs counts, one
+    * re-aggregation. Nothing row-sized moves after the scan. */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessReport needs quasi columns")
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1]: $t")
+    val rows = df.where(col(sensitiveCol).isNotNull)
+    val ng = rows.groupBy(grp(quasiCols): _*)
+      .agg(count(lit(1)).as("__ng"))
+    val cs = rows.groupBy(col(sensitiveCol).as("__s"))
+      .agg(count(lit(1)).as("__cs"))
+    // fresh aliases on the gs side: it derives from the same scan as
+    // the grid (the generalizeSuppress discipline)
+    val cgs = rows
+      .groupBy(grp(quasiCols) :+ col(sensitiveCol).as("__s2"): _*)
+      .agg(count(lit(1)).as("__cgs"))
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__q$i") } :+ col("__s2") :+ col("__cgs"): _*)
+    val n = rows.agg(count(lit(1)).as("__n"))
+    val grid = ng.crossJoin(broadcast(cs)).crossJoin(broadcast(n))
+    val cond = (quasiCols.zipWithIndex.map { case (c, i) =>
+      grid(c) <=> cgs(s"__q$i") } :+ (grid("__s") === cgs("__s2")))
+      .reduce(_ && _)
+    val dec = "decimal(38,0)"
+    val term = abs(
+      coalesce(col("__cgs"), lit(0L)).cast(dec) * col("__n").cast(dec) -
+        col("__cs").cast(dec) * col("__ng").cast(dec))
+    grid.join(cgs, cond, "left")
+      .groupBy(grp(quasiCols) :+ col("__ng") :+ col("__n"): _*)
+      .agg(sum(term).as("__num"))
+      .select(grp(quasiCols) :+ col("__ng").as("group_n") :+
+        round(col("__num").cast("double") /
+          (lit(2.0) * col("__n").cast("double") *
+            col("__ng").cast("double")), 6).as("tv_dist"): _*)
+      .withColumn("t_close", (col("tv_dist") <= t).cast("long"))
+  }
+
   /** Right-to-ERASURE audit (the GDPR/CCPA delete-propagation check):
     * given the subjects to forget, report every keyed table's exposure
     * — total rows, rows referencing a subject, and rows after the

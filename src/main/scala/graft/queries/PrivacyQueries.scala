@@ -124,6 +124,19 @@ object PrivacyQueries {
         t(s, dir, "nation"), "n_nationkey", "n_regionkey",
         Seq("c_mktsegment"), k = 13)),
 
+    // p7 (r15): t-CLOSENESS report — the third of the classic
+    // disclosure triple (p1 k-anonymity, p2 l-diversity): per nation,
+    // the total-variation distance between the group's market-segment
+    // distribution and the global one, flagged at t = 0.2. The TV sum
+    // runs as exact integer arithmetic over the common denominator
+    // (decimal(38,0) — products reach 10^21 at 100 TB) with ONE double
+    // division + round(6) at the end -> exact oracle (HUGEINT in
+    // DuckDB).
+    "p7_t_closeness" -> ((s, dir) =>
+      graft.operators.Privacy.tClosenessReport(
+        t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment",
+        t = 0.2)),
+
     // p3 (r14): ε-DP noisy segment counts, SEEDED — Laplace(1/ε) by
     // inverse CDF over the md5-derived uniform, ε=0.5 so b=2 is an
     // exact double. The release replays in any engine (auditable); ln
@@ -183,6 +196,42 @@ object PrivacyQueries {
         |  n_total - n_refs AS re_total,
         |  CAST(0 AS BIGINT) AS re_refs
         |FROM c""".stripMargin,
+
+    // p7: the TV numerator as HUGEINT |cgs*N - cs*ng| over the full
+    // (group x value) grid (absent combos contribute cs*ng), one
+    // double division + round(6) — mirrors the operator's
+    // decimal(38,0) discipline term for term
+    "p7_t_closeness" ->
+      """WITH r AS (
+        |  SELECT c_nationkey AS g, c_mktsegment AS s FROM customer
+        |  WHERE c_mktsegment IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+        |       FROM r GROUP BY g),
+        |cs AS (SELECT s, CAST(count(*) AS BIGINT) AS cs
+        |       FROM r GROUP BY s),
+        |cgs AS (SELECT g, s, CAST(count(*) AS BIGINT) AS cgs
+        |        FROM r GROUP BY g, s),
+        |grid AS (SELECT ng.g, ng.ng, cs.s, cs.cs
+        |         FROM ng CROSS JOIN cs),
+        |j AS (
+        |  SELECT grid.g, grid.ng, grid.cs,
+        |         coalesce(cgs.cgs, 0) AS cgs
+        |  FROM grid LEFT JOIN cgs
+        |    ON grid.g IS NOT DISTINCT FROM cgs.g AND grid.s = cgs.s),
+        |agg AS (
+        |  SELECT j.g, j.ng, n.n,
+        |    sum(abs(CAST(j.cgs AS HUGEINT) * n.n -
+        |            CAST(j.cs AS HUGEINT) * j.ng)) AS num
+        |  FROM j CROSS JOIN n GROUP BY j.g, j.ng, n.n)
+        |SELECT g AS c_nationkey, ng AS group_n,
+        |  round(CAST(num AS DOUBLE) /
+        |    (2.0 * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE)), 6)
+        |    AS tv_dist,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    (2.0 * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE)), 6) <= 0.2
+        |    AS BIGINT) AS t_close
+        |FROM agg""".stripMargin,
 
     "p1_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -176,6 +176,37 @@ object StreamQueries {
       ()
     }
 
+  /** The k7-shaped CMS (width 64) maintained by REAL Structured
+    * Streaming (once per JVM + sf dir): the same item stream as
+    * [[streamCmsPath]] folded through [[graft.pipeline.SilverIndex
+    * .refreshCms]]'s batch-id transactional guard — the counters are
+    * additive, so the maintained table equals the batch
+    * [[graft.operators.Sketches.cmsBuild]] exactly (the s9 contract at
+    * k7's width). */
+  private[graft] def streamHeavyPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamheavy:$dir") { p =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+        .as[Int].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      val q = graft.pipeline.SilverIndex.streamingRefreshCms(
+        source.toDF().toDF("item"), "item", width = 64, depth = 4,
+        path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** Closed visits accumulated by REAL Structured Streaming (once per
     * JVM + sf dir): the event log arrives as three TIME-ORDERED
     * MemoryStream micro-batches through [[graft.streaming.EventsStream
@@ -352,6 +383,24 @@ object StreamQueries {
     // are additive: neither s7's merge-idempotence nor s8's id
     // anti-join applies). The maintained counter table equals the
     // batch build, so k2's oracle applies verbatim.
+    // s14 (r15): heavy hitters SERVED FROM THE STREAM-MAINTAINED CMS —
+    // k7's report via heavyHittersFromSketch over the s9-style
+    // maintained counters at k7's width: the additive fold makes the
+    // maintained sketch equal the batch build exactly, so k7's oracle
+    // applies verbatim (candidates, threshold, exact recount and all).
+    // The index-served face of the frequent-items question: counters
+    // maintain continuously, the report runs on demand.
+    "s14_stream_heavy" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sk = graft.pipeline.SilverIndex.cmsIndex(s, streamHeavyPath(s, dir))
+      val items = t(s, dir, "events")
+        .select(regexp_extract(col("props"), "(\\d+)", 1).cast("int")
+          .as("item"))
+        .where(col("item").isNotNull)
+      graft.operators.Sketches.heavyHittersFromSketch(sk, items, "item",
+        phi = 0.0115, width = 64, depth = 4)
+    }),
+
     "s9_stream_cms" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val sk = graft.pipeline.SilverIndex.cmsIndex(s, streamCmsPath(s, dir))
@@ -490,6 +539,9 @@ object StreamQueries {
 
     // the maintained counter table ≡ the batch build — k2's oracle
     "s9_stream_cms" -> RelationalQueries.oracles("k2_cms_freq"),
+
+    // heavy hitters from the maintained counters — k7's oracle verbatim
+    "s14_stream_heavy" -> RelationalQueries.oracles("k7_heavy_hitters"),
 
     // the maintained sample ≡ the batch gate — the k3 CTEs over events
     // (threshold(0.25) = '400000000000')

@@ -97,6 +97,36 @@ class PrivacySpec extends SparkTestBase {
     Seq(8L, 9L, 10L, 11L).foreach(i => assert(got(i) == ((1L, "c:R1"))))
   }
 
+  test("tClosenessReport: homogeneous group far, proportional group at 0") {
+    val s = spark
+    import s.implicits._
+    // global: 6 hired / 6 rejected. Group A mirrors it exactly (tv 0);
+    // group B is ALL hired — k-anonymous and l-diverse-looking sizes,
+    // but its distribution discloses: tv = |1−0.5|/2 + |0−0.5|/2 = 0.5
+    val df = (Seq.fill(3)(("A", "hired")) ++ Seq.fill(3)(("A", "rejected")) ++
+      Seq.fill(3)(("B", "hired")) ++ Seq.fill(3)(("C", "rejected")))
+      .toDF("grp", "outcome")
+    val rep = Privacy.tClosenessReport(df, Seq("grp"), "outcome", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(rep("A") == ((6L, 0.0, 1L)))
+    assert(rep("B") == ((3L, 0.5, 0L)))
+    assert(rep("C") == ((3L, 0.5, 0L)))
+    // NULL sensitive values drop from both distributions
+    val withNull = df.unionByName(
+      Seq(("B", Option.empty[String])).toDF("grp", "outcome"))
+    val rep2 = Privacy.tClosenessReport(withNull, Seq("grp"), "outcome",
+        t = 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("B") == 3L, "NULL sensitive must not count into group_n")
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessReport(df, Seq(), "outcome", 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessReport(df, Seq("grp"), "outcome", 0.0)
+    }
+  }
+
   test("dpCounts: seeded noise replays, responds to salt, stays Laplace-scaled") {
     val a = Privacy.dpCounts(people, Seq("agency"), epsilon = 0.5, "s1")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
