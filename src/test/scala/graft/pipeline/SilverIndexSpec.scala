@@ -488,6 +488,69 @@ class SilverIndexSpec extends SparkTestBase {
     assert(rowSet(SilverIndex.ivfAssigned(spark, path)) == expected)
   }
 
+  test("erasure: ivf-pq codes drop with the subjects; staging-only " +
+      "crash state recovers; erased base serves clean rescore") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("silver-erase-ivfpq")
+    SilverIndex.refreshIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 16, path = path)
+    val subjects = emb.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("s"))
+    val subjIds = subjects.collect().map(_.getLong(0)).toSet
+    val codes = s"$path/codes"
+    val expected = rowSet(spark.read.parquet(codes)
+      .join(subjects, col("neighbor_id") === col("s"), "left_anti")
+      .select(col("neighbor_id")))
+    val r = SilverIndex.eraseIvfPq(spark, path, subjects, "s")
+    assert(r.removed > 0 && r.remaining == expected.size)
+    assert(rowSet(spark.read.parquet(codes).select(col("neighbor_id")))
+      == expected)
+
+    // staging-only crash state: live gone, only a completed staging
+    // copy survives (first rename committed, retired cleaned) — the
+    // rerun must restore it
+    val live = new Path(codes)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(codes).write
+      .parquet(s"${codes}__compacting")
+    fs.delete(live, true)
+    val r2 = SilverIndex.eraseIvfPq(spark, path, subjects, "s")
+    assert(r2.removed == 0L)
+    assert(rowSet(spark.read.parquet(codes).select(col("neighbor_id")))
+      == expected)
+
+    // served queries against the erased index + erased base corpus
+    // never name a subject (the rescore side is the caller-erased base)
+    val cleanBase = graft.operators.Privacy.erase(emb, "vec_id",
+      subjects, "s")
+    val probes = emb.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val got = SilverIndex.ivfPqTopKFromIndex(probes, cleanBase,
+        "vec_id", "embedding", path, k = 5, nprobe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty && got.intersect(subjIds).isEmpty)
+  }
+
+  test("erasure: resetSketch + re-fold over the clean corpus equals a " +
+      "sketch that never saw the subjects (rebuild-from-clean contract)") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("silver-erase-kmv")
+    val rows = (1L to 3000L).map(i => ("g" + (i % 3), i))
+      .toDF("grp", "k")
+    val subjects = (1L to 3000L by 9).toDF("s")
+    SilverIndex.refreshKmv(rows, "grp", "k", k = 64, path = path)
+    // the maintained sketch saw the subjects — reset + re-fold clean
+    SilverIndex.resetSketch(spark, path)
+    val clean = rows.join(subjects, col("k") === col("s"), "left_anti")
+    SilverIndex.refreshKmv(clean, "grp", "k", k = 64, path = path)
+    val rebuilt = rowSet(SilverIndex.kmvIndex(spark, path))
+    // bit-identical to a from-scratch fold that never saw them
+    val fresh = tmp("silver-erase-kmv-fresh")
+    SilverIndex.refreshKmv(clean, "grp", "k", k = 64, path = fresh)
+    assert(rebuilt == rowSet(SilverIndex.kmvIndex(spark, fresh)))
+  }
+
   test("erasure: minhash pairs can never name an erased doc again") {
     val path = tmp("silver-erase-mh")
     SilverIndex.refreshMinhash(docs, "doc_id", "text",
