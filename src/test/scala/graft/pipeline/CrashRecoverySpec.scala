@@ -306,4 +306,51 @@ class CrashRecoverySpec extends SparkTestBase {
       .map(_.getPath.getName).toSet
     assert(entries == Set("v1"), s"unexpected sketch dir contents: $entries")
   }
+
+  test("erasePostings crash between the postings and doclen rewrites: " +
+      "the stale companion is rebuilt from the erased postings") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-crash-erase").toString + "/post"
+    SilverIndex.refreshPostings(docs, "doc_id", "text", path)
+    val subjects = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("s"))
+    val subjIds = subjects.collect().map(_.getLong(0)).toSet
+
+    // snapshot the PRE-erase doclen companion (what a crash between
+    // the two rewrites leaves behind: postings erased, doclen not)
+    val dl = s"${path.stripSuffix("/")}__doclen"
+    val dlSnapshot = spark.read.parquet(dl).collect()
+    val dlSchema = spark.read.parquet(dl).schema
+
+    SilverIndex.erasePostings(spark, path, subjects, "s")
+
+    // hand-build the crash state: restore the stale pre-erase doclen
+    // and delete the stats sidecar (a crash before writeBm25Meta)
+    val fs = new org.apache.hadoop.fs.Path(dl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dl), true)
+    spark.createDataFrame(
+        java.util.Arrays.asList(dlSnapshot: _*), dlSchema)
+      .write.parquet(dl)
+
+    // the meta fingerprint cannot validate (fresh doclen write, erased
+    // postings) → ensureBm25Aux rebuilds the companion from the ERASED
+    // postings, and the served index equals the clean-corpus operator
+    val d = docs
+    val clean = d.join(subjects, d("doc_id") === col("s"), "left_anti")
+    def normalized(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6, r.getInt(2)))
+        .toSet
+    val served = SilverIndex.bm25TopKFromIndex(spark, path,
+      "spark vector stream join", k = 20)
+    assert(!served.collect().exists(r => subjIds(r.getLong(0))))
+    assert(normalized(served) == normalized(
+      graft.operators.TextSearch.bm25TopK(clean, "doc_id", "text",
+        "spark vector stream join", k = 20)))
+    // and the rebuilt companion carries no subject rows
+    assert(spark.read.parquet(dl)
+      .collect().forall(r => !subjIds(r.getLong(0))))
+  }
 }
