@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution DRIFT between adjacent periods — the monitoring
+  * operator a continuously-fed pipeline runs over every snapshot
+  * boundary (crawl-over-crawl source mix, week-over-week event mix):
+  * for each consecutive period pair, the total-variation distance
+  * between the categorical distributions, flagged past a threshold.
+  * TV is the right default monitor: symmetric, bounded [0,1], defined
+  * when a category is absent from one side (where PSI's ln(p/q)
+  * diverges), and — the property everything here is built on —
+  * computable EXACTLY.
+  *
+  * Exactness discipline (p7's): the sum runs over the common
+  * denominator n_a·n_b as exact integer arithmetic,
+  * Σ_c |cnt_a(c)·n_b − cnt_b(c)·n_a| in decimal(38,0) (products reach
+  * 10²¹ at 100 TB), one double division + round(…,6) at the end — no
+  * float accumulation, so the report replays bit-for-bit anywhere.
+  *
+  * Scale shape: one map-side-combined (period, category) count over
+  * the scan; everything after is output-sized — the period ledger
+  * (|periods| rows) ranks in one tiny window, adjacent pairs join to
+  * the broadcast category dimension, and the per-(pair, category)
+  * terms re-aggregate to |pairs| rows. NULL periods/categories drop
+  * (an unknown snapshot or category assigns mass to nothing). */
+object Drift {
+
+  /** (period_a, period_b, n_a, n_b, tv_dist, drifted) for every
+    * adjacent pair of distinct `periodCol` values in ascending order. */
+  def tvDrift(df: DataFrame, periodCol: String, catCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val rows = df.where(col(periodCol).isNotNull && col(catCol).isNotNull)
+      .select(col(periodCol).as("__p"), col(catCol).as("__c"))
+    val pc = rows.groupBy("__p", "__c").agg(count(lit(1)).as("__cnt"))
+    val np = rows.groupBy("__p").agg(count(lit(1)).as("__n"))
+    // the period ledger is |periods| rows — the single-partition rank
+    // window is output-sized by construction (the x12 rank discipline)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__p"))
+    val ranked = np.withColumn("__r", row_number().over(w))
+    val pairs = ranked
+      .select(col("__p").as("period_a"), col("__n").as("n_a"), col("__r"))
+      .join(ranked.select(col("__p").as("period_b"),
+          col("__n").as("n_b"), (col("__r") - 1).as("__r")),
+        Seq("__r"))
+      .drop("__r")
+    val cats = broadcast(pc.select(col("__c")).distinct())
+    val cntA = pc.select(col("__p").as("__pa"), col("__c").as("__ca"),
+      col("__cnt").as("__cnta"))
+    val cntB = pc.select(col("__p").as("__pb"), col("__c").as("__cb"),
+      col("__cnt").as("__cntb"))
+    val dec = "decimal(38,0)"
+    val term = abs(
+      coalesce(col("__cnta"), lit(0L)).cast(dec) * col("n_b").cast(dec) -
+        coalesce(col("__cntb"), lit(0L)).cast(dec) * col("n_a").cast(dec))
+    pairs.crossJoin(cats)
+      .join(cntA, col("period_a") === col("__pa") &&
+        col("__c") === col("__ca"), "left")
+      .join(cntB, col("period_b") === col("__pb") &&
+        col("__c") === col("__cb"), "left")
+      .groupBy(col("period_a"), col("period_b"), col("n_a"), col("n_b"))
+      .agg(sum(term).as("__num"))
+      .select(col("period_a"), col("period_b"), col("n_a"), col("n_b"),
+        round(col("__num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double")), 6).as("tv_dist"))
+      .withColumn("drifted", (col("tv_dist") > threshold).cast("long"))
+  }
+}

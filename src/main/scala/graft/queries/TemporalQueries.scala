@@ -178,6 +178,24 @@ object TemporalQueries {
       graft.operators.Retention.weeklyCohorts(
         t(s, dir, "events"), "user_id", "ts")),
 
+    // x13 (r15): week-over-week distribution DRIFT — the snapshot
+    // monitor a continuously-fed pipeline runs at every period
+    // boundary: per adjacent week pair, the total-variation distance
+    // between event-type distributions (p7's exact-integer TV over
+    // the common denominator n_a·n_b; one division + round(6)), with
+    // the drift flag at 0.03 (splits the sf0.01 pairs 2/2). Periods output as TIMESTAMP (the
+    // date32 hazard).
+    "x13_weekly_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("event_type"))
+      graft.operators.Drift.tvDrift(ev, "wk", "event_type",
+          threshold = 0.03)
+        .select(col("period_a").cast("timestamp").as("week_a"),
+          col("period_b").cast("timestamp").as("week_b"),
+          col("n_a"), col("n_b"), col("tv_dist"), col("drifted"))
+    }),
+
     // x5 (r13): ordered-funnel completion — per user, the earliest
     // view → click → purchase chain (greedy-earliest conditional mins,
     // one co-keyed join per transition; operators/Funnel). Stalled
@@ -452,6 +470,42 @@ object TemporalQueries {
 
     // the operator's two aggregations verbatim: per-user first week,
     // distinct (user, week) activity, integer week offsets
+    // x13: the p7 HUGEINT TV numerator over adjacent week pairs
+    // (row_number ledger), category grid from the global distinct set
+    "x13_weekly_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |         event_type AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |np AS (SELECT wk, CAST(count(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY wk),
+        |rk AS (SELECT wk, n, row_number() OVER (ORDER BY wk) AS r
+        |       FROM np),
+        |pairs AS (
+        |  SELECT a.wk AS wa, a.n AS na, b.wk AS wb, b.n AS nb
+        |  FROM rk a JOIN rk b ON b.r = a.r + 1),
+        |pc AS (SELECT wk, c, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM ev GROUP BY wk, c),
+        |cats AS (SELECT DISTINCT c FROM ev),
+        |terms AS (
+        |  SELECT p.wa, p.wb, p.na, p.nb,
+        |    abs(CAST(coalesce(ca.cnt, 0) AS HUGEINT) * p.nb -
+        |        CAST(coalesce(cb.cnt, 0) AS HUGEINT) * p.na) AS term
+        |  FROM pairs p CROSS JOIN cats k
+        |  LEFT JOIN pc ca ON ca.wk = p.wa AND ca.c = k.c
+        |  LEFT JOIN pc cb ON cb.wk = p.wb AND cb.c = k.c),
+        |agg AS (SELECT wa, wb, na, nb, sum(term) AS num
+        |        FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(wa AS TIMESTAMP) AS week_a,
+        |  CAST(wb AS TIMESTAMP) AS week_b, na AS n_a, nb AS n_b,
+        |  round(CAST(num AS DOUBLE) /
+        |    (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |    AS tv_dist,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) > 0.03
+        |    AS BIGINT) AS drifted
+        |FROM agg""".stripMargin,
+
     "x6_retention" ->
       """WITH ev AS (
         |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
