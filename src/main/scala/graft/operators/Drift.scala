@@ -35,8 +35,12 @@ object Drift {
       s"threshold must be in (0, 1]: $threshold")
     val rows = df.where(col(periodCol).isNotNull && col(catCol).isNotNull)
       .select(col(periodCol).as("__p"), col(catCol).as("__c"))
+    // the (period, category) ledger is output-sized and consumed four
+    // times (totals, category dimension, both pair sides) — eagerly
+    // materialize it so the corpus pays exactly ONE scan
     val pc = rows.groupBy("__p", "__c").agg(count(lit(1)).as("__cnt"))
-    val np = rows.groupBy("__p").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val np = pc.groupBy("__p").agg(sum(col("__cnt")).as("__n"))
     // the period ledger is |periods| rows — the single-partition rank
     // window is output-sized by construction (the x12 rank discipline)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__p"))
