@@ -498,6 +498,53 @@ object Dedup {
         col("containment"))
   }
 
+  /** CROSS-corpus SEMANTIC (paraphrase-level) decontamination — the
+    * case every token-overlap decontam operator provably misses: a
+    * REWORDED benchmark item shares no 13-gram with its source
+    * ([[ngramOverlap]] sees nothing), contains none of it
+    * ([[crossContainment]] sees nothing), and its shingle Jaccard is
+    * noise ([[crossJaccardPairs]]) — yet its term BAG barely moves, so
+    * its TF-IDF vector stays (near-)identical. Flags train docs whose
+    * exact cosine against ANY eval item reaches θ. This is the
+    * "semantic decontamination" section of every modern data card
+    * (reference intent: the audit-completeness framing of
+    * `/root/reference/project_report.md` §conclusions).
+    *
+    * Inputs are SPARSE unit vectors in the [[graft.operators
+    * .TextSearch.hashingTfIdf]] triple shape (doc, bucket, weight),
+    * both corpora embedded under ONE shared fit (IDF must weigh both
+    * sides identically or cosines are not comparable — the caller
+    * unions the corpora before vectorizing, c28's composition). The
+    * unit-norm contract makes the bucket-join dot product the cosine;
+    * round-6 BEFORE thresholding so the θ decision replays across
+    * engines (the h1/h2 discipline — reduction-order ulps cannot flip
+    * a flag).
+    *
+    * Scale shape: the eval side is benchmark-sized by contract and
+    * BROADCASTS whole (the [[crossContainment]] stance); the corpus
+    * pays one bucket-keyed map-side join + a (train, eval) partial
+    * aggregation — it never shuffles. At gate dim (64) the triples are
+    * dense-equivalent; a 100 TB deployment raises dim to 2^18+ where
+    * hashed TF-IDF triples are genuinely sparse and the bucket join
+    * prunes to truly-shared terms. When the eval side outgrows a
+    * broadcast, the SAME vectors feed the declared approximate paths
+    * (LSH bands / IVF lists — [[AnnSearch]]) with this exact join as
+    * the oracle-able baseline. Output: (train_doc, eval_doc, cosine ≥
+    * θ). */
+  def crossCosinePairs(train: DataFrame, eval: DataFrame,
+      theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0,
+      s"theta must be in (0, 1]: $theta")
+    val tr = train.select(col("doc").as("train_doc"), col("bucket"),
+      col("weight").as("__wt"))
+    val ev = eval.select(col("doc").as("eval_doc"), col("bucket"),
+      col("weight").as("__we"))
+    tr.join(broadcast(ev), "bucket")
+      .groupBy("train_doc", "eval_doc")
+      .agg(round(sum(col("__wt") * col("__we")), 6).as("cosine"))
+      .where(col("cosine") >= theta)
+  }
+
   /** Exact-substring shared spans — the dedup criterion of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better",
     * public), which removes VERBATIM repeated spans of ≥ L tokens

@@ -35,11 +35,39 @@ object Drift {
       s"threshold must be in (0, 1]: $threshold")
     val rows = df.where(col(periodCol).isNotNull && col(catCol).isNotNull)
       .select(col(periodCol).as("__p"), col(catCol).as("__c"))
-    // the (period, category) ledger is output-sized and consumed four
-    // times (totals, category dimension, both pair sides) — eagerly
-    // materialize it so the corpus pays exactly ONE scan
-    val pc = rows.groupBy("__p", "__c").agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+    tvFromCounts(rows.groupBy("__p", "__c")
+      .agg(count(lit(1)).as("__cnt")), threshold)
+  }
+
+  /** [[tvDrift]] served from a MAINTAINED (period, category, count)
+    * ledger instead of a corpus scan — the streaming face (s15): the
+    * ledger is an ADDITIVE fold, so a continuously-fed pipeline
+    * maintains it via the batch-id transactional discipline
+    * ([[graft.pipeline.SilverIndex.refreshDriftLedger]], the s9/CMS
+    * family — counts are neither merge-idempotent nor
+    * id-anti-join-able) and the monitor reads |periods|·|categories|
+    * rows on demand, never the corpus. The maintained ledger equals
+    * the batch build exactly, so the arithmetic — and the oracle — is
+    * [[tvDrift]]'s verbatim. */
+  def tvDriftFromLedger(ledger: DataFrame, periodCol: String,
+      catCol: String, cntCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    tvFromCounts(ledger.select(col(periodCol).as("__p"),
+      col(catCol).as("__c"), col(cntCol).cast("long").as("__cnt")),
+      threshold)
+  }
+
+  /** Everything downstream of the (period, category, count) ledger —
+    * output-sized by construction, shared verbatim by the scan-fed
+    * (x13) and ledger-served (s15) faces. */
+  private def tvFromCounts(counts: DataFrame,
+      threshold: Double): DataFrame = {
+    // the ledger is output-sized and consumed four times (totals,
+    // category dimension, both pair sides) — eagerly materialize it so
+    // the upstream (corpus scan, or the stored ledger read) pays
+    // exactly ONE pass
+    val pc = counts.localCheckpoint(true)
     val np = pc.groupBy("__p").agg(sum(col("__cnt")).as("__n"))
     // the period ledger is |periods| rows — the single-partition rank
     // window is output-sized by construction (the x12 rank discipline)

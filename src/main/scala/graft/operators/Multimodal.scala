@@ -74,11 +74,21 @@ object Multimodal {
     * comparisons (NULL-safe `when`); returns a non-negative LONG. */
   def dhashFingerprint(frame: Column): Column = {
     val hx = hex(frame)
-    def byteAt(j: Int): Column =
-      conv(substring(hx, j * 2 + 1, 2), 16, 10).cast("int")
-    (0 until 63).map { j =>
-      when(byteAt(j) < byteAt(j + 1), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // parse each of the 64 bytes exactly ONCE into array<int> — the
+    // r15 formulation inlined byteAt(j) into terms j−1 AND j (~126
+    // conv∘substring per row where 64 suffice, and subexpression
+    // elimination is not guaranteed across a 63-way when-chain)
+    val bytes = transform(sequence(lit(0), lit(63)),
+      j => conv(hx.substr(j * lit(2) + lit(1), lit(2)), 16, 10)
+        .cast("int"))
+    // adjacent comparisons: bits(j) = [byte_j < byte_{j+1}], j = 0..62;
+    // a missing byte (frame < 64 bytes → NULL parse) contributes 0 via
+    // the NULL-safe when, as before
+    val bits = zip_with(slice(bytes, 1, 63), slice(bytes, 2, 63),
+      (a, b) => when(a < b, lit(1L)).otherwise(lit(0L)))
+    // Horner fold MSB→LSB reconstructs Σ bits(j)·2^j without needing a
+    // column-valued shift amount
+    aggregate(reverse(bits), lit(0L), (acc, x) => acc * lit(2L) + x)
   }
 
   /** Frame-sampling plumbing: pick every `stride`-th fixed-size frame from a

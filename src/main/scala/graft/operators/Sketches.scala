@@ -202,6 +202,12 @@ object Sketches {
     // occurrence exactly once, so row 0's counters sum to N
     val n = sketch.where(col("row") === 0)
       .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    // an empty (or wrong-path) sketch would make thr = ceil(0) = 0 and
+    // flag EVERY distinct key heavy — a silently garbage report; fail
+    // loudly instead
+    require(n > 0,
+      "heavyHittersFromSketch: sketch is empty (N = 0) — wrong sketch " +
+        "table, wrong path, or a stream that has not observed a batch")
     val thr = math.ceil(phi * n).toLong
     // candidates are consumed twice (the recount's semi-join probe AND
     // the final join) — eagerly materialize the output-sized frame so

@@ -30,8 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextSearch {
 
-  /** Lowercased, punctuation-stripped, whitespace-split tokens. */
-  private def tokens(c: org.apache.spark.sql.Column) =
+  /** Lowercased, punctuation-stripped, whitespace-split tokens — THE
+    * tokenization every postings consumer shares. Public so callers
+    * that must manipulate token ORDER under the same normalization
+    * (c28's deterministic scramble plant) cannot drift from it. */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     split(trim(regexp_replace(regexp_replace(lower(c),
       "[\\p{Punct}]", " "), "\\s+", " ")), " ")
 

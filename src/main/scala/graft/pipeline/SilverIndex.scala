@@ -1077,6 +1077,76 @@ object SilverIndex {
     spark.read.parquet(s"$path/v${vs.max}")
   }
 
+  // ------------------------------------- drift ledger (s15, additive)
+
+  /** STREAMING maintenance of the drift (period, category, count)
+    * ledger — [[graft.operators.Drift.tvDriftFromLedger]]'s substrate.
+    * Counts are an ADDITIVE fold over the feed, exactly the CMS
+    * counters' algebra: neither merge-idempotent (a replayed batch
+    * would double-count) nor id-anti-join-able (there is no row
+    * identity after aggregation), so the batch-id transactional
+    * discipline applies verbatim — version per committed batch id,
+    * stage-then-rename commit, replays of an already-committed id
+    * fold to a no-op. NULL periods/categories drop here, mirroring
+    * [[graft.operators.Drift.tvDrift]]'s filter, so ledger-served
+    * reports equal scan-fed ones exactly.
+    *
+    * Scale: each refresh aggregates ONLY the arriving batch (map-side
+    * combined) and merges with the stored ledger —
+    * |periods|·|categories| rows, output-sized; the corpus is never
+    * rescanned. */
+  def refreshDriftLedger(batch: DataFrame, batchId: Long,
+      periodCol: String, catCol: String, path: String): Refresh = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, path)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return Refresh(0, last)
+    val part = batch
+      .where(col(periodCol).isNotNull && col(catCol).isNotNull)
+      .select(col(periodCol).as("period"), col(catCol).as("category"))
+      .groupBy("period", "category").agg(count(lit(1)).as("cnt"))
+    val next = (if (last < 0) part
+      else part.unionByName(spark.read.parquet(s"$path/v$last"))
+        .groupBy("period", "category").agg(sum(col("cnt")).as("cnt")))
+      .localCheckpoint(true)
+    val tmp = s"$path/_tmp_v$batchId"
+    next.write.mode("overwrite").parquet(tmp)
+    // rename failures REPORT false rather than throw — proceeding to
+    // the retirement below on a failed rename would delete the only
+    // committed ledger
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/v$batchId")),
+      s"drift-ledger commit rename failed: $tmp -> $path/v$batchId " +
+        "(old versions kept)")
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    Refresh(batchId, batchId)
+  }
+
+  /** [[refreshDriftLedger]] driven by Structured Streaming. */
+  def streamingRefreshDriftLedger(rows: DataFrame, periodCol: String,
+      catCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        refreshDriftLedger(batch, id, periodCol, catCol, path); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
+  /** The maintained ledger: (period, category, cnt) — the highest
+    * committed version. */
+  def driftLedgerIndex(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, path)
+    require(vs.nonEmpty, s"no committed drift ledger under $path")
+    spark.read.parquet(s"$path/v${vs.max}")
+  }
+
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
       keyCol: String, k: Int, path: String)

@@ -550,6 +550,62 @@ object CurationQueries {
             .otherwise(lit("released")).as("verdict"))
     }),
 
+    // c28 (r16): SEMANTIC (paraphrase-level) decontamination — the
+    // case the WHOLE token-overlap family (c6 Jaccard, c10/c22
+    // 13-grams, c25/c26 containment) provably misses: a reworded eval
+    // item shares no 13-gram with its source but keeps its term bag,
+    // so its hashed-TF-IDF vector barely moves. The gate plants the
+    // adversarial case end-to-end in TEXT: every 23rd train doc
+    // re-emitted as a synthetic eval item with its normalized tokens
+    // SORTED (a deterministic word-order scramble — destroys every
+    // word-13-gram a ≥13-token doc has, preserves the bag EXACTLY, so
+    // the planted pair's cosine is 1.0 while c10 sees zero shared
+    // grams — DedupSpec pins both halves). Both corpora embed under
+    // ONE shared hashing-TF-IDF fit (t15's vectorizer at dim 256: at
+    // dim 64 bucket collisions push RANDOM pairs past cosine 0.8 and
+    // 94% of the corpus would flag; 256 drops the random mass to
+    // ≤ 0.9 while bag-preserving paraphrases stay at 1.0 — measured
+    // at sf0.01: 20 planted + 9 natural pairs ≥ 0.9, next tier 1458
+    // at 0.8); train docs flag at round-6 cosine ≥ 0.9 vs ANY eval
+    // item; output is the c26-style release manifest.
+    // Exact sparse cosines -> full oracle via the h2 CTEs over the
+    // union corpus (the planted bag = the source doc's postings under
+    // a shifted id — sorting cannot change a bag).
+    "c28_semantic_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // synthetic eval ids live at +10M; real ids must stay below (the
+      // m8 id-space guard, riding the planted id projection)
+      val guardedId = when(col("doc_id") >= lit(10000000L),
+        raise_error(concat(lit("c28: doc_id "),
+          col("doc_id").cast("string"),
+          lit(" collides with the planted-eval id space (>= 10000000)"))))
+        .otherwise(col("doc_id") + lit(10000000L))
+      val scrambled = array_join(array_sort(
+        graft.operators.TextSearch.tokens(col("text"))), " ")
+      val evalDf = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs
+          .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 23 === 0)
+          .select(guardedId.as("id"), scrambled.as("text")))
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val w = graft.operators.TextSearch.hashingTfIdf(
+        graft.operators.TextSearch.postings(
+          train.unionByName(evalDf), "id", "text"), dim = 256)
+      val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
+      val hits = Dedup.crossCosinePairs(
+          w.where(!isEval), w.where(isEval), theta = 0.9)
+        .groupBy("train_doc")
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("mc"))
+      train.select(col("id").as("train_doc"))
+        .join(hits, Seq("train_doc"), "left")
+        .select(col("train_doc"),
+          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+          round(coalesce(col("mc"), lit(0.0)), 6).as("max_cosine"),
+          when(col("n_eval_hits").isNotNull, lit("blocked"))
+            .otherwise(lit("released")).as("verdict"))
+    }),
+
     // decontamination: training docs whose word-2-gram sets overlap a
     // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —
     // the benchmark side broadcasts, the corpus never shuffles
@@ -1377,6 +1433,68 @@ object CurationQueries {
         |  CASE WHEN h.n_eval_hits IS NOT NULL THEN 'blocked'
         |       ELSE 'released' END AS verdict
         |FROM tr LEFT JOIN h USING (train_doc)""".stripMargin,
+
+    // c28: the h2 TF-IDF CTEs over the UNION corpus at dim 256. The
+    // planted scramble needs no text reconstruction in SQL — sorting
+    // tokens cannot change the bag, so the planted eval item's
+    // postings ARE the source doc's postings under id+10M. Sparse
+    // cosine over shared buckets, round-6 before the θ = 0.9
+    // threshold, then the c26 manifest rollup.
+    "c28_semantic_decontam" ->
+      """WITH corp AS (
+        |  SELECT doc_id AS id, text FROM documents),
+        |toks AS (
+        |  SELECT id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM corp),
+        |post0 AS (
+        |  SELECT id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY id, term),
+        |post AS (
+        |  SELECT id, term, tf FROM post0
+        |  UNION ALL
+        |  SELECT id + 10000000, term, tf FROM post0
+        |  WHERE id % 20 <> 0 AND id % 23 = 0),
+        |b AS (
+        |  SELECT id, tf,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 256 AS bucket
+        |  FROM post),
+        |bt AS (SELECT id, bucket, CAST(sum(tf) AS BIGINT) AS btf
+        |       FROM b GROUP BY id, bucket),
+        |nn AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM post),
+        |dfb AS (SELECT bucket, CAST(count(DISTINCT id) AS BIGINT) AS dfb
+        |        FROM bt GROUP BY bucket),
+        |w AS (
+        |  SELECT id, bucket,
+        |    btf * (ln((n + 1.0) / (dfb + 1.0)) + 1.0) AS w
+        |  FROM bt JOIN dfb USING (bucket) CROSS JOIN nn),
+        |nrm AS (SELECT id, sqrt(sum(w * w)) AS nm FROM w GROUP BY id),
+        |wn AS (SELECT id, bucket, w / nm AS wt
+        |       FROM w JOIN nrm USING (id)),
+        |trv AS (SELECT * FROM wn WHERE id < 10000000 AND id % 20 <> 0),
+        |evv AS (SELECT * FROM wn WHERE id >= 10000000 OR id % 20 = 0),
+        |sp AS (
+        |  SELECT trv.id AS train_doc, evv.id AS eval_doc,
+        |    round(sum(trv.wt * evv.wt), 6) AS c
+        |  FROM trv JOIN evv ON trv.bucket = evv.bucket
+        |  GROUP BY trv.id, evv.id),
+        |h AS (SELECT train_doc, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |        max(c) AS mc
+        |      FROM sp WHERE c >= 0.9 GROUP BY train_doc),
+        |alltr AS (SELECT doc_id AS train_doc FROM documents
+        |          WHERE doc_id % 20 <> 0)
+        |SELECT alltr.train_doc,
+        |  coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  round(coalesce(h.mc, CAST(0 AS DOUBLE)), 6) AS max_cosine,
+        |  CASE WHEN h.n_eval_hits IS NOT NULL THEN 'blocked'
+        |       ELSE 'released' END AS verdict
+        |FROM alltr LEFT JOIN h USING (train_doc)""".stripMargin,
 
     // c24: the d8 recursive-closure CTEs verbatim, then the c3 split
     // CASE keyed on the COMPONENT

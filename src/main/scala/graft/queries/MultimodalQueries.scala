@@ -124,11 +124,27 @@ object MultimodalQueries {
     // hamming via bit_count(xor) in DuckDB vs the lossless pigeonhole
     // banding here).
     "m8_frame_neardup" -> ((s, dir) => {
+      // the synthetic id spaces (planted twin = doc_id + 1_000_000,
+      // fid = doc_id·100_000 + frame_idx) are injective only while
+      // doc_id < 1e6 and frame_idx < 1e5 — guard rides the frame_idx
+      // projection (the Decay raise_error discipline) so an oversized
+      // corpus fails loudly instead of silently colliding ids
       val frames0 = Multimodal.sampleFrames(
         t(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
         "bin", frameBytes = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx"), col("frame"))
+        .select(col("doc_id"),
+          when(col("doc_id") >= lit(1000000L) ||
+              col("frame_idx") >= lit(100000L),
+            raise_error(concat(
+              lit("m8: synthetic id space overflow (doc_id "),
+              col("doc_id").cast("string"), lit(", frame_idx "),
+              col("frame_idx").cast("string"),
+              lit(") — the planted-twin offset 1000000 and fid " +
+                "stride 100000 require doc_id < 1000000 and " +
+                "frame_idx < 100000"))))
+            .otherwise(col("frame_idx")).as("frame_idx"),
+          col("frame"))
       val b0 = conv(substring(hex(col("frame")), 1, 2), 16, 10)
         .cast("int")
       val nb = ((b0 - lit(31)) % lit(95)) + lit(32)

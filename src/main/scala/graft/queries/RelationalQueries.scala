@@ -676,7 +676,12 @@ object RelationalQueries {
 
     // k7: the k2 counter CTEs at width 64, N as row 0's counter sum,
     // threshold ceil(φ·N), candidates est >= thr, one exact recount —
-    // heavy = exact >= thr shows the verified-out false candidates
+    // heavy = exact >= thr shows the verified-out false candidates.
+    // The threshold multiplies through CAST(0.0115 AS DOUBLE): DuckDB
+    // would otherwise take 0.0115 as exact DECIMAL, and when φ·N lands
+    // on an integer the binary-double product Spark computes
+    // (math.ceil(phi * n)) can round one above it — both engines must
+    // share the rounding regime for the heavy set to replay
     "k7_heavy_hitters" ->
       """WITH it AS (
         |  SELECT TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS item
@@ -696,7 +701,8 @@ object RelationalQueries {
         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
         |       FROM h GROUP BY r, bucket),
         |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
-        |          CAST(ceil(0.0115 * coalesce(sum(cnt), 0)) AS BIGINT)
+        |          CAST(ceil(CAST(0.0115 AS DOUBLE) *
+        |                    coalesce(sum(cnt), 0)) AS BIGINT)
         |            AS thr
         |        FROM sk WHERE r = 0),
         |qh AS (SELECT DISTINCT item, r, bucket FROM h),

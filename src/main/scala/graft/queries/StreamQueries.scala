@@ -207,6 +207,38 @@ object StreamQueries {
       ()
     }
 
+  /** The week-over-week (period, category) drift LEDGER maintained by
+    * real Structured Streaming (once per JVM + sf dir): the event feed
+    * arrives as three micro-batches through the additive batch-id
+    * transactional fold ([[graft.pipeline.SilverIndex
+    * .refreshDriftLedger]] — the s9 discipline; counts can be neither
+    * merge-idempotent nor id-anti-joined). The maintained ledger
+    * equals the batch build, so x13's oracle applies verbatim to the
+    * served report. */
+  private[graft] def streamDriftPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamdrift:$dir") { p =>
+      import org.apache.spark.sql.functions.{col, date_trunc}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("event_type"))
+        .as[(java.sql.Date, String)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Date, String)]
+      val q = graft.pipeline.SilverIndex.streamingRefreshDriftLedger(
+        source.toDF().toDF("wk", "event_type"), "wk", "event_type",
+        path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** Closed visits accumulated by REAL Structured Streaming (once per
     * JVM + sf dir): the event log arrives as three TIME-ORDERED
     * MemoryStream micro-batches through [[graft.streaming.EventsStream
@@ -390,6 +422,26 @@ object StreamQueries {
     // applies verbatim (candidates, threshold, exact recount and all).
     // The index-served face of the frequent-items question: counters
     // maintain continuously, the report runs on demand.
+    // s15 (r16): DRIFT SERVED FROM THE MAINTAINED LEDGER — x13's
+    // week-over-week TV report without the corpus scan: the (period,
+    // category) counts fold additively under the s9 batch-id
+    // discipline as events arrive, and the monitor reads the stored
+    // |periods|·|categories| ledger on demand. The maintained ledger
+    // equals the batch build exactly, so x13's oracle (exact-integer
+    // TV numerator, one division + round 6, 0.03 flag) applies
+    // VERBATIM to the served report — the monitor a continuously-fed
+    // pipeline actually runs.
+    "s15_stream_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val led = graft.pipeline.SilverIndex.driftLedgerIndex(
+        s, streamDriftPath(s, dir))
+      graft.operators.Drift.tvDriftFromLedger(led, "period", "category",
+          "cnt", threshold = 0.03)
+        .select(col("period_a").cast("timestamp").as("week_a"),
+          col("period_b").cast("timestamp").as("week_b"),
+          col("n_a"), col("n_b"), col("tv_dist"), col("drifted"))
+    }),
+
     "s14_stream_heavy" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val sk = graft.pipeline.SilverIndex.cmsIndex(s, streamHeavyPath(s, dir))
@@ -542,6 +594,9 @@ object StreamQueries {
 
     // heavy hitters from the maintained counters — k7's oracle verbatim
     "s14_stream_heavy" -> RelationalQueries.oracles("k7_heavy_hitters"),
+    // the maintained ledger equals the batch build -> x13's oracle
+    // verbatim
+    "s15_stream_drift" -> TemporalQueries.oracles("x13_weekly_drift"),
 
     // the maintained sample ≡ the batch gate — the k3 CTEs over events
     // (threshold(0.25) = '400000000000')

@@ -257,30 +257,90 @@ object EventsStream {
     * In-order contract as [[sessionizeStatefulStream]]: non-decreasing
     * event time per user across micro-batches. State is one 2k-long
     * row per participating user; completed users keep a tombstone-like
-    * final state so a completion can never re-emit. */
+    * final state so a completion can never re-emit.
+    *
+    * `stateTtlUs` (default None = NoTimeout, state retained forever —
+    * exact, but unbounded on a continuous feed): when set, the input
+    * gains an EVENT-TIME watermark delayed by TTL (+1 s slack) and
+    * state is evicted the moment the watermark passes its last
+    * activity (EventTimeTimeout — NOT a processing-time timeout, whose
+    * always-run-another-batch contract busy-loops the no-data engine;
+    * measured in EventsStreamSpec's first TTL attempt). The watermark
+    * delay EQUALS the TTL so the engine's late-data drop boundary
+    * coincides with eviction: an event arriving more than TTL behind
+    * the stream's max event time belongs (by the per-user in-order
+    * contract) to a user whose state the TTL already evicted — the
+    * drop and the eviction are the same retention decision, not two.
+    * The in-order contract is per USER; cross-user skew within the TTL
+    * is untouched. Documented caveats at the retention boundary, the
+    * price of bounding state: (1) a STALLED funnel loses its
+    * progress — steps arriving after eviction restart from empty (or,
+    * if older than the boundary, are dropped as late), so a completion
+    * whose steps straddle an idle gap longer than the TTL is missed;
+    * (2) a COMPLETED user's tombstone is evicted too, so a duplicated/
+    * replayed final-step event arriving after eviction would re-emit
+    * the completion — exactly-once holds only within the retention
+    * window. Size the TTL well above the funnel's expected end-to-end
+    * latency, the feed's cross-user event-time skew, and the source's
+    * replay horizon. */
   def funnelStatefulStream(spark: SparkSession, events: DataFrame,
-      steps: Seq[String]): Dataset[Completion] = {
+      steps: Seq[String],
+      stateTtlUs: Option[Long] = None): Dataset[Completion] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct.size == steps.size,
       s"repeated step types are ambiguous: $steps")
+    require(stateTtlUs.forall(_ > 0L),
+      s"stateTtlUs must be positive when set: $stateTtlUs")
     import spark.implicits._
     val k = steps.size
     val stepIdx = steps.zipWithIndex.toMap
     val Unset = Long.MinValue
-    events
+    val timeoutConf =
+      if (stateTtlUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val base = events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_type").cast("string").as("et"))
       .where(col("user_id").isNotNull && col("ts").isNotNull &&
         col("et").isin(steps.map(x => x: Any): _*))
+    // the watermark exists ONLY to drive TTL eviction — the NoTimeout
+    // path keeps its exact plan (and drops no late rows). Delay = TTL
+    // (+1 s slack): the late-drop boundary IS the eviction boundary
+    val fed = stateTtlUs.fold(base)(ttl =>
+      base.withWatermark("ts",
+        s"${math.floorDiv(ttl, 1000L) + 1000L} milliseconds"))
+    fed
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Completion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (user, it, state: GroupState[FunnelState]) =>
+          // re-arm on every data invocation (timeouts clear each call):
+          // the TTL already lives in the watermark's delay, so the
+          // timeout fires as soon as the watermark passes the user's
+          // last activity; the max() guard keeps the armed instant
+          // strictly ahead of the current watermark (Spark rejects
+          // timestamps at or behind it)
+          def arm(maxSeenUs: Long): Unit = stateTtlUs.foreach { _ =>
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L,
+                math.floorDiv(maxSeenUs, 1000L) + 1L))
+          }
+          if (state.hasTimedOut) {
+            // TTL eviction: stalled progress and completed tombstones
+            // alike (the documented retention-boundary caveats)
+            state.remove()
+            Iterator.empty
+          } else {
           val st0 = state.getOption.getOrElse(
             FunnelState(Seq.fill(k)(Unset), Seq.fill(k)(Unset)))
           val wasComplete = st0.t(k - 1) != Unset
-          if (wasComplete) Iterator.empty
+          if (wasComplete) {
+            // a tombstone that keeps seeing events keeps living
+            if (stateTtlUs.isDefined)
+              arm(it.map(e => micros(e.ts)).max)
+            Iterator.empty
+          }
           else {
             val t = st0.t.toArray
             val last = st0.last.toArray
@@ -305,9 +365,11 @@ object EventsStream {
               }
             }
             state.update(FunnelState(t.toIndexedSeq, last.toIndexedSeq))
+            if (sorted.nonEmpty) arm(sorted.last._1)
             if (t(k - 1) != Unset)
               Iterator.single(Completion(user, t(0), t(k - 1)))
             else Iterator.empty
+          }
           }
       }
   }

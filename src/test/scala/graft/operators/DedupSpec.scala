@@ -774,4 +774,44 @@ class DedupSpec extends SparkTestBase {
         s"theta=$theta: got ${got.size} vs brute ${want.size}")
     }
   }
+
+  test("crossCosinePairs: a word-order-scrambled paraphrase shares ZERO " +
+      "13-grams (ngramOverlap provably blind) but cosine-flags at 1.0") {
+    val s = spark
+    import s.implicits._
+    val src = "large scale training data pipelines must remove benchmark " +
+      "contamination before release because memorized eval answers " +
+      "inflate reported model quality and corrupt every comparison"
+    // the c28 plant: sort the tokens — every word survives (bag
+    // unchanged), no 13-gram does
+    val para = src.split(" ").sorted.mkString(" ")
+    assert(para != src && src.split(" ").length >= 13)
+    val train = Seq((1L, src),
+      (2L, "a completely different document about cooking pasta with " +
+        "tomatoes garlic basil and olive oil on a sunday afternoon"))
+      .toDF("id", "text")
+    val evalDf = Seq((100L, para)).toDF("id", "text")
+    // the token-overlap family is blind: zero shared word-13-grams
+    val ng = Dedup.ngramOverlap(
+      train.withColumnRenamed("id", "doc_id"), "doc_id", "text",
+      evalDf, "text", n = 13)
+    assert(ng.collect().isEmpty, "13-gram decontam must miss a scramble")
+    // one shared TF-IDF fit over the union, then the cross-corpus cosine
+    val w = TextSearch.hashingTfIdf(
+      TextSearch.postings(train.unionByName(evalDf), "id", "text"),
+      dim = 64)
+    val got = Dedup.crossCosinePairs(
+        w.where(col("doc") < 100L), w.where(col("doc") >= 100L),
+        theta = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 100L,
+      s"expected exactly the (src, paraphrase) pair: ${got.toSeq}")
+    assert(got.head._3 == 1.0, s"identical bag must cosine at 1.0: " +
+      s"${got.head._3}")
+    // the eval side is the broadcast build side
+    val plan = Dedup.crossCosinePairs(w.where(col("doc") < 100L),
+        w.where(col("doc") >= 100L), theta = 0.75)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -314,6 +314,18 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("heavy hitters: an empty sketch fails loudly instead of " +
+      "flagging every key heavy at thr = 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 2L).toDF("k")
+    val emptySketch = Sketches.cmsBuild(df.where(lit(false)), "k", 16, 4)
+    val err = intercept[IllegalArgumentException] {
+      Sketches.heavyHittersFromSketch(emptySketch, df, "k", 0.1, 16, 4)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
   test("count-min sketch overestimates only, within epsilon of total mass") {
     val eps = 0.001
     val cms = orders.stat.countMinSketch(col("o_orderpriority"),

@@ -321,4 +321,57 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(after.values.sum == streamed.values.sum + 10 * 3,
       "new batch did not fold its counts")
   }
+
+  test("streamed drift ledger == batch counts; replays no-op; the " +
+      "served TV report equals the scan-fed tvDrift verbatim") {
+    val path = tmp("stream-drift")
+    def wk(p: Int) = java.sql.Date.valueOf(f"2024-01-${1 + 7 * p}%02d")
+    // three weekly periods with deliberately different category mixes,
+    // plus NULL period/category rows the fold must drop (mirroring
+    // tvDrift's filter)
+    val rows: Seq[(java.sql.Date, String)] = (0 until 600).map { i =>
+      val p = i % 3
+      (wk(p), if (i % (p + 2) == 0) "a" else "b")
+    } ++ Seq((null, "a"), (wk(0), null))
+    val clean = rows.filter(r => r._1 != null && r._2 != null)
+
+    val input = MemoryStream[(java.sql.Date, String)]
+    val q = SilverIndex.streamingRefreshDriftLedger(
+      input.toDF().toDF("wk", "cat"), "wk", "cat", path = path)
+    try {
+      // adversarial chunking: a 1-row batch, a big one, the remainder
+      Seq(rows.take(1), rows.slice(1, 401), rows.drop(401)).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def ledger(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    val streamed = ledger(SilverIndex.driftLedgerIndex(spark, path))
+    val batch = clean.groupBy(r => (r._1.toString, r._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamed == batch,
+      "streamed ledger diverged from the batch counts (or a NULL row " +
+        "leaked into the fold)")
+
+    // replay of an already-committed id must not double-count
+    val replay = SilverIndex.refreshDriftLedger(
+      rows.take(1).toDF("wk", "cat"), batchId = 2L, "wk", "cat", path)
+    assert(replay.appended == 0, "replayed batch id was folded again")
+    assert(ledger(SilverIndex.driftLedgerIndex(spark, path)) == streamed)
+
+    // the ledger-served report IS the scan-fed report
+    val served = graft.operators.Drift.tvDriftFromLedger(
+        SilverIndex.driftLedgerIndex(spark, path),
+        "period", "category", "cnt", threshold = 0.03)
+      .collect().map(_.toSeq).toSet
+    val scanned = graft.operators.Drift.tvDrift(
+        clean.toDF("period", "category"), "period", "category",
+        threshold = 0.03)
+      .collect().map(_.toSeq).toSet
+    assert(served == scanned,
+      "ledger-served TV report diverged from the scan-fed tvDrift")
+    assert(served.nonEmpty)
+  }
 }

@@ -304,6 +304,80 @@ class EventsStreamSpec extends SparkTestBase {
     }
   }
 
+  test("funnelStatefulStream: a generous stateTtl leaves the semantics " +
+      "untouched (TTL arm exercised, nothing evicted in-window)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val t0 = ts("2024-01-01 00:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val b1 = Seq((1L, at(0), "view"), (3L, at(5), "click"),
+      (3L, at(5), "purchase"))
+    val b2 = Seq((1L, at(3), "click"), (3L, at(5), "view"))
+    val b3 = Seq((1L, at(9), "purchase"), (1L, at(10), "view"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.funnelStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_type"), steps,
+        stateTtlUs = Some(3600L * 1000000L))
+      .writeStream.format("memory").queryName("funnel_ttl_big")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = s.table("funnel_ttl_big").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // identical to the NoTimeout semantics on this log: u1 converts
+      // across batches, u3 via the equal-ts cascade, exactly once each
+      assert(got.map(_._1) == Set(1L, 3L))
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
+  test("funnelStatefulStream: a passed event-time stateTtl evicts " +
+      "stalled progress — later steps restart from empty (documented " +
+      "caveat); the same feed converts under NoTimeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val t0 = ts("2024-01-01 00:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    // u1 views, stalls 7 event-time minutes (far past the 1 ms TTL),
+    // then clicks+purchases; u99's events advance the watermark so the
+    // eviction can fire while u1 is idle
+    val batches = Seq(
+      Seq((1L, at(0), "view")),
+      Seq((99L, at(5), "view")),
+      Seq((99L, at(6), "view")), // watermark now ≈ at(5): u1 evicted
+      Seq((1L, at(7), "click"), (1L, at(8), "purchase")))
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.funnelStatefulStream(
+        s, input.toDF().toDF("user_id", "ts", "event_type"), steps,
+        stateTtlUs = Some(1000L))
+      .writeStream.format("memory").queryName("funnel_ttl_evict")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // u1's click found no t1 (progress evicted) — no completion
+      assert(s.table("funnel_ttl_evict").count() == 0)
+    } finally q.stop()
+
+    // control: the identical feed with no TTL converts u1
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = EventsStream.funnelStatefulStream(
+        s, input2.toDF().toDF("user_id", "ts", "event_type"), steps)
+      .writeStream.format("memory").queryName("funnel_ttl_control")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input2.addData(b); q2.processAllAvailable() }
+      val got = s.table("funnel_ttl_control").collect()
+      assert(got.length == 1 && got.head.getLong(0) == 1L)
+    } finally q2.stop()
+  }
+
   test("sessionizeStatefulStream: no default sentinel — user_id -1 " +
       "sessionizes like any other user") {
     val s = spark
