@@ -43,6 +43,51 @@ object Sketches {
     * double (< 2⁵³), so the estimate arithmetic is portable too. */
   val HexDigits = 12
 
+  // --------------------------------------- sketch SHAPE metadata (r16)
+  //
+  // Every serve function trusts the caller to re-supply the parameters
+  // the sketch was built with — a mismatch silently produces wrong
+  // estimates (wrong bucket/position arithmetic), and the
+  // stream-maintained sketches persist across sessions where the build
+  // parameters are easiest to lose. The builders therefore STAMP the
+  // shape into the sketch column's schema metadata — it rides the
+  // DataFrame through unions/filters and survives the parquet
+  // round-trip (Spark stores column metadata in the footer schema) —
+  // and the serve paths require-match it WHEN PRESENT. Pre-stamp
+  // tables (or frames whose metadata an aggregation dropped) still
+  // serve: the check closes the silent-wrong-answer class without
+  // breaking legacy artifacts; the SilverIndex refreshes re-stamp on
+  // every commit so maintained sketches never lose the stamp.
+
+  private[graft] val CmsWidthKey = "graft.cms.width"
+  private[graft] val CmsDepthKey = "graft.cms.depth"
+  private[graft] val BloomHashesKey = "graft.bloom.numHashes"
+  private[graft] val BloomBitsKey = "graft.bloom.mBits"
+  private[graft] val KmvKKey = "graft.kmv.k"
+
+  /** Re-stamp shape metadata onto `colName` (aggregations and writes
+    * of derived frames drop it). */
+  private[graft] def stampShape(df: DataFrame, colName: String,
+      kv: (String, Long)*): DataFrame = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+    kv.foreach { case (key, v) => b.putLong(key, v) }
+    df.withColumn(colName, col(colName).as(colName, b.build()))
+  }
+
+  /** Fail loudly when a sketch's embedded shape contradicts the
+    * caller-supplied parameters; absent stamps pass (legacy tables). */
+  private def requireShape(df: DataFrame, colName: String,
+      expected: (String, Long)*): Unit =
+    if (df.schema.fieldNames.contains(colName)) {
+      val m = df.schema(colName).metadata
+      expected.foreach { case (key, v) =>
+        if (m.contains(key)) require(m.getLong(key) == v,
+          s"sketch shape mismatch on '$colName': stored $key=" +
+            s"${m.getLong(key)}, caller supplied $key=$v — estimates " +
+            "would be silently wrong")
+      }
+    }
+
   /** 16¹² as a double — the hash-space size U₍ₖ₎ normalizes against. */
   val Space: Double = 281474976710656.0
 
@@ -129,11 +174,12 @@ object Sketches {
   def cmsBuild(df: DataFrame, keyCol: String, width: Int,
       depth: Int): DataFrame = {
     require(width >= 2 && depth >= 1, s"bad CMS shape: $width x $depth")
-    df.where(col(keyCol).isNotNull)
+    stampShape(df.where(col(keyCol).isNotNull)
       .select(posexplode(array((0 until depth).map(r =>
         cmsHash(col(keyCol), r, width)): _*)))
       .groupBy(col("pos").as("row"), col("col").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")),
+      "cnt", CmsWidthKey -> width.toLong, CmsDepthKey -> depth.toLong)
   }
 
   /** Point estimates for `keys` (deduped) against a sketch built with
@@ -141,6 +187,8 @@ object Sketches {
     * broadcast — depth·width rows by construction. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       width: Int, depth: Int): DataFrame = {
+    requireShape(sketch, "cnt",
+      CmsWidthKey -> width.toLong, CmsDepthKey -> depth.toLong)
     val q = keys.select(col(keyCol).as("key")).where(col("key").isNotNull)
       .distinct()
       .select(col("key"), posexplode(array((0 until depth).map(r =>
@@ -196,6 +244,8 @@ object Sketches {
   def heavyHittersFromSketch(sketch: DataFrame, df: DataFrame,
       keyCol: String, phi: Double, width: Int, depth: Int): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"phi must be in (0, 1): $phi")
+    requireShape(sketch, "cnt",
+      CmsWidthKey -> width.toLong, CmsDepthKey -> depth.toLong)
     val keys = df.where(col(keyCol).isNotNull)
       .select(col(keyCol).as("key"))
     // N from the sketch: each of the depth rows counts every
@@ -245,10 +295,12 @@ object Sketches {
       mBits: Int): DataFrame = {
     require(numHashes >= 1 && mBits >= 2,
       s"bad Bloom shape: $numHashes hashes x $mBits bits")
-    df.where(col(keyCol).isNotNull)
+    stampShape(df.where(col(keyCol).isNotNull)
       .select(explode(array((0 until numHashes).map(r =>
         cmsHash(col(keyCol), r, mBits)): _*)).as("pos"))
-      .distinct()
+      .distinct(),
+      "pos", BloomHashesKey -> numHashes.toLong,
+      BloomBitsKey -> mBits.toLong)
   }
 
   /** Membership answers for `probes` (deduped) against a filter built
@@ -262,6 +314,8 @@ object Sketches {
       keyCol: String, numHashes: Int, mBits: Int): DataFrame = {
     require(numHashes >= 1 && mBits >= 2,
       s"bad Bloom shape: $numHashes hashes x $mBits bits")
+    requireShape(bloom, "pos",
+      BloomHashesKey -> numHashes.toLong, BloomBitsKey -> mBits.toLong)
     val pp = probes.select(col(keyCol).as("key"))
       .where(col("key").isNotNull).distinct()
       .select(col("key"), explode(array((0 until numHashes).map(r =>
@@ -417,14 +471,24 @@ object Sketches {
       k: Int = 128): DataFrame = {
     require(groupCols.nonEmpty, "kmvDistinct needs grouping columns")
     val agg = udaf(new KmvAgg(k))
-    df.where(col(keyCol).isNotNull)
+    stampShape(df.where(col(keyCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(kmvHash(col(keyCol))).as("kmins"))
       .select(groupCols.map(col) ++ Seq(
         size(col("kmins")).as("n_kept"),
         element_at(col("kmins"), -1).as("kth_hash"),
         col("kmins"),
-        kmvEstimate(col("kmins"), k).as("est_distinct")): _*)
+        kmvEstimate(col("kmins"), k).as("est_distinct")): _*),
+      "kmins", KmvKKey -> k.toLong)
+  }
+
+  /** [[kmvEstimate]] against a STORED sketch table, shape-checked:
+    * validates the frame's embedded k (when stamped — see the shape-
+    * metadata block above) before handing back the estimate column. */
+  def kmvEstimateFrom(sketch: DataFrame, kminsCol: String,
+      k: Int): Column = {
+    requireShape(sketch, kminsCol, KmvKKey -> k.toLong)
+    kmvEstimate(col(kminsCol), k)
   }
 
   /** Deterministic hash-sample QUANTILE sketch — the third portable

@@ -809,7 +809,9 @@ object SilverIndex {
       .map(_.select(col("grp"), explode(col("kmins")).as("hk")))
       .fold(batchHashes)(batchHashes.unionByName(_).distinct())
     val agg = udaf(new graft.operators.Sketches.KmvAgg(k))
-    val next = all.groupBy("grp").agg(agg(col("hk")).as("kmins"))
+    val next = graft.operators.Sketches.stampShape(
+      all.groupBy("grp").agg(agg(col("hk")).as("kmins")),
+      "kmins", graft.operators.Sketches.KmvKKey -> k.toLong)
       .localCheckpoint(true)
     val groups = next.count()
     // empty fold (first batch with no usable rows): committing an
@@ -852,10 +854,15 @@ object SilverIndex {
     val committed = versionsUnder(fs, root)
     val batchBits = graft.operators.Sketches
       .bloomBuild(batch, keyCol, numHashes, mBits)
-    val next = (if (committed.isEmpty) batchBits
-      else batchBits
-        .unionByName(spark.read.parquet(s"$root/v${committed.max}"))
-        .distinct())
+    // re-stamp: the union/distinct against the stored side does not
+    // reliably keep the builder's shape metadata
+    val next = graft.operators.Sketches.stampShape(
+      (if (committed.isEmpty) batchBits
+        else batchBits
+          .unionByName(spark.read.parquet(s"$root/v${committed.max}"))
+          .distinct()),
+      "pos", graft.operators.Sketches.BloomHashesKey -> numHashes.toLong,
+      graft.operators.Sketches.BloomBitsKey -> mBits.toLong)
       .localCheckpoint(true)
     val bits = next.count()
     if (bits == 0) return Refresh(0, 0)
@@ -1032,9 +1039,14 @@ object SilverIndex {
     if (batchId <= last) return Refresh(0, last)
     val part = graft.operators.Sketches
       .cmsBuild(batch, keyCol, width, depth)
-    val next = (if (last < 0) part
-      else part.unionByName(spark.read.parquet(s"$path/v$last"))
-        .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt")))
+    // re-stamp the shape the merge aggregation drops, so the persisted
+    // counters always carry it (the serve-time mismatch guard)
+    val next = graft.operators.Sketches.stampShape(
+      (if (last < 0) part
+        else part.unionByName(spark.read.parquet(s"$path/v$last"))
+          .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))),
+      "cnt", graft.operators.Sketches.CmsWidthKey -> width.toLong,
+      graft.operators.Sketches.CmsDepthKey -> depth.toLong)
       .localCheckpoint(true)
     // stage then RENAME: the rename is the commit point. A crash
     // before it leaves an orphan _tmp the replay overwrites; a crash

@@ -504,7 +504,7 @@ object StreamQueries {
       val est = sk.select(col("grp").as("event_type"),
         size(col("kmins")).as("n_kept"),
         element_at(col("kmins"), -1).as("kth_hash"),
-        graft.operators.Sketches.kmvEstimate(col("kmins"), 128)
+        graft.operators.Sketches.kmvEstimateFrom(sk, "kmins", 128)
           .as("est"))
       val exact = t(s, dir, "events")
         .where(col("event_type").isNotNull && col("user_id").isNotNull)

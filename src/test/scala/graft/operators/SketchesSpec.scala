@@ -314,6 +314,57 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch shape metadata: mismatched serve parameters fail " +
+      "loudly; the stamp survives parquet; unstamped legacy frames " +
+      "still serve") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 50L).toDF("k")
+
+    // CMS: built at 32x4 — serving at any other shape must throw
+    val cms = Sketches.cmsBuild(df, "k", 32, 4)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(cms, df, "k", 16, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHittersFromSketch(cms, df, "k", 0.1, 32, 5)
+    }
+    // the stamp rides the parquet footer schema
+    val p = java.nio.file.Files.createTempDirectory("cms-shape")
+      .toString + "/t"
+    cms.write.parquet(p)
+    val back = s.read.parquet(p)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(back, df, "k", 64, 4)
+    }
+    assert(Sketches.cmsEstimate(back, df, "k", 32, 4).count() == 50)
+    // a legacy stamp-stripped frame serves unguarded (by design: the
+    // check must not break pre-stamp artifacts)
+    val legacy = back.select(col("row"), col("bucket"),
+      (col("cnt") + lit(0L)).as("cnt"))
+    Sketches.cmsEstimate(legacy, df, "k", 16, 4).count()
+
+    // Bloom: both halves of the shape guarded
+    val bloom = Sketches.bloomBuild(df, "k", 5, 1024)
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(bloom, df, "k", 4, 1024)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(bloom, df, "k", 5, 2048)
+    }
+    assert(Sketches.bloomMightContain(bloom, df, "k", 5, 1024)
+      .count() == 50)
+
+    // KMV: the checked serve face rejects a foreign k
+    val kmv = Sketches.kmvDistinct(df.withColumn("g", lit(1L)),
+      Seq("g"), "k", k = 16)
+    intercept[IllegalArgumentException] {
+      Sketches.kmvEstimateFrom(kmv, "kmins", 32)
+    }
+    assert(kmv.select(Sketches.kmvEstimateFrom(kmv, "kmins", 16))
+      .count() == 1)
+  }
+
   test("heavy hitters: an empty sketch fails loudly instead of " +
       "flagging every key heavy at thr = 0") {
     val s = spark
