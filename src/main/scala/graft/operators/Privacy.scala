@@ -237,6 +237,25 @@ object Privacy {
         .distinct()),
       df(keyCol) === col("__s"), "left_anti")
 
+  /** ADDITIVE CONTENT DIGEST aggregate (the p8 certificate's survivor
+    * fingerprint): Σ over rows of the 52-bit md5 prefix of the
+    * '|'-joined string form of `cols`, summed in decimal(38,0).
+    * Order-INDEPENDENT (a sum commutes — no corpus-wide sort or
+    * collect), output-sized state, engine-portable (md5 + exact
+    * integer sum replay in any engine — the portable-sketch
+    * discipline). NOT a cryptographic commitment: it certifies against
+    * accidental drift (a missed erase, a partial rewrite), not
+    * adversarial tampering — state that in the release. NULL values
+    * fold as the `<null>` sentinel (the [[dpCounts]] discipline). */
+  def contentDigestAgg(cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty, "contentDigestAgg needs at least one column")
+    coalesce(sum(conv(substring(md5(concat_ws("|",
+        cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+        .cast("binary")), 1, 13), 16, 10)
+      .cast("long").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))
+  }
+
   /** ε-DP noisy counts per group, SEEDED: noise is Laplace(1/ε) via
     * the inverse CDF over a uniform derived from
     * md5(salt:group-values) — the 13-hex prefix over 16¹³, shifted to

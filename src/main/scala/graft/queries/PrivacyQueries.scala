@@ -67,7 +67,34 @@ object PrivacyQueries {
         .write.mode("overwrite").parquet(s"$p/report")
     }
 
+  /** The p8 certificate protocol, once per (JVM, sf dir): the full
+    * compliance run ([[graft.pipeline.ErasureProtocol.run]]) over
+    * documents + embeddings with every 53rd doc as the subject set —
+    * a DIFFERENT modulus than p6's 41 and its own artifact homes, so
+    * the two gates can never interfere. */
+  private[graft] def p8Path(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"p8cert:$dir") { p =>
+      val docs = t(s, dir, "documents")
+      val subjects = docs.where(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("subject"))
+      graft.pipeline.ErasureProtocol.run(s, p, docs,
+        t(s, dir, "embeddings"), subjects, "subject")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // p8 (r16): the ERASURE CERTIFICATE — p5 audits, p6 propagates;
+    // this is the ONE protocol a compliance officer runs (pre-audit →
+    // base erase → artifact propagation → sketch reset/re-fold →
+    // re-audit), emitting a single manifest row per table/artifact/
+    // sketch: the p5 accounting identity, the re-audit MEASURED on the
+    // rewritten state, and an additive survivor content digest (the
+    // c15 certify-content discipline; md5 prefixes summed exactly, so
+    // the oracle replays it). The insert-only KMV leg carries NULL
+    // refs (rebuild-from-clean has no per-subject rows) and is
+    // certified by count + digest of the re-folded sketch.
+    "p8_erasure_certificate" -> ((s, dir) =>
+      s.read.parquet(s"${p8Path(s, dir)}/certificate")),
+
     // p6 (r15): ERASURE PROPAGATION into the silver artifacts — p5
     // proves deletion on base tables; this proves it on the engine's
     // own persisted derived state, the question GDPR actually asks of
@@ -148,6 +175,106 @@ object PrivacyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // p8: every leg's rows re-derived from the base tables (the p6
+    // formulations), unified into one (name, kind, rowstr, isref)
+    // frame so the counts and the survivor digest aggregate once; the
+    // digest is the k2 hex parse of each row's md5 prefix summed as
+    // HUGEINT — term-for-term the operator's decimal(38,0) sum. The
+    // KMV leg rebuilds the k-minima per language (md5 of the doc id,
+    // the k1 construction) over full and clean bases.
+    "p8_erasure_certificate" ->
+      """WITH s AS (SELECT doc_id AS k FROM documents
+        |           WHERE doc_id % 53 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(
+        |           regexp_replace(regexp_replace(lower(text),
+        |             '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'),
+        |             '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |mh AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(list_distinct(list_transform(
+        |      range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS nsh
+        |    FROM d) WHERE nsh > 0),
+        |ivf AS (SELECT DISTINCT vec_id FROM embeddings),
+        |rws AS (
+        |  SELECT 'documents' AS name, 'base' AS kind,
+        |    CAST(doc_id AS VARCHAR) AS rowstr,
+        |    doc_id IN (SELECT k FROM s) AS isref
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'embeddings', 'base', CAST(vec_id AS VARCHAR),
+        |    vec_id IN (SELECT k FROM s)
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 'postings', 'artifact',
+        |    CAST(doc_id AS VARCHAR) || '|' || term || '|' ||
+        |      CAST(tf AS VARCHAR),
+        |    doc_id IN (SELECT k FROM s)
+        |  FROM post
+        |  UNION ALL
+        |  SELECT 'minhash', 'artifact', CAST(doc_id AS VARCHAR),
+        |    doc_id IN (SELECT k FROM s)
+        |  FROM mh
+        |  UNION ALL
+        |  SELECT 'ivf', 'artifact', CAST(vec_id AS VARCHAR),
+        |    vec_id IN (SELECT k FROM s)
+        |  FROM ivf),
+        |agg AS (
+        |  SELECT name, kind,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(coalesce(sum(CAST(isref AS BIGINT)), 0) AS BIGINT)
+        |      AS n_refs,
+        |    CAST(coalesce(sum(CASE WHEN NOT isref THEN
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(rowstr), 1, 13),
+        |          ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1
+        |            AS BIGINT))),
+        |        (a, c) -> a * 16 + c) AS HUGEINT) END), 0) AS VARCHAR)
+        |      AS digest
+        |  FROM rws GROUP BY name, kind),
+        |kh AS (
+        |  SELECT lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |           AS hk,
+        |         doc_id % 53 = 0 AS isref
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |kpre0 AS (SELECT lang, list_sort(list(DISTINCT hk))[1:32] AS ks
+        |          FROM kh GROUP BY lang),
+        |kpre AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |         FROM (SELECT lang, unnest(ks) FROM kpre0)),
+        |kpost0 AS (SELECT lang, list_sort(list(DISTINCT hk))[1:32] AS ks
+        |           FROM kh WHERE NOT isref GROUP BY lang),
+        |kpost1 AS (SELECT lang, unnest(ks) AS hk FROM kpost0),
+        |kpost AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(
+        |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(
+        |          md5(lang || '|' || hk), 1, 13), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1
+        |            AS BIGINT))),
+        |        (a, c) -> a * 16 + c) AS HUGEINT)), 0) AS VARCHAR)
+        |      AS digest
+        |  FROM kpost1)
+        |SELECT name, kind, n_total, n_refs,
+        |  n_total - n_refs AS n_after,
+        |  n_total - n_refs AS re_total,
+        |  CAST(0 AS BIGINT) AS re_refs, digest
+        |FROM agg
+        |UNION ALL
+        |SELECT 'kmv_lang', 'sketch', kpre.n, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), kpost.n, CAST(NULL AS BIGINT),
+        |  kpost.digest
+        |FROM kpre CROSS JOIN kpost""".stripMargin,
+
     // p6: each artifact's rows re-derived from the base tables — the
     // t6 token/postings formulation, the d2 shingle construction for
     // signature rows (one row per doc with >= 1 bigram), DISTINCT

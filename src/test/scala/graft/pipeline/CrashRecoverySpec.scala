@@ -353,4 +353,59 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(spark.read.parquet(dl)
       .collect().forall(r => !subjIds(r.getLong(0))))
   }
+
+  // ------------------------------------ p8 erasure-certificate windows
+
+  private def corpusDocs = spark.read.parquet(s"${sf()}/documents.parquet")
+  private def corpusEmb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private def p8Subjects = corpusDocs.where(col("doc_id") % 7 === 0)
+    .select(col("doc_id").as("subject"))
+
+  private def p8Cert(root: String): Set[Seq[Any]] = {
+    ErasureProtocol.run(spark, root, corpusDocs, corpusEmb,
+      p8Subjects, "subject")
+    spark.read.parquet(s"$root/certificate").collect()
+      .map(_.toSeq).toSet
+  }
+
+  private lazy val p8Want: Set[Seq[Any]] = {
+    val w = p8Cert(tmp("p8-clean"))
+    assert(w.size == 6, s"expected 6 certificate rows, got ${w.size}")
+    assert(w.exists(r => r.head == "kmv_lang"), w.toString)
+    w
+  }
+
+  test("p8 crash between base erase and artifact propagation: rerun " +
+      "converges to the same certificate") {
+    // hand-build the exact crash state: artifacts built, pre-audit
+    // persisted, base erased — nothing propagated, no certificate
+    val root = tmp("p8-crash-preprop")
+    ErasureProtocol.buildArtifacts(spark, root, corpusDocs, corpusEmb)
+    ErasureProtocol.audits(spark, root, corpusDocs, corpusEmb,
+      p8Subjects, "subject").write.mode("overwrite").parquet(s"$root/pre")
+    ErasureProtocol.baseErase(spark, root, corpusDocs, corpusEmb,
+      p8Subjects, "subject")
+    assert(p8Cert(root) == p8Want,
+      "rerun after the pre-propagation crash diverged")
+  }
+
+  test("p8 crash after artifact propagation, before the sketch refold: " +
+      "the pre-audit guard keeps erased docs out of the rerun") {
+    // crash state one window later: artifacts ERASED, sketch reset but
+    // not re-folded. Without the pre-audit guard a rerun's id-anti-join
+    // refresh would re-append the erased docs (no longer in the index,
+    // so the anti-join lets them back in) and re_refs would go nonzero.
+    val root = tmp("p8-crash-presketch")
+    ErasureProtocol.buildArtifacts(spark, root, corpusDocs, corpusEmb)
+    ErasureProtocol.audits(spark, root, corpusDocs, corpusEmb,
+      p8Subjects, "subject").write.mode("overwrite").parquet(s"$root/pre")
+    ErasureProtocol.baseErase(spark, root, corpusDocs, corpusEmb,
+      p8Subjects, "subject")
+    SilverIndex.erasePostings(spark, s"$root/post", p8Subjects, "subject")
+    SilverIndex.eraseMinhash(spark, s"$root/mh", p8Subjects, "subject")
+    SilverIndex.eraseIvf(spark, s"$root/ivf", p8Subjects, "subject")
+    SilverIndex.resetSketch(spark, s"$root/kmv")
+    assert(p8Cert(root) == p8Want,
+      "rerun after the pre-refold crash diverged")
+  }
 }
