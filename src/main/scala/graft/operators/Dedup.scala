@@ -950,6 +950,43 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Incremental face of [[hammingPairs]] (the [[minhashPairsDelta]]
+    * discipline for 64-bit signature frames): pairs within `maxDist`
+    * where AT LEAST ONE side is in `newIds` — what a streaming refresh
+    * emits for an arriving batch so every pair surfaces exactly once
+    * across the feed's lifetime (old↔old pairs were emitted by the
+    * batches that introduced them). One side of the pigeonhole-bucket
+    * join is the new slice (batch-sized); the full side never
+    * self-joins. Pairs are canonicalized (least, greatest) so a
+    * new↔new pair appears once. */
+  def hammingPairsDelta(docs: DataFrame, newIds: DataFrame,
+      maxDist: Int): DataFrame = {
+    val numChunks = maxDist + 1
+    val chunkBits = 64 / numChunks
+    val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
+    val chunked = docs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until numChunks).map { c =>
+        shiftrightunsigned(col("simhash"), c * chunkBits)
+          .bitwiseAND(lit(chunkMask))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ckey")
+    val fresh = chunked.join(
+      newIds.select(col(newIds.columns.head).as("doc")), Seq("doc"),
+      "left_semi")
+    chunked.alias("a").join(fresh.alias("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.ckey") === col("b.ckey") &&
+          col("a.doc") =!= col("b.doc") &&
+          graft.functions.TextFunctions.hamming64(
+            col("a.simhash"), col("b.simhash")) <= maxDist)
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"),
+        graft.functions.TextFunctions.hamming64(
+          col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Quality-aware canonical selection over near-dup clusters — the
     * production dedup shape: instead of keeping an ARBITRARY survivor
     * per duplicate cluster (the [[Components.nearDupComponents]]

@@ -214,6 +214,98 @@ object SilverIndex {
       theta: Double): DataFrame =
     Dedup.minhashPairsFromSets(minhashIndex(spark, path), rowsPerBand, theta)
 
+  // -------------------------- perceptual frame FINGERPRINT index (m9)
+
+  /** Bring the perceptual frame-fingerprint table (doc, frame_idx,
+    * fingerprint) at `path` up to date with `frames` (the
+    * [[graft.operators.Multimodal.sampleFrames]] shape): fingerprints
+    * compute ONLY for doc ids not yet indexed, and append — the
+    * [[refreshMinhash]] discipline verbatim, because the fingerprint
+    * is per-frame deterministic ([[graft.operators.Multimodal
+    * .dhashFingerprint]] — pure byte arithmetic), so incremental ==
+    * from-scratch exactly. Frames are append-heavy in a real feed
+    * (m8's per-run recompute pays the full corpus every time); the
+    * index pays only the arriving docs. Append-only: an edited doc
+    * means rebuild (or version the path); a SUBJECT doc is erased via
+    * [[eraseFingerprints]] (the p6 path). */
+  def refreshFingerprints(frames: DataFrame, idCol: String,
+      frameIdxCol: String, frameCol: String, path: String): Refresh = {
+    val spark = frames.sparkSession
+    val existing = readIfData(spark, path)
+    val newDocs = existing.fold(frames)(ix => frames.join(
+      ix.select(col("doc").as(idCol)).distinct(), Seq(idCol),
+      "left_anti"))
+    val before = existingRows(spark, path, existing)
+    appendCounted(newDocs.select(col(idCol).as("doc"),
+      col(frameIdxCol).cast("int").as("frame_idx"),
+      graft.operators.Multimodal.dhashFingerprint(col(frameCol))
+        .as("fingerprint")),
+      path, Nil, before)
+  }
+
+  /** The fingerprint table as stored: (doc, frame_idx, fingerprint). */
+  def fingerprintIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Frame near-dup pairs from the PERSISTED fingerprints — zero
+    * sampling/fingerprint recompute; pigeonhole banding + the exact
+    * in-join Hamming bound only ([[Dedup.hammingPairs]] over frame
+    * keys `doc·frameStride + frame_idx`). */
+  def framePairs(spark: SparkSession, path: String, frameStride: Long,
+      maxDist: Int): DataFrame =
+    Dedup.hammingPairs(
+      fingerprintIndex(spark, path)
+        .select((col("doc") * frameStride + col("frame_idx")).as("doc"),
+          col("fingerprint").as("simhash")),
+      maxDist)
+
+  /** One micro-batch of [[streamingFramePairs]] — the [[nearDupBatch]]
+    * protocol verbatim over frame fingerprints: transaction intent
+    * (the same crash windows, the same stage-then-rename commit),
+    * fingerprint append for the intent's new docs only, then the
+    * batch's pairs ([[Dedup.hammingPairsDelta]] — pairs touching a new
+    * doc, canonicalized) into a per-batch OVERWRITE partition so a
+    * replay re-emits identically instead of duplicating. */
+  private[pipeline] def frameNearDupBatch(batch: DataFrame,
+      batchId: Long, idCol: String, frameIdxCol: String,
+      frameCol: String, frameStride: Long, maxDist: Int,
+      sigPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val newIds = intentNewIds(spark, sigPath, batchId,
+      batch.select(col(idCol).as("doc")).distinct())
+    refreshFingerprints(
+      batch.join(newIds.withColumnRenamed("doc", idCol), Seq(idCol),
+        "left_semi"),
+      idCol, frameIdxCol, frameCol, sigPath)
+    val keyed = fingerprintIndex(spark, sigPath)
+      .select(col("doc"),
+        (col("doc") * frameStride + col("frame_idx")).as("fid"),
+        col("fingerprint"))
+    Dedup.hammingPairsDelta(
+        keyed.select(col("fid").as("doc"),
+          col("fingerprint").as("simhash")),
+        keyed.join(newIds, Seq("doc"), "left_semi").select("fid"),
+        maxDist)
+      .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+    ()
+  }
+
+  /** Continuous frame near-dup maintenance: each micro-batch appends
+    * its new docs' fingerprints and emits exactly the pairs involving
+    * them (the s6 exactly-once pair contract, m9's streaming face). */
+  def streamingFramePairs(frames: DataFrame, idCol: String,
+      frameIdxCol: String, frameCol: String, frameStride: Long,
+      maxDist: Int, sigPath: String, pairsPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frames.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        frameNearDupBatch(batch.toDF(), batchId, idCol, frameIdxCol,
+          frameCol, frameStride, maxDist, sigPath, pairsPath)
+      }
+      .option("checkpointLocation", s"$sigPath/_checkpoint")
+      .start()
+
   // ----------------------------------------------------------- BM25 postings
 
   /** Bring the inverted-index postings table (doc, term, tf) at `path`
@@ -1258,25 +1350,8 @@ object SilverIndex {
         // makes the intent all-or-nothing; any pre-rename crash leaves
         // no committed data files and the replay re-derives (nothing
         // has mutated before the intent commit).
-        val newIds =
-          if (hasDataFiles(spark, intentDir))
-            spark.read.parquet(intentDir)
-          else {
-            val ids = batch.select(col(idCol).as("doc")).distinct()
-            val fresh = readIfData(spark, sigPath)
-              .fold(ids)(ix =>
-                ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
-              .localCheckpoint(true)
-            val fs = new org.apache.hadoop.fs.Path(sigPath)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val tmp = s"$sigPath/_intent/_tmp_batch$batchId"
-            fresh.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val dst = new org.apache.hadoop.fs.Path(intentDir)
-            if (fs.exists(dst)) fs.delete(dst, true) // pre-fix debris
-            require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-              s"intent commit rename failed: $tmp -> $intentDir")
-            fresh
-          }
+        val newIds = intentNewIds(spark, sigPath, batchId,
+          batch.select(col(idCol).as("doc")).distinct())
         // the batch is pre-filtered to the intent so refreshMinhash's
         // interior anti-join (kept: it is the append's own replay
         // guard) runs on the already-new side only
@@ -1293,6 +1368,35 @@ object SilverIndex {
             rowsPerBand, theta)
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         ()
+  }
+
+  /** The TRANSACTION-INTENT read-or-derive step factored out of
+    * [[nearDupBatch]] (semantics unchanged — the crash rationale lives
+    * in the comments there): return the batch's NEW id set, reading
+    * the persisted intent when one committed, deriving and committing
+    * it (stage-then-rename, single file) otherwise. Shared by the
+    * minhash (s6) and frame-fingerprint (m9) incremental pair
+    * emitters. `ids` must be the batch's distinct ids as a `doc`
+    * column. */
+  private def intentNewIds(spark: SparkSession, sigPath: String,
+      batchId: Long, ids: DataFrame): DataFrame = {
+    val intentDir = s"$sigPath/_intent/batch$batchId"
+    if (hasDataFiles(spark, intentDir)) spark.read.parquet(intentDir)
+    else {
+      val fresh = readIfData(spark, sigPath)
+        .fold(ids)(ix =>
+          ids.join(ix.select("doc"), Seq("doc"), "left_anti"))
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(sigPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = s"$sigPath/_intent/_tmp_batch$batchId"
+      fresh.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dst = new org.apache.hadoop.fs.Path(intentDir)
+      if (fs.exists(dst)) fs.delete(dst, true) // pre-fix debris
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+        s"intent commit rename failed: $tmp -> $intentDir")
+      fresh
+    }
   }
 
   /** [[streamingRefresh]] pre-wired to [[refreshIvf]] (first batch
@@ -1422,6 +1526,14 @@ object SilverIndex {
     * rows drop, so [[minhashPairs]] over the index can never emit a
     * pair naming an erased doc again. */
   def eraseMinhash(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased =
+    eraseKeyed(spark, path, "doc", subjects, subjectCol)
+
+  /** Erasure for the frame-fingerprint table (m9): the subject's frame
+    * rows drop, so [[framePairs]] can never pair an erased doc
+    * again — the same doc-keyed staged-swap anti-join as
+    * [[eraseMinhash]]. */
+  def eraseFingerprints(spark: SparkSession, path: String,
       subjects: DataFrame, subjectCol: String): Erased =
     eraseKeyed(spark, path, "doc", subjects, subjectCol)
 

@@ -11,7 +11,85 @@ import graft.queries.Tables.t
   * MultimodalSpec. Text bytes stand in for media payloads. */
 object MultimodalQueries {
 
+  /** The m8/m9 frame set — every doc's sampled 64-byte frames PLUS a
+    * planted one-byte-perturbed twin of frame 0 under doc_id + 1e6
+    * (byte 0 → ((b+1−32) mod 95)+32 stays printable-ASCII so the
+    * VARCHAR oracle replays byte-for-byte). ONE definition so the
+    * per-run gate (m8) and the index-served gate (m9) can never
+    * drift. The synthetic id spaces (twin offset 1e6, fid stride 1e5)
+    * are injective only while doc_id < 1e6 and frame_idx < 1e5 — the
+    * guard rides the frame_idx projection (the Decay raise_error
+    * discipline) so an oversized corpus fails loudly instead of
+    * silently colliding ids. */
+  private def neardupFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames0 = Multimodal.sampleFrames(
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+      "bin", frameBytes = 64, stride = 2)
+      .select(col("doc_id"),
+        when(col("doc_id") >= lit(1000000L) ||
+            col("frame_idx") >= lit(100000L),
+          raise_error(concat(
+            lit("m8: synthetic id space overflow (doc_id "),
+            col("doc_id").cast("string"), lit(", frame_idx "),
+            col("frame_idx").cast("string"),
+            lit(") — the planted-twin offset 1000000 and fid " +
+              "stride 100000 require doc_id < 1000000 and " +
+              "frame_idx < 100000"))))
+          .otherwise(col("frame_idx")).as("frame_idx"),
+        col("frame"))
+    val b0 = conv(substring(hex(col("frame")), 1, 2), 16, 10)
+      .cast("int")
+    val nb = ((b0 - lit(31)) % lit(95)) + lit(32)
+    val planted = frames0.where(col("frame_idx") === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("frame_idx"),
+        concat(unhex(lpad(hex(nb), 2, "0")),
+          substring(col("frame"), 2, 63)).as("frame"))
+    frames0.unionByName(planted)
+  }
+
+  /** The m9 fingerprint index, built once per (JVM, sf dir) over the
+    * m8 frame set by TWO incremental refreshes (a doc-parity slice,
+    * then the full set) — the bm25IndexPath discipline: the gate
+    * itself serves from a delta-built artifact, so delta ≡ scratch is
+    * exercised on every battery run, not only in the spec. */
+  private[graft] def m9Path(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"m9fp:$dir") { p =>
+      val frames = neardupFrames(s, dir)
+      graft.pipeline.SilverIndex.refreshFingerprints(
+        frames.where(col("doc_id") % 2 === 0), "doc_id", "frame_idx",
+        "frame", p)
+      graft.pipeline.SilverIndex.refreshFingerprints(frames, "doc_id",
+        "frame_idx", "frame", p)
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // m9 (r16): m8's near-dup pairs SERVED FROM THE PERSISTED
+    // fingerprint index — frames are append-heavy in a real feed, and
+    // m8 recomputes every fingerprint per run; the index pays only
+    // arriving docs (refreshFingerprints' id-anti-join appends, the
+    // d7 MinHash discipline) and the serving pass is banding + the
+    // in-join Hamming bound over stored 64-bit longs. The index equals
+    // the per-run build exactly (per-frame deterministic arithmetic),
+    // so m8's oracle applies VERBATIM; the md5 diagnostics join is
+    // recomputed in-gate (it is pair diagnostics, not index content).
+    "m9_frame_index" -> ((s, dir) => {
+      val pairs = graft.pipeline.SilverIndex.framePairs(
+        s, m9Path(s, dir), frameStride = 100000L, maxDist = 2)
+      val keyed = neardupFrames(s, dir).select(
+        (col("doc_id") * lit(100000L) + col("frame_idx")).as("fid"),
+        col("frame"))
+      val a = keyed.select(col("fid").as("doc_a"),
+        md5(col("frame")).as("md5_a"))
+      val b = keyed.select(col("fid").as("doc_b"),
+        md5(col("frame")).as("md5_b"))
+      pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a").as("fid_a"), col("doc_b").as("fid_b"),
+          col("hamming"),
+          (col("md5_a") === col("md5_b")).cast("long").as("same_md5"))
+    }),
     "m1_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("bin", encode(col("text"), "UTF-8"))
@@ -124,37 +202,7 @@ object MultimodalQueries {
     // hamming via bit_count(xor) in DuckDB vs the lossless pigeonhole
     // banding here).
     "m8_frame_neardup" -> ((s, dir) => {
-      // the synthetic id spaces (planted twin = doc_id + 1_000_000,
-      // fid = doc_id·100_000 + frame_idx) are injective only while
-      // doc_id < 1e6 and frame_idx < 1e5 — guard rides the frame_idx
-      // projection (the Decay raise_error discipline) so an oversized
-      // corpus fails loudly instead of silently colliding ids
-      val frames0 = Multimodal.sampleFrames(
-        t(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
-        "bin", frameBytes = 64, stride = 2)
-        .select(col("doc_id"),
-          when(col("doc_id") >= lit(1000000L) ||
-              col("frame_idx") >= lit(100000L),
-            raise_error(concat(
-              lit("m8: synthetic id space overflow (doc_id "),
-              col("doc_id").cast("string"), lit(", frame_idx "),
-              col("frame_idx").cast("string"),
-              lit(") — the planted-twin offset 1000000 and fid " +
-                "stride 100000 require doc_id < 1000000 and " +
-                "frame_idx < 100000"))))
-            .otherwise(col("frame_idx")).as("frame_idx"),
-          col("frame"))
-      val b0 = conv(substring(hex(col("frame")), 1, 2), 16, 10)
-        .cast("int")
-      val nb = ((b0 - lit(31)) % lit(95)) + lit(32)
-      val planted = frames0.where(col("frame_idx") === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("frame_idx"),
-          concat(unhex(lpad(hex(nb), 2, "0")),
-            substring(col("frame"), 2, 63)).as("frame"))
-      val frames = frames0.unionByName(planted)
-      val keyed = frames.select(
+      val keyed = neardupFrames(s, dir).select(
         (col("doc_id") * lit(100000L) + col("frame_idx")).as("fid"),
         col("frame"))
       val pairs = graft.operators.Dedup.hammingPairs(
@@ -206,7 +254,7 @@ object MultimodalQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       hex(substring(text, 1, 8)) AS header_hex
@@ -375,4 +423,9 @@ object MultimodalQueries {
         |                 / CAST(len AS REAL) END AS feature
         |FROM f""".stripMargin
   )
+
+  // m9: the index-served pairs equal the per-run build exactly
+  // (per-frame deterministic fingerprints) -> m8's oracle VERBATIM
+  val oracles: Map[String, String] =
+    oracles0 + ("m9_frame_index" -> oracles0("m8_frame_neardup"))
 }

@@ -571,6 +571,130 @@ class SilverIndexSpec extends SparkTestBase {
       rowSet(Dedup.minhashSets(clean, "doc_id", "text", 2, 64)))
   }
 
+  // --------------------------- frame-fingerprint index (m9)
+
+  private lazy val fpFrames: DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+      "bin", frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+
+  test("fingerprints: base+delta refresh == from-scratch; nothing-new " +
+      "appends zero; index-served pairs == the direct build") {
+    val path = tmp("silver-fp")
+    val r1 = SilverIndex.refreshFingerprints(
+      fpFrames.where(col("doc_id") % 5 =!= 0), "doc_id", "frame_idx",
+      "frame", path)
+    assert(r1.appended == r1.total && r1.total > 0)
+    val r2 = SilverIndex.refreshFingerprints(fpFrames, "doc_id",
+      "frame_idx", "frame", path)
+    assert(r2.appended == fpFrames.where(col("doc_id") % 5 === 0).count())
+    val r3 = SilverIndex.refreshFingerprints(fpFrames, "doc_id",
+      "frame_idx", "frame", path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+    val scratch = fpFrames.select(col("doc_id").as("doc"),
+      col("frame_idx").cast("int").as("frame_idx"),
+      graft.operators.Multimodal.dhashFingerprint(col("frame"))
+        .as("fingerprint"))
+    assert(rowSet(SilverIndex.fingerprintIndex(spark, path)) ==
+      rowSet(scratch))
+    val direct = Dedup.hammingPairs(
+      scratch.select((col("doc") * 100000L + col("frame_idx")).as("doc"),
+        col("fingerprint").as("simhash")), maxDist = 2)
+    assert(rowSet(SilverIndex.framePairs(spark, path, 100000L, 2)) ==
+      rowSet(direct))
+  }
+
+  // four synthetic one-frame docs: 2 is a first-byte twin of 1
+  // (hamming ≤ 1 — only the byte0<byte1 comparison can flip), 4 is
+  // byte-identical to 1 (hamming 0), 3 is strictly-ascending bytes
+  // (fingerprint all-ones — far from the mixed-text fingerprints,
+  // which contain many descending adjacencies)
+  private def synFrames = {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "naps soundly"
+    val twin = "X" + base.drop(1)
+    val asc = (0 until 64).map(i => (48 + i).toChar).mkString
+    Seq((1L, 0, base), (2L, 0, twin), (3L, 0, asc), (4L, 0, base))
+      .toDF("doc_id", "frame_idx", "txt")
+      .select(col("doc_id"), col("frame_idx"),
+        encode(col("txt"), "UTF-8").as("frame"))
+  }
+
+  test("erasure: fingerprint pairs can never name an erased doc again") {
+    val path = tmp("silver-erase-fp")
+    SilverIndex.refreshFingerprints(synFrames, "doc_id", "frame_idx",
+      "frame", path)
+    val before = SilverIndex.framePairs(spark, path, 100000L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((100000L, 200000L), (100000L, 400000L),
+      (200000L, 400000L)), before.toString)
+    val s = spark
+    import s.implicits._
+    val subjects = Seq(1L).toDF("s")
+    val r = SilverIndex.eraseFingerprints(spark, path, subjects, "s")
+    assert(r.removed == 1 && r.remaining == 3)
+    val after = SilverIndex.framePairs(spark, path, 100000L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((200000L, 400000L)), after.toString)
+    // the surviving table is the clean-corpus build exactly
+    val clean = synFrames.where(col("doc_id") =!= 1L)
+      .select(col("doc_id").as("doc"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        graft.operators.Multimodal.dhashFingerprint(col("frame"))
+          .as("fingerprint"))
+    assert(rowSet(SilverIndex.fingerprintIndex(spark, path)) ==
+      rowSet(clean))
+  }
+
+  test("streaming frame pairs: every pair emitted exactly once across " +
+      "micro-batches; a replayed batch re-emits identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sigPath = tmp("silver-fp-sig")
+    val pairsPath = tmp("silver-fp-pairs")
+    val rows = synFrames.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    val input = MemoryStream[(Long, Int, String)]
+    val q = SilverIndex.streamingFramePairs(
+      input.toDF().toDF("doc_id", "frame_idx", "txt")
+        .select(col("doc_id"), col("frame_idx"),
+          encode(col("txt"), "UTF-8").as("frame")),
+      "doc_id", "frame_idx", "frame", frameStride = 100000L,
+      maxDist = 2, sigPath, pairsPath)
+    try {
+      // docs 1 and 3 first (no pair), then the twins 2 and 4: all
+      // three pairs surface in batch 2 — each exactly once
+      input.addData(rows.filter(r => r._1 == 1L || r._1 == 3L).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._1 == 2L || r._1 == 4L).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def accumulated = spark.read.parquet(pairsPath)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val want = Dedup.hammingPairs(
+        synFrames.select(
+          (col("doc_id") * 100000L + col("frame_idx")).as("doc"),
+          graft.operators.Multimodal.dhashFingerprint(col("frame"))
+            .as("simhash")), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+    assert(accumulated == want, s"$accumulated vs $want")
+    // replay batch 1 (the stored intent makes it re-derive the same
+    // new-id set; the per-batch overwrite re-emits identically)
+    SilverIndex.frameNearDupBatch(
+      synFrames.where(col("doc_id") === 2L || col("doc_id") === 4L),
+      batchId = 1L, "doc_id", "frame_idx", "frame", 100000L, 2,
+      sigPath, pairsPath)
+    assert(accumulated == want, "replay duplicated pairs")
+  }
+
   test("ivf compaction: rerun after a crash between the renames recovers the table") {
     import org.apache.hadoop.fs.Path
     val path = tmp("silver-ivf-crash")
