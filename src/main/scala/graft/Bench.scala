@@ -170,22 +170,42 @@ object Bench {
       case _ => Seq.empty
     }.distinct
 
-  /** One pass over `families` (all queries when None) in THIS JVM;
-    * returns name → seconds (-1 failed). */
-  private def runPass(families: Option[String]): Seq[(String, Double)] = {
+  /** Per-query measurements of one pass: wall seconds (-1 failed),
+    * GC seconds inside the query, heap-used delta in MB across it.
+    * GC + heap make the bench self-adjudicating (VERDICT r15 "what's
+    * wrong" #1): a box-noise round inflates wall uniformly with FLAT
+    * gc/heap, while a real regression shows up in the query's own
+    * memory/GC signature — the reading no longer needs cross-capture
+    * forensics. */
+  private final case class PassStats(sec: Map[String, Double],
+    gcSec: Map[String, Double], heapMb: Map[String, Double])
+
+  private def gcMillisNow: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def heapUsedMb: Double =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / (1024.0 * 1024.0)
+
+  /** One pass over `families` (all queries when None) in THIS JVM. */
+  private def runPass(families: Option[String]): PassStats = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): (Double, Double, Double) = {
       System.gc() // isolate queries from each other's garbage
+      val (gc0, h0) = (gcMillisNow, heapUsedMb)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0.0, 0.0)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (gcMillisNow - gc0) / 1000.0,
+        heapUsedMb - h0)
     }
     runOnce("q1_agg") // warmup: parquet reader + codegen + shuffle machinery
     // Provision the per-JVM persisted indexes (the BM25 postings shared
@@ -232,14 +252,54 @@ object Bench {
     }
     val out = mine.map(n => n -> runOnce(n))
     spark.stop()
-    out
+    PassStats(out.map { case (n, (s, _, _)) => n -> s }.toMap,
+      out.map { case (n, (_, g, _)) => n -> g }.toMap,
+      out.map { case (n, (_, _, h)) => n -> h }.toMap)
   }
 
-  /** Child mode: one pass, one machine-readable line. */
-  private def childMain(families: Option[String]): Unit = {
-    val qs = runPass(families).map { case (k, v) => "\"" + k + "\":" + v }
+  private def jsonNumMap(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""BENCH_PASS:$qs""")
+
+  /** Child mode: one pass, machine-readable lines (wall + gc + heap). */
+  private def childMain(families: Option[String]): Unit = {
+    val p = runPass(families)
+    println(s"""BENCH_PASS:${jsonNumMap(p.sec)}""")
+    println(s"""BENCH_GC:${jsonNumMap(p.gcSec)}""")
+    println(s"""BENCH_HEAP:${jsonNumMap(p.heapMb)}""")
+  }
+
+  /** Isolated-median child (the MiniBench shape, automated): the named
+    * queries re-run `runs` times in ONE warm JVM, reporting per-query
+    * medians. A suite number that inflated while its isolated median
+    * stayed at the historical value is box noise; one that inflated in
+    * BOTH is a real regression — r13–r15 established this reading
+    * manually from committed MiniBench logs, this bakes it into the
+    * round artifact. */
+  private def isolatedMain(names: Seq[String], runs: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Sessions.local("graft-bench-iso",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    def time(name: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    time("q1_agg") // warm the session
+    val passes = (1 to runs).map(_ => names.map(n => n -> time(n)).toMap)
+    val med = names.map { n =>
+      val ok = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else median(ok))
+    }.toMap
+    spark.stop()
+    println(s"""BENCH_ISO:${jsonNumMap(med)}""")
   }
 
   /** Parent JVM flags that must NOT be replayed onto child forks: agents,
@@ -255,9 +315,9 @@ object Bench {
       arg.startsWith("-XX:StartFlightRecording") ||
       arg.startsWith("-XX:FlightRecorderOptions"))
 
-  /** Fork one pass (optionally one family slice) as a fresh JVM; None
-    * if the fork machinery fails. */
-  private def forkPass(families: Option[String] = None): Option[Map[String, Double]] = {
+  /** Run a child JVM with the given trailing args, returning its
+    * stdout (None on nonzero exit). */
+  private def forkChild(args: Seq[String]): Option[String] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // SPARK_GRAFT_BENCH_CHILD_JVM_ARGS replaces the inherited flags
@@ -270,31 +330,66 @@ object Bench {
       .getOrElse(java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq.filter(childSafe))
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench",
-        "--child") ++ families.map(f => s"--families=$f").toSeq
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
+      args
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val rc = proc.waitFor()
-    val line = out.linesIterator.find(_.startsWith("BENCH_PASS:"))
-    if (rc != 0 || line.isEmpty) {
-      System.err.println(s"[bench] forked pass failed (rc=$rc)")
+    if (rc != 0) {
+      System.err.println(s"[bench] forked child failed (rc=$rc)")
       None
-    } else {
-      val body = line.get.stripPrefix("BENCH_PASS:")
-      val pair = """"([^"]+)":(-?[0-9.]+(?:E-?[0-9]+)?)""".r
-      Some(pair.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-    }
+    } else Some(out)
   }
+
+  private val pairParse = """"([^"]+)":(-?[0-9.]+(?:E-?[0-9]+)?)""".r
+  private def parseLine(out: String, prefix: String): Option[Map[String, Double]] =
+    out.linesIterator.find(_.startsWith(prefix)).map { line =>
+      pairParse.findAllMatchIn(line.stripPrefix(prefix))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
+  /** Fork one pass (optionally one family slice) as a fresh JVM; None
+    * if the fork machinery fails. */
+  private def forkPass(families: Option[String] = None): Option[PassStats] =
+    forkChild(Seq("--child") ++ families.map(f => s"--families=$f"))
+      .flatMap { out =>
+        parseLine(out, "BENCH_PASS:").map { sec =>
+          PassStats(sec,
+            parseLine(out, "BENCH_GC:").getOrElse(Map.empty),
+            parseLine(out, "BENCH_HEAP:").getOrElse(Map.empty))
+        }.orElse {
+          System.err.println("[bench] forked pass emitted no BENCH_PASS line")
+          None
+        }
+      }
+
+  /** Fork the isolated-median child over the suite's heaviest queries;
+    * None (with a stderr note) if the fork machinery fails — the suite
+    * numbers still ship, just without the self-adjudication map. */
+  private def forkIsolated(names: Seq[String], runs: Int): Option[Map[String, Double]] =
+    if (names.isEmpty) Some(Map.empty)
+    else forkChild(Seq(s"--isolated=${names.mkString(",")}",
+        s"--iso-runs=$runs"))
+      .flatMap(parseLine(_, "BENCH_ISO:"))
 
   def main(args: Array[String]): Unit = {
     if (args.contains("--child")) {
       childMain(args.collectFirst {
         case a if a.startsWith("--families=") => a.stripPrefix("--families=")
       })
+      return
+    }
+    args.collectFirst {
+      case a if a.startsWith("--isolated=") => a.stripPrefix("--isolated=")
+    }.foreach { names =>
+      isolatedMain(names.split(',').toSeq.filter(_.nonEmpty),
+        args.collectFirst {
+          case a if a.startsWith("--iso-runs=") =>
+            a.stripPrefix("--iso-runs=").toInt
+        }.getOrElse(3))
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -310,16 +405,20 @@ object Bench {
     // drops its queries from that pass, and the missing-in-a-pass rule
     // below then marks them failed rather than quietly reporting a
     // median over fewer samples.
-    val forked: Seq[Map[String, Double]] =
+    def mergeStats(parts: Seq[PassStats]): PassStats =
+      PassStats(parts.map(_.sec).reduce(_ ++ _),
+        parts.map(_.gcSec).reduce(_ ++ _),
+        parts.map(_.heapMb).reduce(_ ++ _))
+    val forked: Seq[PassStats] =
       if (sliced)
         (1 to runs).flatMap { _ =>
           val parts = familySlices.flatMap(s =>
             forkPass(Some(s)).orElse(forkPass(Some(s))))
           if (parts.isEmpty) None
-          else Some(parts.reduce(_ ++ _))
+          else Some(mergeStats(parts))
         }
       else (1 to runs).flatMap(_ => forkPass().orElse(forkPass()))
-    val samples: Seq[Map[String, Double]] =
+    val samples: Seq[PassStats] =
       if (forked.nonEmpty) {
         if (forked.size < runs) System.err.println(
           s"[bench] only ${forked.size}/$runs forked passes succeeded — " +
@@ -329,15 +428,34 @@ object Bench {
         System.err.println(
           "[bench] fork unavailable — falling back to in-process passes " +
             "(expect JVM-aging inflation on CPU-dense queries)")
-        (1 to runs).map(_ => runPass(None).toMap)
+        (1 to runs).map(_ => runPass(None))
       }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
-      val ok = samples.flatMap(_.get(n)).filter(_ >= 0)
+      val ok = samples.flatMap(_.sec.get(n)).filter(_ >= 0)
       // a query that failed in any surviving pass is marked failed — it
       // must not quietly report the median of its successful rounds
       n -> (if (ok.size < samples.size) -1.0 else median(ok))
+    }
+    def medianOver(f: PassStats => Map[String, Double]): Map[String, Double] =
+      names.flatMap { n =>
+        val xs = samples.flatMap(f(_).get(n))
+        if (xs.isEmpty) None else Some(n -> median(xs))
+      }.toMap
+    def r3map(m: Map[String, Double]): Map[String, Double] =
+      m.view.mapValues(v => math.rint(v * 1000) / 1000).toMap
+    val gcMed = r3map(medianOver(_.gcSec))
+    val heapMed = r3map(medianOver(_.heapMb))
+    // self-adjudication fork: isolated warm-JVM medians for the 10
+    // heaviest suite entries (the manual r13–r15 MiniBench reading,
+    // automated into the committed artifact — flat isolated median +
+    // inflated suite number = box noise; both inflated = regression)
+    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val isoMed = forkIsolated(top10, runs = 3).map(r3map).getOrElse {
+      System.err.println("[bench] isolated-median fork unavailable — " +
+        "bench_detail ships without isolated_medians")
+      Map.empty[String, Double]
     }
     // The driver captures only a fixed-size TAIL (2000 chars) of this
     // process's output. Since r10 the build passes forked-run stdout
@@ -358,7 +476,12 @@ object Bench {
     val delta = deltaJson(results, previousBench())
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"bench_detail":{"delta":{$delta},"queries_full":$qsFull,"sf":"$sfDir","runs":$runs}}"""
+    val detail = s"""{"bench_detail":{"delta":{$delta},""" +
+      s""""queries_full":$qsFull,""" +
+      s""""gc_sec":${jsonNumMap(gcMed)},""" +
+      s""""heap_delta_mb":${jsonNumMap(heapMed)},""" +
+      s""""isolated_medians":${jsonNumMap(isoMed)},""" +
+      s""""sf":"$sfDir","runs":$runs}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_detail_last.json"), detail + "\n")
