@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Declarative data-quality expectations — the dbt-test / Great-
+  * Expectations-shaped validation report a production lake runs before
+  * promoting a batch (the reference's weekly chain promotes bronze →
+  * gold with no checks at all; an AUDIT platform should audit its own
+  * inputs — reference intent: the data-quality framing of
+  * project_report.md's methodology section).
+  *
+  * Each check is a row-level `valid` predicate; a row violates the
+  * check when the predicate is false OR null (SQL three-valued logic:
+  * "I cannot show this row valid" is a violation, so a NULL in a range
+  * check surfaces instead of vanishing). The report carries one row
+  * per check: (table, check, n_rows, violations, pass).
+  *
+  * Scale: ALL row checks over a table fold in ONE map-side-combined
+  * scan — `report` builds a single aggregate over conditional sums, so
+  * 20 checks on a 100 TB table cost one pass, not 20. Key-uniqueness
+  * checks ride the same aggregate via count(distinct), which adds an
+  * expand (one extra shuffle of (key)-sized partials) but no extra
+  * scan. Referential checks ([[fkReport]]) are the one genuinely
+  * two-table expectation: one join against the parent's distinct keys,
+  * unhinted so AQE broadcasts dimension-sized parents at runtime (the
+  * d16 lesson — a forced broadcast becomes the OOM at 1000×).
+  */
+object Expectations {
+
+  /** A row-level expectation: `valid` must be true for the row to
+    * pass; false OR NULL counts as a violation. */
+  final case class Check(name: String, valid: Column)
+
+  /** A key-uniqueness expectation over `key`: violations = the number
+    * of NON-NULL-keyed rows in excess of the distinct key count (rows
+    * that share an already-seen key). NULL keys are not "duplicates of
+    * each other" — guard them separately with a not-null [[Check]]. */
+  final case class UniqueKey(name: String, key: Column)
+
+  private val reportCols =
+    Seq("table_name", "check_name", "n_rows", "violations", "pass")
+
+  /** The per-check report over ONE scan of `df`. */
+  def report(df: DataFrame, table: String, checks: Seq[Check],
+      uniques: Seq[UniqueKey] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniques.nonEmpty, "no expectations given")
+    val names = checks.map(_.name) ++ uniques.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}" +
+        " — each check needs a distinct name (they become report rows " +
+        "and aggregate aliases)")
+    val n = count(lit(1)).as("__n")
+    val vioAggs = checks.map(c =>
+      sum(when(!coalesce(c.valid, lit(false)), 1L).otherwise(0L))
+        .as(s"__v_${c.name}"))
+    val uniAggs = uniques.flatMap(u => Seq(
+      count(u.key).as(s"__k_${u.name}"),
+      countDistinct(u.key).as(s"__d_${u.name}")))
+    val aggs = vioAggs ++ uniAggs
+    val one = df.agg(n, aggs: _*)
+    val rows =
+      checks.map(c => struct(lit(c.name).as("check_name"),
+        coalesce(col(s"__v_${c.name}"), lit(0L)).as("violations"))) ++
+      uniques.map(u => struct(lit(u.name).as("check_name"),
+        (col(s"__k_${u.name}") - col(s"__d_${u.name}")).as("violations")))
+    one.select(lit(table).as("table_name"), col("__n").as("n_rows"),
+        explode(array(rows: _*)).as("c"))
+      .select(col("table_name"), col("c.check_name"), col("n_rows"),
+        col("c.violations"), (col("c.violations") === 0L).as("pass"))
+      .select(reportCols.map(col): _*)
+  }
+
+  /** Referential-integrity expectation: every non-null `childKey` must
+    * exist in `parent`'s `parentKey`. Violations = orphan child ROWS
+    * (not distinct orphan keys — each bad row counts, matching the
+    * row-check semantics above). One left join against the parent's
+    * distinct keys; unhinted, so AQE broadcasts a dimension-sized
+    * parent and falls back to shuffle when it is not. */
+  def fkReport(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, table: String, name: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__ck").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("violations"))
+      .select(lit(table).as("table_name"), lit(name).as("check_name"),
+        col("n_rows"), coalesce(col("violations"), lit(0L)).as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+      .select(reportCols.map(col): _*)
+  }
+}

@@ -1251,6 +1251,88 @@ object SilverIndex {
     spark.read.parquet(s"$path/v${vs.max}")
   }
 
+  // -------------------------------- gold MAX rollup (g3, semilattice)
+
+  /** INCREMENTAL maintenance of a GROUP-BY-MAX gold table — the
+    * reference's `nyc_salary_matches_unique_job_posting_title` CTAS
+    * (/root/reference/sql/cleaned.sql:28-42) re-aggregates ALL of
+    * bronze on every weekly run; at 100 TB the rollup must instead
+    * fold only the new batch: aggregate the arriving rows to per-key
+    * partial MAXes (map-side combined, batch-sized), merge with the
+    * stored rollup (one row per key — OUTPUT-sized, the corpus is
+    * never rescanned), and commit via stage-then-rename.
+    *
+    * Discipline: MAX over every carried column is a SEMILATTICE merge
+    * (associative, commutative, idempotent), so unlike the additive
+    * CMS/drift folds a REPLAYED batch cannot corrupt the rollup even
+    * without the version guard — max(a, a) = a. The batch-id version
+    * is kept anyway: it makes replays free (skip instead of re-merge)
+    * and the rename the crash-safe commit point, same protocol as
+    * [[refreshCms]]. NULL keys drop (a NULL group key is SQL's one
+    * non-mergeable group; the gold CTAS's GROUP BY would keep it as
+    * its own row, but bronze titles are NOT NULL by construction and
+    * the gate's oracle confirms the equality).
+    *
+    * `maxCols` values must be max-comparable under Spark's ordering
+    * (numerics, strings, dates) — the same requirement the CTAS's MAX
+    * has. Read back with [[maxRollupIndex]]; the stored table IS the
+    * gold table. */
+  def refreshMaxRollup(batch: DataFrame, batchId: Long,
+      keyCols: Seq[String], maxCols: Seq[String], path: String): Refresh = {
+    require(keyCols.nonEmpty && maxCols.nonEmpty,
+      "refreshMaxRollup needs at least one key and one max column")
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, path)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return Refresh(0, last)
+    val aggs = maxCols.map(c => max(col(c)).as(c))
+    val part = batch
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val next = (if (last < 0) part
+      else part.unionByName(spark.read.parquet(s"$path/v$last"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*))
+      .localCheckpoint(true)
+    val tmp = s"$path/_tmp_v$batchId"
+    next.write.mode("overwrite").parquet(tmp)
+    // rename failures REPORT false rather than throw — proceeding to
+    // the retirement below on a failed rename would delete the only
+    // committed rollup
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/v$batchId")),
+      s"gold-rollup commit rename failed: $tmp -> $path/v$batchId " +
+        "(old versions kept)")
+    committed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    Refresh(batchId, batchId)
+  }
+
+  /** [[refreshMaxRollup]] driven by Structured Streaming. */
+  def streamingRefreshMaxRollup(rows: DataFrame, keyCols: Seq[String],
+      maxCols: Seq[String], path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        refreshMaxRollup(batch, id, keyCols, maxCols, path); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
+  /** The maintained rollup (one row per key, current MAXes) — the
+    * highest committed version. */
+  def maxRollupIndex(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, path)
+    require(vs.nonEmpty, s"no committed gold rollup under $path")
+    spark.read.parquet(s"$path/v${vs.max}")
+  }
+
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
       keyCol: String, k: Int, path: String)

@@ -49,6 +49,62 @@ object CurationQueries {
     (train, evalDf)
   }
 
+  /** c28/s16 shared corpus: the train docs plus the eval side with its
+    * PLANTED paraphrases — every 23rd train doc re-emitted as a
+    * synthetic eval item with its normalized tokens SORTED (a
+    * deterministic word-order scramble: destroys every word-13-gram a
+    * ≥13-token doc has, preserves the term bag EXACTLY, so the planted
+    * pair's cosine is 1.0 while c10 sees zero shared grams). Synthetic
+    * eval ids live at +10M; real ids must stay below (the m8 id-space
+    * guard, riding the planted id projection). One (id, text) union so
+    * both the scratch (c28) and stream-maintained (s16) postings builds
+    * see the identical corpus. */
+  private[graft] def semanticUnion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val guardedId = when(col("doc_id") >= lit(10000000L),
+      raise_error(concat(lit("c28: doc_id "),
+        col("doc_id").cast("string"),
+        lit(" collides with the planted-eval id space (>= 10000000)"))))
+      .otherwise(col("doc_id") + lit(10000000L))
+    val scrambled = array_join(array_sort(
+      graft.operators.TextSearch.tokens(col("text"))), " ")
+    val evalDf = docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs
+        .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 23 === 0)
+        .select(guardedId.as("id"), scrambled.as("text")))
+    docs.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(evalDf)
+  }
+
+  /** The c28 release manifest from a POSTINGS frame over
+    * [[semanticUnion]] — scratch-built (c28) or served from the
+    * stream-maintained postings index (s16); per-doc-deterministic
+    * tokenization makes the two row-identical, and the IDF weighting
+    * recomputes from the postings at serve time, so maintained ≡
+    * scratch EXACTLY (no frozen-vectorizer approximation needed). Both
+    * corpora weigh under ONE shared hashing-TF-IDF fit at dim 256 (at
+    * 64, bucket collisions push RANDOM pairs past cosine 0.8); train
+    * docs flag at round-6 cosine ≥ 0.9 vs ANY eval item. */
+  private[graft] def semanticReportFromPostings(s: SparkSession,
+      dir: String, post: DataFrame): DataFrame = {
+    val w = graft.operators.TextSearch.hashingTfIdf(post, dim = 256)
+    val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
+    val hits = Dedup.crossCosinePairs(
+        w.where(!isEval), w.where(isEval), theta = 0.9)
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("mc"))
+    t(s, dir, "documents").where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("train_doc"))
+      .join(hits, Seq("train_doc"), "left")
+      .select(col("train_doc"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        round(coalesce(col("mc"), lit(0.0)), 6).as("max_cosine"),
+        when(col("n_eval_hits").isNotNull, lit("blocked"))
+          .otherwise(lit("released")).as("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_pipeline" -> ((s, dir) => {
       // spread the one-file scan across cores FIRST: the signal kernels
@@ -571,40 +627,10 @@ object CurationQueries {
     // Exact sparse cosines -> full oracle via the h2 CTEs over the
     // union corpus (the planted bag = the source doc's postings under
     // a shifted id — sorting cannot change a bag).
-    "c28_semantic_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // synthetic eval ids live at +10M; real ids must stay below (the
-      // m8 id-space guard, riding the planted id projection)
-      val guardedId = when(col("doc_id") >= lit(10000000L),
-        raise_error(concat(lit("c28: doc_id "),
-          col("doc_id").cast("string"),
-          lit(" collides with the planted-eval id space (>= 10000000)"))))
-        .otherwise(col("doc_id") + lit(10000000L))
-      val scrambled = array_join(array_sort(
-        graft.operators.TextSearch.tokens(col("text"))), " ")
-      val evalDf = docs.where(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("id"), col("text"))
-        .unionByName(docs
-          .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 23 === 0)
-          .select(guardedId.as("id"), scrambled.as("text")))
-      val train = docs.where(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id").as("id"), col("text"))
-      val w = graft.operators.TextSearch.hashingTfIdf(
+    "c28_semantic_decontam" -> ((s, dir) =>
+      semanticReportFromPostings(s, dir,
         graft.operators.TextSearch.postings(
-          train.unionByName(evalDf), "id", "text"), dim = 256)
-      val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
-      val hits = Dedup.crossCosinePairs(
-          w.where(!isEval), w.where(isEval), theta = 0.9)
-        .groupBy("train_doc")
-        .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("mc"))
-      train.select(col("id").as("train_doc"))
-        .join(hits, Seq("train_doc"), "left")
-        .select(col("train_doc"),
-          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
-          round(coalesce(col("mc"), lit(0.0)), 6).as("max_cosine"),
-          when(col("n_eval_hits").isNotNull, lit("blocked"))
-            .otherwise(lit("released")).as("verdict"))
-    }),
+          semanticUnion(s, dir), "id", "text"))),
 
     // decontamination: training docs whose word-2-gram sets overlap a
     // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —

@@ -74,7 +74,63 @@ object GoldQueries {
           max(col("title_description")).as("matched_actual_payroll_title"),
           max(floor(col("score")).cast("int")).as("match_score"),
           max(col("posting_mid_salary")).as("posting_mid_salary"),
-          max(col("base_salary")).as("actual_base_salary")))
+          max(col("base_salary")).as("actual_base_salary"))),
+
+    // g3 (r16): the SAME gold table maintained INCREMENTALLY — the
+    // reference's weekly chain recomputes the unique-title CTAS from
+    // all of bronze every Sunday (src/cleaned_data.py:16-46); at
+    // 100 TB the re-aggregation, not the first build, is the dominant
+    // recurring cost. Here the match output arrives as three "weekly"
+    // batches (posting_id % 3 — titles deliberately SPAN batches, so
+    // the merge is load-bearing) folded into a persisted rollup via
+    // SilverIndex.refreshMaxRollup: per-batch partial MAXes merge with
+    // the output-sized stored table under the stage-then-rename
+    // commit; bronze is never rescanned. MAX is a semilattice, so the
+    // maintained table equals the one-shot GROUP BY exactly — g2's
+    // oracle applies VERBATIM. (GoldIncrementalSpec adds chunking-fuzz
+    // ≡ batch, replay no-op, semilattice re-fold identity, and the
+    // crash-window recovery.)
+    "g3_incremental_gold" -> ((s, dir) => {
+      val p = IndexMemo.path(s"goldrollup:$dir") { path =>
+        val m = matches(s, dir).select(
+          col("business_title").as("posted_job_title"),
+          col("title_description").as("matched_actual_payroll_title"),
+          floor(col("score")).cast("int").as("match_score"),
+          col("posting_mid_salary"),
+          col("base_salary").as("actual_base_salary"),
+          col("posting_id"))
+        (0L to 2L).foreach { b =>
+          graft.pipeline.SilverIndex.refreshMaxRollup(
+            m.where(pmod(col("posting_id"), lit(3)) === b)
+              .drop("posting_id"),
+            batchId = b, keyCols = Seq("posted_job_title"),
+            maxCols = Seq("matched_actual_payroll_title", "match_score",
+              "posting_mid_salary", "actual_base_salary"),
+            path = path)
+        }
+      }
+      graft.pipeline.SilverIndex.maxRollupIndex(s, p)
+        .select(col("posted_job_title"),
+          col("matched_actual_payroll_title"), col("match_score"),
+          col("posting_mid_salary"), col("actual_base_salary"))
+    }),
+
+    // g4 (r16): SCD TYPE-2 HISTORY — effective-dated attribute versions
+    // over the events change log ("what state did this key hold at
+    // time T?" — the audit question a latest-state-only gold layer
+    // cannot answer). Consecutive identical states collapse; versions
+    // carry half-open [effective_from, effective_to) ranges; equal-ts
+    // arrivals order deterministically by the attribute tie-break in
+    // BOTH engines, making the row set oracle-exact. NULL attributes
+    // are filtered HERE (engines disagree on NULL sort order within
+    // equal timestamps); the operator itself is null-safe and
+    // Scd2Spec covers NULL-state transitions.
+    "g4_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.history(
+        t(s, dir, "events").where(col("event_type").isNotNull),
+        "user_id", Seq("event_type"), "ts")
+      .select(col("user_id"), col("event_type"), col("effective_from"),
+        col("effective_to"), col("is_current")))
   )
 
   private val simCte =
@@ -96,6 +152,15 @@ object GoldQueries {
       |        ORDER BY score DESC, payroll_id ASC) AS rn FROM f),
       |m AS (SELECT * FROM r WHERE rn <= 3)""".stripMargin
 
+  private val uniqueOracle: String = simCte +
+    """
+      |SELECT business_title AS posted_job_title,
+      |       max(title_description) AS matched_actual_payroll_title,
+      |       max(CAST(floor(score) AS INT)) AS match_score,
+      |       max(posting_mid_salary) AS posting_mid_salary,
+      |       max(base_salary) AS actual_base_salary
+      |FROM m GROUP BY business_title""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "g1_gold_matches" -> (simCte +
       """
@@ -106,13 +171,32 @@ object GoldQueries {
         |       posting_id, payroll_id
         |FROM m""".stripMargin),
 
-    "g2_gold_unique" -> (simCte +
-      """
-        |SELECT business_title AS posted_job_title,
-        |       max(title_description) AS matched_actual_payroll_title,
-        |       max(CAST(floor(score) AS INT)) AS match_score,
-        |       max(posting_mid_salary) AS posting_mid_salary,
-        |       max(base_salary) AS actual_base_salary
-        |FROM m GROUP BY business_title""".stripMargin)
+    "g2_gold_unique" -> uniqueOracle,
+
+    // the incrementally-maintained rollup must equal the one-shot
+    // GROUP BY — g2's oracle applies verbatim
+    "g3_incremental_gold" -> uniqueOracle,
+
+    // change points via lag under the same (ts, attr) order, range
+    // ends via lead over the change rows — the operator's two windows
+    // spelled in SQL
+    "g4_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |o AS (SELECT user_id, event_type, ts,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_type) AS pa
+        |      FROM e),
+        |c AS (SELECT user_id, event_type, ts AS effective_from FROM o
+        |      WHERE pa IS NULL OR pa <> event_type),
+        |v AS (SELECT user_id, event_type, effective_from,
+        |        lead(effective_from) OVER (PARTITION BY user_id
+        |          ORDER BY effective_from, event_type) AS effective_to
+        |      FROM c)
+        |SELECT user_id, event_type, effective_from, effective_to,
+        |       effective_to IS NULL AS is_current
+        |FROM v""".stripMargin
   )
 }

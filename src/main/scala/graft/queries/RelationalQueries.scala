@@ -159,6 +159,34 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("g_flag"), col("g_status"), col("sum_qty"), col("cnt"))),
 
+    // q20 (r16): DATA-QUALITY EXPECTATIONS — the validation report a
+    // lake runs before promoting a batch (the reference's weekly chain
+    // promotes bronze→gold unchecked; an audit platform should audit
+    // its own inputs). Row checks (null / accepted-set / range) fold
+    // in ONE map-side-combined scan per table regardless of check
+    // count; key uniqueness rides the same aggregate via
+    // count(distinct); the FK check is the one two-table expectation —
+    // one join against the parent's distinct keys, unhinted for AQE.
+    // NULL semantics are explicit: a check that cannot prove a row
+    // valid (predicate NULL) counts it as a violation.
+    "q20_dq_checks" -> ((s, dir) => {
+      import graft.operators.Expectations.{Check, UniqueKey, fkReport, report}
+      val orders = t(s, dir, "orders")
+      report(orders, "orders", Seq(
+          Check("custkey_not_null", col("o_custkey").isNotNull),
+          Check("status_accepted",
+            col("o_orderstatus").isin("O", "F", "P")),
+          Check("totalprice_positive", col("o_totalprice") > 0.0),
+          Check("orderdate_not_null", col("o_orderdate").isNotNull)),
+        Seq(UniqueKey("orderkey_unique", col("o_orderkey"))))
+      .unionByName(report(t(s, dir, "lineitem"), "lineitem", Seq(
+          Check("quantity_in_range", col("l_quantity").between(1.0, 50.0)),
+          Check("discount_in_range", col("l_discount").between(0.0, 0.1)),
+          Check("shipdate_not_null", col("l_shipdate").isNotNull))))
+      .unionByName(fkReport(orders, "o_custkey", t(s, dir, "customer"),
+        "c_custkey", "orders", "custkey_fk_customer"))
+    }),
+
     // LEFT SEMI + LEFT ANTI join (existence checks without row
     // multiplication — the join shapes a filter pipeline needs; both are
     // broadcast-able on the probe side at scale)
@@ -536,6 +564,74 @@ object RelationalQueries {
         |       count(*) AS cnt
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // one SELECT per check, mirroring the operator's three-valued NULL
+    // rule (NOT coalesce(valid, FALSE) = violation); FILTER keeps the
+    // counts BIGINT on both engines
+    "q20_dq_checks" ->
+      """SELECT 'orders' AS table_name, 'custkey_not_null' AS check_name,
+        |       count(*) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         o_custkey IS NOT NULL, FALSE)) AS BIGINT) AS violations,
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         o_custkey IS NOT NULL, FALSE)) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'status_accepted', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         o_orderstatus IN ('O','F','P'), FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         o_orderstatus IN ('O','F','P'), FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'totalprice_positive', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         o_totalprice > 0.0, FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         o_totalprice > 0.0, FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'orderdate_not_null', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         o_orderdate IS NOT NULL, FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         o_orderdate IS NOT NULL, FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'orderkey_unique', count(*),
+        |       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+        |       count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', 'quantity_in_range', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         l_quantity BETWEEN 1.0 AND 50.0, FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         l_quantity BETWEEN 1.0 AND 50.0, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'discount_in_range', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         l_discount BETWEEN 0.0 AND 0.1, FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         l_discount BETWEEN 0.0 AND 0.1, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'shipdate_not_null', count(*),
+        |       CAST(count(*) FILTER (WHERE NOT coalesce(
+        |         l_shipdate IS NOT NULL, FALSE)) AS BIGINT),
+        |       count(*) FILTER (WHERE NOT coalesce(
+        |         l_shipdate IS NOT NULL, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', 'custkey_fk_customer', count(*),
+        |       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM customer
+        |                         WHERE c_custkey = o_custkey)) AS BIGINT),
+        |       count(*) FILTER (WHERE o_custkey IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM customer
+        |                         WHERE c_custkey = o_custkey)) = 0
+        |FROM orders""".stripMargin,
 
     "q13_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS tag FROM customer

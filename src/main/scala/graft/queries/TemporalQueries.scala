@@ -126,6 +126,25 @@ object TemporalQueries {
       graft.operators.LabelProp.fixedIter(edges, "src", "dst", iters = 3)
     }),
 
+    // x14 (r16): per-node TRIANGLE COUNTS over the co-visitation
+    // item graph (x3's ≥3-shared-users pairs as the edge set — the
+    // bipartite user↔item incidence x4/x11 walk has no triangles by
+    // construction, so the cohesion question only exists on the
+    // one-mode projection). Degree-ordered wedge counting: every
+    // triangle tallied once at its lowest-(deg, id) corner, closing
+    // edge verified by semi-join — integer-exact, so the oracle is
+    // x3's pair CTE + the same orientation spelled in SQL
+    // (operators/Triangles; Suri & Vassilvitskii WWW'11 formulation).
+    "x14_triangles" -> ((s, dir) => {
+      val inc = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+      val edges = graft.operators.CoOccur
+        .itemPmi(inc, "user_id", "item", minUsers = 3,
+          maxItemsPerUser = 1000)
+        .select(col("item_a"), col("item_b"))
+      graft.operators.Triangles.perNodeCounts(edges, "item_a", "item_b")
+    }),
+
     // x10 (r14): recency-DECAYED engagement — per (user, event_type),
     // each event weighs 2^-(whole half-lives old), half-life 7 days
     // against the corpus-max reference date (operators/Decay). Exact
@@ -262,6 +281,47 @@ object TemporalQueries {
         |FROM p JOIN ci ca ON ca.i = p.item_a
         |  JOIN ci cb ON cb.i = p.item_b
         |  CROSS JOIN nn""".stripMargin,
+
+    // x3's pair CTEs re-used as the edge set, then the operator's
+    // degree-ordered wedge counting spelled in SQL: orient low→high
+    // under (deg, id), pivot wedges at the low corner, order the two
+    // high ends by the same tuple, close by EXISTS — integer-exact
+    "x14_triangles" ->
+      """WITH inc0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) IS NOT NULL),
+        |q AS (SELECT u FROM inc0 GROUP BY u HAVING count(*) <= 1000),
+        |inc AS (SELECT inc0.* FROM inc0 JOIN q USING (u)),
+        |e AS (SELECT a.i AS a, b.i AS b
+        |      FROM inc a JOIN inc b ON a.u = b.u AND a.i < b.i
+        |      GROUP BY a.i, b.i HAVING count(*) >= 3),
+        |nodes AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM nodes GROUP BY node),
+        |wd AS (SELECT e.a, e.b, da.d AS da, db.d AS db
+        |       FROM e JOIN deg da ON da.node = e.a
+        |              JOIN deg db ON db.node = e.b),
+        |o AS (SELECT
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END
+        |    AS hideg
+        |  FROM wd),
+        |w AS (SELECT o1.lo AS ta, o1.hi AS tb, o2.hi AS tc
+        |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+        |        AND (o1.hideg < o2.hideg
+        |             OR (o1.hideg = o2.hideg AND o1.hi < o2.hi))),
+        |tr AS (SELECT ta, tb, tc FROM w
+        |       WHERE EXISTS (SELECT 1 FROM e
+        |                     WHERE e.a = least(w.tb, w.tc)
+        |                       AND e.b = greatest(w.tb, w.tc)))
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT ta AS node FROM tr UNION ALL
+        |      SELECT tb FROM tr UNION ALL
+        |      SELECT tc FROM tr)
+        |GROUP BY node""".stripMargin,
 
     // the PageRank recursion unrolled: distinct bipartite edges (both
     // directions; prefixes keep the node spaces disjoint), out-degrees,

@@ -374,4 +374,30 @@ class StreamingIndexSpec extends SparkTestBase {
       "ledger-served TV report diverged from the scan-fed tvDrift")
     assert(served.nonEmpty)
   }
+
+  test("s16: the semantic-decontam report from stream-maintained " +
+      "postings equals the scratch build row-for-row") {
+    val path = tmp("stream-semantic")
+    val dir = sf() // sf0.001
+    val union = graft.queries.CurationQueries.semanticUnion(spark, dir)
+    val rows = union.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = SilverIndex.streamingRefreshPostings(
+      input.toDF().toDF("id", "text"), "id", "text", path)
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rep(post: org.apache.spark.sql.DataFrame) =
+      graft.queries.CurationQueries
+        .semanticReportFromPostings(spark, dir, post)
+        .collect().map(_.toSeq).toSet
+    val served = rep(SilverIndex.postingsIndex(spark, path))
+    val scratch = rep(TextSearch.postings(union, "id", "text"))
+    assert(served == scratch,
+      "maintained-postings report diverged from the scratch build")
+    assert(served.exists(_.last == "blocked"),
+      "the planted paraphrases should flag")
+  }
 }

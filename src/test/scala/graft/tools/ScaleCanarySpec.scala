@@ -564,6 +564,70 @@ class ScaleCanarySpec extends SparkTestBase {
     assert(streamed == batch, "streamed visits diverged from the batch operator")
   }
 
+  test("incremental gold rollup at 2M rows ≡ one-shot GROUP BY MAX; " +
+      "keys span every batch", Slow) {
+    val s = spark
+    val n = 2000000L
+    val keys = 50000L
+    // key i%keys sees one row per batch stripe; values arranged so the
+    // global max for key k lands in a DIFFERENT batch than the first
+    // arrival for most keys (the merge is load-bearing, not a union)
+    val rows = s.range(n).select(
+      concat(lit("t"), (col("id") % keys).cast("string")).as("title"),
+      concat(lit("d"), ((col("id") * 37L) % 1000L).cast("string")).as("desc"),
+      ((col("id") * 7919L) % 100000L).as("score"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-canary-goldinc").toString + "/rollup"
+    val t0 = System.nanoTime()
+    (0L until 5L).foreach { b =>
+      graft.pipeline.SilverIndex.refreshMaxRollup(
+        rows.where(col("score") % 5 === b), b,
+        Seq("title"), Seq("desc", "score"), path)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val served = graft.pipeline.SilverIndex.maxRollupIndex(s, path)
+    val oneShot = rows.groupBy("title")
+      .agg(max(col("desc")).as("desc"), max(col("score")).as("score"))
+    assert(served.count() == keys)
+    assert(served.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(served).isEmpty,
+      "maintained rollup diverged from the one-shot aggregation")
+    assert(secs < 120.0, f"5-batch fold took $secs%.1f s at 2M rows")
+  }
+
+  test("triangles at 300k nodes: exact planted counts; the degree " +
+      "ordering neutralizes a 43k-degree hub", Slow) {
+    val s = spark
+    val n = 300000L
+    // ring i—i+1 (no triangles) + chord i—i+2 at i%100==0 (exactly one
+    // triangle per chord) + a hub H adjacent to every multiple of 7
+    // (ZERO triangles — multiples of 7 are never ring- or
+    // chord-adjacent — but degree ~43k: under naive id order with the
+    // hub as pivot this is ~9·10⁸ wedges; degree order points every
+    // hub edge INTO the hub, out-degree 0, none)
+    val hub = n // one id past the ring
+    val ring = s.range(n - 1).select(col("id").as("src"),
+      (col("id") + 1L).as("dst"))
+    val chords = s.range((n - 2) / 100 + 1)
+      .select((col("id") * 100L).as("src"), (col("id") * 100L + 2L).as("dst"))
+    val spokes = s.range(n / 7 + 1).select((col("id") * 7L).as("src"),
+      lit(hub).as("dst"))
+    val edges = ring.unionByName(chords).unionByName(spokes)
+    val t0 = System.nanoTime()
+    val got = graft.operators.Triangles.perNodeCounts(edges, "src", "dst")
+    val byNode = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nChords = ((n - 2) / 100 + 1).toInt
+    assert(byNode.values.sum == 3L * nChords,
+      s"corner-count sum ${byNode.values.sum}, expected ${3 * nChords}")
+    assert(!byNode.contains(hub), "the hub sits in no triangle")
+    assert(byNode(0L) == 1L && byNode(1L) == 1L && byNode(2L) == 1L)
+    // interior chord corners: i in {100k}: corners i, i+1, i+2 each 1
+    assert(byNode(1000L) == 1L && byNode(1001L) == 1L && byNode(1002L) == 1L)
+    assert(secs < 120.0,
+      f"triangle counting took $secs%.1f s on the hub graph")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
