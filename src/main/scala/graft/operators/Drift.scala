@@ -58,6 +58,67 @@ object Drift {
       threshold)
   }
 
+  /** VOLUME LEVEL-SHIFT monitor — [[tvDrift]]'s sibling on the count
+    * axis: the categorical mix can hold perfectly steady while the
+    * feed silently halves (a crawler shard dies, an ingest key
+    * expires) — TV distance sees nothing, the volume monitor does.
+    * For each period t with `windowN` FULL observed periods on each
+    * side, compare Σ counts of the `windowN` periods before t against
+    * the `windowN` starting at t:
+    * shift_ratio = |after − before| / before, flagged past the
+    * threshold. Integer sums, ONE double division + round(6) — the
+    * x13 exactness discipline. Periods are OBSERVED snapshots: a gap
+    * in the calendar is a missing snapshot, not a zero (the same
+    * adjacency semantics as [[tvDrift]]); edges without full windows
+    * emit nothing rather than a half-window guess. */
+  def levelShift(df: DataFrame, periodCol: String, windowN: Int,
+      threshold: Double): DataFrame = {
+    require(windowN >= 1, s"windowN must be >= 1: $windowN")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    shiftFromCounts(
+      df.where(col(periodCol).isNotNull)
+        .select(col(periodCol).as("__p"))
+        .groupBy("__p").agg(count(lit(1)).as("__n")),
+      windowN, threshold)
+  }
+
+  /** [[levelShift]] served from the SAME maintained (period, category,
+    * count) ledger s15's TV monitor reads — one stored artifact, two
+    * monitors (mix drift AND volume drift), neither rescanning the
+    * corpus. Per-period volumes are the ledger summed over
+    * categories. */
+  def levelShiftFromLedger(ledger: DataFrame, periodCol: String,
+      cntCol: String, windowN: Int, threshold: Double): DataFrame = {
+    require(windowN >= 1, s"windowN must be >= 1: $windowN")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    shiftFromCounts(
+      ledger.select(col(periodCol).as("__p"),
+          col(cntCol).cast("long").as("__cnt"))
+        .groupBy("__p").agg(sum(col("__cnt")).as("__n")),
+      windowN, threshold)
+  }
+
+  /** Downstream of the per-period volume ledger (|periods| rows —
+    * output-sized single-partition windows, the x12 rank
+    * discipline). */
+  private def shiftFromCounts(perPeriod: DataFrame, windowN: Int,
+      threshold: Double): DataFrame = {
+    val pp = perPeriod.localCheckpoint(true)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(col("__p"))
+    val before = ord.rowsBetween(-windowN, -1)
+    val after = ord.rowsBetween(0, windowN - 1)
+    pp.select(col("__p").as("period"), col("__n").as("n"),
+        sum(col("__n")).over(before).as("before_sum"),
+        count(lit(1)).over(before).as("__cb"),
+        sum(col("__n")).over(after).as("after_sum"),
+        count(lit(1)).over(after).as("__ca"))
+      .where(col("__cb") === windowN && col("__ca") === windowN)
+      .select(col("period"), col("n"), col("before_sum"), col("after_sum"),
+        round(abs(col("after_sum") - col("before_sum")).cast("double") /
+          col("before_sum").cast("double"), 6).as("shift_ratio"))
+      .withColumn("shifted", (col("shift_ratio") > threshold).cast("long"))
+  }
+
   /** Everything downstream of the (period, category, count) ledger —
     * output-sized by construction, shared verbatim by the scan-fed
     * (x13) and ledger-served (s15) faces. */

@@ -491,6 +491,59 @@ object Sketches {
     kmvEstimate(col(kminsCol), k)
   }
 
+  /** SET-OPERATION estimates from TWO KMV sketches over the same hash
+    * space (Beyer, Haas, Reinwald, Sismanis & Gemulla, SIGMOD'07 —
+    * public literature; the theta-sketch set algebra): the question a
+    * pair of maintained sketches can answer that two numbers cannot —
+    * "how many distinct keys do feeds A and B share / cover together?"
+    * without ever co-scanning the feeds.
+    *
+    *  - merged = the k smallest of a ∪ b (itself a valid KMV sketch of
+    *    A ∪ B — mergeability is the whole point of the family);
+    *  - est_union from [[kmvEstimate]] over merged;
+    *  - ρ = |{h ∈ merged : h ∈ a ∧ h ∈ b}| / |merged| — every merged
+    *    hash from A is ≤ a's k-th minimum, so membership in the STORED
+    *    sketch decides membership in the side (the Beyer et al.
+    *    argument), making ρ an unbiased Jaccard estimate;
+    *  - est_intersect = ρ · est_union (inclusion via the union sketch,
+    *    not inclusion-exclusion of two noisy estimates).
+    *
+    * When |merged| < k BOTH sides were exhaustive (|merged| ≥ each
+    * side's size), and the SAME formulas are automatically exact:
+    * est_union = |merged| = |A ∪ B| and ρ·est_union = |{common
+    * hashes}| = |A ∩ B| — the exact-below-k contract [[kmvEstimate]]
+    * carries extends to the set algebra with no branch. Pure array
+    * arithmetic over the stored hash strings: engine-portable, no
+    * corpus rescans. Returns struct(est_union, est_intersect,
+    * jaccard).
+    *
+    * `k` must be ≤ the k the sketches were BUILT with (truncating a
+    * KMV sketch to fewer minima is sound; the k smallest of a larger
+    * minima set are the true smaller-k sketch). The reverse — passing
+    * a larger k — would silently misread a saturated sketch as
+    * exhaustive; an input LONGER than k proves that mismatch and
+    * raises, and persisted sketch tables should be validated against
+    * their stamped [[KmvKKey]] (the [[kmvEstimateFrom]] discipline)
+    * before their arrays reach this column expression. */
+  def kmvSetEstimates(aKmins: Column, bKmins: Column, k: Int): Column = {
+    def guarded(c: Column, side: String): Column =
+      when(size(c) > k, raise_error(concat(
+        lit(s"kmvSetEstimates: $side sketch holds "), size(c).cast("string"),
+        lit(s" minima > k=$k — built with a larger k; re-serve with the "
+          + "built k or truncate explicitly")))).otherwise(c)
+    val merged = slice(array_sort(array_union(
+      guarded(aKmins, "left"), guarded(bKmins, "right"))), 1, k)
+    val common = size(filter(merged,
+      h => array_contains(aKmins, h) && array_contains(bKmins, h)))
+    val estU = kmvEstimate(merged, k)
+    val rho = when(size(merged) === 0, lit(0.0))
+      .otherwise(common.cast("double") / size(merged).cast("double"))
+    struct(
+      estU.as("est_union"),
+      (rho * estU).as("est_intersect"),
+      rho.as("jaccard"))
+  }
+
   /** Deterministic hash-sample QUANTILE sketch — the third portable
     * sketch next to KMV (distincts) and CMS (frequencies). Spark's
     * `percentile_approx` (a GK variant) is the day-to-day answer, but

@@ -632,6 +632,34 @@ object CurationQueries {
         graft.operators.TextSearch.postings(
           semanticUnion(s, dir), "id", "text"))),
 
+    // c29 (r16): RELEASE-TO-RELEASE SNAPSHOT DIFF — the changelog
+    // between two corpus versions (added / removed / changed keys by
+    // content digest), the "changes since v1" section of a data card.
+    // Release B is a planted transform of the corpus: every 31st doc
+    // dropped (removed), every surviving 37th doc's text suffixed
+    // (changed — pure concatenation, engine-identical, unlike case
+    // mapping), every 41st re-keyed at +20M (added; id-space guarded).
+    // One full-outer join on the key, digests map-side, output
+    // delta-sized.
+    "c29_dataset_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), col("text"), col("lang"))
+      val guardedId = when(col("doc_id") >= lit(20000000L),
+        raise_error(concat(lit("c29: doc_id "),
+          col("doc_id").cast("string"),
+          lit(" collides with the planted-addition id space (>= 20M)"))))
+        .otherwise(col("doc_id") + lit(20000000L))
+      val b = docs.where(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 37 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.where(col("doc_id") % 41 === 0)
+          .select(guardedId.as("doc_id"), col("text"), col("lang")))
+      graft.operators.SnapshotDiff.diff(a, b, "doc_id",
+        Seq("text", "lang"))
+    }),
+
     // decontamination: training docs whose word-2-gram sets overlap a
     // held-out "benchmark" slice (every 25th doc) at Jaccard ≥ 0.5 —
     // the benchmark side broadcasts, the corpus never shuffles
@@ -1466,6 +1494,36 @@ object CurationQueries {
     // postings ARE the source doc's postings under id+10M. Sparse
     // cosine over shared buckets, round-6 before the θ = 0.9
     // threshold, then the c26 manifest rollup.
+    // the same digest (md5 over the unit-separated, null-tagged value
+    // concatenation) on both engines; chr(31) IS Spark's \u001f
+    "c29_dataset_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         md5(coalesce(CAST(text AS VARCHAR), '<null>') || chr(31) ||
+        |             coalesce(CAST(lang AS VARCHAR), '<null>')) AS hash_a
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 37 = 0 THEN text || ' [v2]'
+        |              ELSE text END AS text,
+        |         lang
+        |  FROM documents WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text, lang
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |b AS (
+        |  SELECT doc_id,
+        |         md5(coalesce(CAST(text AS VARCHAR), '<null>') || chr(31) ||
+        |             coalesce(CAST(lang AS VARCHAR), '<null>')) AS hash_b
+        |  FROM b0 WHERE doc_id IS NOT NULL)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS key,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       hash_a, hash_b
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE hash_a IS DISTINCT FROM hash_b""".stripMargin,
+
     "c28_semantic_decontam" ->
       """WITH corp AS (
         |  SELECT doc_id AS id, text FROM documents),

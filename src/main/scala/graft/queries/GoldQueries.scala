@@ -130,7 +130,33 @@ object GoldQueries {
         t(s, dir, "events").where(col("event_type").isNotNull),
         "user_id", Seq("event_type"), "ts")
       .select(col("user_id"), col("event_type"), col("effective_from"),
-        col("effective_to"), col("is_current")))
+        col("effective_to"), col("is_current"))),
+
+    // g5 (r16): CDC MERGE APPLY — the next snapshot from a change log
+    // (the reference re-fetches FULL weekly snapshots; at 100 TB the
+    // feed is a change log and the snapshot is maintained). Changes
+    // synthesized from lineitem against the orders base: op from the
+    // line number, last-writer-wins per order key by ship date with
+    // the deterministic (op, attrs) tie-break; a last-op D deletes,
+    // I/U upsert, untouched keys pass through. NULL attr rows filtered
+    // in the GATE (engines disagree on NULL sort order inside the
+    // tie-break; the operator itself tolerates them).
+    "g5_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("total"))
+      val changes = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isNotNull &&
+          col("l_extendedprice").isNotNull)
+        .select(col("l_orderkey").as("k"),
+          when(col("l_linenumber") % 3 === 0, "D")
+            .when(col("l_linenumber") % 3 === 1, "U")
+            .otherwise("I").as("op"),
+          col("l_shipdate").as("ts"),
+          col("l_returnflag").as("status"),
+          col("l_extendedprice").as("total"))
+      graft.operators.Cdc.applyChanges(base, changes, "k", "op", "ts",
+        Seq("status", "total"))
+    })
   )
 
   private val simCte =
@@ -197,6 +223,31 @@ object GoldQueries {
         |      FROM c)
         |SELECT user_id, event_type, effective_from, effective_to,
         |       effective_to IS NULL AS is_current
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // the MERGE spelled in SQL: last change per key under the same
+    // (ts, op, attrs) descending order, base anti-joined on changed
+    // keys, non-delete lasts upserted
+    "g5_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT l_orderkey AS k,
+        |         CASE WHEN l_linenumber % 3 = 0 THEN 'D'
+        |              WHEN l_linenumber % 3 = 1 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |         l_shipdate AS ts,
+        |         l_returnflag AS status, l_extendedprice AS total
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY ts DESC, op DESC, status DESC, total DESC) AS rn
+        |      FROM ch),
+        |last AS (SELECT * FROM r WHERE rn = 1)
+        |SELECT o.o_orderkey AS k, o.o_orderstatus AS status,
+        |       o.o_totalprice AS total
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM last WHERE last.k = o.o_orderkey)
+        |UNION ALL
+        |SELECT k, status, total FROM last WHERE op <> 'D'""".stripMargin
   )
 }

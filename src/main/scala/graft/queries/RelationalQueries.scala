@@ -298,6 +298,44 @@ object RelationalQueries {
             col("exact_d"), 6).as("rel_err"))
     }),
 
+    // k8 (r16): KMV SET ALGEBRA — union/intersection/Jaccard estimates
+    // from TWO sketches without ever co-scanning the feeds (Beyer et
+    // al. SIGMOD'07; the theta-sketch question, completing the
+    // portable-sketch family's eighth answer). Sides: users who
+    // touched an even item vs users who touched a multiple-of-3 item
+    // (overlapping by construction). The merged k-minima ARE a valid
+    // union sketch; ρ over the merged minima estimates Jaccard;
+    // ρ·est_union the intersection — all exact below k. Exact counts
+    // ride along s9-style so the report shows the error it carries.
+    "k8_kmv_setops" -> ((s, dir) => {
+      val inc = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("item"))
+        .where(col("user_id").isNotNull && col("item").isNotNull)
+      def sketch(side: org.apache.spark.sql.DataFrame, tag: String) =
+        graft.operators.Sketches.kmvDistinct(
+            side.withColumn("g", lit(1)), Seq("g"), "user_id", k = 128)
+          .select(col("kmins").as(s"kmins_$tag"),
+            col("n_kept").as(s"n_kept_$tag"))
+      val a = sketch(inc.where(col("item") % 2 === 0), "a")
+      val b = sketch(inc.where(col("item") % 3 === 0), "b")
+      val flags = inc.groupBy("user_id").agg(
+        max(when(col("item") % 2 === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("item") % 3 === 0, 1).otherwise(0)).as("in_b"))
+      val exact = flags.agg(
+        sum(when(col("in_a") === 1 || col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_intersect"))
+      val est = graft.operators.Sketches.kmvSetEstimates(
+        col("kmins_a"), col("kmins_b"), k = 128)
+      a.crossJoin(b).crossJoin(exact)
+        .select(col("n_kept_a"), col("n_kept_b"),
+          round(est.getField("est_union"), 6).as("est_union"),
+          round(est.getField("est_intersect"), 6).as("est_intersect"),
+          round(est.getField("jaccard"), 6).as("est_jaccard"),
+          col("exact_union"), col("exact_intersect"))
+    }),
+
     // Count-Min frequency sketch (r13): k1's frequency sibling — item
     // occurrence estimates from a 4×32 md5-hashed counter table
     // (deliberately narrow so collisions and the overcount-only
@@ -703,6 +741,64 @@ object RelationalQueries {
     // the sketch REBUILT in SQL: distinct md5-prefix hashes, the 128
     // smallest per group via row_number, the k-th value parsed from hex
     // by the rolling list_reduce, the same (k−1)·16¹²/v estimate
+    // per-side k-minima rebuilt the k1 way, merged top-k of the hash
+    // union, common counted against BOTH stored sides, the same
+    // double-division order as the operator
+    "k8_kmv_setops" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS i
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) IS NOT NULL),
+        |ha AS (SELECT DISTINCT substring(md5(CAST(u AS VARCHAR)), 1, 12)
+        |         AS hk FROM inc WHERE i % 2 = 0),
+        |hb AS (SELECT DISTINCT substring(md5(CAST(u AS VARCHAR)), 1, 12)
+        |         AS hk FROM inc WHERE i % 3 = 0),
+        |sa AS (SELECT hk FROM (SELECT hk,
+        |         row_number() OVER (ORDER BY hk) AS rn FROM ha)
+        |       WHERE rn <= 128),
+        |sb AS (SELECT hk FROM (SELECT hk,
+        |         row_number() OVER (ORDER BY hk) AS rn FROM hb)
+        |       WHERE rn <= 128),
+        |mg AS (SELECT hk, rn FROM (SELECT hk,
+        |         row_number() OVER (ORDER BY hk) AS rn
+        |       FROM (SELECT hk FROM sa UNION SELECT hk FROM sb))
+        |       WHERE rn <= 128),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS msize FROM mg),
+        |kthv AS (SELECT coalesce(
+        |    (SELECT hk FROM mg ORDER BY rn DESC LIMIT 1), '0') AS kth),
+        |cm AS (SELECT CAST(count(*) AS BIGINT) AS common FROM mg
+        |       WHERE hk IN (SELECT hk FROM sa)
+        |         AND hk IN (SELECT hk FROM sb)),
+        |est AS (SELECT
+        |  CASE WHEN ms.msize < 128 THEN CAST(ms.msize AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |         / CAST(list_reduce(list_transform(string_split(kth, ''),
+        |             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |             (a, c) -> a * 16 + c) AS DOUBLE) END AS est_union,
+        |  CASE WHEN ms.msize = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(cm.common AS DOUBLE) / CAST(ms.msize AS DOUBLE)
+        |       END AS rho
+        |  FROM ms, kthv, cm),
+        |na AS (SELECT CAST(count(*) AS INT) AS n_kept_a FROM sa),
+        |nb AS (SELECT CAST(count(*) AS INT) AS n_kept_b FROM sb),
+        |fl AS (SELECT u,
+        |         max(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS in_b
+        |       FROM inc GROUP BY u),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS exact_union,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS exact_intersect
+        |  FROM fl)
+        |SELECT na.n_kept_a, nb.n_kept_b,
+        |  round(est_union, 6) AS est_union,
+        |  round(rho * est_union, 6) AS est_intersect,
+        |  round(rho, 6) AS est_jaccard,
+        |  exact_union, exact_intersect
+        |FROM na, nb, est, ex""".stripMargin,
+
     "k1_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -239,6 +239,38 @@ object StreamQueries {
       ()
     }
 
+  /** The DAILY (day, event_type) volume ledger maintained by real
+    * Structured Streaming (once per JVM + sf dir) — the s15 weekly
+    * machinery at day granularity, via the SAME
+    * `refreshDriftLedger` additive batch-id fold. One stored artifact
+    * answers the volume question ([[graft.operators.Drift
+    * .levelShiftFromLedger]] sums it over categories) and could serve
+    * a daily TV mix report from the same rows — maintain once, monitor
+    * twice. */
+  private[graft] def streamVolumePath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"streamvolume:$dir") { p =>
+      import org.apache.spark.sql.functions.{col, date_trunc}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .as[(java.sql.Date, String)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Date, String)]
+      val q = graft.pipeline.SilverIndex.streamingRefreshDriftLedger(
+        source.toDF().toDF("day", "event_type"), "day", "event_type",
+        path = p)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** The c28 semantic-decontamination POSTINGS maintained by real
     * Structured Streaming (once per JVM + sf dir): the union corpus
     * (train docs + planted-paraphrase eval items — CurationQueries
@@ -476,6 +508,25 @@ object StreamQueries {
         graft.pipeline.SilverIndex.postingsIndex(
           s, streamSemanticPath(s, dir)))),
 
+    // s17 (r16): VOLUME LEVEL-SHIFT SERVED FROM THE MAINTAINED DAILY
+    // LEDGER — x15's monitor without the corpus scan: the (day,
+    // event_type) counts fold additively under the s9 batch-id
+    // discipline as events arrive; the monitor sums the stored ledger
+    // over categories and runs the same full-window arithmetic, so
+    // x15's oracle applies VERBATIM. With s15 this completes the
+    // maintain-once-monitor-twice pair: one ledger family, mix drift
+    // AND volume drift.
+    "s17_stream_levelshift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val led = graft.pipeline.SilverIndex.driftLedgerIndex(
+        s, streamVolumePath(s, dir))
+      graft.operators.Drift.levelShiftFromLedger(led, "period", "cnt",
+          windowN = 3, threshold = 0.25)
+        .select(col("period").cast("timestamp").as("day"), col("n"),
+          col("before_sum"), col("after_sum"), col("shift_ratio"),
+          col("shifted"))
+    }),
+
     "s15_stream_drift" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val led = graft.pipeline.SilverIndex.driftLedgerIndex(
@@ -643,6 +694,7 @@ object StreamQueries {
     // verbatim
     "s15_stream_drift" -> TemporalQueries.oracles("x13_weekly_drift"),
     "s16_stream_semantic" -> CurationQueries.oracles("c28_semantic_decontam"),
+    "s17_stream_levelshift" -> TemporalQueries.oracles("x15_level_shift"),
 
     // the maintained sample ≡ the batch gate — the k3 CTEs over events
     // (threshold(0.25) = '400000000000')

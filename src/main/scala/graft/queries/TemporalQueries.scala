@@ -126,6 +126,23 @@ object TemporalQueries {
       graft.operators.LabelProp.fixedIter(edges, "src", "dst", iters = 3)
     }),
 
+    // x15 (r16): VOLUME LEVEL-SHIFT — x13's sibling on the count axis
+    // (the categorical mix can hold steady while the feed silently
+    // halves; TV sees nothing, the volume monitor does). Daily event
+    // volumes, 3-before vs 3-from-here integer sums, one division +
+    // round(6), flag at 0.25; edges without full windows emit
+    // nothing. event_type filtered non-NULL so the s17 ledger-served
+    // face (which inherits refreshDriftLedger's NULL drops) equals
+    // this scan-fed one exactly.
+    "x15_level_shift" -> ((s, dir) =>
+      graft.operators.Drift.levelShift(
+        t(s, dir, "events").where(col("event_type").isNotNull)
+          .select(date_trunc("day", col("ts")).cast("date").as("day")),
+        "day", windowN = 3, threshold = 0.25)
+      .select(col("period").cast("timestamp").as("day"), col("n"),
+        col("before_sum"), col("after_sum"), col("shift_ratio"),
+        col("shifted"))),
+
     // x14 (r16): per-node TRIANGLE COUNTS over the co-visitation
     // item graph (x3's ≥3-shared-users pairs as the edge set — the
     // bipartite user↔item incidence x4/x11 walk has no triangles by
@@ -281,6 +298,36 @@ object TemporalQueries {
         |FROM p JOIN ci ca ON ca.i = p.item_a
         |  JOIN ci cb ON cb.i = p.item_b
         |  CROSS JOIN nn""".stripMargin,
+
+    // the same full-window frames; sums CAST BIGINT (DuckDB window
+    // sums are HUGEINT); the flag computed from the ROUNDED ratio
+    "x15_level_shift" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |np AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+        |       FROM d GROUP BY day),
+        |w AS (SELECT day, n,
+        |        CAST(sum(n) OVER (ORDER BY day
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |          AS before_sum,
+        |        count(*) OVER (ORDER BY day
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS cb,
+        |        CAST(sum(n) OVER (ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS BIGINT)
+        |          AS after_sum,
+        |        count(*) OVER (ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ca
+        |      FROM np),
+        |sel AS (SELECT CAST(day AS TIMESTAMP) AS day, n, before_sum,
+        |          after_sum,
+        |          round(CAST(abs(after_sum - before_sum) AS DOUBLE) /
+        |            CAST(before_sum AS DOUBLE), 6) AS shift_ratio
+        |        FROM w WHERE cb = 3 AND ca = 3)
+        |SELECT day, n, before_sum, after_sum, shift_ratio,
+        |       CAST(CASE WHEN shift_ratio > 0.25 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS shifted
+        |FROM sel""".stripMargin,
 
     // x3's pair CTEs re-used as the edge set, then the operator's
     // degree-ordered wedge counting spelled in SQL: orient low→high

@@ -29,6 +29,55 @@ class DriftSpec extends SparkTestBase {
     assert(got((3, 4)) == ((4L, 4L, 0.5, 1L)))
   }
 
+  test("levelShift: exact window sums and ratios; edges without full " +
+      "windows emit nothing; a calendar gap is a missing snapshot") {
+    val s = spark
+    import s.implicits._
+    // periods 1..8 with volumes 10,10,10,10,40,40,40,40 — the jump
+    // lands where the after-window first catches the 40s
+    val df = (1 to 8).flatMap(p =>
+      Seq.fill(if (p <= 4) 10 else 40)(p)).toDF("period")
+    val got = Drift.levelShift(df, "period", windowN = 3, threshold = 0.25)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // full windows exist only for periods 4..6 (3 before, 3 incl self)
+    assert(got.keySet == Set(4, 5, 6))
+    assert(got(4) == ((10L, 30L, 90L, 2.0, 1L)))        // 10+10+10 vs 10+40+40
+    assert(got(5) == ((40L, 30L, 120L, 3.0, 1L)))       // vs 40+40+40
+    assert(got(6) == ((40L, 60L, 120L, 1.0, 1L)))       // 10+40+40 vs 40s
+    // a GAP (period 9 missing, 10..12 present) shifts the window over
+    // observed snapshots, not calendar slots
+    val gapped = (Seq(1, 2, 3, 4) ++ Seq(10, 11, 12)).flatMap(p =>
+      Seq.fill(10)(p)).toDF("period")
+    val g2 = Drift.levelShift(gapped, "period", 3, 0.25)
+      .collect().map(_.getInt(0)).toSet
+    assert(g2 == Set(4, 10), "windows run over observed periods")
+  }
+
+  test("levelShift: ledger-served equals scan-fed; flat series never " +
+      "flags; guards") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).flatMap(p => Seq.fill(7)((p, "c" + (p % 2))))
+      .toDF("period", "cat")
+    val scan = Drift.levelShift(df.select(col("period")), "period", 2, 0.25)
+      .collect().map(_.toSeq).toSet
+    val ledger = df.groupBy("period", "cat")
+      .agg(count(lit(1)).as("cnt"))
+    val served = Drift.levelShiftFromLedger(ledger, "period", "cnt", 2, 0.25)
+      .collect().map(_.toSeq).toSet
+    assert(scan == served && scan.nonEmpty)
+    assert(scan.forall(r => r(4) == 0.0 && r(5) == 0L),
+      "a flat series must not flag")
+    intercept[IllegalArgumentException] {
+      Drift.levelShift(df, "period", 0, 0.25)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.levelShift(df, "period", 3, 0.0)
+    }
+  }
+
   test("tvDrift: NULL periods/categories drop; single period emits " +
       "no pairs; guards") {
     val s = spark

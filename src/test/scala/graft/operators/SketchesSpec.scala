@@ -134,6 +134,40 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == whole, "merged shard sketches must equal the whole")
   }
 
+  test("KMV set algebra: exact below k (union/intersect/jaccard), " +
+      "estimates within 4/sqrt(k-2) at k, disjoint sides give 0") {
+    val s = spark
+    import s.implicits._
+    val k = 64
+    def sk(keys: Seq[Long]): Seq[String] =
+      Sketches.kmvDistinct(keys.map(("g", _)).toDF("g", "key"),
+          Seq("g"), "key", k)
+        .select("kmins").head().getSeq[String](0)
+    def ests(a: Seq[String], b: Seq[String], kk: Int = k) = {
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(Sketches.kmvSetEstimates(col("a"), col("b"), kk).as("e"))
+        .select("e.est_union", "e.est_intersect", "e.jaccard")
+        .head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // exact regime: A = 0..29, B = 20..49 -> union 50, intersect 10
+    val (u1, i1, j1) = ests(sk(0L until 30L), sk(20L until 50L))
+    assert(u1 == 50.0 && i1 == 10.0 && j1 == 10.0 / 50.0)
+    // disjoint exact
+    val (u2, i2, j2) = ests(sk(0L until 10L), sk(100L until 110L))
+    assert(u2 == 20.0 && i2 == 0.0 && j2 == 0.0)
+    // saturated regime: |A|=6000, |B|=6000, |A∩B|=2000
+    val (u3, i3, j3) = ests(sk(0L until 6000L), sk(4000L until 10000L))
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    info(s"union=$u3 intersect=$i3 jaccard=$j3 tol=$tol")
+    assert(math.abs(u3 - 10000.0) / 10000.0 <= tol)
+    assert(math.abs(i3 - 2000.0) / 2000.0 <= 3 * tol,
+      "intersection compounds union + ratio noise; 3x tolerance")
+    assert(j3 > 0.0 && j3 < 1.0)
+    // an input longer than k proves a built-k mismatch and raises
+    intercept[Exception] { ests(sk(0L until 6000L), sk(0L until 10L), 8) }
+  }
+
   test("HLL: duplicate-insensitive, shard-merge ≡ whole, error within 4/sqrt(m)") {
     val s = spark
     import s.implicits._
