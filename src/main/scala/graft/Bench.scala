@@ -72,21 +72,29 @@ object Bench {
           val body = if (raw.contains("\"queries\":{")) raw
             else raw.replace("\\\"", "\"")
           val at = body.indexOf("\"queries\":{")
-          if (at >= 0) {
+          val inline = if (at < 0) Map.empty[String, Double] else {
             val end = body.indexOf('}', at)
-            val qs = pairRx.findAllMatchIn(body.substring(at + 11, end))
+            pairRx.findAllMatchIn(body.substring(at + 11, end))
               .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
               .toMap
-            if (qs.isEmpty) None else Some(f.getName -> qs)
-          } else {
-            // SALVAGE a tail cut past the `"queries":{` marker (the
-            // driver captures a fixed-size tail; r7's starts mid-object):
-            // per-query keys are unmistakable — a letter prefix, a DIGIT,
-            // then `_name` (q1_agg, t11_bm25_index) — while wrapper
-            // scalars (n/rc/value/cpus, total_len-style fields) and the
-            // bench's own delta_* fields have no digit before the first
-            // underscore, so demanding the digit keeps them out. Demand
-            // a real population so garbage never becomes a baseline.
+          }
+          if (inline.nonEmpty) Some(f.getName -> inline)
+          else {
+            // SALVAGE: either the tail cut mid-object (r7's starts
+            // inside "queries"), or — since the battery outgrew the
+            // final line's window at 93 queries (r12) — the final
+            // line's inline map is LEGITIMATELY `{}` and the per-query
+            // values live on the 1dp-reversed line and/or the
+            // bench_detail queries_full object in the same tail (the
+            // bug this branch fixes: matching the empty inline map used
+            // to return None WITHOUT salvaging, silently sliding the
+            // baseline back to r10, the last round with a small enough
+            // battery). Per-query keys are unmistakable — a letter
+            // prefix, a DIGIT, then `_name` (q1_agg, t11_bm25_index) —
+            // while wrapper scalars (n/rc/value/cpus) and the bench's
+            // own delta_* fields have no digit before the first
+            // underscore. Demand a real population so garbage never
+            // becomes a baseline.
             val qs = pairRx.findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2))
               .filter { case (k, _) => k.matches("[a-z]+\\d+_[a-z0-9_]+") }
@@ -166,7 +174,7 @@ object Bench {
       case 'c' => Seq("bm25")
       case 'd' => Seq("minhash")
       case 'h' | 't' => Seq("bm25", "tfidf")
-      case 's' => Seq("stream-bm25")
+      case 's' => Seq("stream-bm25", "stream-semantic", "stream-volume")
       case _ => Seq.empty
     }.distinct
 
@@ -239,6 +247,12 @@ object Bench {
       provision("minhash")(graft.queries.DedupQueries.minhashIndexPath(spark, sfDir))
     if (wanted.contains("stream-bm25"))
       provision("stream-bm25")(graft.queries.StreamQueries.streamIndexPath(spark, sfDir))
+    if (wanted.contains("stream-semantic"))
+      provision("stream-semantic")(
+        graft.queries.StreamQueries.streamSemanticPath(spark, sfDir))
+    if (wanted.contains("stream-volume"))
+      provision("stream-volume")(
+        graft.queries.StreamQueries.streamVolumePath(spark, sfDir))
     if (wanted.contains("tfidf"))
       provision("tfidf")(graft.queries.TextQueries.tfidfVectorsPath(spark, sfDir))
     val all = SparkEntry.queries.keys.toSeq.sorted

@@ -65,6 +65,27 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(!qs.contains("delta_median"))
   }
 
+  test("previousBench salvages the 1dp-reversed line when the final " +
+      "line's inline map is legitimately empty (the 93+-query shape)") {
+    val d = tmpDir()
+    write(d, "BENCH_r10.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1_agg":2.0,"q2_filter":1.0},"sf":"x"}""")
+    // r12+ shape: the battery outgrew the final line, so it carries
+    // "queries":{} EMPTY and the medians live on the 1dp-reversed line
+    // just above — matching the empty inline map must FALL THROUGH to
+    // salvage, not slide the baseline back to r10
+    val pairs = (1 to 15).map(i => s"""\\"x${i}_q$i\\":1.$i""").mkString(",")
+    write(d, "BENCH_r15.json",
+      s"""{
+         |  "n": 15,
+         |  "tail": "{\\"queries_1dp_reversed\\":{$pairs}}\\n{\\"metric\\":\\"total\\",\\"value\\":256.8,\\"unit\\":\\"sec\\",\\"failed\\":0,\\"runs\\":3,\\"queries\\":{},\\"sf\\":\\"/x\\"}\\n"
+         |}""".stripMargin)
+    val (name, qs) = Bench.previousBench(d).get
+    assert(name == "BENCH_r15.json",
+      s"empty inline map slid the baseline to $name")
+    assert(qs.size == 15 && qs("x1_q1") == 1.1 && qs("x15_q15") == 1.15)
+  }
+
   test("previousBench skips an unparseable newest file for an older complete one") {
     val d = tmpDir()
     write(d, "BENCH_r05.json",

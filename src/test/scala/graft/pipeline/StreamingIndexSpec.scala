@@ -393,7 +393,7 @@ class StreamingIndexSpec extends SparkTestBase {
       graft.queries.CurationQueries
         .semanticReportFromPostings(spark, dir, post)
         .collect().map(_.toSeq).toSet
-    val served = rep(SilverIndex.postingsIndex(spark, path))
+    val served = rep(SilverIndex.postingsIndexByDoc(spark, path))
     val scratch = rep(TextSearch.postings(union, "id", "text"))
     assert(served == scratch,
       "maintained-postings report diverged from the scratch build")

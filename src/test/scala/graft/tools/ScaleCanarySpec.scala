@@ -628,6 +628,42 @@ class ScaleCanarySpec extends SparkTestBase {
       f"triangle counting took $secs%.1f s on the hub graph")
   }
 
+  test("CDC apply at 2M changes / 500k base: analytic snapshot exact; " +
+      "cost follows the change log", Slow) {
+    val s = spark
+    val baseN = 500000L
+    val changedK = 300000L
+    val base = s.range(1, baseN + 1).select(col("id").as("k"),
+      concat(lit("base"), col("id").cast("string")).as("v"))
+    // 3 changes per key 1..300k at ts 1,2,3; the LAST (ts=3) op is D for
+    // key%5==0, else U with value uK — earlier ops are noise the window
+    // must see through. Keys > 300k are untouched passthrough.
+    val changes = s.range(changedK * 3).select(
+      ((col("id") % changedK) + 1L).as("k"),
+      (expr("id DIV CAST(300000 AS BIGINT)") + 1L).as("ts"),
+      when(expr("id DIV CAST(300000 AS BIGINT)") < 2, lit("I"))
+        .otherwise(when((col("id") % changedK + 1L) % 5 === 0, lit("D"))
+          .otherwise(lit("U"))).as("op"),
+      concat(lit("u"), ((col("id") % changedK) + 1L).cast("string"))
+        .as("v"))
+    val t0 = System.nanoTime()
+    val got = graft.operators.Cdc.applyChanges(base, changes,
+      "k", "op", "ts", Seq("v"))
+    val n = got.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val deleted = changedK / 5
+    assert(n == baseN - deleted, s"snapshot rows $n")
+    val expected = s.range(1, baseN + 1).select(col("id").as("k"),
+        when(col("id") <= changedK && col("id") % 5 =!= 0,
+          concat(lit("u"), col("id").cast("string")))
+          .otherwise(concat(lit("base"), col("id").cast("string"))).as("v"))
+      .where(!(col("k") <= changedK && col("k") % 5 === 0))
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty,
+      "CDC snapshot diverged from the analytic expectation")
+    assert(secs < 120.0, f"CDC apply took $secs%.1f s at 2M changes")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
