@@ -987,6 +987,82 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** All single-character deletions of `s` (the symmetric-delete
+    * neighborhood's generator) — pure built-ins, no UDF: one
+    * transform over the character positions. Empty strings have no
+    * deletions (and sequence(1, 0) would flip to a DESCENDING range —
+    * hence the guard, spec-pinned). */
+  private def deletions(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s), lit(1)),
+        i => concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, length(s) - i))))
+
+  /** EDIT-DISTANCE pair finder over short keys (titles, names, codes)
+    * — the entity-resolution primitive the token/shingle family cannot
+    * express: "HR Specialist" vs "HR Specialist" with one typo shares
+    * every token, but "Analyst II" vs "Analyst III" is an EDIT
+    * question, and at 10⁸ keys the all-pairs levenshtein the reference
+    * effectively runs (rapidfuzz cdist over the full cross product,
+    * src/fuzzy_matching.py) is the scale wall.
+    *
+    * Symmetric-delete blocking (the SymSpell construction — Garbe,
+    * public domain): if lev(a, b) ≤ d then a and b share at least one
+    * member of their ≤d-deletion neighborhoods (a substitution is one
+    * deletion on EACH side; an insert/delete is one deletion on the
+    * longer side), so candidates = the self-join on deletion variants,
+    * and each candidate VERIFIES with one exact levenshtein INSIDE the
+    * join condition (the [[hammingPairs]] lesson: reject in the
+    * codegen'd join output, never shuffle the failing candidates).
+    * Variants join by `xxhash64` (8 bytes — the d10 key discipline; a
+    * hash collision can only ADD a candidate, and verification removes
+    * it).
+    *
+    * Cost: ~|key|^d variants per row (|key| at d=1, pairs-of-positions
+    * at d=2), each 8 bytes keyed; nothing all-pairs. `maxVariantOcc`
+    * is the hot-variant valve (the d10 maxGramOcc discipline): a
+    * variant bucket shared by more than this many keys is dropped
+    * whole — bounded recall loss under adversarial key spaces (a
+    * million 1-char keys), zero effect on natural ones; the default
+    * keeps everything. */
+  def editPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxVariantOcc: Long = Long.MaxValue): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"symmetric-delete blocking is exact for maxDist 1 or 2: $maxDist")
+    require(maxVariantOcc >= 2, s"maxVariantOcc must be >= 2: $maxVariantOcc")
+    val base = df
+      .where(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("str"))
+    val v1 = base.select(col("id"), col("str"),
+      explode(array_union(array(col("str")), deletions(col("str"))))
+        .as("variant"))
+    val vd = if (maxDist == 1) v1
+      else v1.select(col("id"), col("str"),
+        explode(array_union(array(col("variant")),
+          deletions(col("variant")))).as("variant"))
+    val keyed = vd
+      .select(col("id"), col("str"), xxhash64(col("variant")).as("vk"))
+      .distinct()
+    val kept =
+      if (maxVariantOcc == Long.MaxValue) keyed
+      else {
+        val hot = keyed.groupBy("vk")
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxVariantOcc)
+          .select(col("vk"))
+        keyed.join(hot, Seq("vk"), "left_anti")
+      }
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b, col("a.vk") === col("b.vk") &&
+        col("a.id") < col("b.id") &&
+        levenshtein(col("a.str"), col("b.str")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.str").as("str_a"), col("b.str").as("str_b"),
+        levenshtein(col("a.str"), col("b.str")).cast("long").as("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Quality-aware canonical selection over near-dup clusters — the
     * production dedup shape: instead of keeping an ARBITRARY survivor
     * per duplicate cluster (the [[Components.nearDupComponents]]

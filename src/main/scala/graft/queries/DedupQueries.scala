@@ -252,6 +252,19 @@ object DedupQueries {
     // it doesn't (r15, verdict #2). Integer counts + one round-6
     // division -> exact oracle composing d2 pair CTEs with t8
     // extraction.
+    // d17 (r16): EDIT-DISTANCE pairs over short keys via symmetric-
+    // delete blocking (SymSpell) — the entity-resolution question the
+    // token/shingle family cannot ask ("Analyst II" vs "Analyst III"
+    // is an EDIT, not a token, difference), and the one the reference
+    // answers with an all-pairs rapidfuzz cdist. Deletion-neighborhood
+    // candidates join on 8-byte xxhash64 keys, one exact levenshtein
+    // verifies INSIDE the join (the hammingPairs lesson) — never
+    // all-pairs. Customer names: ids differing in one digit land at
+    // dist 1; integer-exact output, brute-force oracle.
+    "d17_edit_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.editPairs(
+        t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)),
+
     "d16_domain_dup_rate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
@@ -522,6 +535,17 @@ object DedupQueries {
 
     // d16: the d2 exact-Jaccard pair CTEs, distinct pair members, the
     // t8 domain extraction, then per-domain counts + round-6 rate
+    // brute force IS the oracle here (1500 names at sf0.01) — the
+    // operator's blocking must be lossless against it
+    "d17_edit_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |           WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       a.name AS str_a, b.name AS str_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
     "d16_domain_dup_rate" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |s AS (SELECT doc_id,

@@ -814,4 +814,68 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  private def editPairsOf(rows: Seq[(Long, String)], d: Int,
+      valve: Long = Long.MaxValue): Set[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Dedup.editPairs(rows.toDF("id", "name"), "id", "name", d, valve)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+  }
+
+  test("editPairs: substitutions, inserts, deletes at d=1; transposition " +
+      "costs 2 (plain Levenshtein); empty strings safe") {
+    val rows = Seq((1L, "analyst"), (2L, "analist"),  // substitution
+      (3L, "analysts"),                                // insert vs 1
+      (4L, "anlyst"),                                  // delete vs 1
+      (5L, "naalyst"),                                 // transposition: d=2
+      (6L, ""), (7L, "a"))                             // empty + 1-char
+    assert(editPairsOf(rows, 1) == Set((1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 1L), (6L, 7L, 1L)))
+    val d2 = editPairsOf(rows, 2)
+    assert(d2.contains((1L, 5L, 2L)), "transposition must surface at d=2")
+    assert(d2.contains((2L, 4L, 2L)) && d2.contains((3L, 4L, 2L)))
+  }
+
+  test("editPairs: blocking is lossless against brute force on random " +
+      "short keys (d=1 and d=2); the hot-variant valve only ever drops") {
+    val rnd = new scala.util.Random(16)
+    val alphabet = "abcd"
+    (1 to 2).foreach { trial =>
+      val rows = (1L to 60L).map(i =>
+        i -> (0 until (3 + rnd.nextInt(4)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      Seq(1, 2).foreach { d =>
+        val brute = (for {
+          (ia, sa) <- rows; (ib, sb) <- rows
+          if ia < ib && lev(sa, sb) <= d
+        } yield (ia, ib, lev(sa, sb).toLong)).toSet
+        assert(editPairsOf(rows, d) == brute, s"trial $trial d=$d")
+      }
+      // the valve drops, never invents: results ⊆ unvalved
+      val all = editPairsOf(rows, 1)
+      assert(editPairsOf(rows, 1, valve = 3L).subsetOf(all))
+    }
+  }
+
+  test("editPairs: guards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Dedup.editPairs(df, "id", "name", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.editPairs(df, "id", "name", 1, maxVariantOcc = 1L)
+    }
+  }
 }
