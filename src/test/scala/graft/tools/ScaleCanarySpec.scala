@@ -664,6 +664,30 @@ class ScaleCanarySpec extends SparkTestBase {
     assert(secs < 120.0, f"CDC apply took $secs%.1f s at 2M changes")
   }
 
+  test("edit-distance pairs at 100k zero-padded keys: count matches " +
+      "the analytic formula; symmetric-delete blocking never all-pairs",
+      Slow) {
+    val s = spark
+    val n = 100000L
+    // keys "K000000000".."K000099999": equal length, shared prefix, so
+    // lev <= 1 pairs are EXACTLY the one-digit substitutions. n = 10^5
+    // is a FULL decimal space, so the count is analytic: only the 5
+    // low places vary; per place, a pair fixes the other 4 digits
+    // (n/10 combinations) and picks an unordered digit pair
+    // (C(10,2) = 45) — places * 45 * n/10 (carry-free by
+    // construction: substitution pairs never involve a carry)
+    val key = concat(lit("K"), lpad(col("id").cast("string"), 9, "0"))
+    val df = s.range(n).select(col("id"), key.as("name"))
+    val t0 = System.nanoTime()
+    val got = graft.operators.Dedup.editPairs(df, "id", "name", maxDist = 1)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val want = 5L * 45L * (n / 10L)
+    assert(got == want, s"pairs $got, analytic $want")
+    assert(secs < 120.0,
+      f"editPairs took $secs%.1f s at 100k keys — blocking regressed?")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
