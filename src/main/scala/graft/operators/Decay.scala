@@ -50,6 +50,64 @@ object Decay {
     * order-dependent approximate sum. The check rides the per-group
     * output rows — free at scale. Callers that accept approximate
     * scores for hotter groups pass `Long.MaxValue` explicitly. */
+  /** Recency-decayed CATEGORY frequency from a (period, category,
+    * count) DAY ledger — "what is trending" served from the SAME
+    * maintained artifact family the drift (s15) and volume (s17)
+    * monitors read: score(c) = Σ_days cnt(c, day) · 2^−min(age DIV
+    * halfLifeDays, 30), ages in whole days before the ledger's newest
+    * period. The [[halfLifeScores]] exactness discipline lifted from
+    * per-event weights to per-day count·weight terms: every term is a
+    * count times an exact power of two, so the per-category sum
+    * replays bit-for-bit while Σ counts stays under the enforced
+    * mantissa bound (same `maxExactEvents` contract, here counting
+    * LEDGER MASS per category — raise, never silently degrade).
+    *
+    * Scale: the ledger is |days|·|categories| rows (output-sized); the
+    * reference date is one broadcast aggregate; nothing touches the
+    * corpus. Output: (category, n_total, last_age_days, score). */
+  def decayedCountsFromLedger(ledger: DataFrame, periodCol: String,
+      catCol: String, cntCol: String, halfLifeDays: Int,
+      maxExactEvents: Long = MaxExactEvents): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(maxExactEvents >= 1,
+      s"maxExactEvents must be >= 1: $maxExactEvents")
+    val base = ledger
+      .where(col(periodCol).isNotNull && col(catCol).isNotNull)
+      .select(col(catCol).as("category"),
+        to_date(col(periodCol)).as("d"), col(cntCol).cast("long").as("cnt"))
+    val ref = base.agg(max(col("d")).as("ref"))
+    base.crossJoin(broadcast(ref))
+      .withColumn("age", datediff(col("ref"), col("d")))
+      .withColumn("w", expr(
+        s"CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), " +
+          s"least(age DIV $halfLifeDays, $CapHalfLives))"))
+      .groupBy(col("category"))
+      .agg(sum(col("cnt")).as("n_total"),
+        min(col("age")).as("last_age_days"),
+        sum(col("cnt").cast("double") * col("w")).as("score"))
+      .withColumn("score",
+        when(col("n_total") >= lit(maxExactEvents), raise_error(concat(
+          lit("decayedCountsFromLedger: category mass "),
+          col("n_total").cast("string"),
+          lit(s" (>= $maxExactEvents) — the exact-replay mantissa bound " +
+            "is violated; pass maxExactEvents=Long.MaxValue to accept " +
+            "an order-dependent approximate sum"))))
+          .otherwise(col("score")))
+  }
+
+  /** The scan-fed face of [[decayedCountsFromLedger]]: aggregate the
+    * events to per-(day, category) counts first (one map-side-combined
+    * pass — weights depend only on the day, so the per-day rollup is
+    * exact), then the same ledger arithmetic. */
+  def decayedCounts(events: DataFrame, catCol: String, tsCol: String,
+      halfLifeDays: Int,
+      maxExactEvents: Long = MaxExactEvents): DataFrame =
+    decayedCountsFromLedger(
+      events.where(col(catCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(catCol).as("__c"), to_date(col(tsCol)).as("__d"))
+        .groupBy("__c", "__d").agg(count(lit(1)).as("__cnt")),
+      "__d", "__c", "__cnt", halfLifeDays, maxExactEvents)
+
   def halfLifeScores(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, halfLifeDays: Int,
       maxExactEvents: Long = MaxExactEvents): DataFrame = {

@@ -513,6 +513,20 @@ object StreamQueries {
         graft.pipeline.SilverIndex.postingsIndexByDoc(
           s, streamSemanticPath(s, dir)))),
 
+    // s18 (r16): DECAYED FREQUENCY SERVED FROM THE SAME MAINTAINED
+    // DAILY LEDGER s17 reads — the third monitor from one stored
+    // artifact family (mix drift s15, volume shift s17, trending s18):
+    // per-category recency-decayed counts with x10's exact
+    // power-of-two weights over the ledger's day ages, so x16's oracle
+    // applies VERBATIM and nothing rescans the corpus.
+    "s18_stream_decayed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val led = graft.pipeline.SilverIndex.driftLedgerIndex(
+        s, streamVolumePath(s, dir))
+      graft.operators.Decay.decayedCountsFromLedger(led, "period",
+        "category", "cnt", halfLifeDays = 7)
+    }),
+
     // s17 (r16): VOLUME LEVEL-SHIFT SERVED FROM THE MAINTAINED DAILY
     // LEDGER — x15's monitor without the corpus scan: the (day,
     // event_type) counts fold additively under the s9 batch-id
@@ -700,6 +714,7 @@ object StreamQueries {
     "s15_stream_drift" -> TemporalQueries.oracles("x13_weekly_drift"),
     "s16_stream_semantic" -> CurationQueries.oracles("c28_semantic_decontam"),
     "s17_stream_levelshift" -> TemporalQueries.oracles("x15_level_shift"),
+    "s18_stream_decayed" -> TemporalQueries.oracles("x16_decayed_freq"),
 
     // the maintained sample ≡ the batch gate — the k3 CTEs over events
     // (threshold(0.25) = '400000000000')

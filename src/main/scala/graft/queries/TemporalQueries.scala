@@ -126,6 +126,17 @@ object TemporalQueries {
       graft.operators.LabelProp.fixedIter(edges, "src", "dst", iters = 3)
     }),
 
+    // x16 (r16): recency-DECAYED category frequency — "what is
+    // trending" as x10's exactness discipline lifted from per-event
+    // weights to per-day count·2^-k terms (every term a count times
+    // an exact power of two; the sum replays bit-for-bit under the
+    // enforced mantissa bound — no rounding anywhere). event_type
+    // filtered non-NULL so the s18 ledger-served face equals this
+    // scan-fed one exactly.
+    "x16_decayed_freq" -> ((s, dir) =>
+      graft.operators.Decay.decayedCounts(
+        t(s, dir, "events"), "event_type", "ts", halfLifeDays = 7)),
+
     // x15 (r16): VOLUME LEVEL-SHIFT — x13's sibling on the count axis
     // (the categorical mix can hold steady while the feed silently
     // halves; TV sees nothing, the volume monitor does). Daily event
@@ -298,6 +309,28 @@ object TemporalQueries {
         |FROM p JOIN ci ca ON ca.i = p.item_a
         |  JOIN ci cb ON cb.i = p.item_b
         |  CROSS JOIN nn""".stripMargin,
+
+    // x10's decay oracle lifted to per-day count terms: the same
+    // shiftleft power-of-two weights, summed per category — exact, so
+    // no rounding anywhere
+    "x16_decayed_freq" ->
+      """WITH b AS (
+        |  SELECT event_type AS category, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT category, d, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY category, d),
+        |mx AS (SELECT max(d) AS ref FROM g),
+        |e AS (SELECT category, cnt,
+        |        CAST(datediff('day', d, ref) AS INT) AS age
+        |      FROM g CROSS JOIN mx),
+        |w AS (SELECT category, cnt, age,
+        |        CAST(1 AS DOUBLE) /
+        |          (1::BIGINT << least(age // 7, 30)) AS w
+        |      FROM e)
+        |SELECT category, CAST(sum(cnt) AS BIGINT) AS n_total,
+        |       min(age) AS last_age_days,
+        |       sum(CAST(cnt AS DOUBLE) * w) AS score
+        |FROM w GROUP BY category""".stripMargin,
 
     // the same full-window frames; sums CAST BIGINT (DuckDB window
     // sums are HUGEINT); the flag computed from the ROUNDED ratio

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 import java.sql.Timestamp
 
@@ -95,5 +96,35 @@ class DecaySpec extends SparkTestBase {
     val optOut = Decay.halfLifeScores(df, "user_id", "event_type", "ts", 7,
       maxExactEvents = Long.MaxValue).collect()
     assert(optOut.length == 2)
+  }
+
+  test("decayedCounts: hand-computed per-day count·2^-k terms; " +
+      "ledger-served equals scan-fed; mass bound raises") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // category a: 3 events newest day (w=1), 2 events 7 days older
+    // (w=1/2) -> score 4.0; category b: 5 events 14 days older (w=1/4)
+    // -> 1.25
+    val ev = (Seq.fill(3)(("a", ts(15))) ++ Seq.fill(2)(("a", ts(8))) ++
+      Seq.fill(5)(("b", ts(1)))).toDF("cat", "ts")
+    val got = Decay.decayedCounts(ev, "cat", "ts", halfLifeDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got == Map("a" -> ((5L, 0, 4.0)), "b" -> ((5L, 14, 1.25))))
+    // ledger face: the same numbers from pre-aggregated counts
+    val ledger = Seq(("a", "2024-01-15", 3L), ("a", "2024-01-08", 2L),
+      ("b", "2024-01-01", 5L)).toDF("cat", "day", "cnt")
+      .select(col("cat"), col("day").cast("date").as("day"), col("cnt"))
+    val served = Decay.decayedCountsFromLedger(ledger, "day", "cat",
+        "cnt", 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(served == got, "ledger-served diverged from scan-fed")
+    // the mantissa bound counts LEDGER MASS, not rows
+    intercept[Exception] {
+      Decay.decayedCountsFromLedger(ledger, "day", "cat", "cnt", 7,
+        maxExactEvents = 5L).collect()
+    }
   }
 }
