@@ -22,7 +22,7 @@ object AnnSearch {
 
   /** (tables × bits) hyperplane-signature structs for bucketing — table t
     * uses planes [t*bits, (t+1)*bits) of the shared family. */
-  private def tableSigs(v: Column, bits: Int, tables: Int): Column =
+  private[operators] def tableSigs(v: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map { tbl =>
       val wide = VectorFunctions.hyperplaneSignatureRange(v, tbl * bits, bits)
       struct(lit(tbl).as("tbl"), wide.as("sig"))

@@ -527,22 +527,130 @@ object Dedup {
     * dense-equivalent; a 100 TB deployment raises dim to 2^18+ where
     * hashed TF-IDF triples are genuinely sparse and the bucket join
     * prunes to truly-shared terms. When the eval side outgrows a
-    * broadcast, the SAME vectors feed the declared approximate paths
-    * (LSH bands / IVF lists — [[AnnSearch]]) with this exact join as
-    * the oracle-able baseline. Output: (train_doc, eval_doc, cosine ≥
-    * θ). */
+    * broadcast, the SAME vectors feed [[crossCosinePairsLsh]] (banded
+    * candidates, exact verify) with this exact join as the oracle-able
+    * baseline.
+    *
+    * `maxBucketOcc` is the hot-bucket valve (the [[sharedSpans]]
+    * `maxGramOcc` discipline, VERDICT r16 task 1a) — the bucket join's
+    * output is Σ_buckets |train∩b|·|eval∩b|, which degenerates toward
+    * |train|·|eval| whenever one bucket is corpus-hot (the stopword
+    * bucket every document posts into). Buckets whose TRAIN-side
+    * occupancy exceeds the ceiling are dropped from the join (tiny hot
+    * set by construction → broadcast anti-join). RECALL CONTRACT,
+    * monotone: the valved dot product sums a SUBSET of each pair's
+    * shared-bucket terms and both vectors stay unit-normalized over ALL
+    * buckets, so valved cosine ≤ exact cosine — the valve can only
+    * LOSE flags past θ, never invent one; output equals the exact
+    * operator run over the postings with hot buckets deleted
+    * (spec-pinned, DedupSpec). What is lost is exactly the pairs whose
+    * θ-mass rides corpus-hot coordinates — and corpus-wide stopword
+    * mass is not a paraphrase signal (TF-IDF already drives those
+    * weights toward the floor; a pair ALL of whose shared buckets are
+    * hot is invisible). Default ON at 2^16: at production scale only
+    * stopword-grade buckets (shared by > 65k train docs) hit the
+    * ceiling, while every gate corpus sits far below it, so the gate
+    * oracle is the UNVALVED exact semantics verbatim. Output:
+    * (train_doc, eval_doc, cosine ≥ θ). */
   def crossCosinePairs(train: DataFrame, eval: DataFrame,
-      theta: Double): DataFrame = {
+      theta: Double,
+      maxBucketOcc: Long = CrossCosineMaxBucketOcc): DataFrame = {
     require(theta > 0.0 && theta <= 1.0,
       s"theta must be in (0, 1]: $theta")
+    require(maxBucketOcc >= 1, s"maxBucketOcc must be >= 1: $maxBucketOcc")
     val tr = train.select(col("doc").as("train_doc"), col("bucket"),
       col("weight").as("__wt"))
     val ev = eval.select(col("doc").as("eval_doc"), col("bucket"),
       col("weight").as("__we"))
-    tr.join(broadcast(ev), "bucket")
+    val trKept =
+      if (maxBucketOcc == Long.MaxValue) tr
+      else {
+        // (doc, bucket) is unique in the TF-IDF triple shape, so the
+        // plain count IS the per-bucket train occupancy
+        val hot = tr.groupBy("bucket")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxBucketOcc)
+          .select(col("bucket"))
+        hotAntiJoin(tr, hot, Seq("bucket"), "crossCosinePairs")
+      }
+    trKept.join(broadcast(ev), "bucket")
       .groupBy("train_doc", "eval_doc")
       .agg(round(sum(col("__wt") * col("__we")), 6).as("cosine"))
       .where(col("cosine") >= theta)
+  }
+
+  /** Default train-side bucket-occupancy ceiling for
+    * [[crossCosinePairs]]: 65,536 documents. A term bucket this hot is
+    * stopword-grade boilerplate at any production corpus size (its
+    * +1-smoothed IDF weight is near the floor), while the gate corpora
+    * (≤ 5k docs) never reach it — the valve is live at scale and
+    * provably inert on the oracle. */
+  val CrossCosineMaxBucketOcc: Long = 1L << 16
+
+  /** APPROXIMATE cross-corpus semantic decontamination — the declared
+    * beyond-broadcast path for [[crossCosinePairs]] (VERDICT r16 task
+    * 1b), now gated with its recall contract (`c30`): when the exact
+    * bucket join's Σ|train∩b|·|eval∩b| pair mass is the wall, band the
+    * SAME TF-IDF vectors with `tables` independent `bits`-bit
+    * random-hyperplane signatures ([[AnnSearch.lshNearDupPairs]]'s
+    * machinery over [[graft.functions.VectorFunctions
+    * .hyperplaneSignatureRange]]'s shared deterministic family) and
+    * verify every banded candidate with the EXACT round-6 cosine.
+    *
+    * PRECISION is exact by construction (verification recomputes the
+    * full-vector dot product and applies the same round-6 θ decision),
+    * so output ⊆ the exact operator's pairs; RECALL is the banding
+    * miss rate — two vectors at cosine c collide in one table with
+    * probability (1 − acos(c)/π)^bits, across any of `tables`. At the
+    * c28 parameterization the gate holds recall ≥ 0.7 against the
+    * exact flags IN-PLAN (the a5/a11 discipline), and a paraphrase
+    * pair at cosine ≈ 1 is caught almost surely (identical vectors
+    * share every signature).
+    *
+    * Scale shape: candidates are (tbl, sig)-bucket collisions — never
+    * all pairs; the eval side (sigs + dense vector) broadcasts; the
+    * train corpus pays one doc-keyed densify aggregation + `tables`
+    * signature evaluations, no corpus self-shuffle. Verification cost
+    * is collision-count × one codegen'd [[graft.functions.VecDot]].
+    * Inputs are the [[graft.operators.TextSearch.hashingTfIdf]] triple
+    * shape under ONE shared fit (the [[crossCosinePairs]] contract);
+    * `dim` must be the fit's dim. Output: (train_doc, eval_doc,
+    * cosine ≥ θ) — [[crossCosinePairs]]'s shape. */
+  def crossCosinePairsLsh(train: DataFrame, eval: DataFrame,
+      theta: Double, dim: Int, bits: Int = 10,
+      tables: Int = 12): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0,
+      s"theta must be in (0, 1]: $theta")
+    require(bits >= 1 && bits <= 20 && tables >= 1,
+      s"need 1 <= bits <= 20, tables >= 1: bits=$bits tables=$tables")
+    def dense(df: DataFrame, outDoc: String, outVec: String): DataFrame =
+      df.groupBy(col("doc"))
+        .agg(map_from_entries(
+          collect_list(struct(col("bucket"), col("weight")))).as("__m"))
+        .select(col("doc").as(outDoc),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            coalesce(element_at(col("__m"), j.cast("long")), lit(0.0)))
+            .as(outVec))
+    val trd = dense(train, "train_doc", "__tv")
+      .withColumn("__bk",
+        explode(AnnSearch.tableSigs(col("__tv"), bits, tables)))
+      .select(col("train_doc"), col("__tv"),
+        col("__bk.tbl").as("__tbl"), col("__bk.sig").as("__sig"))
+    val evd = dense(eval, "eval_doc", "__ev")
+      .withColumn("__bk",
+        explode(AnnSearch.tableSigs(col("__ev"), bits, tables)))
+      .select(col("eval_doc"), col("__ev"),
+        col("__bk.tbl").as("__tbl"), col("__bk.sig").as("__sig"))
+    // exact verify INSIDE the collision output, before the pair-dedup
+    // shuffle (the lshNearDupPairs shape); unit-norm inputs make the
+    // dot product the cosine, round-6 BEFORE θ — the same decision the
+    // exact operator replays
+    trd.join(broadcast(evd), Seq("__tbl", "__sig"))
+      .select(col("train_doc"), col("eval_doc"),
+        round(graft.functions.VectorFunctions.dot(col("__tv"), col("__ev")),
+          6).as("cosine"))
+      .where(col("cosine") >= theta)
+      .dropDuplicates("train_doc", "eval_doc")
   }
 
   /** Exact-substring shared spans — the dedup criterion of Lee et al.

@@ -113,9 +113,19 @@ object Drift {
         sum(col("__n")).over(after).as("after_sum"),
         count(lit(1)).over(after).as("__ca"))
       .where(col("__cb") === windowN && col("__ca") === windowN)
+      // safe for the count-fed face (counts >= 1 force before_sum >=
+      // windowN), but the ledger face accepts arbitrary cnt values — an
+      // all-zero or NULL-count window must raise, not emit an Infinity/
+      // NULL ratio that reads as "no shift" (ADVICE r16, the exactness
+      // discipline)
       .select(col("period"), col("n"), col("before_sum"), col("after_sum"),
         round(abs(col("after_sum") - col("before_sum")).cast("double") /
-          col("before_sum").cast("double"), 6).as("shift_ratio"))
+          when(col("before_sum") > 0, col("before_sum").cast("double"))
+            .otherwise(raise_error(concat(
+              lit("Drift.levelShift: before_sum must be positive at "),
+              lit("period "), col("period").cast("string"), lit(" (got "),
+              coalesce(col("before_sum").cast("string"), lit("NULL")),
+              lit(")")))), 6).as("shift_ratio"))
       .withColumn("shifted", (col("shift_ratio") > threshold).cast("long"))
   }
 

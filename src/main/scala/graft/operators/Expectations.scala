@@ -50,6 +50,13 @@ object Expectations {
       s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}" +
         " — each check needs a distinct name (they become report rows " +
         "and aggregate aliases)")
+    // names splice into aggregate aliases re-resolved via col("__v_<name>"),
+    // and col() parses dots as struct-field access — a dotted or quoted
+    // name would fail resolution with a misleading analysis error
+    names.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"check name '$n' must match [A-Za-z0-9_]+ (names become " +
+        "aggregate aliases resolved with col(), where '.' and '`' " +
+        "change the parse)"))
     val n = count(lit(1)).as("__n")
     val vioAggs = checks.map(c =>
       sum(when(!coalesce(c.valid, lit(false)), 1L).otherwise(0L))

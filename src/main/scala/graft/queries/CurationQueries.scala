@@ -60,12 +60,18 @@ object CurationQueries {
     * both the scratch (c28) and stream-maintained (s16) postings builds
     * see the identical corpus. */
   private[graft] def semanticUnion(s: SparkSession, dir: String): DataFrame = {
+    // the id-space guard rides EVERY id entering the union, not just the
+    // planted projection: a real doc at >= 10M would otherwise classify
+    // as eval in semanticReportFromPostings' isEval and silently drop
+    // from the train manifest (ADVICE r16)
     val docs = t(s, dir, "documents")
-    val guardedId = when(col("doc_id") >= lit(10000000L),
-      raise_error(concat(lit("c28: doc_id "),
-        col("doc_id").cast("string"),
-        lit(" collides with the planted-eval id space (>= 10000000)"))))
-      .otherwise(col("doc_id") + lit(10000000L))
+      .select(when(col("doc_id") >= lit(10000000L),
+          raise_error(concat(lit("c28: doc_id "),
+            col("doc_id").cast("string"),
+            lit(" collides with the planted-eval id space (>= 10000000)"))))
+        .otherwise(col("doc_id")).as("doc_id"),
+        col("text"))
+    val guardedId = col("doc_id") + lit(10000000L)
     val scrambled = array_join(array_sort(
       graft.operators.TextSearch.tokens(col("text"))), " ")
     val evalDf = docs.where(col("doc_id") % 20 === 0)
@@ -89,7 +95,14 @@ object CurationQueries {
     * docs flag at round-6 cosine ≥ 0.9 vs ANY eval item. */
   private[graft] def semanticReportFromPostings(s: SparkSession,
       dir: String, post: DataFrame): DataFrame = {
-    val w = graft.operators.TextSearch.hashingTfIdf(post, dim = 256)
+    // the weighted triple frame feeds BOTH join sides (train filter +
+    // broadcast eval filter) — uncached, the whole postings→TF-IDF DAG
+    // (two groupBys, the df join, the norm join) evaluates once per
+    // side; the frame is corpus×avg-distinct-buckets rows, exactly
+    // what a silver artifact would hold at scale (r17: measured 1.5×
+    // on c28 at sf0.1, tools/bench_notes_r17.txt)
+    val w = graft.ManagedCache.swap("CurationQueries.semanticW",
+      graft.operators.TextSearch.hashingTfIdf(post, dim = 256))
     val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
     val hits = Dedup.crossCosinePairs(
         w.where(!isEval), w.where(isEval), theta = 0.9)
@@ -631,6 +644,55 @@ object CurationQueries {
       semanticReportFromPostings(s, dir,
         graft.operators.TextSearch.postings(
           semanticUnion(s, dir), "id", "text"))),
+
+    // c30 (r17): the APPROXIMATE semantic-decontam path, gated with
+    // its recall contract (VERDICT r16 task 1b — the a5/a11
+    // discipline): the SAME shared-fit TF-IDF vectors banded into
+    // 12 independent 10-bit hyperplane-signature tables, candidates
+    // verified with the exact round-6 cosine. Precision is exact by
+    // construction (verification replays the θ decision on the full
+    // vectors → false_pairs must be 0); recall is measured IN-PLAN
+    // against the exact operator's flags with a 0.7 floor. At the
+    // gate's degenerate vocabulary (~29 live buckets, pair cosines
+    // median ≈ 0.64) banding is deliberately stress-tested — pairs at
+    // θ = 0.9 collide in ≥ 1 of 12 tables w.p. ≈ 0.94, paraphrases at
+    // cosine 1.0 almost surely; at production dim (2^18+) the bands
+    // separate far harder. One row; rows-only by design — the row
+    // itself carries the evidence (golden-pinned, GOLDENS.json).
+    "c30_semantic_lsh_recall" -> ((s, dir) => {
+      val w = graft.ManagedCache.swap("CurationQueries.semanticW",
+        graft.operators.TextSearch.hashingTfIdf(
+          graft.operators.TextSearch.postings(
+            semanticUnion(s, dir), "id", "text"), dim = 256))
+      val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
+      val exact = Dedup.crossCosinePairs(
+          w.where(!isEval), w.where(isEval), theta = 0.9)
+        .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ex"))
+      val approx = Dedup.crossCosinePairsLsh(
+          w.where(!isEval), w.where(isEval), theta = 0.9, dim = 256)
+        .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ap"))
+      exact.join(approx, Seq("train_doc", "eval_doc"), "full_outer")
+        .agg(
+          coalesce(sum(col("__ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("__ap")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("__ex") * col("__ap")), lit(0L)).as("n_hit"),
+          // approx pairs the exact operator does NOT flag — must be 0
+          coalesce(sum(when(col("__ex").isNull, col("__ap"))), lit(0L))
+            .as("false_pairs"))
+        .select(lit("lsh_bands").as("method"),
+          col("n_exact"), col("n_lsh"), col("n_hit"), col("false_pairs"),
+          // 0-exact reads recall 0.0 / contract failed, never NULL (the
+          // a5 coalesce discipline — the collapse this row guards
+          // against must not blank the verdict)
+          round(col("n_hit").cast("double") /
+            greatest(col("n_exact"), lit(1L)).cast("double"), 4)
+            .as("recall"),
+          lit(0.7).as("contract_floor"),
+          (col("n_exact") > 0 && col("false_pairs") === 0 &&
+            col("n_hit").cast("double") >=
+              lit(0.7) * col("n_exact").cast("double"))
+            .as("meets_contract"))
+    }),
 
     // c29 (r16): RELEASE-TO-RELEASE SNAPSHOT DIFF — the changelog
     // between two corpus versions (added / removed / changed keys by

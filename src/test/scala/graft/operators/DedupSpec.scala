@@ -815,6 +815,86 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("crossCosinePairs hot-bucket valve: valved output equals the " +
+      "exact operator over postings with hot buckets deleted; flags " +
+      "are a monotone subset; the default ceiling is inert") {
+    val s = spark
+    import s.implicits._
+    // hand-built unit vectors (doc, bucket, weight). Bucket 0 is
+    // corpus-hot (every train doc posts it); bucket 10 is rare signal.
+    // Train docs 1..4, eval docs 100..102, θ = 0.75:
+    //  - (1, 100): rare-bucket mass dominates (w10 = √.96) — the pair
+    //    survives the valve on its non-hot term alone
+    //  - (2, 101): share ONLY hot 0 at weight 1.0 each (cosine 1.0
+    //    unvalved) — ALL shared buckets hot ⇒ invisible under valve
+    //  - (3, 102): identical (hot-heavy) vectors, cosine 1.0 unvalved;
+    //    the rare term alone is 0.19 < θ — the monotone loss case
+    val h = math.sqrt(0.96)
+    val r19 = math.sqrt(0.19)
+    val tri = Seq(
+      (1L, 0L, 0.2), (1L, 10L, h),
+      (2L, 0L, 1.0),
+      (3L, 0L, 0.9), (3L, 10L, r19),
+      (4L, 0L, math.sqrt(0.5)), (4L, 12L, math.sqrt(0.5)),
+      (100L, 0L, 0.2), (100L, 10L, h),
+      (101L, 0L, 1.0),
+      (102L, 0L, 0.9), (102L, 10L, r19)).toDF("doc", "bucket", "weight")
+    val train = tri.where(col("doc") < 100L)
+    val evalW = tri.where(col("doc") >= 100L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unvalved = pairs(Dedup.crossCosinePairs(train, evalW, 0.75,
+      maxBucketOcc = Long.MaxValue))
+    // occupancy of bucket 0 on the train side is 4 > ceiling 3
+    val valved = pairs(Dedup.crossCosinePairs(train, evalW, 0.75,
+      maxBucketOcc = 3))
+    assert(unvalved == Set((1L, 100L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 102L)), unvalved)
+    // the recall contract, literally: valved ≡ exact over the postings
+    // with hot buckets deleted
+    val deleted = pairs(Dedup.crossCosinePairs(
+      train.where(col("bucket") =!= 0L), evalW.where(col("bucket") =!= 0L),
+      0.75, maxBucketOcc = Long.MaxValue))
+    assert(valved == deleted, s"valved $valved != hot-deleted $deleted")
+    assert(valved == Set((1L, 100L)), valved)
+    assert(valved.subsetOf(unvalved), "the valve may only LOSE flags")
+    // default ceiling (2^16) cannot fire on any gate-sized corpus
+    val dflt = pairs(Dedup.crossCosinePairs(train, evalW, 0.75))
+    assert(dflt == unvalved, "the default ceiling must be inert here")
+    intercept[IllegalArgumentException] {
+      Dedup.crossCosinePairs(train, evalW, 0.75, maxBucketOcc = 0)
+    }
+  }
+
+  test("crossCosinePairsLsh: precision exact (approx ⊆ exact pairs), " +
+      "identical-bag paraphrases caught surely, recall ≥ 0.7 on the " +
+      "gate corpus") {
+    val s = spark
+    val dir = sf()
+    val w = graft.ManagedCache.swap("DedupSpec.c30w",
+      TextSearch.hashingTfIdf(TextSearch.postings(
+        graft.queries.CurationQueries.semanticUnion(spark, dir),
+        "id", "text"), dim = 256))
+    val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_doc", "eval_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.crossCosinePairs(
+      w.where(!isEval), w.where(isEval), theta = 0.9))
+    val approx = pairSet(Dedup.crossCosinePairsLsh(
+      w.where(!isEval), w.where(isEval), theta = 0.9, dim = 256))
+    assert(approx.subsetOf(exact),
+      s"banding must never invent a pair: ${(approx -- exact).take(5)}")
+    assert(exact.nonEmpty && approx.size >= math.ceil(0.7 * exact.size),
+      s"recall ${approx.size}/${exact.size} under the 0.7 floor")
+    // every planted (doc, doc+10M) scramble pair has cosine exactly 1.0
+    // — identical vectors share every signature, so banding cannot
+    // miss one
+    val planted = exact.filter { case (t, e) => e == t + 10000000L }
+    assert(planted.nonEmpty && planted.subsetOf(approx),
+      s"missed planted pairs: ${(planted -- approx).take(5)}")
+  }
+
   private def editPairsOf(rows: Seq[(Long, String)], d: Int,
       valve: Long = Long.MaxValue): Set[(Long, Long, Long)] = {
     val s = spark

@@ -76,6 +76,15 @@ class DriftSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Drift.levelShift(df, "period", 3, 0.0)
     }
+    // an all-zero before-window in a ledger raises instead of emitting
+    // an Infinity ratio that reads as "no shift" (ADVICE r16)
+    val zeroLedger = Seq((1, "c", 0L), (2, "c", 0L), (3, "c", 5L),
+      (4, "c", 5L)).toDF("period", "cat", "cnt")
+    val err = intercept[Exception] {
+      Drift.levelShiftFromLedger(zeroLedger, "period", "cnt", 1, 0.25)
+        .collect()
+    }
+    assert(err.getMessage.contains("before_sum must be positive"))
   }
 
   test("tvDrift: NULL periods/categories drop; single period emits " +

@@ -89,5 +89,15 @@ class ExpectationsSpec extends SparkTestBase {
       report(Seq(1).toDF("x"), "t",
         Seq(Check("a", col("x") > 0), Check("a", col("x") < 9)))
     }
+    // a dotted name would splice into col("__v_a.b") and parse as a
+    // struct-field access — rejected up front with a clear message
+    val e = intercept[IllegalArgumentException] {
+      report(Seq(1).toDF("x"), "t", Seq(Check("a.b", col("x") > 0)))
+    }
+    assert(e.getMessage.contains("A-Za-z0-9_"))
+    intercept[IllegalArgumentException] {
+      report(Seq(1).toDF("x"), "t", Nil,
+        Seq(UniqueKey("k`q", col("x"))))
+    }
   }
 }

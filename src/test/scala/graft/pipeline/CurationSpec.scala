@@ -127,4 +127,21 @@ class CurationSpec extends SparkTestBase {
       assert(bucket == (if (nll(id) < 3.3998) "head" else "middle"))
     }
   }
+
+  test("c28 id-space guard rides EVERY id entering the union — a real " +
+      "doc at >= 10M raises even off the planted branch (ADVICE r16)") {
+    val s = spark
+    import s.implicits._
+    // 10000001 has %20 = 1 and %23 = 15: it rode NEITHER the real-eval
+    // nor the planted projection, so the pre-fix guard (planted branch
+    // only) let it through to be silently classified as eval
+    val docs = Seq((1L, "a normal doc"), (10000001L, "an escapee"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("c28guard").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = intercept[Exception] {
+      graft.queries.CurationQueries.semanticUnion(spark, tmp).collect()
+    }
+    assert(e.getMessage.contains("planted-eval id space"))
+  }
 }

@@ -38,6 +38,10 @@ class GoldenHashSpec extends SparkTestBase {
     // drift (sample, tie-break, counting) moves the pin; BpeTrainSpec
     // holds the hand-computed truth + the structural invariant
     "c18_bpe_train" -> (32L, "3ae1eef05d46f2f0"),
+    // the a5-shape recall contract of the banded semantic-decontam
+    // path vs c28's exact flags (recall 0.9722 ≥ floor 0.7, zero false
+    // pairs — r17); banding, densify, or verify drift moves the pin
+    "c30_semantic_lsh_recall" -> (1L, "fbffb956dfb95a0c"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
     // the a5-shape recall contract of the stored-TF-IDF knnJoin scale
