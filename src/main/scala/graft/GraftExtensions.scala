@@ -69,6 +69,7 @@ object GraftFunctions {
       SortedLongJaccardGE(args(0), args(1),
         litDouble(args(2), "sorted_long_jaccard_ge", "theta")) },
     "vec_dot" -> checked("vec_dot", 2) { args => VecDot(args(0), args(1)) },
+    "dhash_bits" -> checked("dhash_bits", 1) { args => DhashBits(args(0)) },
     "vec_sub" -> checked("vec_sub", 2) { args => VecSub(args(0), args(1)) },
     // bounded per-group top-k (the rankedTopK aggregate) for SQL users:
     // SELECT key, top_k_by_key(score, id, 3) FROM t GROUP BY key

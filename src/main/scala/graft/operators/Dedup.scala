@@ -1134,10 +1134,20 @@ object Dedup {
     * million 1-char keys), zero effect on natural ones; the default
     * keeps everything. */
   def editPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, maxVariantOcc: Long = Long.MaxValue): DataFrame = {
+      maxDist: Int, maxVariantOcc: Long = Long.MaxValue): DataFrame =
+    editPairsFromKeys(editVariantKeys(df, idCol, strCol, maxDist),
+      maxDist, maxVariantOcc)
+
+  /** The symmetric-delete variant-key table behind [[editPairs]] —
+    * (id, str, vk) with one row per distinct ≤`maxDist`-deletion
+    * variant hash of each key. Per-ROW deterministic (the deletion
+    * neighborhood is a pure function of the string), which is what
+    * lets [[graft.pipeline.SilverIndex.refreshEditIndex]] persist it
+    * append-only with delta ≡ scratch (d18, the m9 discipline). */
+  def editVariantKeys(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"symmetric-delete blocking is exact for maxDist 1 or 2: $maxDist")
-    require(maxVariantOcc >= 2, s"maxVariantOcc must be >= 2: $maxVariantOcc")
     val base = df
       .where(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("str"))
@@ -1148,18 +1158,23 @@ object Dedup {
       else v1.select(col("id"), col("str"),
         explode(array_union(array(col("variant")),
           deletions(col("variant")))).as("variant"))
-    val keyed = vd
-      .select(col("id"), col("str"), xxhash64(col("variant")).as("vk"))
+    vd.select(col("id"), col("str"), xxhash64(col("variant")).as("vk"))
       .distinct()
-    val kept =
-      if (maxVariantOcc == Long.MaxValue) keyed
-      else {
-        val hot = keyed.groupBy("vk")
-          .agg(count(lit(1)).as("__n"))
-          .where(col("__n") > maxVariantOcc)
-          .select(col("vk"))
-        keyed.join(hot, Seq("vk"), "left_anti")
-      }
+  }
+
+  /** The candidate join + exact-levenshtein verify of [[editPairs]]
+    * over an (id, str, vk) variant-key table — scratch-built
+    * ([[editVariantKeys]]) or served from the persisted index
+    * ([[graft.pipeline.SilverIndex.editPairsFromIndex]]). The
+    * hot-variant valve applies HERE, at serve time, because variant
+    * occupancy is a corpus-wide property the per-row append cannot
+    * know. */
+  def editPairsFromKeys(keyed: DataFrame, maxDist: Int,
+      maxVariantOcc: Long = Long.MaxValue): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"symmetric-delete blocking is exact for maxDist 1 or 2: $maxDist")
+    require(maxVariantOcc >= 2, s"maxVariantOcc must be >= 2: $maxVariantOcc")
+    val kept = keptVariantKeys(keyed, maxVariantOcc)
     val a = kept.alias("a")
     val b = kept.alias("b")
     a.join(b, col("a.vk") === col("b.vk") &&
@@ -1167,6 +1182,49 @@ object Dedup {
         levenshtein(col("a.str"), col("b.str")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.str").as("str_a"), col("b.str").as("str_b"),
+        levenshtein(col("a.str"), col("b.str")).cast("long").as("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The hot-variant valve applied to a variant-key table. */
+  private[graft] def keptVariantKeys(keyed: DataFrame,
+      maxVariantOcc: Long): DataFrame =
+    if (maxVariantOcc == Long.MaxValue) keyed
+    else {
+      val hot = keyed.groupBy("vk")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxVariantOcc)
+        .select(col("vk"))
+      keyed.join(hot, Seq("vk"), "left_anti")
+    }
+
+  /** DELTA edit pairs — every candidate pair touching a NEW id, for
+    * the streaming face of the persisted edit-pair index (d18): the
+    * [[hammingPairsDelta]] shape over variant keys. `keyed` is the
+    * full (id, str, vk) table INCLUDING the new rows; `newIds` the
+    * one-column frame of ids arriving this batch. Pairs are
+    * canonicalized (least, greatest) by id so a new↔new pair appears
+    * once; the valve is evaluated over the FULL table so delta pairs
+    * match what [[editPairsFromKeys]] would emit. */
+  def editPairsDelta(keyed: DataFrame, newIds: DataFrame, maxDist: Int,
+      maxVariantOcc: Long = Long.MaxValue): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"symmetric-delete blocking is exact for maxDist 1 or 2: $maxDist")
+    require(maxVariantOcc >= 2, s"maxVariantOcc must be >= 2: $maxVariantOcc")
+    val kept = keptVariantKeys(keyed, maxVariantOcc)
+    val fresh = kept.join(
+      newIds.select(col(newIds.columns.head).as("id")), Seq("id"),
+      "left_semi")
+    kept.alias("a").join(fresh.alias("b"),
+        col("a.vk") === col("b.vk") &&
+          col("a.id") =!= col("b.id") &&
+          levenshtein(col("a.str"), col("b.str")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.str"))
+          .otherwise(col("b.str")).as("str_a"),
+        when(col("a.id") < col("b.id"), col("b.str"))
+          .otherwise(col("a.str")).as("str_b"),
         levenshtein(col("a.str"), col("b.str")).cast("long").as("dist"))
       .dropDuplicates("id_a", "id_b")
   }

@@ -72,24 +72,19 @@ object Multimodal {
     * (hex-digit parse + compares), replayable in any engine.
     * Frames shorter than 64 bytes contribute 0 for the missing
     * comparisons (NULL-safe `when`); returns a non-negative LONG. */
-  def dhashFingerprint(frame: Column): Column = {
-    val hx = hex(frame)
-    // parse each of the 64 bytes exactly ONCE into array<int> — the
-    // r15 formulation inlined byteAt(j) into terms j−1 AND j (~126
-    // conv∘substring per row where 64 suffice, and subexpression
-    // elimination is not guaranteed across a 63-way when-chain)
-    val bytes = transform(sequence(lit(0), lit(63)),
-      j => conv(hx.substr(j * lit(2) + lit(1), lit(2)), 16, 10)
-        .cast("int"))
-    // adjacent comparisons: bits(j) = [byte_j < byte_{j+1}], j = 0..62;
-    // a missing byte (frame < 64 bytes → NULL parse) contributes 0 via
-    // the NULL-safe when, as before
-    val bits = zip_with(slice(bytes, 1, 63), slice(bytes, 2, 63),
-      (a, b) => when(a < b, lit(1L)).otherwise(lit(0L)))
-    // Horner fold MSB→LSB reconstructs Σ bits(j)·2^j without needing a
-    // column-valued shift amount
-    aggregate(reverse(bits), lit(0L), (acc, x) => acc * lit(2L) + x)
-  }
+  def dhashFingerprint(frame: Column): Column =
+    // one codegen'd kernel call per row over the RAW bytes — r16's
+    // transform/zip_with/aggregate formulation parsed each byte once
+    // but paid for it by dropping out of whole-stage codegen into
+    // interpreted HOFs (m8 isolated median 1.8 → 5.1 s at sf0.1,
+    // found by the r17 old-jar A/B, tools/m8_ab_r17.txt); the
+    // expression keeps both properties. coalesce preserves the
+    // NULL-frame → 0 contract of both prior formulations.
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DhashBits(
+          org.apache.spark.sql.graft.ColumnBridge.expression(frame))),
+      lit(0L))
 
   /** Frame-sampling plumbing: pick every `stride`-th fixed-size frame from a
     * binary payload (video stand-in). Pure built-ins — `binary` slicing is

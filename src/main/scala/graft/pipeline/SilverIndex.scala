@@ -306,6 +306,106 @@ object SilverIndex {
       .option("checkpointLocation", s"$sigPath/_checkpoint")
       .start()
 
+  // ------------------------- symmetric-delete edit-pair index (d18)
+
+  /** Bring the symmetric-delete variant-key table (doc, str, vk, d) at
+    * `path` up to date with `df` — the persisted/incremental face d17's
+    * [[graft.operators.Dedup.editPairs]] lacked (VERDICT r16 task 3,
+    * the m9/d7 discipline): variants compute ONLY for ids not yet
+    * indexed and append, and because the deletion neighborhood is a
+    * pure per-row function of the string, delta ≡ scratch EXACTLY. The
+    * stored `d` column pins the build's maxDist (uniform by the
+    * append-only discipline, so ONE row exposes a config mismatch —
+    * the [[refreshMinhash]] width probe). Append-only: an edited key
+    * means rebuild (or version the path); a subject row is erased via
+    * [[eraseEditIndex]] (the p6 path). */
+  def refreshEditIndex(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, path: String): Refresh = {
+    val spark = df.sparkSession
+    val existing = readIfData(spark, path)
+    existing.foreach { ix =>
+      ix.select(col("d")).limit(1).collect().headOption.foreach { r =>
+        require(r.isNullAt(0) || r.getInt(0) == maxDist,
+          s"edit index at $path was built at maxDist ${r.get(0)}, " +
+            s"refresh requested $maxDist — rebuild, don't mix")
+      }
+    }
+    val newDocs = existing.fold(df)(ix => df.join(
+      ix.select(col("doc").as(idCol)).distinct(), Seq(idCol),
+      "left_anti"))
+    val before = existingRows(spark, path, existing)
+    appendCounted(
+      graft.operators.Dedup
+        .editVariantKeys(newDocs, idCol, strCol, maxDist)
+        .select(col("id").as("doc"), col("str"), col("vk"),
+          lit(maxDist).as("d")),
+      path, Nil, before)
+  }
+
+  /** The variant-key table as stored: (doc, str, vk, d). */
+  def editIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Edit-distance pairs from the PERSISTED variant keys — the
+    * weekly-run shape: zero neighborhood recompute, candidate join +
+    * exact in-join levenshtein only. The hot-variant valve applies at
+    * serve time (occupancy is a corpus-wide property the per-row
+    * append cannot know); `maxDist` must match the stored build (the
+    * one-row probe raises otherwise, never silently mixes). */
+  def editPairsFromIndex(spark: SparkSession, path: String,
+      maxDist: Int, maxVariantOcc: Long = Long.MaxValue): DataFrame = {
+    val ix = editIndex(spark, path)
+    ix.select(col("d")).limit(1).collect().headOption.foreach { r =>
+      require(r.isNullAt(0) || r.getInt(0) == maxDist,
+        s"edit index at $path was built at maxDist ${r.get(0)}, " +
+          s"serve requested $maxDist")
+    }
+    graft.operators.Dedup.editPairsFromKeys(
+      ix.select(col("doc").as("id"), col("str"), col("vk")),
+      maxDist, maxVariantOcc)
+  }
+
+  /** One micro-batch of [[streamingEditPairs]] — the [[nearDupBatch]]
+    * transaction-intent protocol verbatim over variant keys: intent
+    * (same crash windows, same stage-then-rename commit), variant
+    * append for the intent's new ids only, then exactly the pairs
+    * touching a new id ([[graft.operators.Dedup.editPairsDelta]],
+    * canonicalized) into a per-batch OVERWRITE partition so a replay
+    * re-emits identically instead of duplicating. */
+  private[pipeline] def editPairsBatch(batch: DataFrame, batchId: Long,
+      idCol: String, strCol: String, maxDist: Int, maxVariantOcc: Long,
+      sigPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val newIds = intentNewIds(spark, sigPath, batchId,
+      batch.select(col(idCol).as("doc")).distinct())
+    refreshEditIndex(
+      batch.join(newIds.withColumnRenamed("doc", idCol), Seq(idCol),
+        "left_semi"),
+      idCol, strCol, maxDist, sigPath)
+    graft.operators.Dedup.editPairsDelta(
+        editIndex(spark, sigPath)
+          .select(col("doc").as("id"), col("str"), col("vk")),
+        newIds, maxDist, maxVariantOcc)
+      .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+    ()
+  }
+
+  /** Continuous edit-pair maintenance: each micro-batch appends its
+    * new ids' deletion variants and emits exactly the pairs involving
+    * them (the s6 exactly-once pair contract, d18's streaming face). */
+  def streamingEditPairs(rows: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, sigPath: String, pairsPath: String,
+      maxVariantOcc: Long = Long.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        editPairsBatch(batch.toDF(), batchId, idCol, strCol, maxDist,
+          maxVariantOcc, sigPath, pairsPath)
+      }
+      .option("checkpointLocation", s"$sigPath/_checkpoint")
+      .start()
+
   // ----------------------------------------------------------- BM25 postings
 
   /** Bring the inverted-index postings table (doc, term, tf) at `path`
@@ -1631,6 +1731,14 @@ object SilverIndex {
     * again — the same doc-keyed staged-swap anti-join as
     * [[eraseMinhash]]. */
   def eraseFingerprints(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased =
+    eraseKeyed(spark, path, "doc", subjects, subjectCol)
+
+  /** Erasure for the edit-pair variant-key table (d18): the subject's
+    * variant rows drop, so [[editPairsFromIndex]] can never emit a
+    * pair naming an erased key again — the same doc-keyed staged-swap
+    * anti-join as [[eraseMinhash]]. */
+  def eraseEditIndex(spark: SparkSession, path: String,
       subjects: DataFrame, subjectCol: String): Erased =
     eraseKeyed(spark, path, "doc", subjects, subjectCol)
 

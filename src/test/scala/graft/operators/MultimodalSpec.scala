@@ -142,6 +142,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(3) == 0L)
   }
 
+  test("DhashBits codegen kernel is bit-identical to the hex/conv " +
+      "when-chain formulation on random, short, high-byte and null " +
+      "frames (the r17 A/B regression fix)") {
+    val s = spark
+    import s.implicits._
+    // the r15 reference formulation, spelled with built-ins
+    def referenceDhash(frame: org.apache.spark.sql.Column) = {
+      val hx = hex(frame)
+      def byteAt(j: Int) =
+        conv(substring(hx, j * 2 + 1, 2), 16, 10).cast("int")
+      (0 until 63).map { j =>
+        when(byteAt(j) < byteAt(j + 1), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val rnd = new scala.util.Random(17)
+    val frames: Seq[Array[Byte]] =
+      (1 to 50).map(_ => Array.fill(64)(rnd.nextInt(256).toByte)) ++
+      (1 to 20).map(_ =>
+        Array.fill(rnd.nextInt(70))(rnd.nextInt(256).toByte)) ++
+      Seq(Array.fill(64)(0xff.toByte), Array.fill(64)(0x00.toByte),
+        Array.tabulate(64)(_.toByte), Array.emptyByteArray,
+        null.asInstanceOf[Array[Byte]])
+    val df = frames.toDF("frame")
+    val rows = df.select(
+        Multimodal.dhashFingerprint(col("frame")).as("kernel"),
+        coalesce(referenceDhash(col("frame")), lit(0L)).as("ref"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"frame $i: kernel ${r.getLong(0)} != reference ${r.getLong(1)}")
+    }
+    // SQL registration surface (§2.10)
+    df.createOrReplaceTempView("dhash_frames")
+    val viaSql = s.sql(
+      "SELECT coalesce(dhash_bits(frame), 0L) FROM dhash_frames")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == rows.map(_.getLong(0)).toSeq)
+  }
+
   test("caption→frame as-of alignment: backward match, no-frame sentinel") {
     val s = spark
     import s.implicits._
