@@ -28,6 +28,22 @@ object DedupQueries {
       ()
     }
 
+  /** The d18 variant-key table, built by TWO incremental refreshes (the
+    * m9 gate discipline: every battery run exercises delta ≡ scratch,
+    * not only the spec) — even custkeys first, then the full table so
+    * the second refresh appends exactly the odd half. */
+  private[graft] def d18Path(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"d18edit:$dir") { p =>
+      val cust = t(s, dir, "customer")
+      graft.pipeline.SilverIndex.refreshEditIndex(
+        cust.where(org.apache.spark.sql.functions.col("c_custkey")
+          % 2 === 0),
+        "c_custkey", "c_name", maxDist = 1, path = p)
+      graft.pipeline.SilverIndex.refreshEditIndex(
+        cust, "c_custkey", "c_name", maxDist = 1, path = p)
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -265,6 +281,21 @@ object DedupQueries {
       graft.operators.Dedup.editPairs(
         t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)),
 
+    // d18 (r17): d17's pairs SERVED FROM THE PERSISTED variant-key
+    // index (VERDICT r16 task 3 — the one r16 operator below the
+    // codebase's maintenance standard): the deletion neighborhood is
+    // per-row deterministic, so the stored (doc, str, vk) table
+    // refreshes by id-anti-join append with delta ≡ scratch EXACTLY,
+    // and the weekly run pays the candidate join + in-join levenshtein
+    // only — zero neighborhood recompute. The gate builds the index by
+    // two incremental refreshes (even keys, then all) so maintained ≡
+    // scratch runs every battery; d17's brute-force oracle applies
+    // VERBATIM. Streaming face: SilverIndex.streamingEditPairs (the s6
+    // exactly-once pair contract); erase face: eraseEditIndex (p6).
+    "d18_edit_index" -> ((s, dir) =>
+      graft.pipeline.SilverIndex.editPairsFromIndex(
+        s, d18Path(s, dir), maxDist = 1)),
+
     "d16_domain_dup_rate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
@@ -319,7 +350,7 @@ object DedupQueries {
       |      FROM s a, s b WHERE a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT text, min(doc_id) AS kept_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
@@ -636,4 +667,9 @@ object DedupQueries {
         |      FROM s a, s b WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
   )
+
+  // the index-served pairs must equal the scratch operator exactly —
+  // d17's brute-force oracle applies verbatim (the m9 discipline)
+  val oracles: Map[String, String] =
+    oracles0 + ("d18_edit_index" -> oracles0("d17_edit_pairs"))
 }

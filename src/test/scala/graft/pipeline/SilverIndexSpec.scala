@@ -695,6 +695,103 @@ class SilverIndexSpec extends SparkTestBase {
     assert(accumulated == want, "replay duplicated pairs")
   }
 
+  test("edit index (d18): base+delta refresh == from-scratch; " +
+      "nothing-new appends zero; index-served pairs == the scratch " +
+      "operator; maxDist mismatch rejected") {
+    val path = tmp("silver-edit")
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+    val r1 = SilverIndex.refreshEditIndex(
+      cust.where(col("c_custkey") % 2 === 0), "c_custkey", "c_name",
+      maxDist = 1, path = path)
+    assert(r1.appended == r1.total && r1.total > 0)
+    val r2 = SilverIndex.refreshEditIndex(cust, "c_custkey", "c_name",
+      maxDist = 1, path = path)
+    assert(r2.appended > 0 && r2.total == r1.total + r2.appended)
+    val r3 = SilverIndex.refreshEditIndex(cust, "c_custkey", "c_name",
+      maxDist = 1, path = path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+    // stored variants == the per-row deterministic scratch build
+    val scratch = Dedup.editVariantKeys(cust, "c_custkey", "c_name", 1)
+      .select(col("id").as("doc"), col("str"), col("vk"),
+        lit(1).as("d"))
+    assert(rowSet(SilverIndex.editIndex(spark, path)) == rowSet(scratch))
+    // served pairs == the scratch operator (d17's semantics verbatim)
+    assert(rowSet(SilverIndex.editPairsFromIndex(spark, path, 1)) ==
+      rowSet(Dedup.editPairs(cust, "c_custkey", "c_name", 1)))
+    intercept[IllegalArgumentException] {
+      SilverIndex.refreshEditIndex(cust, "c_custkey", "c_name",
+        maxDist = 2, path = path)
+    }
+    intercept[IllegalArgumentException] {
+      SilverIndex.editPairsFromIndex(spark, path, maxDist = 2)
+    }
+  }
+
+  private def synNames = {
+    val s = spark
+    import s.implicits._
+    // 2 is one substitution from 1; 4 is identical to 1 (dist 0, and
+    // dist 1 to 2); 3 is unrelated
+    Seq((1L, "analyst"), (2L, "analist"), (3L, "manager"),
+      (4L, "analyst")).toDF("id", "name")
+  }
+
+  test("erasure: edit pairs can never name an erased key again") {
+    val path = tmp("silver-erase-edit")
+    SilverIndex.refreshEditIndex(synNames, "id", "name", 1, path)
+    def served = SilverIndex.editPairsFromIndex(spark, path, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    assert(served == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)),
+      served.toString)
+    val s = spark
+    import s.implicits._
+    val r = SilverIndex.eraseEditIndex(spark, path,
+      Seq(1L).toDF("subject"), "subject")
+    assert(r.removed > 0)
+    assert(served == Set((2L, 4L, 1L)), served.toString)
+    // the surviving table is the clean-corpus build exactly
+    assert(rowSet(SilverIndex.editIndex(spark, path)) ==
+      rowSet(Dedup.editVariantKeys(
+          synNames.where(col("id") =!= 1L), "id", "name", 1)
+        .select(col("id").as("doc"), col("str"), col("vk"),
+          lit(1).as("d"))))
+  }
+
+  test("streaming edit pairs: every pair emitted exactly once across " +
+      "micro-batches; a replayed batch re-emits identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sigPath = tmp("silver-edit-sig")
+    val pairsPath = tmp("silver-edit-pairs")
+    val input = MemoryStream[(Long, String)]
+    val q = SilverIndex.streamingEditPairs(
+      input.toDF().toDF("id", "name"), "id", "name", maxDist = 1,
+      sigPath = sigPath, pairsPath = pairsPath)
+    try {
+      // 1 and 3 first (no pair), then 2 and 4: all three pairs surface
+      // in batch 1 — each exactly once
+      input.addData((1L, "analyst"), (3L, "manager"))
+      q.processAllAvailable()
+      input.addData((2L, "analist"), (4L, "analyst"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def accumulated = spark.read.parquet(pairsPath)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = Dedup.editPairs(synNames, "id", "name", 1)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(accumulated == want, s"$accumulated vs $want")
+    // replay batch 1 (the stored intent re-derives the same new-id
+    // set; the per-batch overwrite re-emits identically)
+    SilverIndex.editPairsBatch(synNames.where(col("id") % 2 === 0),
+      batchId = 1L, "id", "name", 1, Long.MaxValue, sigPath, pairsPath)
+    assert(accumulated == want, "replay duplicated pairs")
+  }
+
   test("ivf compaction: rerun after a crash between the renames recovers the table") {
     import org.apache.hadoop.fs.Path
     val path = tmp("silver-ivf-crash")
