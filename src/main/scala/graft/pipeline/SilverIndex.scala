@@ -1448,6 +1448,130 @@ object SilverIndex {
     spark.read.parquet(s"$path/v${vs.max}")
   }
 
+  // ------------------------------ maintained SCD2 history (g6, r17)
+
+  /** INCREMENTAL maintenance of an SCD TYPE-2 history — the g4/g5
+    * composite (VERDICT r16 task 4): g5 maintains the SNAPSHOT from a
+    * change log, g4 rebuilds HISTORY from the full log every run; this
+    * folds each change batch into a persisted history table instead
+    * (close the open version, open the new one), so cost follows the
+    * change log — the full log is never rescanned. Retires the
+    * reference's weekly full-refetch chain
+    * (/root/reference/src/cleaned_data.py:16-46) at the history layer.
+    *
+    * Discipline: SCD2 close is NOT a semilattice (closing a version is
+    * neither idempotent against replays nor order-free), so BOTH s9
+    * guards are load-bearing: the batch-id version makes a replayed
+    * batch a no-op (and the stage-then-rename the crash-safe commit
+    * point), and a strictly-increasing high-water mark on the change
+    * timestamps makes the fold EXACT — a batch carrying a timestamp at
+    * or below the stored mark raises, because an event older than an
+    * already-collapsed state cannot be stitched without the full log
+    * (rebuild for out-of-order feeds). Within those bounds the
+    * maintained history equals [[graft.operators.Scd2.history]] over
+    * the concatenated log EXACTLY — the batch-boundary stitch drops a
+    * batch's first version when it repeats the stored current state
+    * (the cross-batch collapse) and closes the stored current at the
+    * first surviving batch version's effective_from; g4's oracle
+    * applies VERBATIM (gate g6; Scd2IncrementalSpec fuzzes chunkings).
+    *
+    * Shuffles: one key-partitioned window over the BATCH (batch-sized),
+    * one key join against the stored history (output-sized: one row
+    * per attribute transition), one union — the [[refreshMaxRollup]]
+    * shape with a non-idempotent fold guarded instead of assumed. */
+  def refreshScd2(batch: DataFrame, batchId: Long, keyCol: String,
+      attrCols: Seq[String], tsCol: String, path: String): Refresh = {
+    require(attrCols.nonEmpty, "refreshScd2 needs at least one attribute")
+    val spark = batch.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, path)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return Refresh(0, last)
+    val valid = batch.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    // an empty FIRST batch commits nothing (an empty-history version
+    // would have no parquet schema to read back); an empty later batch
+    // folds through as identity below
+    if (last < 0 && valid.isEmpty) return Refresh(0, last)
+    val bh = graft.operators.Scd2.history(valid, keyCol, attrCols, tsCol)
+    val attrs = struct(attrCols.map(col): _*)
+    val next: DataFrame =
+      if (last < 0) bh
+      else {
+        val stored = spark.read.parquet(s"$path/v$last/history")
+        val hwm = spark.read.parquet(s"$path/v$last/hwm")
+        // the exactness guard: one broadcast-nested-loop probe of the
+        // batch against the single-row mark, first violation suffices
+        val viol = valid.join(broadcast(hwm), col(tsCol) <= col("hwm"))
+          .limit(1).count()
+        require(viol == 0L,
+          s"refreshScd2: batch $batchId carries timestamps at or below " +
+            "the stored high-water mark — the incremental fold needs " +
+            "strictly increasing batch boundaries; rebuild from the " +
+            "full log for out-of-order arrivals")
+        val firstW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("effective_from") +: attrCols.map(col): _*)
+        val cur = stored.where(col("is_current"))
+          .select(col(keyCol), attrs.as("__cs"))
+        // drop a batch's FIRST version when it repeats the stored
+        // current state — Scd2.history marks every key's first batch
+        // row as a change (lag sees NULL), but across the boundary it
+        // is only a transition if the state actually moved
+        val kept = bh
+          .withColumn("__rn", row_number().over(firstW))
+          .join(cur, Seq(keyCol), "left")
+          .where(col("__rn") =!= 1 || col("__cs").isNull ||
+            !(attrs <=> col("__cs")))
+          .drop("__rn", "__cs")
+        val closeAt = kept.groupBy(col(keyCol))
+          .agg(min(col("effective_from")).as("__close"))
+        stored.join(closeAt, Seq(keyCol), "left")
+          .withColumn("effective_to",
+            when(col("is_current") && col("__close").isNotNull,
+              col("__close")).otherwise(col("effective_to")))
+          .drop("__close")
+          .withColumn("is_current", col("effective_to").isNull)
+          .unionByName(kept)
+      }
+    val batchMax = valid.agg(max(col(tsCol)).as("hwm"))
+    val hwmNext =
+      if (last < 0) batchMax
+      else spark.read.parquet(s"$path/v$last/hwm")
+        .unionByName(batchMax).agg(max(col("hwm")).as("hwm"))
+    val tmp = s"$path/_tmp_v$batchId"
+    next.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$tmp/history")
+    hwmNext.coalesce(1).write.mode("overwrite").parquet(s"$tmp/hwm")
+    require(fs.rename(new Path(tmp), new Path(s"$path/v$batchId")),
+      s"scd2 commit rename failed: $tmp -> $path/v$batchId " +
+        "(old versions kept)")
+    committed.foreach(v => fs.delete(new Path(s"$path/v$v"), true))
+    Refresh(batchId, batchId)
+  }
+
+  /** [[refreshScd2]] driven by Structured Streaming. */
+  def streamingRefreshScd2(rows: DataFrame, keyCol: String,
+      attrCols: Seq[String], tsCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        refreshScd2(batch, id, keyCol, attrCols, tsCol, path); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
+  /** The maintained history (one row per attribute version) — the
+    * highest committed version. */
+  def scd2Index(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, path)
+    require(vs.nonEmpty, s"no committed scd2 history under $path")
+    spark.read.parquet(s"$path/v${vs.max}/history")
+  }
+
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */
   def streamingRefreshKmv(rows: DataFrame, groupCol: String,
       keyCol: String, k: Int, path: String)

@@ -156,6 +156,38 @@ object GoldQueries {
           col("l_extendedprice").as("total"))
       graft.operators.Cdc.applyChanges(base, changes, "k", "op", "ts",
         Seq("status", "total"))
+    }),
+
+    // g6 (r17): INCREMENTALLY MAINTAINED SCD2 history — the g4/g5
+    // composite (VERDICT r16 task 4): g4 rebuilds history from the
+    // full change log every run; here the same log arrives as three
+    // time-ordered batches (ten-day windows — the weekly-feed shape)
+    // folded into a persisted history via SilverIndex.refreshScd2:
+    // close the open version, open the new one, under the batch-id +
+    // high-water-mark guards (SCD2 close is NOT a semilattice — the
+    // s9 transactional family, not the g3 merge family). The
+    // maintained history equals the one-shot Scd2.history exactly, so
+    // g4's oracle applies VERBATIM. (Scd2IncrementalSpec adds
+    // chunking-fuzz ≡ one-shot, replay no-op, out-of-order raise, and
+    // crash-window recovery.)
+    "g6_incr_scd2" -> ((s, dir) => {
+      val p = IndexMemo.path(s"scd2:$dir") { path =>
+        val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+        val cut1 = lit("2024-01-11").cast("timestamp")
+        val cut2 = lit("2024-01-21").cast("timestamp")
+        Seq(
+          ev.where(col("ts") < cut1),
+          ev.where(col("ts") >= cut1 && col("ts") < cut2),
+          ev.where(col("ts") >= cut2)
+        ).zipWithIndex.foreach { case (b, i) =>
+          graft.pipeline.SilverIndex.refreshScd2(
+            b, batchId = i.toLong, keyCol = "user_id",
+            attrCols = Seq("event_type"), tsCol = "ts", path = path)
+        }
+      }
+      graft.pipeline.SilverIndex.scd2Index(s, p)
+        .select(col("user_id"), col("event_type"), col("effective_from"),
+          col("effective_to"), col("is_current"))
     })
   )
 
@@ -187,7 +219,7 @@ object GoldQueries {
       |       max(base_salary) AS actual_base_salary
       |FROM m GROUP BY business_title""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "g1_gold_matches" -> (simCte +
       """
         |SELECT business_title AS posted_job_title,
@@ -250,4 +282,9 @@ object GoldQueries {
         |UNION ALL
         |SELECT k, status, total FROM last WHERE op <> 'D'""".stripMargin
   )
+
+  // the maintained history must equal the one-shot rebuild exactly —
+  // g4's oracle applies verbatim (the g3/m9 discipline)
+  val oracles: Map[String, String] =
+    oracles0 + ("g6_incr_scd2" -> oracles0("g4_scd2_history"))
 }

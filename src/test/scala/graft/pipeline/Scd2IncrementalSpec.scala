@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The g6 contract: an SCD2 history maintained by
+  * [[SilverIndex.refreshScd2]] equals the one-shot
+  * [[graft.operators.Scd2.history]] over the concatenated log — under
+  * any TIME-ORDERED chunking (cuts between distinct timestamps, the
+  * feed's natural shape), with replays a no-op, out-of-order arrivals
+  * an error (SCD2 close is not a semilattice — fold exactness needs
+  * the strictly-increasing boundary), and a crashed commit recovered
+  * by the replay. */
+class Scd2IncrementalSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/scd2"
+
+  // collapse within a batch (A: 1,2 both "x"), transition (A: y at 3,
+  // back to x at 5 — a REVISIT must reopen, not merge), cross-batch
+  // collapse (B: "m" at 1 and again at 4 — one version regardless of
+  // the chunk boundary between them), equal-ts tie-break (D: two
+  // states at ts 3, ordered by the attribute in both engines)
+  private def log(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("A", "x", 1), ("A", "x", 2), ("A", "y", 3), ("A", "x", 5),
+      ("B", "m", 1), ("B", "m", 4),
+      ("C", "q", 2),
+      ("D", "b", 3), ("D", "a", 3), ("D", "b", 6))
+      .toDF("user", "state", "ts")
+  }
+
+  private def oneShot(df: DataFrame): Set[Seq[Any]] =
+    graft.operators.Scd2.history(df, "user", Seq("state"), "ts")
+      .collect().map(_.toSeq).toSet
+
+  private def served(path: String): Set[Seq[Any]] =
+    SilverIndex.scd2Index(spark, path)
+      .select("user", "state", "effective_from", "effective_to",
+        "is_current")
+      .collect().map(_.toSeq).toSet
+
+  private def fold(df: DataFrame, cuts: Seq[Int], path: String): Unit = {
+    val bounds = (Int.MinValue +: cuts :+ Int.MaxValue).sliding(2).toSeq
+    bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      SilverIndex.refreshScd2(
+        df.where(col("ts") > lo && col("ts") <= hi),
+        batchId = i.toLong, keyCol = "user", attrCols = Seq("state"),
+        tsCol = "ts", path = path)
+    }
+  }
+
+  test("randomized time-ordered chunking-fuzz: any cut set between " +
+      "distinct timestamps folds to the one-shot history") {
+    val df = log(spark)
+    val want = oneShot(df)
+    val distinctTs = df.select("ts").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val rnd = new scala.util.Random(17)
+    (1 to 5).foreach { trial =>
+      val path = tmp(s"graft-scd2inc-$trial")
+      val cuts = distinctTs.filter(_ => rnd.nextBoolean()).toSeq
+      fold(df, cuts, path)
+      assert(served(path) == want, s"trial $trial (cuts=$cuts)")
+    }
+    // the explicit cross-batch collapse: B has ONE version spanning
+    // the boundary between its two identical arrivals
+    val path = tmp("graft-scd2inc-b")
+    fold(df, Seq(3), path) // B's m@1 in batch 0, m@4 in batch 1
+    assert(served(path) == want)
+    val bRows = SilverIndex.scd2Index(spark, path)
+      .where(col("user") === "B").collect()
+    assert(bRows.length == 1 && bRows.head.getInt(
+      bRows.head.fieldIndex("effective_from")) == 1)
+  }
+
+  test("replay of a committed batch id is a no-op; an empty batch " +
+      "under a new id is identity") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("graft-scd2inc-replay")
+    val df = log(spark)
+    fold(df, Seq(3), path)
+    val want = served(path)
+    val r = SilverIndex.refreshScd2(
+      Seq(("Z", "zzz", 999)).toDF("user", "state", "ts"),
+      batchId = 1L, keyCol = "user", attrCols = Seq("state"),
+      tsCol = "ts", path = path)
+    assert(r.appended == 0 && served(path) == want,
+      "replayed id must short-circuit")
+    SilverIndex.refreshScd2(
+      Seq.empty[(String, String, Int)].toDF("user", "state", "ts"),
+      batchId = 5L, keyCol = "user", attrCols = Seq("state"),
+      tsCol = "ts", path = path)
+    assert(served(path) == want, "empty batch must be identity")
+  }
+
+  test("out-of-order batch (timestamp at or below the high-water mark) " +
+      "raises instead of silently corrupting the fold") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("graft-scd2inc-ooo")
+    fold(log(spark), Seq.empty, path) // one batch, hwm = 6
+    val e = intercept[IllegalArgumentException] {
+      SilverIndex.refreshScd2(
+        Seq(("A", "w", 4)).toDF("user", "state", "ts"),
+        batchId = 9L, keyCol = "user", attrCols = Seq("state"),
+        tsCol = "ts", path = path)
+    }
+    assert(e.getMessage.contains("high-water mark"))
+    // equal-to-hwm is also rejected (the cross-batch tie-break cannot
+    // be replayed without the full log)
+    val e2 = intercept[IllegalArgumentException] {
+      SilverIndex.refreshScd2(
+        Seq(("A", "w", 6)).toDF("user", "state", "ts"),
+        batchId = 10L, keyCol = "user", attrCols = Seq("state"),
+        tsCol = "ts", path = path)
+    }
+    assert(e2.getMessage.contains("high-water mark"))
+  }
+
+  test("crash window: an orphan _tmp from a crashed commit is invisible " +
+      "to readers and overwritten by the replay") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("graft-scd2inc-crash")
+    val df = log(spark)
+    SilverIndex.refreshScd2(df.where(col("ts") <= 3), 0L, "user",
+      Seq("state"), "ts", path)
+    val afterB0 = served(path)
+    Seq(("junk", "junk", -1)).toDF("user", "state", "ts")
+      .write.parquet(s"$path/_tmp_v1/history")
+    assert(served(path) == afterB0, "reader ignores the orphan staging dir")
+    SilverIndex.refreshScd2(df.where(col("ts") > 3), 1L, "user",
+      Seq("state"), "ts", path)
+    assert(served(path) == oneShot(df), "replay recovered the crash window")
+  }
+}
