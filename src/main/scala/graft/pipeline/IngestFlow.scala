@@ -67,11 +67,49 @@ object IngestFlow {
       col("posting_date"),
       col("post_until"))
 
-  /** Flow 1: fetch every source and land it in the lake as parquet.
-    * Returns the written paths. */
+  /** A declared expectation suite gating one table's promotion into the
+    * lake (the q20 machinery wired into the flow — VERDICT r16 task 5:
+    * the reference promotes every fetch unchecked,
+    * /root/reference/src/cleaned_data.py:35-39; an AUDIT platform
+    * should audit its own inputs). */
+  final case class TableExpectations(
+      checks: Seq[graft.operators.Expectations.Check],
+      uniques: Seq[graft.operators.Expectations.UniqueKey] = Nil)
+
+  /** Commit a staged lake artifact: retire any previous live copy, then
+    * one rename activates the staged batch — a crash leaves either the
+    * old artifact, the retired copy (restored on the next run), or the
+    * new one, never a half-written table (the rewriteSwap discipline,
+    * sized down to a rename decision). */
+  private def promoteStaged(spark: SparkSession, staging: String,
+      live: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (liveP, stagP) = (new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(staging))
+    val retired = new org.apache.hadoop.fs.Path(live + "__retired")
+    if (!fs.exists(liveP) && fs.exists(retired))
+      require(fs.rename(retired, liveP), s"could not restore $retired")
+    fs.delete(retired, true)
+    if (fs.exists(liveP))
+      require(fs.rename(liveP, retired), s"could not retire $live")
+    require(fs.rename(stagP, liveP),
+      s"promote rename failed: $staging -> $live")
+    fs.delete(retired, true)
+  }
+
+  /** Flow 1: fetch every source, STAGE it, gate it on its declared
+    * expectation suite (if any), and promote into the lake on pass —
+    * on fail the staged batch moves WHOLE to `_quarantine/` next to
+    * its violation report, and nothing reaches the live lake path (so
+    * the downstream bronze sync never sees it). Sources without a
+    * declared suite promote unconditionally, the reference's
+    * semantics. Returns the PROMOTED paths. */
   def runDataIngestion(spark: SparkSession, sources: Seq[RestDataset],
-      lakeDir: String): Seq[String] =
-    sources.map { src =>
+      lakeDir: String,
+      expectations: Map[String, TableExpectations] = Map.empty)
+      : Seq[String] =
+    sources.flatMap { src =>
       val df = spark.read.format("graft-rest")
         .option("url", src.url)
         .option("fields", src.fields.mkString(","))
@@ -79,9 +117,40 @@ object IngestFlow {
         .option("maxPages", src.maxPages.toString)
         .option("fetcher", src.fetcherClass)
         .load()
-      val path = s"$lakeDir/${src.table}.parquet"
-      df.write.mode("overwrite").parquet(path)
-      path
+      val live = s"$lakeDir/${src.table}.parquet"
+      val staging = s"$lakeDir/_staging/${src.table}.parquet"
+      df.write.mode("overwrite").parquet(staging)
+      expectations.get(src.table) match {
+        case None =>
+          promoteStaged(spark, staging, live)
+          Some(live)
+        case Some(suite) =>
+          // ONE map-combined scan of the staged batch (the q20 shape);
+          // the report is checks-count rows — collect once, decide,
+          // and rewrite the collected rows for the quarantine record
+          val rep = graft.operators.Expectations.report(
+            spark.read.parquet(staging), src.table, suite.checks,
+            suite.uniques)
+          val rows = rep.collect()
+          if (rows.forall(_.getAs[Boolean]("pass"))) {
+            promoteStaged(spark, staging, live)
+            Some(live)
+          } else {
+            val fs = new org.apache.hadoop.fs.Path(staging)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val qdir = s"$lakeDir/_quarantine/${src.table}.parquet"
+            val qP = new org.apache.hadoop.fs.Path(qdir)
+            fs.mkdirs(qP.getParent)
+            fs.delete(qP, true)
+            require(fs.rename(new org.apache.hadoop.fs.Path(staging), qP),
+              s"quarantine rename failed: $staging -> $qdir")
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(rows.toSeq.asJava, rep.schema)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$lakeDir/_quarantine/${src.table}_report.parquet")
+            None
+          }
+      }
     }
 
   /** XLSX → lake: the reference's Lightcast workbook arrives in object
@@ -150,8 +219,9 @@ object IngestFlow {
     * bronze outputs, exactly as the reference's flows overwrite their
     * match parquet on every run. */
   def runAll(spark: SparkSession, sources: Seq[RestDataset],
-      lakeDir: String, refresh: Boolean = false): Unit = {
-    runDataIngestion(spark, sources, lakeDir)
+      lakeDir: String, refresh: Boolean = false,
+      expectations: Map[String, TableExpectations] = Map.empty): Unit = {
+    runDataIngestion(spark, sources, lakeDir, expectations)
     dbSync(spark, lakeDir, refresh)
     runFuzzyMatch(spark)
     runGoldLayer(spark, refresh)

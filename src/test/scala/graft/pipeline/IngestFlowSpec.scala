@@ -191,4 +191,64 @@ class IngestFlowSpec extends SparkTestBase {
     IngestFlow.dbSync(spark, lake, refresh = true)
     assert(spark.table("bronze.nyc_payroll_data").count() == 9)
   }
+
+  test("expectation gate (r17): a planted violation quarantines the " +
+      "staged batch — nothing promoted, previous live copy retained, " +
+      "report emitted; a passing suite promotes unchanged") {
+    import graft.operators.Expectations.Check
+    val lake = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    val payrollSrc = IngestFlow.RestDataset(
+      "nyc_payroll_data", "synthetic://payroll",
+      Seq("title_description", "base_salary", "pay_basis",
+        "regular_gross_paid", "total_ot_paid", "total_other_pay",
+        "fiscal_year"),
+      pageSize = 2, maxPages = 8,
+      fetcherClass = classOf[PayrollPageFetcher].getName)
+    // pass path: sane bounds hold, the artifact promotes
+    val pass = IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(Seq(
+        Check("base_salary_nonneg", col("base_salary").cast("double") >= 0),
+        Check("title_not_null", col("title_description").isNotNull)))))
+    assert(pass == Seq(s"$lake/nyc_payroll_data.parquet"))
+    assert(spark.read.parquet(s"$lake/nyc_payroll_data.parquet")
+      .count() == 6)
+    // fail path on a RE-ingestion: the staged batch quarantines WHOLE,
+    // the previous live artifact stays, the report names the violation
+    val fail = IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(Seq(
+        Check("base_salary_floor",
+          col("base_salary").cast("double") >= 1000000)))))
+    assert(fail.isEmpty, "a failing suite must promote nothing")
+    assert(spark.read.parquet(s"$lake/nyc_payroll_data.parquet")
+      .count() == 6, "previous live artifact must remain")
+    assert(spark.read
+      .parquet(s"$lake/_quarantine/nyc_payroll_data.parquet")
+      .count() == 6, "the staged batch moves whole to quarantine")
+    val rep = spark.read
+      .parquet(s"$lake/_quarantine/nyc_payroll_data_report.parquet")
+      .collect()
+    assert(rep.exists(r =>
+      r.getAs[String]("check_name") == "base_salary_floor" &&
+        !r.getAs[Boolean]("pass") && r.getAs[Long]("violations") == 6L),
+      rep.mkString("; "))
+    // fail path on a FRESH table: nothing ever reaches the live path,
+    // so the bronze glob (lakeDir/*.parquet) cannot see it
+    val jobsSrc = IngestFlow.RestDataset(
+      "gated_jobs", "synthetic://jobs",
+      Seq("business_title", "salary_range_from", "salary_range_to",
+        "posting_date", "post_until"),
+      pageSize = 2, maxPages = 8,
+      fetcherClass = classOf[JobsPageFetcher].getName)
+    val fresh = IngestFlow.runDataIngestion(spark, Seq(jobsSrc), lake,
+      Map("gated_jobs" -> IngestFlow.TableExpectations(Seq(
+        Check("post_until_not_null", col("post_until").isNotNull)))))
+    assert(fresh.isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$lake/gated_jobs.parquet")), "fresh failing table must not land")
+    assert(graft.sources.LakeIO.listLake(spark, s"$lake/*.parquet")
+      .forall(!_.contains("gated_jobs")),
+      "the bronze sync glob must never see a quarantined-only table")
+  }
 }
