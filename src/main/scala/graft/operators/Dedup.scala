@@ -644,8 +644,13 @@ object Dedup {
     // exact verify INSIDE the collision output, before the pair-dedup
     // shuffle (the lshNearDupPairs shape); unit-norm inputs make the
     // dot product the cosine, round-6 BEFORE θ — the same decision the
-    // exact operator replays
-    trd.join(broadcast(evd), Seq("__tbl", "__sig"))
+    // exact operator replays. The signature join is UNHINTED (the d16
+    // lesson): this path exists precisely for the regime where the
+    // eval side outgrows a broadcast, so AQE broadcasts a small eval
+    // frame at runtime and falls back to a (tbl, sig)-keyed shuffle
+    // join when it is not — the exact operator keeps the broadcast
+    // stance because its contract pins the eval side benchmark-sized.
+    trd.join(evd, Seq("__tbl", "__sig"))
       .select(col("train_doc"), col("eval_doc"),
         round(graft.functions.VectorFunctions.dot(col("__tv"), col("__ev")),
           6).as("cosine"))
