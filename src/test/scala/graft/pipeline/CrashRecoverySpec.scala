@@ -126,6 +126,42 @@ class CrashRecoverySpec extends SparkTestBase {
       "replay trusted the un-renamed stage dir")
   }
 
+  test("d18 crash after variant append, before pair write: the stored " +
+      "intent saves the batch's pairs (the load-bearing s6 window on " +
+      "the edit face)") {
+    val root = tmp("crash-d18")
+    val names = Seq((1L, "analyst"), (2L, "analist"), (3L, "manager"),
+      (4L, "analyst"))
+    def runEditBatch(id: Long, rows: Seq[(Long, String)]): Unit =
+      SilverIndex.editPairsBatch(rows.toDF("id", "name"), id, "id",
+        "name", 1, Long.MaxValue, s"$root/sig", s"$root/pairs")
+    runEditBatch(0L, names.take(2))
+    // hand-built crash state: batch 1's intent durable AND its variants
+    // appended, pairs never written — without the intent the replay's
+    // anti-join against the appended variants would find nothing new
+    names.drop(2).toDF("id", "name").select(col("id").as("doc"))
+      .distinct()
+      .join(spark.read.parquet(s"$root/sig").select("doc"),
+        Seq("doc"), "left_anti")
+      .write.parquet(s"$root/sig/_intent/batch1")
+    SilverIndex.refreshEditIndex(names.drop(2).toDF("id", "name"),
+      "id", "name", 1, s"$root/sig")
+    runEditBatch(1L, names.drop(2)) // the replay
+    val got = spark.read.parquet(s"$root/pairs")
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Dedup
+      .editPairs(names.toDF("id", "name"), "id", "name", 1)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"batch 1's pairs were lost across the append/emit window: $got")
+    assert(spark.read.parquet(s"$root/sig").count() ==
+      graft.operators.Dedup.editVariantKeys(
+        names.toDF("id", "name"), "id", "name", 1).count(),
+      "replay duplicated variant rows")
+  }
+
   // ------------------------------------------------------- s9 versioned
 
   private def cmsCounters(df: org.apache.spark.sql.DataFrame) =
