@@ -1476,9 +1476,24 @@ object SilverIndex {
     * applies VERBATIM (gate g6; Scd2IncrementalSpec fuzzes chunkings).
     *
     * Shuffles: one key-partitioned window over the BATCH (batch-sized),
-    * one key join against the stored history (output-sized: one row
-    * per attribute transition), one union — the [[refreshMaxRollup]]
-    * shape with a non-idempotent fold guarded instead of assumed. */
+    * one key join against the stored CURRENT segment (keys-sized), one
+    * union — the [[refreshMaxRollup]] shape with a non-idempotent fold
+    * guarded instead of assumed.
+    *
+    * Storage is the TWO-SEGMENT layout history needs at scale (unlike
+    * a rollup, history grows monotonically, so a per-fold whole-table
+    * rewrite would eventually pay for rows that can never change
+    * again): every version a fold CLOSES appends to an immutable
+    * `closed/batch=N` partition — written by idempotent per-batch
+    * OVERWRITE, so a crashed fold's replay re-emits identically (the
+    * s6 pairs-partition discipline) — while the keys-sized CURRENT
+    * segment (one open version per key) is the only thing the
+    * stage-then-rename version commit rewrites. Crash windows: closed
+    * is written FIRST, so a crash before the current-segment rename
+    * replays the whole fold against the untouched previous current
+    * version and overwrites `closed/batch=N` with the identical rows;
+    * a replay after the rename no-ops on the batch-id guard with the
+    * closed partition already durable. */
   def refreshScd2(batch: DataFrame, batchId: Long, keyCol: String,
       attrCols: Seq[String], tsCol: String, path: String): Refresh = {
     require(attrCols.nonEmpty, "refreshScd2 needs at least one attribute")
@@ -1495,8 +1510,9 @@ object SilverIndex {
     if (last < 0 && valid.isEmpty) return Refresh(0, last)
     val bh = graft.operators.Scd2.history(valid, keyCol, attrCols, tsCol)
     val attrs = struct(attrCols.map(col): _*)
-    val next: DataFrame =
-      if (last < 0) bh
+    val (closedNew: DataFrame, currentNext: DataFrame) =
+      if (last < 0)
+        (bh.where(!col("is_current")), bh.where(col("is_current")))
       else {
         val stored = spark.read.parquet(s"$path/v$last/history")
         val hwm = spark.read.parquet(s"$path/v$last/hwm")
@@ -1512,8 +1528,8 @@ object SilverIndex {
         val firstW = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
           .orderBy(col("effective_from") +: attrCols.map(col): _*)
-        val cur = stored.where(col("is_current"))
-          .select(col(keyCol), attrs.as("__cs"))
+        // the stored CURRENT segment holds exactly the open versions
+        val cur = stored.select(col(keyCol), attrs.as("__cs"))
         // drop a batch's FIRST version when it repeats the stored
         // current state — Scd2.history marks every key's first batch
         // row as a change (lag sees NULL), but across the boundary it
@@ -1526,21 +1542,27 @@ object SilverIndex {
           .drop("__rn", "__cs")
         val closeAt = kept.groupBy(col(keyCol))
           .agg(min(col("effective_from")).as("__close"))
-        stored.join(closeAt, Seq(keyCol), "left")
-          .withColumn("effective_to",
-            when(col("is_current") && col("__close").isNotNull,
-              col("__close")).otherwise(col("effective_to")))
+        // stored current rows superseded this batch → closed segment;
+        // the rest stay current untouched
+        val storedClosed = stored.join(closeAt, Seq(keyCol))
+          .withColumn("effective_to", col("__close"))
           .drop("__close")
-          .withColumn("is_current", col("effective_to").isNull)
-          .unionByName(kept)
+          .withColumn("is_current", lit(false))
+        val storedStillCurrent =
+          stored.join(closeAt, Seq(keyCol), "left_anti")
+        (storedClosed.unionByName(kept.where(!col("is_current"))),
+          storedStillCurrent.unionByName(kept.where(col("is_current"))))
       }
     val batchMax = valid.agg(max(col(tsCol)).as("hwm"))
     val hwmNext =
       if (last < 0) batchMax
       else spark.read.parquet(s"$path/v$last/hwm")
         .unionByName(batchMax).agg(max(col("hwm")).as("hwm"))
+    // closed partition FIRST (idempotent per-batch overwrite), then the
+    // current segment's rename is the commit point
+    closedNew.write.mode("overwrite").parquet(s"$path/closed/batch=$batchId")
     val tmp = s"$path/_tmp_v$batchId"
-    next.localCheckpoint(true)
+    currentNext.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$tmp/history")
     hwmNext.coalesce(1).write.mode("overwrite").parquet(s"$tmp/hwm")
     require(fs.rename(new Path(tmp), new Path(s"$path/v$batchId")),
@@ -1562,14 +1584,23 @@ object SilverIndex {
       .option("checkpointLocation", s"$path/_checkpoint")
       .start()
 
-  /** The maintained history (one row per attribute version) — the
-    * highest committed version. */
+  /** The maintained history (one row per attribute version): the
+    * immutable closed segments unioned with the highest committed
+    * current segment. The `batch` partition column is bookkeeping, not
+    * history — dropped on read. An orphaned `closed/batch=N` from a
+    * fold that crashed before its current-segment commit is EXCLUDED
+    * (N > the committed version): its rows would otherwise double with
+    * the still-open versions the replay will close again. */
   def scd2Index(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versionsUnder(fs, path)
     require(vs.nonEmpty, s"no committed scd2 history under $path")
-    spark.read.parquet(s"$path/v${vs.max}/history")
+    val current = spark.read.parquet(s"$path/v${vs.max}/history")
+    readIfData(spark, s"$path/closed")
+      .map(_.where(col("batch") <= vs.max).drop("batch")
+        .unionByName(current))
+      .getOrElse(current)
   }
 
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */

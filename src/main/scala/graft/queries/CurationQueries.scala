@@ -99,8 +99,8 @@ object CurationQueries {
     // broadcast eval filter) — uncached, the whole postings→TF-IDF DAG
     // (two groupBys, the df join, the norm join) evaluates once per
     // side; the frame is corpus×avg-distinct-buckets rows, exactly
-    // what a silver artifact would hold at scale (r17: measured 1.5×
-    // on c28 at sf0.1, tools/bench_notes_r17.txt)
+    // what a silver artifact would hold at scale (r17: c28 4.75 →
+    // 2.69 s at sf0.1, tools/bench_notes_r17.txt)
     val w = graft.ManagedCache.swap("CurationQueries.semanticW",
       graft.operators.TextSearch.hashingTfIdf(post, dim = 256))
     val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0

@@ -121,8 +121,9 @@ class Scd2IncrementalSpec extends SparkTestBase {
     assert(e2.getMessage.contains("high-water mark"))
   }
 
-  test("crash window: an orphan _tmp from a crashed commit is invisible " +
-      "to readers and overwritten by the replay") {
+  test("crash window: an orphan _tmp AND a stale orphaned closed/batch " +
+      "partition from a crashed commit are invisible to readers and " +
+      "overwritten by the replay") {
     val s = spark
     import s.implicits._
     val path = tmp("graft-scd2inc-crash")
@@ -130,11 +131,59 @@ class Scd2IncrementalSpec extends SparkTestBase {
     SilverIndex.refreshScd2(df.where(col("ts") <= 3), 0L, "user",
       Seq("state"), "ts", path)
     val afterB0 = served(path)
+    // crash state 1: staged current segment, never renamed
     Seq(("junk", "junk", -1)).toDF("user", "state", "ts")
       .write.parquet(s"$path/_tmp_v1/history")
-    assert(served(path) == afterB0, "reader ignores the orphan staging dir")
+    // crash state 2: the crashed fold had already written its closed
+    // partition (with rows a re-run would NOT produce — junk proves
+    // the replay overwrites rather than adopts, and the reader's
+    // batch <= committed-version filter hides it meanwhile)
+    Seq(("junk", "junk", -1, -1, false))
+      .toDF("user", "state", "effective_from", "effective_to",
+        "is_current")
+      .write.parquet(s"$path/closed/batch=1")
+    assert(served(path) == afterB0,
+      "reader must ignore the orphan staging dir AND the orphaned " +
+        "closed partition")
     SilverIndex.refreshScd2(df.where(col("ts") > 3), 1L, "user",
       Seq("state"), "ts", path)
     assert(served(path) == oneShot(df), "replay recovered the crash window")
+    assert(!served(path).exists(_.head == "junk"),
+      "replay adopted the stale closed partition instead of " +
+        "overwriting it")
+  }
+
+  test("two-segment layout: closed partitions are never rewritten by " +
+      "later folds; the current segment stays keys-sized") {
+    val path = tmp("graft-scd2inc-seg")
+    val df = log(spark)
+    fold(df, Seq(2, 5), path) // three batches
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def closedFiles(b: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/closed/batch=$b"))
+        .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val b0Before = closedFiles(0)
+    assert(b0Before.nonEmpty, "batch 0 closed versions exist")
+    // a further fold must not touch earlier closed partitions
+    val s = spark
+    import s.implicits._
+    SilverIndex.refreshScd2(
+      Seq(("A", "z", 99)).toDF("user", "state", "ts"),
+      batchId = 9L, keyCol = "user", attrCols = Seq("state"),
+      tsCol = "ts", path = path)
+    assert(closedFiles(0) == b0Before,
+      "an immutable closed partition was rewritten")
+    // the current segment holds exactly one open version per key
+    val cur = spark.read.parquet(
+      s"$path/v9/history")
+    val users = df.select("user").distinct().count()
+    assert(cur.count() == users && cur.collect().forall(r =>
+      r.getBoolean(r.fieldIndex("is_current"))),
+      "current segment must be one open version per key")
+    assert(served(path) == oneShot(df.unionByName(
+      Seq(("A", "z", 99)).toDF("user", "state", "ts"))))
   }
 }
