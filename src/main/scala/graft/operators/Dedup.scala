@@ -624,7 +624,18 @@ object Dedup {
     require(bits >= 1 && bits <= 20 && tables >= 1,
       s"need 1 <= bits <= 20, tables >= 1: bits=$bits tables=$tables")
     def dense(df: DataFrame, outDoc: String, outVec: String): DataFrame =
-      df.groupBy(col("doc"))
+      df.select(col("doc"),
+          // a `dim` smaller than the TF-IDF fit's would silently ZERO
+          // the out-of-range coordinates (element_at misses coalesce
+          // to 0.0 below) and verify wrong cosines — raise instead
+          when(col("bucket") < 0 || col("bucket") >= dim,
+            raise_error(concat(lit("crossCosinePairsLsh: bucket "),
+              col("bucket").cast("string"),
+              lit(s" outside [0, $dim) — dim must match the "),
+              lit("hashingTfIdf fit")))).otherwise(col("bucket"))
+            .as("bucket"),
+          col("weight"))
+        .groupBy(col("doc"))
         .agg(map_from_entries(
           collect_list(struct(col("bucket"), col("weight")))).as("__m"))
         .select(col("doc").as(outDoc),

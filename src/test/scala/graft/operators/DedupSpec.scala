@@ -893,6 +893,14 @@ class DedupSpec extends SparkTestBase {
     val planted = exact.filter { case (t, e) => e == t + 10000000L }
     assert(planted.nonEmpty && planted.subsetOf(approx),
       s"missed planted pairs: ${(planted -- approx).take(5)}")
+    // a dim smaller than the fit's raises instead of silently zeroing
+    // the out-of-range coordinates (and verifying wrong cosines)
+    val e = intercept[Exception] {
+      Dedup.crossCosinePairsLsh(
+        w.where(!isEval), w.where(isEval), theta = 0.9, dim = 64)
+        .collect()
+    }
+    assert(e.getMessage.contains("dim must match"))
   }
 
   private def editPairsOf(rows: Seq[(Long, String)], d: Int,
