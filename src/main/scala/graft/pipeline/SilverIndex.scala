@@ -1508,7 +1508,12 @@ object SilverIndex {
     // would have no parquet schema to read back); an empty later batch
     // folds through as identity below
     if (last < 0 && valid.isEmpty) return Refresh(0, last)
-    val bh = graft.operators.Scd2.history(valid, keyCol, attrCols, tsCol)
+    // the batch history feeds BOTH segment writes (and, in the stitch,
+    // the close-point aggregation too) — materialize it once instead
+    // of re-running the batch window per consumer (it is
+    // batch-transitions-sized by construction)
+    val bh = graft.operators.Scd2
+      .history(valid, keyCol, attrCols, tsCol).localCheckpoint(true)
     val attrs = struct(attrCols.map(col): _*)
     val (closedNew: DataFrame, currentNext: DataFrame) =
       if (last < 0)
@@ -1540,6 +1545,9 @@ object SilverIndex {
           .where(col("__rn") =!= 1 || col("__cs").isNull ||
             !(attrs <=> col("__cs")))
           .drop("__rn", "__cs")
+          // consumed three times (closed rows, current rows, the
+          // close-point aggregation) across two write actions
+          .localCheckpoint(true)
         val closeAt = kept.groupBy(col(keyCol))
           .agg(min(col("effective_from")).as("__close"))
         // stored current rows superseded this batch → closed segment;
