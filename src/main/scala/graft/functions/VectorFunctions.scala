@@ -81,4 +81,28 @@ object VectorFunctions {
   def hyperplaneSignatureRange(v: Column, offset: Int, bits: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(HyperplaneSig(
       org.apache.spark.sql.graft.ColumnBridge.expression(v), offset, bits))
+
+  /** [[hyperplaneSignatureRange]] computed from a SPARSE vector
+    * (ascending `buckets` array<long> + aligned `weights` array<double>)
+    * without densifying — bit-identical to the dense kernel over the
+    * densified vector ([[SparseVecKernel]]'s parity contract), at
+    * O(nnz) instead of O(dim) per plane. The shape hashed-TF-IDF
+    * corpora need at production dims (2^18+). */
+  def sparseHyperplaneSignatureRange(buckets: Column, weights: Column,
+      offset: Int, bits: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SparseHyperplaneSig(
+      org.apache.spark.sql.graft.ColumnBridge.expression(buckets),
+      org.apache.spark.sql.graft.ColumnBridge.expression(weights),
+      offset, bits))
+
+  /** [[dot]] over two sorted sparse vectors by ascending-bucket merge
+    * ([[SparseDot]]) — bit-identical to [[VecDot]] on the densified
+    * pair, at O(nnz_a + nnz_b). */
+  def sparseDot(bucketsA: Column, weightsA: Column, bucketsB: Column,
+      weightsB: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SparseDot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(bucketsA),
+      org.apache.spark.sql.graft.ColumnBridge.expression(weightsA),
+      org.apache.spark.sql.graft.ColumnBridge.expression(bucketsB),
+      org.apache.spark.sql.graft.ColumnBridge.expression(weightsB)))
 }

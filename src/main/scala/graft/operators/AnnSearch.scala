@@ -28,6 +28,18 @@ object AnnSearch {
       struct(lit(tbl).as("tbl"), wide.as("sig"))
     }: _*)
 
+  /** [[tableSigs]] computed from a SPARSE vector (sorted buckets +
+    * aligned weights) without densifying — identical signatures
+    * ([[graft.functions.SparseVecKernel]]'s bit-parity contract), at
+    * O(nnz) per plane instead of O(dim). */
+  private[operators] def sparseTableSigs(buckets: Column, weights: Column,
+      bits: Int, tables: Int): Column =
+    array((0 until tables).map { tbl =>
+      val wide = VectorFunctions.sparseHyperplaneSignatureRange(
+        buckets, weights, tbl * bits, bits)
+      struct(lit(tbl).as("tbl"), wide.as("sig"))
+    }: _*)
+
   /** All bucket ids within `maxFlips` Hamming bits of `sig` (including
     * sig itself): one XOR per mask, masks precomputed on the driver. */
   private def hammingProbes(sig: Column, bits: Int, maxFlips: Int): Column = {

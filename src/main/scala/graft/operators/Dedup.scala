@@ -608,14 +608,24 @@ object Dedup {
     * share every signature).
     *
     * Scale shape: candidates are (tbl, sig)-bucket collisions — never
-    * all pairs; the eval side (sigs + dense vector) broadcasts; the
-    * train corpus pays one doc-keyed densify aggregation + `tables`
-    * signature evaluations, no corpus self-shuffle. Verification cost
-    * is collision-count × one codegen'd [[graft.functions.VecDot]].
+    * all pairs; the eval side (sigs + sparse vector) broadcasts; the
+    * train corpus pays one doc-keyed sparse aggregation + `tables`
+    * signature evaluations, no corpus self-shuffle. Everything stays
+    * SPARSE end-to-end (ADVICE r17): each doc travels as its sorted
+    * (buckets, weights) arrays — O(nnz) per row — never a dim-length
+    * densified vector, so the operator's beyond-broadcast regime
+    * (production dim 2^18+, docs ~100-sparse) ships ~1.6 KB/doc
+    * through the signature join instead of ~2 MB. Signatures and the
+    * verify dot are bit-identical to the dense formulation they
+    * replaced ([[graft.functions.SparseVecKernel]]'s parity contract,
+    * SparseVecSpec), so the banding decisions — and c30's pinned
+    * recall row — are unchanged. Verification cost is collision-count
+    * × one codegen'd [[graft.functions.SparseDot]] merge.
     * Inputs are the [[graft.operators.TextSearch.hashingTfIdf]] triple
     * shape under ONE shared fit (the [[crossCosinePairs]] contract);
-    * `dim` must be the fit's dim. Output: (train_doc, eval_doc,
-    * cosine ≥ θ) — [[crossCosinePairs]]'s shape. */
+    * `dim` must be the fit's dim (asserted per bucket — a mismatched
+    * fit must raise, not band wrong vectors). Output: (train_doc,
+    * eval_doc, cosine ≥ θ) — [[crossCosinePairs]]'s shape. */
   def crossCosinePairsLsh(train: DataFrame, eval: DataFrame,
       theta: Double, dim: Int, bits: Int = 10,
       tables: Int = 12): DataFrame = {
@@ -623,34 +633,17 @@ object Dedup {
       s"theta must be in (0, 1]: $theta")
     require(bits >= 1 && bits <= 20 && tables >= 1,
       s"need 1 <= bits <= 20, tables >= 1: bits=$bits tables=$tables")
-    def dense(df: DataFrame, outDoc: String, outVec: String): DataFrame =
-      df.select(col("doc"),
-          // a `dim` smaller than the TF-IDF fit's would silently ZERO
-          // the out-of-range coordinates (element_at misses coalesce
-          // to 0.0 below) and verify wrong cosines — raise instead
-          when(col("bucket") < 0 || col("bucket") >= dim,
-            raise_error(concat(lit("crossCosinePairsLsh: bucket "),
-              col("bucket").cast("string"),
-              lit(s" outside [0, $dim) — dim must match the "),
-              lit("hashingTfIdf fit")))).otherwise(col("bucket"))
-            .as("bucket"),
-          col("weight"))
-        .groupBy(col("doc"))
-        .agg(map_from_entries(
-          collect_list(struct(col("bucket"), col("weight")))).as("__m"))
-        .select(col("doc").as(outDoc),
-          transform(sequence(lit(0), lit(dim - 1)), j =>
-            coalesce(element_at(col("__m"), j.cast("long")), lit(0.0)))
-            .as(outVec))
-    val trd = dense(train, "train_doc", "__tv")
-      .withColumn("__bk",
-        explode(AnnSearch.tableSigs(col("__tv"), bits, tables)))
-      .select(col("train_doc"), col("__tv"),
+    val trd = sparseDocVectors(train, dim, "crossCosinePairsLsh")
+      .toDF("train_doc", "__tb", "__tw")
+      .withColumn("__bk", explode(
+        AnnSearch.sparseTableSigs(col("__tb"), col("__tw"), bits, tables)))
+      .select(col("train_doc"), col("__tb"), col("__tw"),
         col("__bk.tbl").as("__tbl"), col("__bk.sig").as("__sig"))
-    val evd = dense(eval, "eval_doc", "__ev")
-      .withColumn("__bk",
-        explode(AnnSearch.tableSigs(col("__ev"), bits, tables)))
-      .select(col("eval_doc"), col("__ev"),
+    val evd = sparseDocVectors(eval, dim, "crossCosinePairsLsh")
+      .toDF("eval_doc", "__eb", "__ew")
+      .withColumn("__bk", explode(
+        AnnSearch.sparseTableSigs(col("__eb"), col("__ew"), bits, tables)))
+      .select(col("eval_doc"), col("__eb"), col("__ew"),
         col("__bk.tbl").as("__tbl"), col("__bk.sig").as("__sig"))
     // exact verify INSIDE the collision output, before the pair-dedup
     // shuffle (the lshNearDupPairs shape); unit-norm inputs make the
@@ -663,11 +656,72 @@ object Dedup {
     // stance because its contract pins the eval side benchmark-sized.
     trd.join(evd, Seq("__tbl", "__sig"))
       .select(col("train_doc"), col("eval_doc"),
-        round(graft.functions.VectorFunctions.dot(col("__tv"), col("__ev")),
+        round(graft.functions.VectorFunctions.sparseDot(
+          col("__tb"), col("__tw"), col("__eb"), col("__ew")),
           6).as("cosine"))
       .where(col("cosine") >= theta)
       .dropDuplicates("train_doc", "eval_doc")
   }
+
+  /** One row per doc of a TF-IDF triple frame, as the sorted sparse
+    * parallel-array shape the sparse kernels consume: (doc, buckets
+    * array<long> ascending, weights array<double> aligned). The `dim`
+    * guard is the FIT contract: a bucket outside [0, dim) means the
+    * caller mixed vectorizer fits, which must raise, never band or
+    * verify wrong cosines. */
+  private[graft] def sparseDocVectors(triples: DataFrame, dim: Int,
+      ctx: String): DataFrame =
+    triples.select(col("doc"),
+        when(col("bucket") < 0 || col("bucket") >= dim,
+          raise_error(concat(lit(s"$ctx: bucket "),
+            col("bucket").cast("string"),
+            lit(s" outside [0, $dim) — dim must match the "),
+            lit("hashingTfIdf fit")))).otherwise(col("bucket"))
+          .cast("long").as("bucket"),
+        col("weight").cast("double").as("weight"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("weight"))))
+        .as("__e"))
+      .select(col("doc"),
+        col("__e.bucket").as("buckets"), col("__e.weight").as("weights"))
+
+  /** AUTO-DISPATCH between the exact ([[crossCosinePairs]]) and banded
+    * ([[crossCosinePairsLsh]]) semantic-decontam shapes — the
+    * [[AnnSearch.knnJoin]] declared-budget discipline applied here
+    * (VERDICT r17 task 3): the exact operator's one non-negotiable is
+    * that the EVAL side broadcasts whole (its triples feed a map-side
+    * bucket join), so estimate that broadcast — eval triple count ×
+    * ~40 B/triple (doc + bucket + weight + row overhead) — against the
+    * session's `autoBroadcastJoinThreshold` and dispatch: under it,
+    * the exact bucket join (no shuffle, no recall loss); past it, the
+    * banded path (signature collisions + exact verify, the only shape
+    * that scales once benchmarks outgrow a broadcast). The threshold
+    * is the session's DECLARED budget, so the dispatch is portable to
+    * a real cluster rather than tuned to local[32]; a disabled
+    * threshold (≤ 0) always takes the banded shape. `evalTriplesHint`
+    * skips the count when the caller already knows it (catalog stats,
+    * a materialized frame). Both branches emit (train_doc, eval_doc,
+    * cosine ≥ θ); the banded branch is output-⊆-exact with the c30
+    * recall contract. */
+  def crossCosineAuto(train: DataFrame, eval: DataFrame, theta: Double,
+      dim: Int, bits: Int = 10, tables: Int = 12,
+      maxBucketOcc: Long = CrossCosineMaxBucketOcc,
+      evalTriplesHint: Long = -1L): DataFrame = {
+    val threshold =
+      train.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val n = if (evalTriplesHint >= 0) evalTriplesHint else eval.count()
+    if (crossCosineBroadcastFits(n, threshold))
+      crossCosinePairs(train, eval, theta, maxBucketOcc)
+    else crossCosinePairsLsh(train, eval, theta, dim, bits, tables)
+  }
+
+  /** The [[crossCosineAuto]] decision rule, exposed for the spec: does
+    * the eval side's triple frame fit the session's declared broadcast
+    * budget? ~40 B/triple: 8 (doc) + 8 (bucket) + 8 (weight) + ~16 row
+    * overhead in the broadcast hash relation. */
+  private[graft] def crossCosineBroadcastFits(evalTriples: Long,
+      threshold: Long): Boolean =
+    threshold > 0 && evalTriples * 40L <= threshold
 
   /** Exact-substring shared spans — the dedup criterion of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better",
@@ -1220,8 +1274,22 @@ object Dedup {
     * full (id, str, vk) table INCLUDING the new rows; `newIds` the
     * one-column frame of ids arriving this batch. Pairs are
     * canonicalized (least, greatest) by id so a new↔new pair appears
-    * once; the valve is evaluated over the FULL table so delta pairs
-    * match what [[editPairsFromKeys]] would emit. */
+    * once; the valve is evaluated over the full table AS OF THE BATCH,
+    * so each delta matches what [[editPairsFromKeys]] would emit over
+    * that snapshot. NOTE the valve's accumulation semantics (ADVICE
+    * r17): variant occupancy grows monotonically, so with a finite
+    * `maxVariantOcc` a pair emitted while its variant key was still
+    * under the ceiling REMAINS in the accumulated pairs table after
+    * the key crosses it, while a from-scratch serve
+    * ([[graft.pipeline.SilverIndex.editPairsFromIndex]]) would drop
+    * it — the union of deltas equals serve-time output exactly only
+    * when the valve is off (`Long.MaxValue`, the default). With the
+    * valve on, the accumulated table is a SUPERSET of the serve
+    * output restricted to pairs that were cold at emission time —
+    * operationally the desirable reading (a pair verified under the
+    * exact levenshtein check never un-verifies), but not the serve
+    * equality; consumers needing the serve semantics re-filter
+    * against [[keptVariantKeys]] at read time. */
   def editPairsDelta(keyed: DataFrame, newIds: DataFrame, maxDist: Int,
       maxVariantOcc: Long = Long.MaxValue): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
