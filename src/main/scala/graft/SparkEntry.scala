@@ -49,9 +49,9 @@ object SparkEntry {
   val noOracleHashed: Set[String] = Set("a2_ann_lsh", "a3_ann_ivf",
     "a4_neardup_lsh", "a5_ann_recall", "a6_incr_ivf", "a9_ann_pq",
     "a10_ann_ivfpq", "a11_ann_contracts", "a12_knn_join", "a14_knn_auto",
-    "c18_bpe_train", "c30_semantic_lsh_recall", "d4_simhash_pairs",
-    "d9_semdedup", "h3_text_knn_scale", "h4_text_knn_pq",
-    "j2_simjoin_fuzzy")
+    "c18_bpe_train", "c30_semantic_lsh_recall", "c31_semantic_index_recall",
+    "d4_simhash_pairs", "d9_semdedup", "h3_text_knn_scale",
+    "h4_text_knn_pq", "j2_simjoin_fuzzy", "s19_stream_semantic_lsh")
 
   /** The query as the correctness gate runs it: no-oracle queries carry
     * the whole-result `content_hash` column, oracle queries unchanged. */

@@ -32,7 +32,7 @@ object AnnSearch {
     * aligned weights) without densifying — identical signatures
     * ([[graft.functions.SparseVecKernel]]'s bit-parity contract), at
     * O(nnz) per plane instead of O(dim). */
-  private[operators] def sparseTableSigs(buckets: Column, weights: Column,
+  private[graft] def sparseTableSigs(buckets: Column, weights: Column,
       bits: Int, tables: Int): Column =
     array((0 until tables).map { tbl =>
       val wide = VectorFunctions.sparseHyperplaneSignatureRange(

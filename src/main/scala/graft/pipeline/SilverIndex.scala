@@ -406,6 +406,197 @@ object SilverIndex {
       .option("checkpointLocation", s"$sigPath/_checkpoint")
       .start()
 
+  // ---------------- banded semantic-decontam index (c31/s19, r18)
+
+  private def semVecsPath(path: String) = s"${path.stripSuffix("/")}__vecs"
+
+  /** Bring the banded semantic-decontam index at `path` up to date
+    * with `train` — the persisted face [[graft.operators.Dedup
+    * .crossCosinePairsLsh]] lacked (VERDICT r17 task 2, the d7/m9/d18
+    * id-anti-join discipline): c30's banded path recomputed every
+    * train-side hyperplane signature per audit, while its exact
+    * sibling served from the stream-maintained postings (s16). `train`
+    * is the [[graft.operators.TextSearch.hashingTfIdf]] triple shape
+    * under a FROZEN vectorizer fit (the [[refreshIvf]] frozen-
+    * quantizer stance: signatures are deterministic per doc GIVEN the
+    * fit, which is what makes delta ≡ scratch exact — re-fitting the
+    * IDF means rebuild, the same contract as a re-trained quantizer).
+    *
+    * Two tables: `path` holds the signature rows (doc, tbl, sig, bits,
+    * tables, dim — the config columns pin the build, uniform by the
+    * append-only discipline, so ONE row exposes a mismatch: the d18
+    * probe), `path`__vecs the per-doc sorted sparse vectors (doc,
+    * buckets, weights) the serve-time exact verify reads. Each table's
+    * append anti-joins on ITS OWN doc set, so both appends are
+    * individually idempotent at doc grain and every crash window
+    * replays clean: vectors append FIRST, so a crash between the
+    * writes leaves vec rows whose doc has no signatures yet —
+    * invisible to the collision join — and the replay re-appends only
+    * the missing signature rows (the vec anti-join skips the doc, no
+    * duplicate rows that would double verify pairs). Weekly-audit
+    * serve is [[semanticPairsFromIndex]]; erasure
+    * [[eraseSemanticLsh]]. */
+  def refreshSemanticLsh(train: DataFrame, dim: Int, bits: Int,
+      tables: Int, path: String): Refresh = {
+    val spark = train.sparkSession
+    val existing = readIfData(spark, path)
+    existing.foreach { ix =>
+      ix.select(col("bits"), col("tables"), col("dim")).limit(1)
+        .collect().headOption.foreach { r =>
+          require(r.getInt(0) == bits && r.getInt(1) == tables &&
+            r.getInt(2) == dim,
+            s"semantic index at $path was built at (bits=${r.getInt(0)}, " +
+              s"tables=${r.getInt(1)}, dim=${r.getInt(2)}), refresh " +
+              s"requested ($bits, $tables, $dim) — rebuild, don't mix")
+        }
+    }
+    val newTriples = existing.fold(train)(ix =>
+      train.join(ix.select(col("doc")).distinct(), Seq("doc"), "left_anti"))
+    // feeds both table writes — batch-sized by the anti-join
+    val vecs = graft.operators.Dedup
+      .sparseDocVectors(newTriples, dim, "refreshSemanticLsh")
+      .localCheckpoint(true)
+    val vdir = semVecsPath(path)
+    val existingV = readIfData(spark, vdir)
+    val newVecs = existingV.fold(vecs)(vx =>
+      vecs.join(vx.select(col("doc")).distinct(), Seq("doc"), "left_anti"))
+    appendCounted(newVecs, vdir, Nil,
+      existingRows(spark, vdir, existingV))
+    val sigs = vecs.withColumn("__bk", explode(
+        graft.operators.AnnSearch.sparseTableSigs(
+          col("buckets"), col("weights"), bits, tables)))
+      .select(col("doc"), col("__bk.tbl").as("tbl"),
+        col("__bk.sig").as("sig"), lit(bits).as("bits"),
+        lit(tables).as("tables"), lit(dim).as("dim"))
+    appendCounted(sigs, path, Nil, existingRows(spark, path, existing))
+  }
+
+  /** The signature table as stored: (doc, tbl, sig, bits, tables, dim). */
+  def semanticLshIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Banded semantic-decontam pairs served from the PERSISTED index —
+    * the weekly-audit shape: zero train-side signature recompute;
+    * the benchmark-sized eval triples band on the fly under the
+    * STORED build config, candidates are (tbl, sig) collisions against
+    * the stored signatures, and every candidate is verified with the
+    * exact round-6 sparse cosine from the stored vectors — so output
+    * ≡ [[graft.operators.Dedup.crossCosinePairsLsh]] over the same
+    * corpora ROW-FOR-ROW (SilverIndexSpec pins it), and c30's recall
+    * contract (floor 0.7, false_pairs 0) holds over index-served
+    * candidates by construction. */
+  def semanticPairsFromIndex(spark: SparkSession, path: String,
+      evalTriples: DataFrame, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0,
+      s"theta must be in (0, 1]: $theta")
+    val ix = semanticLshIndex(spark, path)
+    val cfg = ix.select(col("bits"), col("tables"), col("dim")).limit(1)
+      .collect().headOption
+    require(cfg.nonEmpty, s"no semantic index rows under $path")
+    val (bits, tables, dim) =
+      (cfg.get.getInt(0), cfg.get.getInt(1), cfg.get.getInt(2))
+    semanticPairsOver(ix, spark.read.parquet(semVecsPath(path)),
+      evalTriples, theta, dim, bits, tables)
+  }
+
+  /** The collision-candidates + exact-verify serve over explicit
+    * signature/vector frames — shared by the full serve and the
+    * per-batch delta (which pre-filters both frames to the batch's
+    * new docs). */
+  private def semanticPairsOver(sigs: DataFrame, vecs: DataFrame,
+      evalTriples: DataFrame, theta: Double, dim: Int, bits: Int,
+      tables: Int): DataFrame = {
+    // the eval side feeds two consumers (banding + verify) — bound the
+    // cache by call site (the c28 semanticW discipline)
+    val ev = graft.ManagedCache.swap("SilverIndex.semanticEval",
+      graft.operators.Dedup.sparseDocVectors(evalTriples, dim,
+        "semanticPairsFromIndex"))
+    val evSigs = ev.withColumn("__bk", explode(
+        graft.operators.AnnSearch.sparseTableSigs(
+          col("buckets"), col("weights"), bits, tables)))
+      .select(col("doc").as("eval_doc"), col("__bk.tbl").as("tbl"),
+        col("__bk.sig").as("sig"))
+    // UNHINTED collision join (the d16 lesson): AQE broadcasts the
+    // benchmark-sized eval signatures at runtime and falls back to a
+    // (tbl, sig)-keyed shuffle when a giant eval set is not
+    val cands = sigs.select(col("doc").as("train_doc"), col("tbl"),
+        col("sig"))
+      .join(evSigs, Seq("tbl", "sig"))
+      .select(col("train_doc"), col("eval_doc"))
+      .dropDuplicates("train_doc", "eval_doc")
+    // verify: candidates are output-shaped, the vec join back is the
+    // a15 semi-into-frozen-assignments stance
+    cands
+      .join(vecs.select(col("doc").as("train_doc"),
+        col("buckets").as("__tb"), col("weights").as("__tw")), "train_doc")
+      .join(ev.select(col("doc").as("eval_doc"),
+        col("buckets").as("__eb"), col("weights").as("__ew")), "eval_doc")
+      .select(col("train_doc"), col("eval_doc"),
+        round(graft.functions.VectorFunctions.sparseDot(
+          col("__tb"), col("__tw"), col("__eb"), col("__ew")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= theta)
+  }
+
+  /** One micro-batch of [[streamingSemanticPairs]] — the
+    * transaction-intent protocol verbatim over hyperplane signatures
+    * (the [[editPairsBatch]] shape): intent (same crash windows, same
+    * stage-then-rename commit), signature+vector append for the
+    * intent's new docs only, then exactly the pairs whose TRAIN doc is
+    * new (the eval side is a frozen benchmark frame, so train-only
+    * growth makes the union of deltas ≡ the full serve EXACTLY —
+    * signatures are per-doc deterministic under the frozen fit, and a
+    * pair exists iff its train doc collides, which is decided the
+    * batch that doc arrives) into a per-batch OVERWRITE partition so
+    * a replay re-emits identically. */
+  private[pipeline] def semanticPairsBatch(batch: DataFrame,
+      batchId: Long, evalTriples: DataFrame, theta: Double, dim: Int,
+      bits: Int, tables: Int, sigPath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val newIds = intentNewIds(spark, sigPath, batchId,
+      batch.select(col("doc")).distinct())
+    refreshSemanticLsh(
+      batch.join(newIds, Seq("doc"), "left_semi"),
+      dim, bits, tables, sigPath)
+    val sigs = semanticLshIndex(spark, sigPath)
+      .join(newIds, Seq("doc"), "left_semi")
+    val vecs = spark.read.parquet(semVecsPath(sigPath))
+      .join(newIds, Seq("doc"), "left_semi")
+    semanticPairsOver(sigs, vecs, evalTriples, theta, dim, bits, tables)
+      .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+    ()
+  }
+
+  /** Continuous banded semantic-decontam maintenance: each micro-batch
+    * of train-side TF-IDF triples (under the frozen fit) appends its
+    * new docs' signatures + vectors and emits exactly the flagged
+    * pairs involving them (the s6 exactly-once pair contract — d18's
+    * streaming face, one ring out: s19). */
+  def streamingSemanticPairs(rows: DataFrame, evalTriples: DataFrame,
+      theta: Double, dim: Int, bits: Int, tables: Int, sigPath: String,
+      pairsPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        semanticPairsBatch(batch.toDF(), batchId, evalTriples, theta,
+          dim, bits, tables, sigPath, pairsPath)
+      }
+      .option("checkpointLocation", s"$sigPath/_checkpoint")
+      .start()
+
+  /** Erasure for the banded semantic index (the p6 path): the
+    * subject's signature AND vector rows drop, so
+    * [[semanticPairsFromIndex]] can never band or verify an erased doc
+    * again — the [[eraseEditIndex]] staged-swap anti-join over both
+    * tables. Signatures first: a crash between the two rewrites leaves
+    * vec rows no collision can reach. */
+  def eraseSemanticLsh(spark: SparkSession, path: String,
+      subjects: DataFrame, subjectCol: String): Erased = {
+    val r = eraseKeyed(spark, path, "doc", subjects, subjectCol)
+    eraseKeyed(spark, semVecsPath(path), "doc", subjects, subjectCol)
+    r
+  }
+
   // ----------------------------------------------------------- BM25 postings
 
   /** Bring the inverted-index postings table (doc, term, tf) at `path`

@@ -94,7 +94,7 @@ object CurationQueries {
     * 64, bucket collisions push RANDOM pairs past cosine 0.8); train
     * docs flag at round-6 cosine ≥ 0.9 vs ANY eval item. */
   private[graft] def semanticReportFromPostings(s: SparkSession,
-      dir: String, post: DataFrame): DataFrame = {
+      dir: String, post: DataFrame, auto: Boolean = false): DataFrame = {
     // the weighted triple frame feeds BOTH join sides (train filter +
     // broadcast eval filter) — uncached, the whole postings→TF-IDF DAG
     // (two groupBys, the df join, the norm join) evaluates once per
@@ -104,8 +104,16 @@ object CurationQueries {
     val w = graft.ManagedCache.swap("CurationQueries.semanticW",
       graft.operators.TextSearch.hashingTfIdf(post, dim = 256))
     val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
-    val hits = Dedup.crossCosinePairs(
+    // auto = the c32 dispatch face: same θ, same fit — at gate scale
+    // the eval triples fit the declared broadcast budget, so the
+    // dispatch takes the exact branch and the report (and oracle) is
+    // c28's verbatim; past the budget it degrades to the banded path
+    val pairs =
+      if (auto) Dedup.crossCosineAuto(
+        w.where(!isEval), w.where(isEval), theta = 0.9, dim = 256)
+      else Dedup.crossCosinePairs(
         w.where(!isEval), w.where(isEval), theta = 0.9)
+    val hits = pairs
       .groupBy("train_doc")
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("mc"))
     t(s, dir, "documents").where(col("doc_id") % 20 =!= 0)
@@ -117,6 +125,70 @@ object CurationQueries {
         when(col("n_eval_hits").isNotNull, lit("blocked"))
           .otherwise(lit("released")).as("verdict"))
   }
+
+  /** The shared-fit TF-IDF triple frame over [[semanticUnion]] (dim
+    * 256, the c28 parameterization), ManagedCache-bounded under the one
+    * slot every semantic query shares. */
+  private[graft] def semanticW(s: SparkSession, dir: String): DataFrame =
+    graft.ManagedCache.swap("CurationQueries.semanticW",
+      graft.operators.TextSearch.hashingTfIdf(
+        graft.operators.TextSearch.postings(
+          semanticUnion(s, dir), "id", "text"), dim = 256))
+
+  private[graft] val semanticIsEval =
+    col("doc") >= 10000000L || col("doc") % 20 === 0
+
+  /** The c30 recall-contract row over an (exact, approx) pair of
+    * semantic-decontam outputs — precision must be exact (false_pairs
+    * = 0, the approx path verifies with the same round-6 θ decision)
+    * and recall is measured IN-PLAN with a 0.7 floor (the a5/a11
+    * discipline). Shared by the scratch-banded (c30) and index-served
+    * (c31) faces. */
+  private def semanticRecallContract(exactPairs: DataFrame,
+      approxPairs: DataFrame, method: String): DataFrame = {
+    val exact = exactPairs
+      .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ex"))
+    val approx = approxPairs
+      .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ap"))
+    exact.join(approx, Seq("train_doc", "eval_doc"), "full_outer")
+      .agg(
+        coalesce(sum(col("__ex")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("__ap")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("__ex") * col("__ap")), lit(0L)).as("n_hit"),
+        // approx pairs the exact operator does NOT flag — must be 0
+        coalesce(sum(when(col("__ex").isNull, col("__ap"))), lit(0L))
+          .as("false_pairs"))
+      .select(lit(method).as("method"),
+        col("n_exact"), col("n_lsh"), col("n_hit"), col("false_pairs"),
+        // 0-exact reads recall 0.0 / contract failed, never NULL (the
+        // a5 coalesce discipline — the collapse this row guards
+        // against must not blank the verdict)
+        round(col("n_hit").cast("double") /
+          greatest(col("n_exact"), lit(1L)).cast("double"), 4)
+          .as("recall"),
+        lit(0.7).as("contract_floor"),
+        (col("n_exact") > 0 && col("false_pairs") === 0 &&
+          col("n_hit").cast("double") >=
+            lit(0.7) * col("n_exact").cast("double"))
+          .as("meets_contract"))
+  }
+
+  /** The PERSISTED banded semantic index over the train side of the
+    * shared fit (once per JVM + sf dir) — built through THREE
+    * incremental [[graft.pipeline.SilverIndex.refreshSemanticLsh]]
+    * folds (docs split by pmod 3, the weekly-arrival shape), so the
+    * gate exercises the id-anti-join delta path, not just a one-shot
+    * build; delta ≡ scratch because signatures are per-doc
+    * deterministic under the frozen fit. */
+  private[graft] def semanticIndexPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"semanticlsh:$dir") { p =>
+      val train = semanticW(s, dir).where(!semanticIsEval)
+      (0 until 3).foreach { i =>
+        graft.pipeline.SilverIndex.refreshSemanticLsh(
+          train.where(pmod(col("doc"), lit(3)) === i),
+          dim = 256, bits = 10, tables = 12, path = p)
+      }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_pipeline" -> ((s, dir) => {
@@ -660,39 +732,56 @@ object CurationQueries {
     // separate far harder. One row; rows-only by design — the row
     // itself carries the evidence (golden-pinned, GOLDENS.json).
     "c30_semantic_lsh_recall" -> ((s, dir) => {
-      val w = graft.ManagedCache.swap("CurationQueries.semanticW",
-        graft.operators.TextSearch.hashingTfIdf(
-          graft.operators.TextSearch.postings(
-            semanticUnion(s, dir), "id", "text"), dim = 256))
-      val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
-      val exact = Dedup.crossCosinePairs(
-          w.where(!isEval), w.where(isEval), theta = 0.9)
-        .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ex"))
-      val approx = Dedup.crossCosinePairsLsh(
-          w.where(!isEval), w.where(isEval), theta = 0.9, dim = 256)
-        .select(col("train_doc"), col("eval_doc"), lit(1L).as("__ap"))
-      exact.join(approx, Seq("train_doc", "eval_doc"), "full_outer")
-        .agg(
-          coalesce(sum(col("__ex")), lit(0L)).as("n_exact"),
-          coalesce(sum(col("__ap")), lit(0L)).as("n_lsh"),
-          coalesce(sum(col("__ex") * col("__ap")), lit(0L)).as("n_hit"),
-          // approx pairs the exact operator does NOT flag — must be 0
-          coalesce(sum(when(col("__ex").isNull, col("__ap"))), lit(0L))
-            .as("false_pairs"))
-        .select(lit("lsh_bands").as("method"),
-          col("n_exact"), col("n_lsh"), col("n_hit"), col("false_pairs"),
-          // 0-exact reads recall 0.0 / contract failed, never NULL (the
-          // a5 coalesce discipline — the collapse this row guards
-          // against must not blank the verdict)
-          round(col("n_hit").cast("double") /
-            greatest(col("n_exact"), lit(1L)).cast("double"), 4)
-            .as("recall"),
-          lit(0.7).as("contract_floor"),
-          (col("n_exact") > 0 && col("false_pairs") === 0 &&
-            col("n_hit").cast("double") >=
-              lit(0.7) * col("n_exact").cast("double"))
-            .as("meets_contract"))
+      val w = semanticW(s, dir)
+      semanticRecallContract(
+        Dedup.crossCosinePairs(
+          w.where(!semanticIsEval), w.where(semanticIsEval), theta = 0.9),
+        Dedup.crossCosinePairsLsh(
+          w.where(!semanticIsEval), w.where(semanticIsEval), theta = 0.9,
+          dim = 256),
+        "lsh_bands")
     }),
+
+    // c31 (r18): the banded semantic-decontam path SERVED FROM THE
+    // PERSISTED INDEX (VERDICT r17 task 2) — c30 re-banded the whole
+    // train corpus per audit; this serves the identical collision
+    // candidates from the SilverIndex signature table (built through
+    // three incremental id-anti-join folds) and verifies them with the
+    // exact round-6 sparse cosine from the stored vectors, so c30's
+    // recall contract (floor 0.7, false_pairs 0) holds over
+    // index-served candidates by construction — the row pins it.
+    // At 100 TB this is the weekly re-run audit chain amortized:
+    // tokenize+vectorize+band once per doc at arrival, each audit pays
+    // only eval-sized banding + collision-sized verification.
+    // (SilverIndexSpec pins serve ≡ operator, delta ≡ scratch, erase,
+    // and the streaming face's exactly-once emission.)
+    "c31_semantic_index_recall" -> ((s, dir) => {
+      val w = semanticW(s, dir)
+      semanticRecallContract(
+        Dedup.crossCosinePairs(
+          w.where(!semanticIsEval), w.where(semanticIsEval), theta = 0.9),
+        graft.pipeline.SilverIndex.semanticPairsFromIndex(
+          s, semanticIndexPath(s, dir), w.where(semanticIsEval),
+          theta = 0.9),
+        "lsh_index")
+    }),
+
+    // c32 (r18): AUTO-DISPATCHED semantic decontam (VERDICT r17 task
+    // 3) — the a14 knnJoin declared-budget discipline applied to the
+    // exact/banded pair: the eval side's triple mass is estimated
+    // against the session's autoBroadcastJoinThreshold and the
+    // operator picks the exact broadcast bucket join under it, the
+    // banded signature path past it. At gate scale the benchmark
+    // triples fit any real budget, so the dispatch lands on the exact
+    // branch and c28's oracle applies VERBATIM (the s16 stance);
+    // DedupSpec forces BOTH branches through a shrunken threshold and
+    // pins exact-branch ≡ crossCosinePairs / banded-branch ≡
+    // crossCosinePairsLsh row-for-row.
+    "c32_semantic_auto" -> ((s, dir) =>
+      semanticReportFromPostings(s, dir,
+        graft.operators.TextSearch.postings(
+          semanticUnion(s, dir), "id", "text"),
+        auto = true)),
 
     // c29 (r16): RELEASE-TO-RELEASE SNAPSHOT DIFF — the changelog
     // between two corpus versions (added / removed / changed keys by
@@ -800,7 +889,7 @@ object CurationQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // the embedded-contamination construction verbatim (span of
     // 13+(doc_id%5) 'leak<g>w<p>' words on every 97th doc's eval copy
     // and every 23rd train doc), then distinct-13-gram overlap counts;
@@ -1887,4 +1976,10 @@ object CurationQueries {
         |       quantile_cont(n_tokens, 0.5) AS p50_tokens
         |FROM d GROUP BY lang""".stripMargin
   )
+
+  // c32's dispatch lands on the exact branch at any real broadcast
+  // budget (the eval triples are benchmark-sized), so the report equals
+  // c28's row-for-row — its oracle applies verbatim (the s16 stance)
+  val oracles: Map[String, String] =
+    oracles0 + ("c32_semantic_auto" -> oracles0("c28_semantic_decontam"))
 }

@@ -299,6 +299,46 @@ object StreamQueries {
       ()
     }
 
+  /** The banded semantic-decontam index + flagged-pair log maintained
+    * by REAL Structured Streaming (once per JVM + sf dir): the TRAIN
+    * side of the shared-fit TF-IDF triples (CurationQueries.semanticW,
+    * the frozen fit c28/c30/c31 all read) arrives as three MemoryStream
+    * micro-batches — chunked on DOC boundaries (doc % 3), because a
+    * doc's triples split across batches would band a partial vector —
+    * through `streamingSemanticPairs` (the s6 transaction-intent
+    * protocol over hyperplane signatures: intent, signature+vector
+    * append for new docs only, exactly the pairs naming them into a
+    * per-batch overwrite partition). The eval side is the frozen
+    * benchmark frame, so the accumulated pairs equal the index serve
+    * (and the scratch banded operator) EXACTLY — SilverIndexSpec pins
+    * all three faces pairwise. Returns (sigPath, pairsPath). */
+  private[graft] def streamSemanticLshPath(s: SparkSession,
+      dir: String): String =
+    IndexMemo.path(s"streamsemanticlsh:$dir") { p =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val w = CurationQueries.semanticW(s, dir)
+      val isEval = CurationQueries.semanticIsEval
+      val evalTriples = w.where(isEval)
+      val train = w.where(!isEval)
+        .select(col("doc"), col("bucket"), col("weight"))
+        .as[(Long, Long, Double)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val q = graft.pipeline.SilverIndex.streamingSemanticPairs(
+        source.toDF().toDF("doc", "bucket", "weight"), evalTriples,
+        theta = 0.9, dim = 256, bits = 10, tables = 12,
+        sigPath = s"$p/sigs", pairsPath = s"$p/pairs")
+      try {
+        (0 until 3).foreach { i =>
+          source.addData(train.filter(_._1 % 3 == i).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      ()
+    }
+
   /** Closed visits accumulated by REAL Structured Streaming (once per
     * JVM + sf dir): the event log arrives as three TIME-ORDERED
     * MemoryStream micro-batches through [[graft.streaming.EventsStream
@@ -512,6 +552,25 @@ object StreamQueries {
       CurationQueries.semanticReportFromPostings(s, dir,
         graft.pipeline.SilverIndex.postingsIndexByDoc(
           s, streamSemanticPath(s, dir)))),
+
+    // s19 (r18): the BANDED semantic-decontam face maintained by real
+    // Structured Streaming (VERDICT r17 task 2's streaming leg) — s16
+    // maintains the postings the EXACT operator serves from; this
+    // maintains the hyperplane-signature index the banded operator
+    // serves from, and emits each train doc's flagged pairs exactly
+    // once, the batch its doc arrives (the s6/d18 exactly-once pair
+    // contract). Output = the accumulated per-batch pair partitions,
+    // which equal the c31 index serve and the c30 scratch banding
+    // row-for-row (banding is per-doc deterministic under the frozen
+    // fit; the eval side is static). No SQL oracle (hyperplane
+    // signatures), so the result is golden-pinned; the recall/
+    // false-pair contract rides c30/c31's rows over the same pairs.
+    "s19_stream_semantic_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val p = streamSemanticLshPath(s, dir)
+      s.read.parquet(s"$p/pairs")
+        .select(col("train_doc"), col("eval_doc"), col("cosine"))
+    }),
 
     // s18 (r16): DECAYED FREQUENCY SERVED FROM THE SAME MAINTAINED
     // DAILY LEDGER s17 reads — the third monitor from one stored

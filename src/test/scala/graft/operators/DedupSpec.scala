@@ -903,6 +903,41 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("dim must match"))
   }
 
+  test("crossCosineAuto: dispatches on the declared broadcast budget — " +
+      "exact branch ≡ crossCosinePairs, banded branch ≡ " +
+      "crossCosinePairsLsh; the decision rule is the declared bytes") {
+    val s = spark
+    val w = graft.ManagedCache.swap("DedupSpec.c30w",
+      TextSearch.hashingTfIdf(TextSearch.postings(
+        graft.queries.CurationQueries.semanticUnion(spark, sf()),
+        "id", "text"), dim = 256))
+    val isEval = col("doc") >= 10000000L || col("doc") % 20 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_doc", "eval_doc", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = s.conf.get(key)
+    try {
+      // a generous budget → the exact broadcast bucket join
+      s.conf.set(key, (64L << 20).toString)
+      assert(rows(Dedup.crossCosineAuto(w.where(!isEval), w.where(isEval),
+          theta = 0.9, dim = 256)) ==
+        rows(Dedup.crossCosinePairs(w.where(!isEval), w.where(isEval),
+          theta = 0.9)))
+      // a starved budget → the banded signature path
+      s.conf.set(key, "1")
+      assert(rows(Dedup.crossCosineAuto(w.where(!isEval), w.where(isEval),
+          theta = 0.9, dim = 256)) ==
+        rows(Dedup.crossCosinePairsLsh(w.where(!isEval), w.where(isEval),
+          theta = 0.9, dim = 256)))
+    } finally s.conf.set(key, saved)
+    // the rule itself (the knnJoinBroadcastFits discipline): declared
+    // bytes = triples × 40, disabled threshold always banded
+    assert(Dedup.crossCosineBroadcastFits(100L, 4000L))
+    assert(!Dedup.crossCosineBroadcastFits(100L, 3999L))
+    assert(!Dedup.crossCosineBroadcastFits(1L, -1L))
+  }
+
   private def editPairsOf(rows: Seq[(Long, String)], d: Int,
       valve: Long = Long.MaxValue): Set[(Long, Long, Long)] = {
     val s = spark

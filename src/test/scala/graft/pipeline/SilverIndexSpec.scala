@@ -830,4 +830,138 @@ class SilverIndexSpec extends SparkTestBase {
       SilverIndex.compactIvf(spark, path)
     }
   }
+
+  // --------------- banded semantic-decontam index (c31/s19, r18)
+
+  /** A hand-built unit-norm sparse corpus in the TF-IDF triple shape:
+    * train docs 1 (=eval 11), 2 (=eval 12), 3 (cosine 0.96 to 11 —
+    * past θ=0.9 but not identical), 4 (disjoint buckets from both
+    * eval docs — cosine 0). */
+  private def synTriples = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 0L, 0.6), (1L, 1L, 0.8),
+      (2L, 2L, 1.0),
+      (3L, 0L, 0.8), (3L, 1L, 0.6),
+      (4L, 5L, 1.0)).toDF("doc", "bucket", "weight")
+  }
+
+  private def synEvalTriples = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (11L, 0L, 0.6), (11L, 1L, 0.8),
+      (12L, 2L, 1.0)).toDF("doc", "bucket", "weight")
+  }
+
+  test("semantic lsh index (c31): base+delta refresh == from-scratch; " +
+      "nothing-new appends zero; index-served pairs == the scratch " +
+      "banded operator; config mismatch rejected") {
+    val path = tmp("silver-semantic")
+    // the real corpus shape: shared-fit TF-IDF triples over documents
+    val w = graft.operators.TextSearch.hashingTfIdf(
+      graft.operators.TextSearch.postings(
+        docs.select(col("doc_id").as("id"), col("text")), "id", "text"),
+      dim = 64)
+    val train = w.where(col("doc") % 20 =!= 0)
+    val eval = w.where(col("doc") % 20 === 0)
+    val r1 = SilverIndex.refreshSemanticLsh(
+      train.where(col("doc") % 2 === 0), dim = 64, bits = 6, tables = 4,
+      path = path)
+    assert(r1.appended == r1.total && r1.total > 0)
+    val r2 = SilverIndex.refreshSemanticLsh(train, dim = 64, bits = 6,
+      tables = 4, path = path)
+    assert(r2.appended > 0 && r2.total == r1.total + r2.appended)
+    val r3 = SilverIndex.refreshSemanticLsh(train, dim = 64, bits = 6,
+      tables = 4, path = path)
+    assert(r3.appended == 0L && r3.total == r2.total)
+    // stored signatures == the per-doc deterministic scratch build
+    val scratchSigs = Dedup.sparseDocVectors(train, 64, "spec")
+      .select(col("doc"), explode(AnnSearch.sparseTableSigs(
+        col("buckets"), col("weights"), 6, 4)).as("__bk"))
+      .select(col("doc"), col("__bk.tbl").as("tbl"),
+        col("__bk.sig").as("sig"), lit(6).as("bits"), lit(4).as("tables"),
+        lit(64).as("dim"))
+    assert(rowSet(SilverIndex.semanticLshIndex(spark, path)) ==
+      rowSet(scratchSigs))
+    // served pairs == the scratch banded operator, row for row
+    val served = SilverIndex.semanticPairsFromIndex(spark, path, eval,
+      theta = 0.85)
+    val scratch = Dedup.crossCosinePairsLsh(train, eval, theta = 0.85,
+      dim = 64, bits = 6, tables = 4)
+    assert(served.count() > 0)
+    assert(rowSet(served) == rowSet(scratch))
+    intercept[IllegalArgumentException] {
+      SilverIndex.refreshSemanticLsh(train, dim = 64, bits = 8,
+        tables = 4, path = path)
+    }
+  }
+
+  test("erasure: semantic pairs can never name an erased doc again") {
+    val path = tmp("silver-erase-semantic")
+    SilverIndex.refreshSemanticLsh(synTriples, dim = 8, bits = 6,
+      tables = 4, path = path)
+    def served = SilverIndex.semanticPairsFromIndex(spark, path,
+        synEvalTriples, theta = 0.9)
+      .select("train_doc", "eval_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every signature — (1,11) and (2,12) are
+    // certain; (3,11) at cosine 0.96 may or may not band
+    assert(served.contains((1L, 11L)) && served.contains((2L, 12L)))
+    val s = spark
+    import s.implicits._
+    val r = SilverIndex.eraseSemanticLsh(spark, path,
+      Seq(1L).toDF("subject"), "subject")
+    assert(r.removed > 0)
+    assert(!served.exists(_._1 == 1L))
+    // the surviving index serves the clean-corpus build exactly
+    assert(rowSet(SilverIndex.semanticPairsFromIndex(spark, path,
+        synEvalTriples, theta = 0.9)) ==
+      rowSet(Dedup.crossCosinePairsLsh(
+        synTriples.where(col("doc") =!= 1L), synEvalTriples,
+        theta = 0.9, dim = 8, bits = 6, tables = 4)))
+  }
+
+  test("streaming semantic pairs: every pair emitted exactly once " +
+      "across micro-batches; a replayed batch re-emits identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sigPath = tmp("silver-semantic-sig")
+    val pairsPath = tmp("silver-semantic-pairs")
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = SilverIndex.streamingSemanticPairs(
+      input.toDF().toDF("doc", "bucket", "weight"), synEvalTriples,
+      theta = 0.9, dim = 8, bits = 6, tables = 4,
+      sigPath = sigPath, pairsPath = pairsPath)
+    try {
+      // doc 4 first (no pair), then 1–3: their pairs surface in batch
+      // 1 — each exactly once (doc triples arrive whole, the s19
+      // doc-boundary chunking contract)
+      input.addData((4L, 5L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 0L, 0.6), (1L, 1L, 0.8), (2L, 2L, 1.0),
+        (3L, 0L, 0.8), (3L, 1L, 0.6))
+      q.processAllAvailable()
+    } finally q.stop()
+    def accumulated = spark.read.parquet(pairsPath)
+      .select("train_doc", "eval_doc", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    val want = Dedup.crossCosinePairsLsh(synTriples, synEvalTriples,
+        theta = 0.9, dim = 8, bits = 6, tables = 4)
+      .select("train_doc", "eval_doc", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(accumulated == want, s"$accumulated vs $want")
+    // replay batch 1 (the stored intent re-derives the same new-doc
+    // set; the per-batch overwrite re-emits identically)
+    SilverIndex.semanticPairsBatch(
+      synTriples.where(col("doc") =!= 4L), batchId = 1L,
+      synEvalTriples, theta = 0.9, dim = 8, bits = 6, tables = 4,
+      sigPath = sigPath, pairsPath = pairsPath)
+    assert(accumulated == want, "replay duplicated pairs")
+  }
 }

@@ -42,6 +42,11 @@ class GoldenHashSpec extends SparkTestBase {
     // path vs c28's exact flags (recall 0.9722 ≥ floor 0.7, zero false
     // pairs — r17); banding, densify, or verify drift moves the pin
     "c30_semantic_lsh_recall" -> (1L, "fbffb956dfb95a0c"),
+    // the same contract row SERVED FROM THE PERSISTED INDEX (c31, r18)
+    // — identical counts to c30 by the serve ≡ scratch-banding
+    // equality SilverIndexSpec pins; only the method label differs, so
+    // the hash differs while every number matches
+    "c31_semantic_index_recall" -> (1L, "1b81ab36569fdf7c"),
     "d4_simhash_pairs" -> (26L, "d915b0b484a83525"),
     "d9_semdedup" -> (497L, "e092d07e88b87eeb"),
     // the a5-shape recall contract of the stored-TF-IDF knnJoin scale
@@ -53,7 +58,11 @@ class GoldenHashSpec extends SparkTestBase {
     // (recall 0.9133 ≥ floor 0.7 — tools/h4_recall_r12.txt); PQ code,
     // ADC, or rescore-depth drift moves the pinned recall
     "h4_text_knn_pq" -> (1L, "4cfbaaa7967a7370"),
-    "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"))
+    "j2_simjoin_fuzzy" -> (632L, "5a4d83a7da164979"),
+    // the streaming face's accumulated pairs — exactly the banded
+    // operator's 35 flags at sf0.001 (exactly-once emission,
+    // SilverIndexSpec); a protocol or banding drift moves the pin
+    "s19_stream_semantic_lsh" -> (35L, "adce41c34df72daa"))
 
   test("digest is partitioning/order independent; pair boundaries don't collide") {
     val s = spark
