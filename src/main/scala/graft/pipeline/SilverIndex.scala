@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.{AnnSearch, Dedup, TextSearch}
 
@@ -1694,6 +1694,28 @@ object SilverIndex {
     val committed = versionsUnder(fs, path)
     val last = if (committed.isEmpty) -1L else committed.max
     if (batchId <= last) return Refresh(0, last)
+    // an orphaned closed/batch=N with last < N != batchId is a CRASHED
+    // fold whose current-segment commit never landed, arriving now
+    // under a DIFFERENT id (ADVICE r17): folding over it would close
+    // the same stored-current versions twice with conflicting
+    // effective_to values (and silently lose the crashed batch's
+    // rows once N <= the new committed version un-hides the orphan in
+    // [[scd2Index]]). Replaying the SAME id is the recovery path — the
+    // per-batch overwrite re-emits identically — so N == batchId
+    // passes; anything else raises before touching state.
+    val closedDir = new Path(s"$path/closed")
+    if (fs.exists(closedDir)) {
+      val orphans = fs.listStatus(closedDir).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(n => n > last && n != batchId)
+      require(orphans.isEmpty,
+        s"refreshScd2: orphaned closed partition(s) batch=" +
+          s"${orphans.sorted.mkString(",")} from a crashed fold — " +
+          s"replay that batch id (the overwrite re-emits identically) " +
+          s"or remove the partition; folding batch $batchId over it " +
+          "would close the same stored versions twice")
+    }
     val valid = batch.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
     // an empty FIRST batch commits nothing (an empty-history version
     // would have no parquet schema to read back); an empty later batch
@@ -1760,6 +1782,14 @@ object SilverIndex {
     // closed partition FIRST (idempotent per-batch overwrite), then the
     // current segment's rename is the commit point
     closedNew.write.mode("overwrite").parquet(s"$path/closed/batch=$batchId")
+    // the per-batch high-water manifest behind [[scd2AsOf]]'s partition
+    // pruning: every row in closed/batch=N has effective_to <= hwm_N
+    // (close points are batch-N effective_from values), so an as-of
+    // probe at T skips every batch with hwm <= T without opening it.
+    // Same idempotent-overwrite window as the closed partition; both
+    // stay invisible until the commit rename below
+    hwmNext.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/closedhwm/batch=$batchId")
     val tmp = s"$path/_tmp_v$batchId"
     currentNext.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$tmp/history")
@@ -1800,6 +1830,54 @@ object SilverIndex {
       .map(_.where(col("batch") <= vs.max).drop("batch")
         .unionByName(current))
       .getOrElse(current)
+  }
+
+  /** POINT-IN-TIME serve from the maintained SCD2 history (g7,
+    * VERDICT r17 task 4) — the audit question the index exists for
+    * ("state of key K at time T") answered WITHOUT the g4
+    * reconstruction's full-log scan: versions alive at `asOf` are
+    * `effective_from <= T < effective_to` (open versions: effective_to
+    * null), and the two-segment layout prunes almost everything —
+    *  - the CURRENT segment is keys-sized (one open version per key);
+    *  - closed segments prune by the per-batch high-water manifest:
+    *    every row in closed/batch=N has effective_to <= hwm_N, so any
+    *    batch with hwm_N <= T is entirely dead at T and its partition
+    *    is never opened (a PartitionFilter on `batch`, PLANS.md pin —
+    *    at 100 TB an audit at a recent T reads the recent batches +
+    *    the current segment, not years of closed history).
+    * Orphaned partitions (crashed folds) are excluded exactly as in
+    * [[scd2Index]]; a legacy index without manifests serves every
+    * committed closed partition (row filters still apply — correct,
+    * just unpruned). Equals the g4 rebuild filtered to T row-for-row
+    * (g7's oracle). */
+  def scd2AsOf(spark: SparkSession, path: String,
+      asOf: Column): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, path)
+    require(vs.nonEmpty, s"no committed scd2 history under $path")
+    val t = asOf
+    val current = spark.read.parquet(s"$path/v${vs.max}/history")
+      .where(col("effective_from") <= t &&
+        (col("effective_to").isNull || col("effective_to") > t))
+    readIfData(spark, s"$path/closed").fold(current) { cl =>
+      // driver-side dead-batch set from the tiny manifest (one row per
+      // fold): committed batches whose hwm <= T hold only versions
+      // already dead at T
+      val dead: Seq[Long] = readIfData(spark, s"$path/closedhwm")
+        .fold(Seq.empty[Long]) { m =>
+          m.where(col("batch") <= vs.max && col("hwm") <= t)
+            .select(col("batch").cast("long")).collect()
+            .map(_.getLong(0)).toSeq
+        }
+      val pruned =
+        if (dead.isEmpty) cl.where(col("batch") <= vs.max)
+        else cl.where(col("batch") <= vs.max &&
+          !col("batch").isin(dead: _*))
+      pruned.drop("batch")
+        .where(col("effective_from") <= t && col("effective_to") > t)
+        .unionByName(current)
+    }
   }
 
   /** [[streamingRefresh]] pre-wired to [[refreshKmv]]. */

@@ -170,26 +170,51 @@ object GoldQueries {
     // g4's oracle applies VERBATIM. (Scd2IncrementalSpec adds
     // chunking-fuzz ≡ one-shot, replay no-op, out-of-order raise, and
     // crash-window recovery.)
-    "g6_incr_scd2" -> ((s, dir) => {
-      val p = IndexMemo.path(s"scd2:$dir") { path =>
-        val ev = t(s, dir, "events").where(col("event_type").isNotNull)
-        val cut1 = lit("2024-01-11").cast("timestamp")
-        val cut2 = lit("2024-01-21").cast("timestamp")
-        Seq(
-          ev.where(col("ts") < cut1),
-          ev.where(col("ts") >= cut1 && col("ts") < cut2),
-          ev.where(col("ts") >= cut2)
-        ).zipWithIndex.foreach { case (b, i) =>
-          graft.pipeline.SilverIndex.refreshScd2(
-            b, batchId = i.toLong, keyCol = "user_id",
-            attrCols = Seq("event_type"), tsCol = "ts", path = path)
-        }
-      }
-      graft.pipeline.SilverIndex.scd2Index(s, p)
+    "g6_incr_scd2" -> ((s, dir) =>
+      graft.pipeline.SilverIndex.scd2Index(s, scd2Path(s, dir))
         .select(col("user_id"), col("event_type"), col("effective_from"),
-          col("effective_to"), col("is_current"))
+          col("effective_to"), col("is_current"))),
+
+    // g7 (r18): POINT-IN-TIME AUDIT from the g6-maintained history
+    // (VERDICT r17 task 4) — "state of every user at time T", the
+    // question SCD2 exists to answer, served from the index: the
+    // keys-sized current segment + closed partitions PRUNED by the
+    // per-batch high-water manifest (a probe at 01-25 never opens
+    // batches 0–1 — their versions are all dead by then; PLANS.md pins
+    // the PartitionFilters). Three probes spanning the three folds;
+    // oracle = the g4 reconstruction CTE filtered to each T — no log
+    // scan happens here, but the answers must match it row-for-row.
+    "g7_scd2_asof" -> ((s, dir) => {
+      val p = scd2Path(s, dir)
+      Seq("2024-01-08", "2024-01-15", "2024-01-25").map { d =>
+        graft.pipeline.SilverIndex.scd2AsOf(
+            s, p, lit(d).cast("timestamp"))
+          .select(lit(d).cast("timestamp").as("probe_ts"),
+            col("user_id"), col("event_type"), col("effective_from"),
+            col("effective_to"), col("is_current"))
+      }.reduce(_.unionByName(_))
     })
   )
+
+  /** The incrementally-maintained SCD2 history over the event log
+    * (once per JVM + sf dir): three time-ordered ten-day folds through
+    * [[graft.pipeline.SilverIndex.refreshScd2]] — shared by g6 (full
+    * history) and g7 (point-in-time serve). */
+  private def scd2Path(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"scd2:$dir") { path =>
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      Seq(
+        ev.where(col("ts") < cut1),
+        ev.where(col("ts") >= cut1 && col("ts") < cut2),
+        ev.where(col("ts") >= cut2)
+      ).zipWithIndex.foreach { case (b, i) =>
+        graft.pipeline.SilverIndex.refreshScd2(
+          b, batchId = i.toLong, keyCol = "user_id",
+          attrCols = Seq("event_type"), tsCol = "ts", path = path)
+      }
+    }
 
   private val simCte =
     """WITH sim AS (
@@ -285,6 +310,36 @@ object GoldQueries {
 
   // the maintained history must equal the one-shot rebuild exactly —
   // g4's oracle applies verbatim (the g3/m9 discipline)
-  val oracles: Map[String, String] =
-    oracles0 + ("g6_incr_scd2" -> oracles0("g4_scd2_history"))
+  val oracles: Map[String, String] = oracles0 +
+    ("g6_incr_scd2" -> oracles0("g4_scd2_history")) +
+    // g7: the g4 reconstruction CTE joined to the three probe times —
+    // versions alive at T are effective_from <= T < effective_to (open
+    // versions: effective_to NULL); the Spark side answers from the
+    // pruned index, the oracle from the full log, and they must match
+    ("g7_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |o AS (SELECT user_id, event_type, ts,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_type) AS pa
+        |      FROM e),
+        |c AS (SELECT user_id, event_type, ts AS effective_from FROM o
+        |      WHERE pa IS NULL OR pa <> event_type),
+        |v AS (SELECT user_id, event_type, effective_from,
+        |        lead(effective_from) OVER (PARTITION BY user_id
+        |          ORDER BY effective_from, event_type) AS effective_to
+        |      FROM c),
+        |h AS (SELECT user_id, event_type, effective_from, effective_to,
+        |             effective_to IS NULL AS is_current
+        |      FROM v),
+        |p AS (SELECT CAST('2024-01-08' AS TIMESTAMP) AS probe_ts
+        |      UNION ALL SELECT CAST('2024-01-15' AS TIMESTAMP)
+        |      UNION ALL SELECT CAST('2024-01-25' AS TIMESTAMP))
+        |SELECT p.probe_ts, h.user_id, h.event_type, h.effective_from,
+        |       h.effective_to, h.is_current
+        |FROM h JOIN p
+        |  ON h.effective_from <= p.probe_ts
+        | AND (h.effective_to > p.probe_ts OR h.effective_to IS NULL)""".stripMargin)
 }

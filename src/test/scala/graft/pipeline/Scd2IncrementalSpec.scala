@@ -153,6 +153,65 @@ class Scd2IncrementalSpec extends SparkTestBase {
         "overwriting it")
   }
 
+  test("point-in-time serve (g7): asOf == the one-shot reconstruction " +
+      "filtered to T at every probe; dead closed batches prune out of " +
+      "the scan") {
+    val path = tmp("graft-scd2inc-asof")
+    val df = log(spark)
+    fold(df, Seq(2, 5), path) // three batches: hwm 2, 5, 6
+    def asOfSet(t: Int): Set[Seq[Any]] =
+      SilverIndex.scd2AsOf(spark, path, lit(t))
+        .select("user", "state", "effective_from", "effective_to",
+          "is_current")
+        .collect().map(_.toSeq).toSet
+    def wantAt(t: Int): Set[Seq[Any]] = oneShot(df).filter { r =>
+      r(2).asInstanceOf[Int] <= t &&
+        (r(3) == null || r(3).asInstanceOf[Int] > t)
+    }
+    (0 to 7).foreach { t =>
+      assert(asOfSet(t) == wantAt(t), s"asOf($t)")
+    }
+    // the pruning itself: at T past every closed hwm but one, the
+    // closed scan's PartitionFilters exclude the dead batches
+    val plan = SilverIndex.scd2AsOf(spark, path, lit(6))
+      .queryExecution.executedPlan
+    val pf = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("/closed")) =>
+        f.partitionFilters.mkString(" && ")
+    }
+    assert(pf.nonEmpty && pf.head.contains("NOT batch"),
+      s"expected a dead-batch NOT IN partition filter, got: $pf")
+  }
+
+  test("orphan guard: a crashed fold's closed partition surfacing " +
+      "under a DIFFERENT batch id raises; replaying the SAME id " +
+      "recovers") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("graft-scd2inc-orphan")
+    val df = log(spark)
+    SilverIndex.refreshScd2(df.where(col("ts") <= 3), 0L, "user",
+      Seq("state"), "ts", path)
+    // crashed fold 1: closed partition written, commit never landed
+    Seq(("junk", "junk", -1, -1, false))
+      .toDF("user", "state", "effective_from", "effective_to",
+        "is_current")
+      .write.parquet(s"$path/closed/batch=1")
+    // a later batch under a DIFFERENT id must raise, not adopt the
+    // orphan once its own commit un-hides it (ADVICE r17)
+    val e = intercept[IllegalArgumentException] {
+      SilverIndex.refreshScd2(df.where(col("ts") > 3), 2L, "user",
+        Seq("state"), "ts", path)
+    }
+    assert(e.getMessage.contains("orphaned closed partition"))
+    // the recovery path: replay under the crashed id, then continue
+    SilverIndex.refreshScd2(df.where(col("ts") > 3), 1L, "user",
+      Seq("state"), "ts", path)
+    assert(served(path) == oneShot(df))
+  }
+
   test("two-segment layout: closed partitions are never rewritten by " +
       "later folds; the current segment stays keys-sized") {
     val path = tmp("graft-scd2inc-seg")
