@@ -78,6 +78,57 @@ object Expectations {
       .select(reportCols.map(col): _*)
   }
 
+  /** VOLUME expectation against a MAINTAINED (period, category, cnt)
+    * drift ledger (the x15/s17 artifact) — the dynamic check the static
+    * row predicates cannot express (VERDICT r17 task 5): every row of a
+    * half-dead feed can pass every schema/range/uniqueness check while
+    * the batch itself is the anomaly (a crawler shard died, an ingest
+    * key expired, a retry loop doubled the feed). The x15 arithmetic,
+    * batch-sized: treat the staged batch as one period and compare it
+    * against the MEAN of the ledger's last `windowN` periods —
+    * shift_ratio = |batchRows·windowN − Σ last-N| / Σ last-N (integer
+    * sums, ONE double division, round 6 — the x13 exactness
+    * discipline), violated past `threshold`. Emits NOTHING when the
+    * ledger holds fewer than `windowN` periods (the x15 edge
+    * semantics: no half-window guesses — a cold ledger gates nothing),
+    * and raises on a nonpositive window sum rather than emitting an
+    * Infinity ratio that reads as "no shift" (the r16 levelShift fix).
+    * Output: one [[report]]-shaped row, so ingest gates union it with
+    * the static suite and decide on `pass` uniformly.
+    *
+    * Scale: the ledger is |periods|·|categories| rows — output-sized —
+    * and the batch contributes only its row COUNT; nothing here
+    * rescans any corpus. */
+  def volumeReport(batchRows: Long, ledger: DataFrame, periodCol: String,
+      cntCol: String, windowN: Int, threshold: Double, table: String,
+      name: String): DataFrame = {
+    require(windowN >= 1, s"windowN must be >= 1: $windowN")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    require(batchRows >= 0, s"batchRows must be >= 0: $batchRows")
+    val lastN = ledger
+      .where(col(periodCol).isNotNull)
+      .select(col(periodCol).as("__p"), col(cntCol).cast("long").as("__c"))
+      .groupBy("__p").agg(sum(col("__c")).as("__n"))
+      .orderBy(col("__p").desc).limit(windowN)
+    val ratio = round(
+      abs(lit(batchRows) * windowN - col("__before")).cast("double") /
+        when(col("__before") > 0, col("__before").cast("double"))
+          .otherwise(raise_error(concat(
+            lit(s"Expectations.volumeReport($table/$name): the last-"),
+            lit(s"$windowN-period ledger sum must be positive (got "),
+            coalesce(col("__before").cast("string"), lit("NULL")),
+            lit(")")))), 6)
+    lastN
+      .agg(count(lit(1)).as("__k"),
+        coalesce(sum(col("__n")), lit(0L)).as("__before"))
+      .where(col("__k") === windowN)
+      .select(lit(table).as("table_name"), lit(name).as("check_name"),
+        lit(batchRows).as("n_rows"),
+        when(ratio > threshold, 1L).otherwise(0L).as("violations"),
+        (ratio <= threshold).as("pass"))
+      .select(reportCols.map(col): _*)
+  }
+
   /** Referential-integrity expectation: every non-null `childKey` must
     * exist in `parent`'s `parentKey`. Violations = orphan child ROWS
     * (not distinct orphan keys — each bad row counts, matching the

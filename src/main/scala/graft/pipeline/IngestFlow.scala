@@ -74,13 +74,44 @@ object IngestFlow {
     * should audit its own inputs). */
   final case class TableExpectations(
       checks: Seq[graft.operators.Expectations.Check],
-      uniques: Seq[graft.operators.Expectations.UniqueKey] = Nil)
+      uniques: Seq[graft.operators.Expectations.UniqueKey] = Nil,
+      volume: Option[VolumeGate] = None)
+
+  /** A dynamic VOLUME expectation riding the maintained drift ledger
+    * (VERDICT r17 task 5): the staged batch's row count is compared
+    * against the mean of the ledger's last `windowN` periods (the x15
+    * ratio, [[graft.operators.Expectations.volumeReport]]) and gates
+    * promotion at `threshold` — feed collapse/explosion the static
+    * row checks can't see. A missing or not-yet-`windowN`-deep ledger
+    * gates nothing (cold start promotes on the static suite alone). */
+  final case class VolumeGate(
+      ledgerPath: String,
+      windowN: Int,
+      threshold: Double,
+      name: String = "volume_level_shift")
 
   /** Commit a staged lake artifact: retire any previous live copy, then
     * one rename activates the staged batch — a crash leaves either the
     * old artifact, the retired copy (restored on the next run), or the
     * new one, never a half-written table (the rewriteSwap discipline,
     * sized down to a rename decision). */
+  /** Restore a DANGLING retired copy (live missing, `__retired`
+    * present — a crash between retiring live and renaming staged).
+    * Runs at the START of every ingestion pass for every table, not
+    * only on the promote path (ADVICE r17): if the next run's
+    * expectation suite FAILS, the quarantine branch returns without
+    * promoting, and without this restore the table would end with no
+    * live artifact despite a retired copy existing — breaking the
+    * "previous live copy retained" guarantee the gate promises. */
+  private def restoreRetired(spark: SparkSession, live: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val retired = new org.apache.hadoop.fs.Path(live + "__retired")
+    if (!fs.exists(liveP) && fs.exists(retired))
+      require(fs.rename(retired, liveP), s"could not restore $retired")
+  }
+
   private def promoteStaged(spark: SparkSession, staging: String,
       live: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(live)
@@ -110,6 +141,11 @@ object IngestFlow {
       expectations: Map[String, TableExpectations] = Map.empty)
       : Seq[String] =
     sources.flatMap { src =>
+      val live = s"$lakeDir/${src.table}.parquet"
+      // a crashed previous run may have left this table retired-only;
+      // restore BEFORE any gate decision so a quarantining run still
+      // leaves the previous live copy in place (ADVICE r17)
+      restoreRetired(spark, live)
       val df = spark.read.format("graft-rest")
         .option("url", src.url)
         .option("fields", src.fields.mkString(","))
@@ -117,7 +153,6 @@ object IngestFlow {
         .option("maxPages", src.maxPages.toString)
         .option("fetcher", src.fetcherClass)
         .load()
-      val live = s"$lakeDir/${src.table}.parquet"
       val staging = s"$lakeDir/_staging/${src.table}.parquet"
       df.write.mode("overwrite").parquet(staging)
       expectations.get(src.table) match {
@@ -127,10 +162,22 @@ object IngestFlow {
         case Some(suite) =>
           // ONE map-combined scan of the staged batch (the q20 shape);
           // the report is checks-count rows — collect once, decide,
-          // and rewrite the collected rows for the quarantine record
-          val rep = graft.operators.Expectations.report(
-            spark.read.parquet(staging), src.table, suite.checks,
-            suite.uniques)
+          // and rewrite the collected rows for the quarantine record.
+          // The volume gate (if declared, and its ledger deep enough)
+          // unions one more row: the staged count vs the maintained
+          // ledger's recent periods — the check a feed collapse passes
+          // every static predicate on
+          val staged = spark.read.parquet(staging)
+          val static = graft.operators.Expectations.report(
+            staged, src.table, suite.checks, suite.uniques)
+          val rep = suite.volume.flatMap { vg =>
+            val led = scala.util.Try(graft.pipeline.SilverIndex
+              .driftLedgerIndex(spark, vg.ledgerPath)).toOption
+            led.map(l => static.unionByName(
+              graft.operators.Expectations.volumeReport(
+                staged.count(), l, "period", "cnt", vg.windowN,
+                vg.threshold, src.table, vg.name)))
+          }.getOrElse(static)
           val rows = rep.collect()
           if (rows.forall(_.getAs[Boolean]("pass"))) {
             promoteStaged(spark, staging, live)

@@ -251,4 +251,106 @@ class IngestFlowSpec extends SparkTestBase {
       .forall(!_.contains("gated_jobs")),
       "the bronze sync glob must never see a quarantined-only table")
   }
+
+  test("volume gate (r18): a planted feed collapse quarantines with " +
+      "the named violation though every static check passes; a " +
+      "normal-volume batch promotes; a cold ledger gates nothing") {
+    import graft.operators.Expectations.Check
+    val s = spark
+    import s.implicits._
+    val payrollSrc = IngestFlow.RestDataset(
+      "nyc_payroll_data", "synthetic://payroll",
+      Seq("title_description", "base_salary", "pay_basis",
+        "regular_gross_paid", "total_ot_paid", "total_other_pay",
+        "fiscal_year"),
+      pageSize = 2, maxPages = 8,
+      fetcherClass = classOf[PayrollPageFetcher].getName)
+    val static = Seq(
+      Check("title_not_null", col("title_description").isNotNull))
+    def ledgerOf(perPeriod: Int): String = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-volled").toString + "/led"
+      val rows = for {
+        p <- Seq("2024-01-01", "2024-01-02", "2024-01-03")
+        i <- 1 to perPeriod
+      } yield (p, s"cat${i % 2}")
+      SilverIndex.refreshDriftLedger(rows.toDF("period", "category"),
+        batchId = 0L, periodCol = "period", catCol = "category",
+        path = path)
+      path
+    }
+    // COLLAPSE: the feed's 6 rows against a 12-row/period ledger —
+    // ratio 0.5 past the 0.4 threshold; every static check passes,
+    // only the volume row fails
+    val lake1 = java.nio.file.Files.createTempDirectory("graft-vol1").toString
+    val fail = IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake1,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(static,
+        volume = Some(IngestFlow.VolumeGate(ledgerOf(12), windowN = 3,
+          threshold = 0.4)))))
+    assert(fail.isEmpty, "a collapsed feed must promote nothing")
+    val rep = spark.read
+      .parquet(s"$lake1/_quarantine/nyc_payroll_data_report.parquet")
+      .collect()
+    assert(rep.exists(r =>
+      r.getAs[String]("check_name") == "volume_level_shift" &&
+        !r.getAs[Boolean]("pass") && r.getAs[Long]("violations") == 1L),
+      rep.mkString("; "))
+    assert(rep.filter(_.getAs[String]("check_name") == "title_not_null")
+      .forall(_.getAs[Boolean]("pass")),
+      "the static checks must pass — the volume row alone quarantines")
+    // NORMAL volume: a 6-row/period ledger — ratio 0, promotes
+    val lake2 = java.nio.file.Files.createTempDirectory("graft-vol2").toString
+    val ok = IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake2,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(static,
+        volume = Some(IngestFlow.VolumeGate(ledgerOf(6), windowN = 3,
+          threshold = 0.4)))))
+    assert(ok == Seq(s"$lake2/nyc_payroll_data.parquet"))
+    assert(spark.read.parquet(ok.head).count() == 6)
+    // COLD ledger (shallower than windowN) and MISSING ledger: the
+    // volume gate emits nothing, the static suite alone decides
+    val lake3 = java.nio.file.Files.createTempDirectory("graft-vol3").toString
+    assert(IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake3,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(static,
+        volume = Some(IngestFlow.VolumeGate(ledgerOf(12), windowN = 5,
+          threshold = 0.4))))).nonEmpty,
+      "a ledger shallower than the window must not gate")
+    val lake4 = java.nio.file.Files.createTempDirectory("graft-vol4").toString
+    assert(IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake4,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(static,
+        volume = Some(IngestFlow.VolumeGate(
+          lake4 + "/no-such-ledger", windowN = 3,
+          threshold = 0.4))))).nonEmpty,
+      "a missing ledger must not gate")
+  }
+
+  test("retired restore (ADVICE r17): a dangling __retired copy is " +
+      "restored at flow start, so a QUARANTINING next run still " +
+      "leaves the previous live artifact in place") {
+    import graft.operators.Expectations.Check
+    val lake = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    val payrollSrc = IngestFlow.RestDataset(
+      "nyc_payroll_data", "synthetic://payroll",
+      Seq("title_description", "base_salary", "pay_basis",
+        "regular_gross_paid", "total_ot_paid", "total_other_pay",
+        "fiscal_year"),
+      pageSize = 2, maxPages = 8,
+      fetcherClass = classOf[PayrollPageFetcher].getName)
+    IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake, Map.empty)
+    val live = s"$lake/nyc_payroll_data.parquet"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the crash window: live retired, staged never promoted
+    require(fs.rename(new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(live + "__retired")))
+    // the next run FAILS its suite — before ADVICE r17 the quarantine
+    // branch returned with no live artifact despite the retired copy
+    val fail = IngestFlow.runDataIngestion(spark, Seq(payrollSrc), lake,
+      Map("nyc_payroll_data" -> IngestFlow.TableExpectations(Seq(
+        Check("impossible", lit(false))))))
+    assert(fail.isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live)),
+      "the dangling retired copy must be restored even when the gate " +
+        "quarantines")
+    assert(spark.read.parquet(live).count() == 6)
+  }
 }
