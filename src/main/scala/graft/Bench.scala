@@ -146,6 +146,42 @@ object Bench {
       }
   }
 
+  /** The uniform-offset/concentration reading over a set of per-query
+    * deltas (the deltaJson rule, factored so the suite and ISOLATED
+    * channels share it): (verdict, max-excess query, max excess,
+    * concentration). */
+  private[graft] def excessVerdict(deltas: Seq[(String, Double)])
+      : (String, String, Double, Double) = {
+    val dm = median(deltas.map(_._2))
+    val excess = deltas.map { case (n, d) => n -> (d - dm) }
+    val (maxName, exMax) = excess.maxBy(_._2)
+    val posSum = excess.map(_._2).filter(_ > 0).sum
+    val conc = if (posSum <= 0) 0.0 else exMax / posSum
+    val v = if (exMax > 0.5 && conc > 0.5) "concentrated" else "flat"
+    (v, maxName, exMax, conc)
+  }
+
+  /** Last round's committed isolated medians, read from
+    * tools/bench_detail_last.json BEFORE this run overwrites it (the
+    * file is a committed round artifact, so at bench time it still
+    * holds the previous round's values). */
+  private[graft] def previousIso(
+      path: java.nio.file.Path =
+        java.nio.file.Paths.get("tools/bench_detail_last.json"))
+      : Map[String, Double] =
+    try {
+      val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val at = raw.indexOf("\"isolated_medians\":{")
+      if (at < 0) Map.empty
+      else {
+        val end = raw.indexOf('}', at)
+        pairRx.findAllMatchIn(raw.substring(at + 20, end))
+          .flatMap(m =>
+            scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** Family-partitioned fresh-JVM slices (r12, VERDICT r11 task 5's
     * experiment) — NOT the default, because the measurement came back
     * the other way: a 3-slice pass summed 101.3 s vs 87.9 s for the
@@ -186,7 +222,26 @@ object Bench {
     * memory/GC signature — the reading no longer needs cross-capture
     * forensics. */
   private final case class PassStats(sec: Map[String, Double],
-    gcSec: Map[String, Double], heapMb: Map[String, Double])
+    gcSec: Map[String, Double], heapMb: Map[String, Double],
+    peakMb: Map[String, Double])
+
+  /** Max per-task peak EXECUTION memory (unsafe agg/sort/shuffle pages)
+    * observed during one query, via a listener over task-end events —
+    * the number that climbs when one task's hash map outgrows its
+    * partition budget (VERDICT r17 "what's wrong" #3: d15's 13.8 GB
+    * heap delta needed this alongside it to tell load from leak as sf
+    * rises). Driver heap deltas aggregate the whole JVM; this isolates
+    * the worst single task — the unit that must fit an executor core's
+    * share at 100 TB. */
+  private final class PeakListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+    }
+  }
 
   private def gcMillisNow: Long = {
     import scala.jdk.CollectionConverters._
@@ -202,18 +257,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    def runOnce(name: String): (Double, Double, Double) = {
+    val peaks = new PeakListener
+    spark.sparkContext.addSparkListener(peaks)
+    def runOnce(name: String): (Double, Double, Double, Double) = {
       System.gc() // isolate queries from each other's garbage
+      peaks.peak.set(0L)
       val (gc0, h0) = (gcMillisNow, heapUsedMb)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return (-1.0, 0.0, 0.0)
+        return (-1.0, 0.0, 0.0, 0.0)
       }
-      ((System.nanoTime() - t0) / 1e9, (gcMillisNow - gc0) / 1000.0,
-        heapUsedMb - h0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the listener bus drains asynchronously; give straggler
+      // task-end events a moment so the peak attributes to THIS query
+      Thread.sleep(50)
+      (wall, (gcMillisNow - gc0) / 1000.0, heapUsedMb - h0,
+        peaks.peak.get() / (1024.0 * 1024.0))
     }
     runOnce("q1_agg") // warmup: parquet reader + codegen + shuffle machinery
     // Provision the per-JVM persisted indexes (the BM25 postings shared
@@ -266,9 +328,10 @@ object Bench {
     }
     val out = mine.map(n => n -> runOnce(n))
     spark.stop()
-    PassStats(out.map { case (n, (s, _, _)) => n -> s }.toMap,
-      out.map { case (n, (_, g, _)) => n -> g }.toMap,
-      out.map { case (n, (_, _, h)) => n -> h }.toMap)
+    PassStats(out.map { case (n, (s, _, _, _)) => n -> s }.toMap,
+      out.map { case (n, (_, g, _, _)) => n -> g }.toMap,
+      out.map { case (n, (_, _, h, _)) => n -> h }.toMap,
+      out.map { case (n, (_, _, _, p)) => n -> p }.toMap)
   }
 
   private def jsonNumMap(m: Map[String, Double]): String =
@@ -282,6 +345,7 @@ object Bench {
     println(s"""BENCH_PASS:${jsonNumMap(p.sec)}""")
     println(s"""BENCH_GC:${jsonNumMap(p.gcSec)}""")
     println(s"""BENCH_HEAP:${jsonNumMap(p.heapMb)}""")
+    println(s"""BENCH_PEAK:${jsonNumMap(p.peakMb)}""")
   }
 
   /** Isolated-median child (the MiniBench shape, automated): the named
@@ -290,11 +354,22 @@ object Bench {
     * stayed at the historical value is box noise; one that inflated in
     * BOTH is a real regression — r13–r15 established this reading
     * manually from committed MiniBench logs, this bakes it into the
-    * round artifact. */
+    * round artifact.
+    *
+    * COMMENSURABLE with the manual A/B harness since r18 (VERDICT r17
+    * task 1: the three channels read the same query 20.9/17.3/1.55 s
+    * on one box because this child ran 4-cpu and cold): the session
+    * runs at the MiniBench cpu count (SPARK_GRAFT_ISO_CPUS, default
+    * 32) and every named query gets one UNTIMED warmup execution
+    * before the timed passes, so the reported medians are warm-JVM
+    * local[32] numbers — the same instrument the committed old-jar
+    * A/Bs (tools/m8_ab_r17.txt format) read, and round-over-round
+    * iso-vs-iso deltas adjudicate code-level movement directly (the
+    * iso_delta fields in bench_detail). */
   private def isolatedMain(names: Seq[String], runs: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.local("graft-bench-iso",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_ISO_CPUS", "32").toInt)
     def time(name: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
@@ -307,6 +382,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     time("q1_agg") // warm the session
+    names.foreach(time) // one untimed warmup pass per measured query
     val passes = (1 to runs).map(_ => names.map(n => n -> time(n)).toMap)
     val med = names.map { n =>
       val ok = passes.map(_(n)).filter(_ >= 0)
@@ -373,7 +449,8 @@ object Bench {
         parseLine(out, "BENCH_PASS:").map { sec =>
           PassStats(sec,
             parseLine(out, "BENCH_GC:").getOrElse(Map.empty),
-            parseLine(out, "BENCH_HEAP:").getOrElse(Map.empty))
+            parseLine(out, "BENCH_HEAP:").getOrElse(Map.empty),
+            parseLine(out, "BENCH_PEAK:").getOrElse(Map.empty))
         }.orElse {
           System.err.println("[bench] forked pass emitted no BENCH_PASS line")
           None
@@ -422,7 +499,8 @@ object Bench {
     def mergeStats(parts: Seq[PassStats]): PassStats =
       PassStats(parts.map(_.sec).reduce(_ ++ _),
         parts.map(_.gcSec).reduce(_ ++ _),
-        parts.map(_.heapMb).reduce(_ ++ _))
+        parts.map(_.heapMb).reduce(_ ++ _),
+        parts.map(_.peakMb).reduce(_ ++ _))
     val forked: Seq[PassStats] =
       if (sliced)
         (1 to runs).flatMap { _ =>
@@ -461,6 +539,7 @@ object Bench {
       m.view.mapValues(v => math.rint(v * 1000) / 1000).toMap
     val gcMed = r3map(medianOver(_.gcSec))
     val heapMed = r3map(medianOver(_.heapMb))
+    val peakMed = r3map(medianOver(_.peakMb))
     // self-adjudication fork: isolated warm-JVM medians for EVERY
     // query over 2 s suite time, floor of the 10 heaviest (the manual
     // r13–r15 MiniBench reading, automated into the committed
@@ -492,13 +571,66 @@ object Bench {
     // a failed query must not read as a speedup: surface the count
     // explicitly next to the successful-query total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val delta = deltaJson(results, previousBench())
+    val prev = previousBench()
+    val delta = deltaJson(results, prev)
+    // THE COMMENSURABLE CHANNEL (VERDICT r17 task 1): round-over-round
+    // deltas on the isolated warm-local[32] medians — the same
+    // instrument as the committed old-jar A/Bs — adjudicate the final
+    // verdict. The suite channel still reports (it covers every
+    // query), but a suite spike whose query reads flat on the iso
+    // channel is box noise by the same rule the manual A/Bs applied
+    // (r13–r17); only a spike the iso channel CONFIRMS (or one on a
+    // query the iso set doesn't cover) survives as "concentrated".
+    val prevIsoMap = previousIso()
+    def r4(x: Double): Double = math.rint(x * 10000) / 10000
+    val isoDeltas = isoMed.toSeq.collect {
+      case (n, v) if v >= 0 && prevIsoMap.get(n).exists(_ >= 0) =>
+        n -> (v - prevIsoMap(n))
+    }
+    val isoJson =
+      if (prevIsoMap.isEmpty) """"iso_delta_verdict":"no-previous-iso""""
+      else if (isoDeltas.isEmpty)
+        """"iso_delta_verdict":"no-common-queries""""
+      else {
+        val (v, mq, mx, conc) = excessVerdict(isoDeltas)
+        val m = jsonNumMap(isoDeltas.toMap.view.mapValues(r4).toMap)
+        s""""iso_delta":$m,"iso_delta_median":${r4(median(isoDeltas.map(_._2)))},""" +
+          s""""iso_delta_max_excess":${r4(mx)},"iso_delta_max_query":"$mq",""" +
+          s""""iso_delta_concentration":${r4(conc)},"iso_delta_verdict":"$v""""
+      }
+    val finalVerdict: String = {
+      val suiteDeltas = prev.map(_._2).fold(Seq.empty[(String, Double)]) {
+        pq => results.collect {
+          case (n, v) if v >= 0 && pq.get(n).exists(_ >= 0) => n -> (v - pq(n))
+        }
+      }
+      val isoV = if (isoDeltas.isEmpty) None
+        else Some(excessVerdict(isoDeltas))
+      val suiteV = if (suiteDeltas.isEmpty) None
+        else Some(excessVerdict(suiteDeltas))
+      (isoV, suiteV) match {
+        case (Some((iv, imq, _, _)), _) if iv == "concentrated" =>
+          s"concentrated (iso channel, $imq)"
+        case (_, Some((sv, smq, _, _))) if sv == "concentrated" =>
+          val isoExcessOfSuiteMax = isoDeltas.toMap.get(smq).map(d =>
+            d - median(isoDeltas.map(_._2)))
+          isoExcessOfSuiteMax match {
+            case Some(e) if e <= 0.5 =>
+              s"flat (suite spike on $smq reads flat on the iso channel)"
+            case _ => s"concentrated (suite channel, $smq — no iso coverage)"
+          }
+        case (None, None) => "no-previous-bench"
+        case _ => "flat"
+      }
+    }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"bench_detail":{"delta":{$delta},""" +
+    val detail = s"""{"bench_detail":{"delta":{$delta,$isoJson,""" +
+      s""""delta_verdict_final":"$finalVerdict"},""" +
       s""""queries_full":$qsFull,""" +
       s""""gc_sec":${jsonNumMap(gcMed)},""" +
       s""""heap_delta_mb":${jsonNumMap(heapMed)},""" +
+      s""""peak_exec_mb":${jsonNumMap(peakMed)},""" +
       s""""isolated_medians":${jsonNumMap(isoMed)},""" +
       s""""sf":"$sfDir","runs":$runs}}"""
     println(detail)

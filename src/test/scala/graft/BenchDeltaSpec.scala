@@ -176,4 +176,34 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(Bench.deltaJson(Seq("x" -> 1.0), prev)
       .contains(""""delta_verdict":"no-common-queries""""))
   }
+
+  test("excessVerdict (the shared channel rule): uniform offset flat, " +
+      "dominant material spike concentrated") {
+    val (flat, _, _, _) = Bench.excessVerdict(
+      Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.3))
+    assert(flat == "flat")
+    val (conc, mq, mx, _) = Bench.excessVerdict(
+      Seq("a" -> 0.0, "b" -> 0.1, "c" -> 3.0, "d" -> -0.1))
+    assert(conc == "concentrated" && mq == "c" && mx > 2.0)
+    // material but not dominant (two equal spikes) stays flat
+    val (two, _, _, _) = Bench.excessVerdict(
+      Seq("a" -> 0.0, "b" -> 2.0, "c" -> 2.0, "d" -> 0.0))
+    assert(two == "flat")
+  }
+
+  test("previousIso reads the committed isolated medians; missing or " +
+      "corrupt files degrade to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iso")
+    val f = dir.resolve("bench_detail_last.json")
+    java.nio.file.Files.writeString(f,
+      """{"bench_detail":{"delta":{},"queries_full":{"q1_agg":0.5},""" +
+        """"isolated_medians":{"d14_containment":1.55,"c28_x":2.0},""" +
+        """"sf":"x","runs":3}}""")
+    assert(Bench.previousIso(f) ==
+      Map("d14_containment" -> 1.55, "c28_x" -> 2.0))
+    assert(Bench.previousIso(dir.resolve("nope.json")).isEmpty)
+    val g = dir.resolve("garbage.json")
+    java.nio.file.Files.writeString(g, "not json at all")
+    assert(Bench.previousIso(g).isEmpty)
+  }
 }
