@@ -762,6 +762,55 @@ class ScaleCanarySpec extends SparkTestBase {
       f"index build+serve took $secs%.1f s at 100k keys")
   }
 
+  test("semantic LSH index at 100k docs × dim 2^18 (the sparse regime " +
+      "densify could never reach): planted paraphrases served exactly; " +
+      "delta appends only the new half", Slow) {
+    val s = spark
+    val n = 100000L
+    val dim = 1 << 18
+    val nnz = 8
+    // 8 unique nonzero buckets per doc, deterministic in the id (13 and
+    // 9973 odd, spans < 2^18 → within-doc distinct, cross-doc distinct
+    // base for any id gap < 2^18), equal weights 1/sqrt(8) → unit norm;
+    // two DISTINCT docs share < 8 buckets, so cosine ≥ 0.9 ⟺ identical
+    val w = 1.0 / math.sqrt(nnz.toDouble)
+    def tri(df: DataFrame): DataFrame = df
+      .select(col("doc"), col("src"),
+        explode(sequence(lit(0), lit(nnz - 1))).as("__j"))
+      .select(col("doc"),
+        pmod(col("src") * 13L + col("__j") * 9973L, lit(dim.toLong))
+          .as("bucket"),
+        lit(w).as("weight"))
+    val train = tri(s.range(n)
+      .select(col("id").as("doc"), col("id").as("src")))
+    // every 97th train doc re-emitted as an eval item at +10M — the
+    // c28 planted-paraphrase shape (identical vector, shifted id)
+    val eval = tri(s.range(n).where(col("id") % 97 === 0)
+      .select((col("id") + 10000000L).as("doc"), col("id").as("src")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-canary-semix").toString + "/ix"
+    val t0 = System.nanoTime()
+    val r1 = graft.pipeline.SilverIndex.refreshSemanticLsh(
+      train.where(col("doc") % 2 === 0), dim = dim, bits = 10,
+      tables = 12, path = path)
+    val r2 = graft.pipeline.SilverIndex.refreshSemanticLsh(
+      train, dim = dim, bits = 10, tables = 12, path = path)
+    val served = graft.pipeline.SilverIndex.semanticPairsFromIndex(
+        s, path, eval, theta = 0.9)
+      .select("train_doc", "eval_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // delta appended exactly the odd half's signature rows (12/doc)
+    assert(r2.appended == (n / 2) * 12,
+      s"delta appended ${r2.appended}, want ${(n / 2) * 12}")
+    val want = (0L until n by 97L).map(i => (i, i + 10000000L)).toSet
+    assert(served == want,
+      s"served ${served.size} pairs, want ${want.size}; " +
+        s"spurious ${(served -- want).take(3)}, missed ${(want -- served).take(3)}")
+    assert(secs < 180.0,
+      f"index build+serve took $secs%.1f s at 100k docs, dim $dim")
+  }
+
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 }
