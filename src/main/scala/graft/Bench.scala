@@ -207,10 +207,11 @@ object Bench {
   private def provisionsFor(families: String): Seq[String] =
     families.flatMap {
       case 'a' => Seq("ivf")
-      case 'c' => Seq("bm25")
+      case 'c' => Seq("bm25", "semantic-lsh")
       case 'd' => Seq("minhash")
       case 'h' | 't' => Seq("bm25", "tfidf")
-      case 's' => Seq("stream-bm25", "stream-semantic", "stream-volume")
+      case 's' => Seq("stream-bm25", "stream-semantic",
+        "stream-volume", "stream-semantic-lsh")
       case _ => Seq.empty
     }.distinct
 
@@ -317,6 +318,14 @@ object Bench {
         graft.queries.StreamQueries.streamVolumePath(spark, sfDir))
     if (wanted.contains("tfidf"))
       provision("tfidf")(graft.queries.TextQueries.tfidfVectorsPath(spark, sfDir))
+    // the c31 persisted banded-semantic index and s19's streaming face:
+    // one-time builds a deployment pays at arrival, not per audit
+    if (wanted.contains("semantic-lsh"))
+      provision("semantic-lsh")(
+        graft.queries.CurationQueries.semanticIndexPath(spark, sfDir))
+    if (wanted.contains("stream-semantic-lsh"))
+      provision("stream-semantic-lsh")(
+        graft.queries.StreamQueries.streamSemanticLshPath(spark, sfDir))
     val all = SparkEntry.queries.keys.toSeq.sorted
     val mine = families match {
       case None => all
