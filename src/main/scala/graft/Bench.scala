@@ -208,7 +208,7 @@ object Bench {
     families.flatMap {
       case 'a' => Seq("ivf")
       case 'c' => Seq("bm25", "semantic-lsh")
-      case 'd' => Seq("minhash")
+      case 'd' => Seq("minhash", "components")
       case 'h' | 't' => Seq("bm25", "tfidf")
       case 's' => Seq("stream-bm25", "stream-semantic",
         "stream-volume", "stream-semantic-lsh")
@@ -308,6 +308,9 @@ object Bench {
       provision("ivf")(graft.queries.AnnQueries.ivfIndexPath(spark, sfDir))
     if (wanted.contains("minhash"))
       provision("minhash")(graft.queries.DedupQueries.minhashIndexPath(spark, sfDir))
+    if (wanted.contains("components"))
+      provision("components")(
+        graft.queries.DedupQueries.componentsIndexPath(spark, sfDir))
     if (wanted.contains("stream-bm25"))
       provision("stream-bm25")(graft.queries.StreamQueries.streamIndexPath(spark, sfDir))
     if (wanted.contains("stream-semantic"))

@@ -1661,6 +1661,132 @@ object SilverIndex {
     spark.read.parquet(s"$path/v${vs.max}")
   }
 
+  // --------------------- maintained connected components (d19, r18)
+
+  /** INCREMENTAL maintenance of the d8 near-dup component map — the
+    * transitive-closure face a CONTINUOUSLY-FED dedup pipeline needs:
+    * d8 recomputes large-star/small-star over every pair ever emitted,
+    * but component merge is MONOTONE (new edges only ever join
+    * components; the root is the member minimum), so each batch folds
+    * against the stored roots instead:
+    *
+    *  1. CONTRACT each arriving edge to its endpoints' stored roots
+    *     (unseen nodes contract to themselves); edges whose endpoints
+    *     already share a root drop as self-loops — a re-emitted
+    *     duplicate pair costs one join probe, nothing else;
+    *  2. run [[graft.operators.Components.connectedComponents]] on the
+    *     CONTRACTED graph — batch-sized: one node per touched
+    *     component or arriving doc, never the corpus;
+    *  3. REMAP the stored roots through the (old root → new root)
+    *     merge map (merged-components-sized — broadcast scale) and
+    *     append the batch's new nodes.
+    *
+    * Exactness: the root is min(member ids) and min is associative —
+    * min(roots ∪ new ids) = min(all members) — so the maintained map
+    * equals the from-scratch closure over every pair ever folded
+    * EXACTLY (d8's oracle applies verbatim to d19; SilverIndexSpec
+    * fuzzes edge chunkings incl. cross-batch bridge merges).
+    *
+    * Commit discipline: the [[refreshMaxRollup]] family (versioned
+    * batch-id + stage-then-rename; replays of a committed id no-op) —
+    * and like MAX, the fold is a semilattice (duplicate edges are
+    * absorbed by contraction), so replays are harmless by algebra too.
+    * The per-fold write is the roots table — output-sized (one row per
+    * ever-seen node), never the pair log; a deployment whose node
+    * count outgrows a comfortable rewrite buckets the table by
+    * pmod(component) and rewrites only buckets holding a remapped
+    * root (the merge map names them).
+    *
+    * Erasure: component merge cannot be subtracted (the map does not
+    * know whether an erased doc was the bridge) — the [[resetSketch]]
+    * rebuild-from-clean contract applies: erase the base pairs, reset
+    * this artifact, re-fold the clean log. */
+  def refreshComponents(pairs: DataFrame, batchId: Long, aCol: String,
+      bCol: String, path: String): Refresh = {
+    val spark = pairs.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsUnder(fs, path)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return Refresh(0, last)
+    val e = pairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    // an empty FIRST batch commits nothing (an empty roots version has
+    // no parquet schema to read back); an empty later batch folds
+    // through as identity below
+    if (last < 0 && e.isEmpty) return Refresh(0, last)
+    val next: DataFrame =
+      if (last < 0)
+        graft.operators.Components.connectedComponents(e, "__a", "__b")
+      else {
+        val stored = spark.read.parquet(s"$path/v$last")
+        val contracted = e
+          .join(stored.select(col("node").as("__a"),
+            col("component").as("__ra")), Seq("__a"), "left")
+          .join(stored.select(col("node").as("__b"),
+            col("component").as("__rb")), Seq("__b"), "left")
+          .select(coalesce(col("__ra"), col("__a")).as("__ca"),
+            coalesce(col("__rb"), col("__b")).as("__cb"))
+          .where(col("__ca") =!= col("__cb"))
+        // merge map over the contracted graph: (old root | new node) →
+        // new root. Feeds the remap join AND the new-node join.
+        val m = graft.operators.Components
+          .connectedComponents(contracted, "__ca", "__cb")
+          .localCheckpoint(true)
+        val remapped = stored
+          .join(m.select(col("node").as("component"),
+            col("component").as("__nr")), Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("__nr"), col("component")).as("component"))
+        // every new node survives contraction (it contracts to itself
+        // and cannot equal a stored root), so the merge map covers it
+        val newRoots = e.select(col("__a").as("node"))
+          .unionByName(e.select(col("__b").as("node")))
+          .distinct()
+          .join(stored.select(col("node")), Seq("node"), "left_anti")
+          .join(m, Seq("node"))
+        remapped.unionByName(newRoots)
+      }
+    val out = next.localCheckpoint(true)
+    val tmp = s"$path/_tmp_v$batchId"
+    out.write.mode("overwrite").parquet(tmp)
+    require(fs.rename(new Path(tmp), new Path(s"$path/v$batchId")),
+      s"components commit rename failed: $tmp -> $path/v$batchId " +
+        "(old versions kept)")
+    committed.foreach(v => fs.delete(new Path(s"$path/v$v"), true))
+    Refresh(batchId, batchId)
+  }
+
+  /** The maintained component map (node → component root = min member
+    * id) — the highest committed version. Nodes never named by a pair
+    * are their own components and are not stored (the
+    * [[graft.operators.Components.connectedComponents]] contract —
+    * left-join + coalesce on the caller's side). */
+  def componentsIndex(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionsUnder(fs, path)
+    require(vs.nonEmpty, s"no committed component map under $path")
+    spark.read.parquet(s"$path/v${vs.max}")
+  }
+
+  /** [[refreshComponents]] driven by Structured Streaming — the
+    * continuously-fed dedup-clustering face (near-dup pairs arrive
+    * from [[streamingNearDupPairs]]-style emitters; each micro-batch
+    * folds its edges at contracted-graph cost). */
+  def streamingRefreshComponents(rows: DataFrame, aCol: String,
+      bCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        refreshComponents(batch.toDF(), id, aCol, bCol, path); ()
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
   // ------------------------------ maintained SCD2 history (g6, r17)
 
   /** INCREMENTAL maintenance of an SCD TYPE-2 history — the g4/g5

@@ -28,6 +28,26 @@ object DedupQueries {
       ()
     }
 
+  /** The d19 maintained component map (once per JVM + sf dir): the d2
+    * near-dup pairs folded as THREE edge batches keyed by
+    * pmod(doc_a + doc_b, 3), so component merges deliberately span
+    * batches — the contracted-graph fold is load-bearing every battery
+    * run, not just in the spec. The pair frame is checkpointed once
+    * (the three batch filters must not re-run the shingle join). */
+  private[graft] def componentsIndexPath(s: SparkSession, dir: String): String =
+    IndexMemo.path(s"components:$dir") { p =>
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 2, theta = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      (0L to 2L).foreach { b =>
+        graft.pipeline.SilverIndex.refreshComponents(
+          pairs.where(pmod(col("doc_a") + col("doc_b"), lit(3L)) === b),
+          batchId = b, aCol = "doc_a", bCol = "doc_b", path = p)
+      }
+    }
+
   /** The d18 variant-key table, built by TWO incremental refreshes (the
     * m9 gate discipline: every battery run exercises delta ≡ scratch,
     * not only the spec) — even custkeys first, then the full table so
@@ -295,6 +315,30 @@ object DedupQueries {
     "d18_edit_index" -> ((s, dir) =>
       graft.pipeline.SilverIndex.editPairsFromIndex(
         s, d18Path(s, dir), maxDist = 1)),
+
+    // d19 (r18): the d8 component map INCREMENTALLY MAINTAINED — the
+    // transitive-closure face a continuously-fed dedup pipeline runs:
+    // component merge is monotone (root = member min, min is
+    // associative), so each batch of near-dup pairs contracts to the
+    // stored roots, closes the batch-sized contracted graph, and
+    // remaps — the pair log is never rescanned (SilverIndex
+    // .refreshComponents, the refreshMaxRollup commit family). The
+    // gate folds the SAME d2 pairs d8 closes one-shot, as three
+    // edge batches (pmod(doc_a + doc_b, 3) — merges deliberately SPAN
+    // batches), so maintained ≡ scratch runs every battery and d8's
+    // recursive-CTE oracle applies VERBATIM.
+    "d19_incr_components" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val ix = graft.pipeline.SilverIndex.componentsIndex(
+          s, componentsIndexPath(s, dir))
+        .withColumnRenamed("node", "doc_id")
+      docs.join(ix, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).cast("long").as("survivor"))
+    }),
 
     "d16_domain_dup_rate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -669,7 +713,10 @@ object DedupQueries {
   )
 
   // the index-served pairs must equal the scratch operator exactly —
-  // d17's brute-force oracle applies verbatim (the m9 discipline)
-  val oracles: Map[String, String] =
-    oracles0 + ("d18_edit_index" -> oracles0("d17_edit_pairs"))
+  // d17's brute-force oracle applies verbatim (the m9 discipline);
+  // likewise the maintained component map must equal the one-shot
+  // closure, so d8's recursive-CTE oracle applies verbatim to d19
+  val oracles: Map[String, String] = oracles0 +
+    ("d18_edit_index" -> oracles0("d17_edit_pairs")) +
+    ("d19_incr_components" -> oracles0("d8_components"))
 }

@@ -831,6 +831,90 @@ class SilverIndexSpec extends SparkTestBase {
     }
   }
 
+  // ------------------- maintained connected components (d19, r18)
+
+  test("maintained components (d19): any edge chunking folds to the " +
+      "one-shot closure, including cross-batch bridge merges; replay " +
+      "no-op; empty batches are identity") {
+    val s = spark
+    import s.implicits._
+    // two chains and a triangle; the bridge edge (4,5) MERGES the
+    // two chains' components when it arrives in a LATER batch
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val all = edges.toDF("doc_a", "doc_b")
+    def oneShot: Map[Long, Long] =
+      graft.operators.Components.connectedComponents(all)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def served(path: String): Map[Long, Long] =
+      SilverIndex.componentsIndex(spark, path)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = oneShot
+    assert(want == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val rnd = new scala.util.Random(19)
+    (1 to 5).foreach { trial =>
+      val path = tmp(s"silver-cc-$trial")
+      val marked = edges.zipWithIndex
+        .map { case (e, i) => (e, rnd.nextInt(3)) }
+      (0 to 2).foreach { b =>
+        val batch = marked.collect { case (e, bb) if bb == b => e }
+        SilverIndex.refreshComponents(
+          batch.toDF("doc_a", "doc_b"), b.toLong, "doc_a", "doc_b", path)
+      }
+      assert(served(path) == want, s"trial $trial ($marked)")
+    }
+    // the explicit bridge case: chains {1,2,3} and {4,5} build first,
+    // the bridge (3,4) merges them in batch 1 — old roots 1 and 4
+    // both collapse to 1 via the contracted graph
+    val path = tmp("silver-cc-bridge")
+    SilverIndex.refreshComponents(
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b"),
+      0L, "doc_a", "doc_b", path)
+    assert(served(path) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    SilverIndex.refreshComponents(
+      Seq((3L, 4L)).toDF("doc_a", "doc_b"), 1L, "doc_a", "doc_b", path)
+    assert(served(path) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // replay of a committed id is a no-op; an empty later batch and a
+    // duplicate-edge batch are identity
+    val before = served(path)
+    val r = SilverIndex.refreshComponents(
+      Seq((99L, 100L)).toDF("doc_a", "doc_b"), 1L, "doc_a", "doc_b", path)
+    assert(r.appended == 0 && served(path) == before)
+    SilverIndex.refreshComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), 5L,
+      "doc_a", "doc_b", path)
+    assert(served(path) == before, "empty batch must be identity")
+    SilverIndex.refreshComponents(
+      Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b"), 6L,
+      "doc_a", "doc_b", path)
+    assert(served(path) == before,
+      "re-emitted duplicate pairs must be absorbed by contraction")
+  }
+
+  test("maintained components: crash window — an orphan _tmp version " +
+      "is invisible and the replayed fold recovers") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("silver-cc-crash")
+    SilverIndex.refreshComponents(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), 0L, "doc_a", "doc_b", path)
+    // crash state: the staged next version, never renamed
+    Seq((999L, 999L)).toDF("node", "component")
+      .write.parquet(s"$path/_tmp_v1")
+    def served: Map[Long, Long] =
+      SilverIndex.componentsIndex(spark, path)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == Map(1L -> 1L, 2L -> 1L),
+      "reader must ignore the orphan staging dir")
+    SilverIndex.refreshComponents(
+      Seq((2L, 3L)).toDF("doc_a", "doc_b"), 1L, "doc_a", "doc_b", path)
+    assert(served == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(!served.contains(999L), "the orphan staging junk must not leak")
+  }
+
   test("driver quantizer caches are LRU-capped: a capped-out entry " +
       "reloads from parquet and serves identical rows") {
     val prop = "graft.silverindex.cacheCap"

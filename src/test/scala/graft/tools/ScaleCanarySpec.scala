@@ -322,6 +322,33 @@ class ScaleCanarySpec extends SparkTestBase {
     }
   }
 
+  test("maintained components at 100k nodes: three edge folds == the " +
+      "one-shot closure; the merge fold costs contracted-graph work, " +
+      "not a corpus rescan", Slow) {
+    val n = 100000L
+    val k = 5000 // 20 components, the last a 5000-link chain
+    val edges = SyntheticScale.componentEdges(spark, n, k)
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-canary-cc").toString + "/ix"
+    val t0 = System.nanoTime()
+    // chunk by edge hash so every component's edges span batches —
+    // each later fold merges partial chains through the contraction
+    (0L to 2L).foreach { b =>
+      graft.pipeline.SilverIndex.refreshComponents(
+        edges.where(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(3L))
+          === b),
+        batchId = b, aCol = "doc_a", bCol = "doc_b", path = path)
+    }
+    val comp = graft.pipeline.SilverIndex.componentsIndex(spark, path)
+    val bad = comp.where(col("component") =!=
+      (col("node") - pmod(col("node"), lit(k.toLong)))).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(bad == 0, s"$bad wrong component roots after the folds")
+    assert(comp.count() == n, "not every node got a root")
+    assert(secs < 180.0, f"three folds took $secs%.1f s at 100k nodes")
+  }
+
   test("ANN recall holds at smoke scale", Slow) {
     val q = emb.where(col("vec_id") % 1000 === 0)
     val exact = AnnSearch.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
