@@ -894,6 +894,28 @@ class SilverIndexSpec extends SparkTestBase {
       "re-emitted duplicate pairs must be absorbed by contraction")
   }
 
+  test("streaming components: micro-batches fold to the one-shot " +
+      "closure under Structured Streaming (the d19 streaming face)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val path = tmp("silver-cc-stream")
+    val input = MemoryStream[(Long, Long)]
+    val q = SilverIndex.streamingRefreshComponents(
+      input.toDF().toDF("doc_a", "doc_b"), "doc_a", "doc_b", path)
+    try {
+      input.addData((1L, 2L), (4L, 5L))
+      q.processAllAvailable()
+      input.addData((2L, 3L), (3L, 4L)) // bridges {1,2,3} into {4,5}
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = SilverIndex.componentsIndex(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      served.toString)
+  }
+
   test("maintained components: crash window — an orphan _tmp version " +
       "is invisible and the replayed fold recovers") {
     val s = spark
